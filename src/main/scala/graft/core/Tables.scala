@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet substrate
+  * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md §B).
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS): with
+    // spark.sql.legacy.parquet.nanosAsLong=true it arrives as a long of
+    // epoch-ns — normalize to a proper TimestampType (µs, floor), the
+    // same truncation DuckDB applies when it reads ns into its µs
+    // timestamps. `div` is integer division (exact on the int64 range,
+    // where a double round-trip would not be).
+    df.schema.fields.find(f => f.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+
+  /** Canonical metric vocabulary of the `events` table when it plays the
+    * role of a sensor stream (event_type ≈ metric, user_id ≈ sensor id).
+    */
+  val EventMetrics: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+}

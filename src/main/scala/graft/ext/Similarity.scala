@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north-star extension §2.F).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exact baseline; a single pass,
+  *    fully codegen'd (`zip_with` + `aggregate` fold, no UDF);
+  *  - LSH-bucketed ANN — random-hyperplane signatures assign every
+  *    vector to one of 2^planes buckets; a query probes only its own
+  *    bucket. At 100 TB the table is written bucketed/partitioned by
+  *    the signature so a probe is a partition-pruned scan, not a full
+  *    pass. Hyperplane weights are derived deterministically from md5
+  *    nibbles so the index is reproducible anywhere.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float arrays, computed in
+    * double (element casts first). Left-to-right order makes the fp
+    * result deterministic and engine-portable.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against one query vector (a Column literal
+    * or a broadcastable one-row frame joined in by the caller).
+    * Deterministic order: rounded similarity desc, then id.
+    */
+  def topK(df: DataFrame, idCol: String, vecCol: String, query: Column,
+           k: Int): DataFrame =
+    df.select(col(idCol), round(cosine(col(vecCol), query), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * first md5 nibble of "p|d", centred: value in [-7.5, 7.5].
+    */
+  private def planeWeight(plane: Int, d: Column): Column =
+    conv(substring(md5(concat_ws("|", lit(plane), d)), 1, 1), 16, 10)
+      .cast("int") - lit(7.5)
+
+  /** Random-hyperplane LSH signature: bit p = [sum_d w(p,d)*x_d >= 0].
+    * Returns a bit-string column usable as a bucket key.
+    */
+  def lshSignature(vec: Column, planes: Int, dim: Int): Column =
+    concat((0 until planes).map { p =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, d) => x.cast("double") * planeWeight(p, d)),
+        lit(0d), (acc, x) => acc + x)
+      when(s >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** ANN: probe the query's LSH bucket, rank by exact cosine. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String, query: Column,
+              planes: Int, dim: Int, k: Int): DataFrame = {
+    val sig = lshSignature(col(vecCol), planes, dim)
+    val qsig = lshSignature(query, planes, dim)
+    df.filter(sig === qsig)
+      .select(col(idCol), round(cosine(col(vecCol), query), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+}

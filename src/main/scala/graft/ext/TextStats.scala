@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (north-star §2.F):
+  * corpus stats, token counting, quality scoring, naive-Bayes language
+  * ID, and rolling-hash fingerprinting. All pure Column expressions /
+  * grouped aggregations — per-row work is codegen'd, cross-row work is
+  * single-shuffle hash aggregation.
+  */
+object TextStats {
+
+  def words(textCol: Column): Column = split(textCol, " ")
+
+  /** Whitespace token count. */
+  def wsTokens(textCol: Column): Column = size(words(textCol))
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, or
+    * single other non-space characters (a crude byte-pair-style
+    * tokenizer's pre-split). `regexp_count` keeps it in codegen.
+    */
+  def bpeTokens(textCol: Column): Column =
+    regexp_count(lower(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Heuristic quality score in [0,1]: mix of length, stopword ratio
+    * and mean word length (the classic cheap pre-filters for corpus
+    * cleaning). Single-row arithmetic, deterministic.
+    */
+  def qualityColumns(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val nWords = size(w)
+    val nChars = length(col(textCol))
+    val stopHits = size(filter(w, x => x.isin(Stopwords: _*)))
+    val meanWordLen = (nChars - (nWords - 1)).cast("double") / nWords
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      round(stopHits.cast("double") / nWords, 6).as("stopword_ratio"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(
+        least(lit(1d), nWords.cast("double") / lit(64d)) * lit(0.5)
+          + least(lit(1d), stopHits.cast("double") / nWords * lit(5d)) * lit(0.25)
+          + least(lit(1d), meanWordLen / lit(8d)) * lit(0.25), 6)
+        .as("quality"))
+  }
+
+  /** Unigram naive-Bayes language ID, trained on the corpus itself:
+    * P(w|lang) with add-one smoothing from exact counts; a document's
+    * score for a lang is sum(log P) over its tokens; prediction = best
+    * rounded score (ties broken by lang name). Train + classify are
+    * three hash aggregations and one broadcastable join — no per-row
+    * model object, scales linearly.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+             langCol: String): DataFrame = {
+    val tok = df.select(col(idCol), col(langCol),
+      explode(words(col(textCol))).as("w"))
+    val counts = tok.groupBy(col(langCol).as("model_lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val totals = tok.groupBy(col(langCol).as("model_lang"))
+      .agg(count(lit(1)).as("t"))
+    val vocab = tok.agg(countDistinct(col("w")).as("v"))
+    val scores = tok.select(col(idCol), col("w"))
+      .crossJoin(broadcast(totals.crossJoin(vocab)))
+      .join(broadcast(counts), Seq("model_lang", "w"), "left")
+      .groupBy(col(idCol), col("model_lang"))
+      .agg(round(sum(
+        log((coalesce(col("c"), lit(0L)) + lit(1d)) / (col("t") + col("v")))),
+        6).as("score"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("model_lang"))
+    scores.withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("model_lang").as("pred_lang"), col("score"))
+  }
+
+  /** Karp–Rabin polynomial rolling hash of the first `maxChars`
+    * characters: fold `acc = (acc*31 + ascii(char)) mod 1e9+7`.
+    * Deterministic content fingerprint with incremental-window
+    * structure (the building block for content-defined chunking).
+    */
+  def rollingFingerprint(textCol: Column, maxChars: Int = 64): Column = {
+    val s = substring(lower(textCol), 1, maxChars)
+    // sequence(1, n) would DESCEND for n=0 (empty text) — guard to 1 char.
+    aggregate(
+      sequence(lit(1), greatest(length(s), lit(1))),
+      lit(0L),
+      (acc, i) => pmod(acc * 31 + ascii(s.substr(i, lit(1))), lit(1000000007L)))
+  }
+}

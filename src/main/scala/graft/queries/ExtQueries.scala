@@ -1,0 +1,346 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+
+/** North-star extension queries (SURVEY.md §2.F): dedup, similarity
+  * search, text analysis, multimodal plumbing — over `documents` /
+  * `embeddings` / `events.props`. Every key has a byte-deterministic
+  * DuckDB oracle (hash-based minhash/simhash/LSH constructions are
+  * md5-hex so both engines compute identical values; float folds are
+  * explicit left-to-right double arithmetic).
+  */
+object ExtQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  val Dim = 64
+  val Planes = 8
+  val NumHashes = 8
+
+  // ---- DuckDB oracle building blocks ---------------------------------
+
+  /** Sequential left-fold dot product of two 1-indexed list expressions,
+    * in double — byte-identical to Similarity.dot's zip_with/aggregate.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  list_transform(range(1, len($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** LSH signature bit-string of a list expression (Planes bits). */
+  private def lshSql(v: String): String = {
+    val bits = (0 until Planes).map { p =>
+      val s =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(range(1, len($v) + 1),
+           |    i -> CAST($v[i] AS DOUBLE) *
+           |         (strpos('0123456789abcdef',
+           |            substr(md5($p || '|' || (i - 1)), 1, 1)) - 1 - 7.5))),
+           |  (acc, x) -> acc + x)""".stripMargin
+      s"CASE WHEN ($s) >= 0 THEN '1' ELSE '0' END"
+    }
+    s"concat(${bits.mkString(", ")})"
+  }
+
+  /** Shared shingle/minhash/band CTE chain (3-gram shingles, 8 minhashes,
+    * 1-row bands).
+    */
+  private val ShingleCtes =
+    """WITH sh0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(list_transform(range(1, len(w) - 1),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |  FROM sh0 WHERE len(w) >= 3
+      |), mh AS (
+      |  SELECT doc_id, h, min(md5(h || '|' || shingle)) AS minhash
+      |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS h) hs
+      |  GROUP BY doc_id, h
+      |), bd AS (
+      |  SELECT doc_id, h AS band, md5(minhash) AS band_key FROM mh
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bd a JOIN bd b
+      |    ON a.band = b.band AND a.band_key = b.band_key
+      |   AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  // ---- queries -------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")
+        .select("content_hash", "doc_id", "n_dups")
+        .orderBy("doc_id")),
+
+    "dedup_near_minhash" -> ((s, dir) => {
+      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
+      val sig = Dedup.minhash(sh, "doc_id", NumHashes)
+      Dedup.candidatePairs(Dedup.bands(sig, "doc_id", 1), "doc_id")
+        .orderBy("a_id", "b_id")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
+      val sig = Dedup.minhash(sh, "doc_id", NumHashes)
+      val cands = Dedup.candidatePairs(Dedup.bands(sig, "doc_id", 1), "doc_id")
+      Dedup.jaccard(cands, sh, "doc_id").orderBy("a_id", "b_id")
+    }),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id"), col("embedding"), col("label"))
+      val b = e.select(col("vec_id").as("nn_id"),
+        col("embedding").as("nn_emb"), col("label").as("nn_label"))
+      val pairs = a.join(b,
+        col("label") === col("nn_label") && col("vec_id") =!= col("nn_id"))
+        .withColumn("sim",
+          round(Similarity.cosine(col("embedding"), col("nn_emb")), 6))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("nn_id"))
+      pairs.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+        .select("vec_id", "nn_id", "sim")
+        .orderBy("vec_id")
+    }),
+
+    "similar_topk_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.topK(
+        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", col("qvec"), 10)
+    }),
+
+    "similar_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.annTopK(
+        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", col("qvec"), Planes, Dim, 5)
+    }),
+
+    "text_stats" -> ((s, dir) =>
+      docs(s, dir).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(TextStats.wsTokens(col("text")).cast("long")).as("sum_words"),
+        round(sum(col("n_chars")) * lit(1.0d) / count(lit(1)), 6).as("avg_chars"))
+        .orderBy("lang")),
+
+    "token_count" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextStats.wsTokens(col("text")).cast("long").as("ws_tokens"),
+        TextStats.bpeTokens(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "quality_score" -> ((s, dir) =>
+      TextStats.qualityColumns(docs(s, dir), "doc_id", "text")
+        .withColumn("n_chars", col("n_chars").cast("long"))
+        .withColumn("n_words", col("n_words").cast("long"))
+        .orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) =>
+      TextStats.langId(docs(s, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextStats.rollingFingerprint(col("text"), 64).as("fp"))
+        .orderBy("doc_id")),
+
+    "multimodal_schema" -> ((s, dir) =>
+      emb(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("e0"),
+        col("label").cast("long").as("label"))
+        .orderBy("vec_id")),
+
+    "json_props_extract" -> ((s, dir) =>
+      Tables.load(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    "multimodal_pipeline" -> ((s, dir) =>
+      Multimodal.decodeStub(Multimodal.asMedia(docs(s, dir), "doc_id", "text"))
+        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("first_byte").cast("long").as("first_byte"), col("n_frames"))
+        .orderBy("media_id")),
+  )
+
+  // ---- oracles -------------------------------------------------------
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(text))) AS content_hash,
+        |  min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY content_hash ORDER BY doc_id""".stripMargin,
+
+    "dedup_near_minhash" ->
+      s"""$ShingleCtes SELECT a_id, b_id FROM cand ORDER BY a_id, b_id""",
+
+    "dedup_ngram_jaccard" ->
+      s"""$ShingleCtes, sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id
+         |)
+         |SELECT i.a_id, i.b_id,
+         |  round(n_inter / (na.n + nb.n - n_inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN sizes na ON na.doc_id = i.a_id
+         |JOIN sizes nb ON nb.doc_id = i.b_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash" -> {
+      val bitSums = (0 until 16).map(i =>
+        s"sum(CASE WHEN strpos('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1 >= 8 THEN 1 ELSE 0 END) AS s$i")
+        .mkString(",\n  ")
+      val bitStr = (0 until 16).map(i =>
+        s"CASE WHEN s$i * 2 >= n THEN '1' ELSE '0' END").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), tb AS (SELECT doc_id, md5(tok) AS m FROM tok
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n,
+         |  $bitSums
+         |  FROM tb GROUP BY doc_id)
+         |SELECT doc_id, concat($bitStr) AS simhash FROM agg
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_embedding_cosine" ->
+      s"""WITH pairs AS (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id
+         |), ranked AS (
+         |  SELECT vec_id, nn_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY sim DESC, nn_id) AS rn
+         |  FROM pairs)
+         |SELECT vec_id, nn_id, sim FROM ranked WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin,
+
+    "similar_topk_cosine" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  round(${cosineSql("e.embedding", "q.qvec")}, 6) AS sim
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "similar_ann_lsh" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |sigs AS (
+         |  SELECT e.vec_id, e.embedding, q.qvec,
+         |    ${lshSql("e.embedding")} AS sig,
+         |    ${lshSql("q.qvec")} AS qsig
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> 0)
+         |SELECT vec_id,
+         |  round(${cosineSql("embedding", "qvec")}, 6) AS sim
+         |FROM sigs WHERE sig = qsig
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  sum(len(string_split(text, ' '))) AS sum_words,
+        |  round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is'], x))) AS stop_hits,
+        |    (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+        |      / len(string_split(text, ' ')) AS mean_wl
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_words,
+        |  round(stop_hits * 1.0 / n_words, 6) AS stopword_ratio,
+        |  round(mean_wl, 6) AS mean_word_len,
+        |  round(least(1.0, (n_words * 1.0) / 64.0) * 0.5
+        |      + least(1.0, (stop_hits * 1.0 / n_words) * 5.0) * 0.25
+        |      + least(1.0, mean_wl / 8.0) * 0.25, 6) AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), counts AS (
+        |  SELECT lang AS model_lang, w, count(*) AS c FROM tok GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT lang AS model_lang, count(*) AS tot FROM tok GROUP BY 1
+        |), vocab AS (SELECT count(DISTINCT w) AS v FROM tok
+        |), scores AS (
+        |  SELECT t.doc_id, m.model_lang,
+        |    round(sum(ln((coalesce(c.c, 0) + 1.0) / (m.tot + m.v))), 6) AS score
+        |  FROM (SELECT doc_id, w FROM tok) t
+        |  CROSS JOIN (SELECT model_lang, tot, v FROM totals CROSS JOIN vocab) m
+        |  LEFT JOIN counts c ON c.model_lang = m.model_lang AND c.w = t.w
+        |  GROUP BY t.doc_id, m.model_lang
+        |), ranked AS (
+        |  SELECT doc_id, model_lang, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, model_lang) AS rn
+        |  FROM scores)
+        |SELECT doc_id, model_lang AS pred_lang, score FROM ranked
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, len(substr(lower(text), 1, 64)) + 1),
+        |      i -> CAST(ascii(substr(substr(lower(text), 1, 64),
+        |                             CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_schema" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+        |  CAST(label AS BIGINT) AS label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "json_props_extract" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "multimodal_pipeline" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  CAST(floor(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.core.Tables
+
+/** Relational workload keys: a pricing-summary aggregation and a
+  * dim-enrichment join over the TPC-H-ish tables. These exercise the
+  * scale-critical physical shapes — map-side-combined hash aggregation
+  * and broadcast-hash joins (dims broadcast, no shuffle of the fact
+  * table). Double sums go through DECIMAL so partial-aggregation order
+  * can never change the result (exact, engine-portable), then cast back
+  * to double for output.
+  */
+object RelQueries {
+
+  private def dec(c: String) = col(c).cast(DecimalType(18, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).cast(DoubleType).as("sum_qty"),
+          sum(dec("l_extendedprice")).cast(DoubleType).as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "join_enrich" -> ((s, dir) => {
+      val orders = Tables.load(s, dir, "orders")
+      val customer = broadcast(Tables.load(s, dir, "customer"))
+      val nation = broadcast(Tables.load(s, dir, "nation"))
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec("o_totalprice")).cast(DoubleType).as("total"))
+        .orderBy("n_name")
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "join_enrich" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+  )
+}

@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Grid, Tables}
+import graft.expr.RowChecksum
+import graft.ingest.{Influx, Pivot, Upsert}
+import graft.maint.VerifyStats
+import graft.read.{Downsample, Reader}
+
+/** Declared queries for every reference operator (SURVEY.md §2.A–§2.D),
+  * run over the `events` substrate (ts=event time, user_id≈sensor,
+  * event_type≈metric, value≈reading — FIXTURES.md §B). Each key has a
+  * byte-deterministic DuckDB oracle in `oracle`.
+  */
+object TsQueries {
+
+  /** 5-minute tick, 1-day chunk — the grid the events sensor uses. */
+  val Tick = 300L
+  val Chunk = 86400L
+  val Metrics: Seq[String] = Tables.EventMetrics
+
+  /** events → (event_id, sec, slot, user_id, event_type, value). */
+  def base(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+    ev.select(
+      col("event_id"),
+      Grid.tsSeconds(col("ts")).as("sec"),
+      col("user_id"), col("event_type"), col("value"))
+      .withColumn("slot", Grid.snapSeconds(col("sec"), Tick))
+  }
+
+  /** Wide per-(slot, user) frame — last write (max event_id) wins per
+    * cell, exactly the reference's pivot A-4.
+    */
+  def wide(s: SparkSession, dir: String): DataFrame =
+    Pivot.longToWide(base(s, dir), Seq("slot", "user_id"),
+      "event_type", "value", "event_id", Metrics)
+
+  // ---- oracle SQL building blocks ------------------------------------
+
+  private val BaseCte =
+    """WITH base AS (
+      |  SELECT event_id,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         CAST(floor(epoch(ts)) AS BIGINT)
+      |           - (CAST(floor(epoch(ts)) AS BIGINT) % 300) AS slot,
+      |         user_id, event_type, value
+      |  FROM events
+      |)""".stripMargin
+
+  private def pivotCols(src: String): String = Metrics.map { m =>
+    s"""    max_by(CASE WHEN event_type='$m' THEN value END,
+       |           CASE WHEN event_type='$m' THEN event_id END) AS $m""".stripMargin
+  }.mkString(",\n")
+
+  private val WideCte =
+    s"""$BaseCte, wide AS (
+       |  SELECT slot, user_id,
+       |${pivotCols("base")}
+       |  FROM base GROUP BY slot, user_id
+       |)""".stripMargin
+
+  private val NansumExpr = {
+    val allNull = Metrics.map(m => s"$m IS NULL").mkString(" AND ")
+    val sum = Metrics.map(m => s"coalesce($m, 0)").mkString(" + ")
+    s"CASE WHEN $allNull THEN NULL ELSE $sum END"
+  }
+
+  // ---- queries -------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_time_range" -> ((s, dir) =>
+      Reader.scanRange(Tables.load(s, dir, "events"), "ts",
+          "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+        .select(col("event_id"), Grid.tsSeconds(col("ts")).as("sec"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")),
+
+    "snap_to_grid" -> ((s, dir) =>
+      base(s, dir).select("event_id", "sec", "slot").orderBy("event_id")),
+
+    "project_metrics" -> ((s, dir) =>
+      Reader.projectMetrics(wide(s, dir), Seq("slot", "user_id"),
+          Seq("click", "view"))
+        .orderBy("slot", "user_id")),
+
+    "pivot_long_to_wide" -> ((s, dir) =>
+      wide(s, dir).orderBy("slot", "user_id")),
+
+    "ingest_group_pivot" -> ((s, dir) =>
+      base(s, dir)
+        .withColumn("chunk", Grid.snapSeconds(col("slot"), Chunk))
+        .groupBy("user_id", "chunk")
+        .agg(count(lit(1)).as("n_points"),
+          countDistinct(col("slot")).as("n_slots"))
+        .orderBy("user_id", "chunk")),
+
+    "unpivot_wide_to_long" -> ((s, dir) =>
+      Pivot.wideToLong(wide(s, dir), Seq("slot", "user_id"), Metrics)
+        .orderBy("slot", "user_id", "metric")),
+
+    "upsert_last_write_wins" -> ((s, dir) => {
+      val b = base(s, dir)
+      val old = Pivot.longToWide(b.filter(col("event_id") % 2 === 0),
+        Seq("slot", "user_id"), "event_type", "value", "event_id", Metrics)
+      val nw = Pivot.longToWide(b.filter(col("event_id") % 2 === 1),
+        Seq("slot", "user_id"), "event_type", "value", "event_id", Metrics)
+      Upsert.merge(old, nw, Seq("slot", "user_id"), Metrics)
+        .orderBy("slot", "user_id")
+    }),
+
+    "add_metric_fill" -> ((s, dir) =>
+      wide(s, dir).withColumn("nueva", lit(0.0d)).orderBy("slot", "user_id")),
+
+    "row_nansum" -> ((s, dir) =>
+      wide(s, dir).select(col("slot"), col("user_id"),
+          round(RowChecksum.nansum(Metrics.map(col)), 6).as("checksum"))
+        .orderBy("slot", "user_id")),
+
+    "checksum_filter" -> ((s, dir) => {
+      val w = wide(s, dir).withColumn("stored",
+        RowChecksum.nansum(Metrics.map(col))
+          + when(col("user_id") % 7 === 3, lit(0.5d)).otherwise(lit(0.0d)))
+      Reader.checksumFilter(w, Metrics, "stored")
+        .select(col("slot"), col("user_id"), round(col("stored"), 6).as("stored"))
+        .orderBy("slot", "user_id")
+    }),
+
+    "last_timestamp" -> ((s, dir) =>
+      Reader.lastTimestamp(base(s, dir), Seq("user_id"), col("slot"))
+        .orderBy("user_id")),
+
+    "tz_convert" -> ((s, dir) =>
+      Reader.tzConvert(Tables.load(s, dir, "events"), "ts", "+05:30", "local_time")
+        .select("event_id", "local_time").orderBy("event_id")),
+
+    "downsample_first_per_bucket" -> ((s, dir) =>
+      Downsample.firstPerBucket(base(s, dir), Seq("event_type"), col("sec"),
+          "value", "event_id",
+          startSec = 1704067200L, endSec = 1704067200L + 2678400L - 1,
+          maxDataPoints = 100)
+        .orderBy("event_type", "bucket")),
+
+    "long_format_dropna" -> ((s, dir) =>
+      Downsample.longFormat(wide(s, dir), Seq("slot", "user_id"), Metrics, "slot")
+        .orderBy("metric", "slot", "user_id")),
+
+    "verify_stats" -> ((s, dir) => {
+      val b = base(s, dir)
+        .withColumn("chunk", Grid.snapSeconds(col("slot"), Chunk))
+        .withColumn("idx", ((col("slot") - col("chunk")) / Tick).cast("long"))
+      VerifyStats.stats(b, Seq("user_id"), col("chunk"), col("idx"),
+          col("value").isNotNull)
+        .orderBy("user_id", "chunk")
+    }),
+
+    "influx_parse" -> ((s, dir) => {
+      val lines = base(s, dir).select(col("event_id"),
+        Influx.formatLine(lit("graftdb"), concat(lit("u"), col("user_id")),
+          col("event_type"), col("value"), col("sec")).as("line"))
+      Influx.parseLines(lines, "line")
+        .select(col("event_id"), col("db"), col("sensor"), col("metric"),
+          col("value"), col("ts_sec"))
+        .orderBy("event_id")
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "scan_time_range" ->
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |       user_id, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "snap_to_grid" ->
+      s"""$BaseCte SELECT event_id, sec, slot FROM base ORDER BY event_id""",
+
+    "project_metrics" ->
+      s"""$WideCte SELECT slot, user_id, click, view FROM wide
+         |ORDER BY slot, user_id""".stripMargin,
+
+    "pivot_long_to_wide" ->
+      s"""$WideCte SELECT slot, user_id, ${Metrics.mkString(", ")} FROM wide
+         |ORDER BY slot, user_id""".stripMargin,
+
+    "ingest_group_pivot" ->
+      s"""$BaseCte SELECT user_id, slot - (slot % 86400) AS chunk,
+         |  count(*) AS n_points, count(DISTINCT slot) AS n_slots
+         |FROM base GROUP BY user_id, chunk ORDER BY user_id, chunk""".stripMargin,
+
+    "unpivot_wide_to_long" -> {
+      val arms = Metrics.map(m =>
+        s"SELECT slot, user_id, '$m' AS metric, $m AS value FROM wide WHERE $m IS NOT NULL")
+      s"""$WideCte, long AS (${arms.mkString(" UNION ALL ")})
+         |SELECT slot, user_id, metric, value FROM long
+         |ORDER BY slot, user_id, metric""".stripMargin
+    },
+
+    "upsert_last_write_wins" -> {
+      def w(par: String, alias: String) =
+        s"""$alias AS (
+           |  SELECT slot, user_id,
+           |${pivotCols("base")}
+           |  FROM base WHERE event_id % 2 $par GROUP BY slot, user_id
+           |)""".stripMargin
+      val merged = Metrics.map(m => s"coalesce(wn.$m, wo.$m) AS $m").mkString(", ")
+      s"""$BaseCte, ${w("= 0", "wo")}, ${w("= 1", "wn")}
+         |SELECT coalesce(wo.slot, wn.slot) AS slot,
+         |       coalesce(wo.user_id, wn.user_id) AS user_id, $merged
+         |FROM wo FULL OUTER JOIN wn
+         |  ON wo.slot = wn.slot AND wo.user_id = wn.user_id
+         |ORDER BY slot, user_id""".stripMargin
+    },
+
+    "add_metric_fill" ->
+      s"""$WideCte SELECT slot, user_id, ${Metrics.mkString(", ")},
+         |  CAST(0.0 AS DOUBLE) AS nueva FROM wide ORDER BY slot, user_id""".stripMargin,
+
+    "row_nansum" ->
+      s"""$WideCte SELECT slot, user_id, round($NansumExpr, 6) AS checksum
+         |FROM wide ORDER BY slot, user_id""".stripMargin,
+
+    "checksum_filter" ->
+      s"""$WideCte, chk AS (
+         |  SELECT slot, user_id, ${Metrics.mkString(", ")},
+         |         ($NansumExpr)
+         |           + (CASE WHEN user_id % 7 = 3 THEN 0.5 ELSE 0.0 END) AS stored
+         |  FROM wide)
+         |SELECT slot, user_id, round(stored, 6) AS stored FROM chk
+         |WHERE abs(($NansumExpr) - stored) <= 0.001
+         |ORDER BY slot, user_id""".stripMargin,
+
+    "last_timestamp" ->
+      s"""$BaseCte SELECT user_id, max(slot) AS last_ts FROM base
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "tz_convert" ->
+      """SELECT event_id,
+        |  strftime(ts + INTERVAL 19800 SECOND, '%Y-%m-%d %H:%M:%S') AS local_time
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "downsample_first_per_bucket" ->
+      s"""$BaseCte SELECT event_type,
+         |  CAST(floor((sec - 1704067200) / 26784.0) AS BIGINT) AS bucket,
+         |  min_by(value, event_id) AS first_value,
+         |  min_by(sec, event_id) AS first_ts
+         |FROM base
+         |WHERE sec >= 1704067200 AND sec <= ${1704067200L + 2678400L - 1}
+         |  AND value IS NOT NULL
+         |GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
+
+    "long_format_dropna" -> {
+      val arms = Metrics.map(m =>
+        s"SELECT slot, user_id, '$m' AS metric, $m AS value, slot * 1000 AS ts_ms FROM wide WHERE $m IS NOT NULL")
+      s"""$WideCte, long AS (${arms.mkString(" UNION ALL ")})
+         |SELECT slot, user_id, metric, value, ts_ms FROM long
+         |ORDER BY metric, slot, user_id""".stripMargin
+    },
+
+    "verify_stats" ->
+      s"""$BaseCte SELECT user_id, slot - (slot % 86400) AS chunk,
+         |  count(*) AS rows_total,
+         |  count(CASE WHEN value IS NOT NULL THEN 1 END) AS rows_used,
+         |  min(CASE WHEN value IS NOT NULL
+         |      THEN CAST((slot % 86400) / 300.0 AS BIGINT) END) AS min_idx,
+         |  max(CASE WHEN value IS NOT NULL
+         |      THEN CAST((slot % 86400) / 300.0 AS BIGINT) END) AS max_idx
+         |FROM base GROUP BY user_id, chunk ORDER BY user_id, chunk""".stripMargin,
+
+    "influx_parse" ->
+      s"""$BaseCte, lines AS (
+         |  SELECT event_id,
+         |    printf('graftdb,circuit=u%d %s=%.6f %d',
+         |           user_id, event_type, value, sec * 1000000000) AS line
+         |  FROM base)
+         |SELECT event_id,
+         |  string_split(string_split(line, ' ')[1], ',')[1] AS db,
+         |  regexp_extract(string_split(line, ' ')[1], ',[^=]+=(.+)$$', 1) AS sensor,
+         |  string_split(string_split(line, ' ')[2], '=')[1] AS metric,
+         |  CAST(string_split(string_split(line, ' ')[2], '=')[2] AS DOUBLE) AS value,
+         |  CAST(string_split(line, ' ')[3] AS BIGINT) // 1000000000 AS ts_sec
+         |FROM lines ORDER BY event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,48 @@
+package graft.read
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grafana-style downsampling (reference B-9/B-10).
+  *
+  * `/{db}/{sensor}/query` computes `spread = (end - start + 1) /
+  * maxDataPoints` and emits, per metric, the FIRST non-NaN value at or
+  * after each spread boundary (`server.py:424-459`); the reference
+  * additionally skips whole chunks when the spread exceeds a chunk
+  * (`database.py:682`).
+  *
+  * Spark shape: one hash aggregation over the pruned scan —
+  * `min_by(value, order)` per bucket. That is a single shuffle with
+  * map-side partial aggregation; the chunk-skip micro-optimisation is
+  * subsumed by only ever reading the time-pruned range and aggregating
+  * (O(rows-in-range), no per-boundary seek loop).
+  */
+object Downsample {
+
+  /** Bucket index for an epoch-seconds column. `spread` in seconds. */
+  def bucket(sec: Column, startSec: Long, spread: Long): Column =
+    floor((sec - lit(startSec)) / lit(spread.toDouble)).cast("long")
+
+  /** First value per (series, bucket): `orderCol` must be a unique
+    * arrival/time order (ties on the boundary resolve by it).
+    */
+  def firstPerBucket(df: DataFrame, seriesCols: Seq[String], sec: Column,
+                     valueCol: String, orderCol: String, startSec: Long,
+                     endSec: Long, maxDataPoints: Int): DataFrame = {
+    val spread = (endSec - startSec + 1) / maxDataPoints
+    df.filter(sec >= startSec && sec <= endSec && col(valueCol).isNotNull)
+      .withColumn("bucket", bucket(sec, startSec, spread))
+      .groupBy((seriesCols.map(col) :+ col("bucket")): _*)
+      .agg(
+        min_by(col(valueCol), col(orderCol)).as("first_value"),
+        min_by(sec, col(orderCol)).as("first_ts"))
+  }
+
+  /** B-10 long output: `(metric, value, ts_ms)` rows, NaN/null cells
+    * dropped (`server.py:453-455`).
+    */
+  def longFormat(df: DataFrame, keys: Seq[String], metrics: Seq[String],
+                 slotSecCol: String): DataFrame =
+    graft.ingest.Pivot.wideToLong(df, keys, metrics)
+      .withColumn("ts_ms", col(slotSecCol) * 1000)
+}
