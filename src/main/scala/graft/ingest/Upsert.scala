@@ -27,11 +27,15 @@ object Upsert {
 
   def merge(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
             metrics: Seq[String]): DataFrame = {
-    val e = existing.select((keys ++ metrics).map(col): _*).as("old")
-    val n = incoming.select((keys ++ metrics).map(col): _*).as("new")
+    // prefix-rename both sides' metric columns so the full-outer join is
+    // unambiguous even when the two frames share lineage (self-merge)
+    val e = existing.select(
+      keys.map(col) ++ metrics.map(m => col(m).as(s"__old_$m")): _*)
+    val n = incoming.select(
+      keys.map(col) ++ metrics.map(m => col(m).as(s"__new_$m")): _*)
     val joined = e.join(n, keys, "full_outer")
     val merged = metrics.map { m =>
-      coalesce(denan(n(m)), e(m)).as(m)
+      coalesce(denan(col(s"__new_$m")), col(s"__old_$m")).as(m)
     }
     joined.select(keys.map(col) ++ merged: _*)
   }

@@ -1,0 +1,285 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{FloatType, TimestampType}
+
+import graft.core.{Freq, Grid}
+import graft.expr.RowChecksum
+import graft.ingest.{Pivot, Upsert}
+
+/** Parquet-backed sensor store — the engine's replacement for the
+  * reference's chunk-file database (`database.py` + `fileutils.py`).
+  *
+  * Layout (mirrors the reference's BASE_DIR/db/sensor tree,
+  * `fileutils.py:274-308`, with parquet partitions instead of chunk
+  * files):
+  * {{{
+  *   baseDir/<db>/<sensor>/CONFIG.JSON
+  *   baseDir/<db>/<sensor>/data/chunk_start=<epoch>/part-*.parquet
+  * }}}
+  *
+  * A chunk spans `tick * 2^14` seconds exactly like the reference
+  * (`chunker.py:97-104`), but is a *partition*, so time-range reads are
+  * pruned by the planner instead of filename arithmetic, and the
+  * parquet job-commit protocol replaces tmp-file + os.replace atomicity
+  * (`fileutils.py:325-360`).
+  *
+  * Scale design:
+  *  - writes touch only the partitions the batch intersects (dynamic
+  *    partition overwrite), so upsert cost is O(batch ∩ chunks), not
+  *    O(table);
+  *  - the read-modify-write merge (A-5) shuffles on the tick slot only
+  *    within those partitions;
+  *  - schema evolution (A-8) never rewrites history: the new metric's
+  *    fill value is recorded in the config (`MetricDef.fill/since`) and
+  *    applied lazily on read to pre-evolution chunks — the reference's
+  *    rewrite-every-chunk (`database.py:366-423`) would be a full-table
+  *    write at 100 TB;
+  *  - values are float32 (FloatType) like the reference
+  *    (`__init__.py:26-28`): halves scan bytes vs double.
+  *
+  * Concurrency: the reference serializes writers with a per-sensor
+  * process lock (`database.py:154-168`); here a sensor expects one
+  * writer job at a time (the usual Spark table contract) — concurrent
+  * readers are always safe.
+  */
+class SensorStore(spark: SparkSession, baseDir: String) {
+
+  private def sensorDir(db: String, sensor: String) = s"$baseDir/$db/$sensor"
+  private def dataDir(db: String, sensor: String) = s"${sensorDir(db, sensor)}/data"
+  private def configPath(db: String, sensor: String) =
+    Paths.get(sensorDir(db, sensor), "CONFIG.JSON")
+
+  // ---- catalog (B-11) ------------------------------------------------
+
+  def createSensor(cfg: SensorConfig): Unit = {
+    val dir = Paths.get(sensorDir(cfg.db, cfg.sensor))
+    Files.createDirectories(dir)
+    Files.write(configPath(cfg.db, cfg.sensor),
+      cfg.toJson.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def config(db: String, sensor: String): SensorConfig =
+    SensorConfig.fromJson(new String(
+      Files.readAllBytes(configPath(db, sensor)), StandardCharsets.UTF_8))
+
+  def existsSensor(db: String, sensor: String): Boolean =
+    Files.exists(configPath(db, sensor))
+
+  def listDbs(): Seq[String] = listDir(baseDir)
+
+  def listSensors(db: String): Seq[String] = listDir(s"$baseDir/$db")
+
+  def deleteSensor(db: String, sensor: String): Unit = {
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(Paths.get(sensorDir(db, sensor)))
+  }
+
+  private def listDir(path: String): Seq[String] = {
+    val p = Paths.get(path)
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  /** Constant-time token check (reference `database.py:142-152`). */
+  def keyOk(expected: String, provided: String): Boolean =
+    java.security.MessageDigest.isEqual(
+      expected.getBytes(StandardCharsets.UTF_8),
+      provided.getBytes(StandardCharsets.UTF_8))
+
+  // ---- write path (A-3..A-8) -----------------------------------------
+
+  /** Ingest a long-format batch: columns (ts timestamp, metric string,
+    * value double). Semantics of the reference write path:
+    *  - timestamps snap DOWN to the tick grid (A-6);
+    *  - within a batch, the last row wins per (tick, metric) cell (A-4);
+    *  - only non-NaN/non-null incoming cells overwrite stored cells
+    *    (A-5);
+    *  - unknown metrics trigger schema evolution with `fillValue` for
+    *    pre-existing chunks (A-8);
+    *  - a `checksum` column (row nansum, C-1) is (re)computed on write.
+    *
+    * Returns the updated config.
+    */
+  def write(db: String, sensor: String, points: DataFrame,
+            fillValue: Double = 0.0): SensorConfig = {
+    var cfg = config(db, sensor)
+    val tick = cfg.tickSeconds
+    val chunkDur = tick * Freq.ChunkRows
+
+    // arrival order for last-write-wins within the batch
+    val ordered = points.withColumn("_arrival", monotonically_increasing_id())
+
+    // schema discovery: which metrics does the batch carry? (small,
+    // bounded by sensor width — a metadata-sized collect)
+    val batchMetrics = ordered.select("metric").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val known = cfg.metricNames.toSet
+    val newMetrics = batchMetrics.filterNot(known)
+    if (newMetrics.nonEmpty) {
+      val existingChunks = listChunks(db, sensor)
+      val since = if (existingChunks.isEmpty) 0L
+      else existingChunks.max + chunkDur
+      cfg = cfg.copy(metrics = cfg.metrics ++ newMetrics.sorted.map(m =>
+        MetricDef(Seq(m), fill = Some(fillValue), since = Some(since))))
+      createSensor(cfg) // rewrite CONFIG.JSON
+    }
+    val metrics = cfg.metricNames
+
+    val snapped = ordered
+      .withColumn("slot", Grid.snap(col("ts"), tick))
+      .withColumn("chunk_start", Grid.snapSeconds(col("slot"), chunkDur))
+    val incoming = Pivot.longToWide(snapped, Seq("chunk_start", "slot"),
+      "metric", "value", "_arrival", metrics)
+
+    // only the touched partitions participate in the merge
+    val touched = incoming.select("chunk_start").distinct()
+      .collect().map(_.getLong(0))
+    val existing = readRaw(db, sensor, metrics)
+      .filter(col("chunk_start").isin(touched: _*))
+      .select((Seq("chunk_start", "slot") ++ metrics).map(col): _*)
+
+    val merged = Upsert.merge(existing, incoming,
+      Seq("chunk_start", "slot"), metrics)
+      .withColumn("checksum",
+        RowChecksum.nansum(metrics.map(col)).cast(FloatType))
+      .select(col("chunk_start") +: col("slot") +:
+        metrics.map(m => col(m).cast(FloatType).as(m)) :+ col("checksum"): _*)
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      merged
+        .repartition(col("chunk_start"))
+        .write.mode("overwrite")
+        .partitionBy("chunk_start")
+        .parquet(dataDir(db, sensor))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    cfg
+  }
+
+  /** Chunk partition values present on disk (driver-side listing — a
+    * metadata op, like the reference's filename scan).
+    */
+  def listChunks(db: String, sensor: String): Seq[Long] = {
+    val p = Paths.get(dataDir(db, sensor))
+    if (!Files.isDirectory(p)) Seq.empty
+    else Files.list(p).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("chunk_start="))
+      .map(_.stripPrefix("chunk_start=").toLong).toSeq.sorted
+  }
+
+  // ---- read path (B-1..B-8) ------------------------------------------
+
+  /** Raw wide frame with every config metric present as a column (lit
+    * null where no file carries it yet) and evolution fills applied to
+    * pre-`since` chunks. No time filter.
+    */
+  private def readRaw(db: String, sensor: String,
+                      metrics: Seq[String]): DataFrame = {
+    val cfg = config(db, sensor)
+    val path = dataDir(db, sensor)
+    if (listChunks(db, sensor).isEmpty) {
+      // empty sensor: zero-row frame with the full schema
+      import org.apache.spark.sql.types._
+      val fields = StructField("chunk_start", LongType) ::
+        StructField("slot", LongType) ::
+        metrics.toList.map(StructField(_, FloatType)) :::
+        StructField("checksum", FloatType) :: Nil
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(fields))
+    }
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    val present = df.columns.toSet
+    val cols = metrics.map { m =>
+      val md = cfg.metrics.find(_.name == m)
+      val raw = if (present(m)) col(m) else lit(null).cast(FloatType)
+      (md.flatMap(_.fill), md.flatMap(_.since)) match {
+        case (Some(f), Some(since)) =>
+          when(col("chunk_start") < since && raw.isNull, lit(f).cast(FloatType))
+            .otherwise(raw).as(m)
+        case _ => raw.as(m)
+      }
+    }
+    df.select(col("chunk_start") +: col("slot") +: cols :+
+      (if (present("checksum")) col("checksum") else lit(null).cast(FloatType)).as("checksum"): _*)
+  }
+
+  /** Time-range read (B-1/B-2): `[fromSec, toSec]` inclusive like the
+    * reference's `read(start_ts, end_ts)`; None ⇒ open end. Output:
+    * `ts` timestamp + requested metric columns, one row per written
+    * tick, ordered by ts. Chunk pruning = partition pruning on
+    * `chunk_start`.
+    */
+  def read(db: String, sensor: String,
+           fromSec: Option[Long] = None, toSec: Option[Long] = None,
+           metrics: Option[Seq[String]] = None,
+           validateChecksums: Boolean = false,
+           atol: Double = 1e-3): DataFrame = {
+    val cfg = config(db, sensor)
+    val tick = cfg.tickSeconds
+    val chunkDur = tick * Freq.ChunkRows
+    val all = cfg.metricNames
+    val wanted = metrics.getOrElse(all)
+
+    var df = readRaw(db, sensor, all)
+    fromSec.foreach { f =>
+      val fSnap = f - f % tick
+      df = df.filter(col("chunk_start") >= fSnap - fSnap % chunkDur &&
+        col("slot") >= fSnap)
+    }
+    toSec.foreach { t =>
+      df = df.filter(col("chunk_start") <= t && col("slot") <= t)
+    }
+    if (validateChecksums) {
+      df = df.filter(RowChecksum.isClose(
+        RowChecksum.nansum(all.map(col)), col("checksum"),
+        rtol = 1e-5, atol = atol))
+    }
+    df.select(timestamp_seconds(col("slot")).cast(TimestampType).as("ts") +:
+        wanted.map(col): _*)
+      .orderBy("ts")
+  }
+
+  /** B-8: latest written tick as epoch seconds, None when empty. */
+  def lastTimestamp(db: String, sensor: String): Option[Long] = {
+    val chunks = listChunks(db, sensor)
+    if (chunks.isEmpty) return None
+    // prune to the newest chunk only — the reference reads just the
+    // last chunk file (database.py:522-546)
+    val row = readRaw(db, sensor, config(db, sensor).metricNames)
+      .filter(col("chunk_start") === chunks.max)
+      .agg(max(col("slot"))).head()
+    if (row.isNullAt(0)) None else Some(row.getLong(0))
+  }
+
+  /** D-1 verify: per-chunk usage statistics. */
+  def verifyStats(db: String, sensor: String): DataFrame = {
+    val cfg = config(db, sensor)
+    val tick = cfg.tickSeconds
+    val metrics = cfg.metricNames
+    val used = metrics.map(m => col(m).isNotNull && !isnan(col(m)))
+      .reduce(_ || _)
+    graft.maint.VerifyStats.stats(
+      readRaw(db, sensor, metrics),
+      Seq.empty, col("chunk_start"),
+      ((col("slot") - col("chunk_start")) / tick).cast("long"), used)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.TimestampType
+
+import graft.ingest.Influx
+import graft.store.SensorStore
+
+/** Streaming ingest: the Spark-native analog of the reference's
+  * tick-by-tick HTTP `/influx` endpoint (`server.py:304-327`).
+  *
+  * The reference has no true streaming semantics — no watermarks or
+  * windows; a "late" point is simply written into whatever grid slot
+  * its timestamp maps to (`database.py:425-488`). That is exactly a
+  * `foreachBatch` upsert: each micro-batch of influx lines is parsed,
+  * grouped and merged into the sensor store with the same
+  * last-write-wins / NaN-mask cell semantics as batch ingest, so late
+  * data lands in its historical slot no matter when it arrives.
+  *
+  * Source-agnostic: pass any streaming Dataset[String] of influx lines
+  * (socket, Kafka-style source, files, or MemoryStream in tests).
+  */
+object StreamIngest {
+
+  /** Parse a streaming frame of raw influx lines into long-format
+    * points for one (db, sensor). Missing timestamps become the batch
+    * processing time (the reference uses server arrival time,
+    * `server_utils.py:20-21`).
+    */
+  def parse(lines: DataFrame, lineCol: String, db: String,
+            sensor: String): DataFrame =
+    Influx.parseLines(lines, lineCol)
+      .filter(!col("malformed") && col("db") === db && col("sensor") === sensor)
+      .withColumn("ts_sec",
+        coalesce(col("ts_sec"), unix_timestamp(current_timestamp())))
+      .select(
+        timestamp_seconds(col("ts_sec")).cast(TimestampType).as("ts"),
+        col("metric"), col("value"))
+
+  /** writeStream into the sensor store via foreachBatch upsert.
+    * Caller starts/stops the returned writer.
+    */
+  def writer(points: DataFrame, store: SensorStore, db: String,
+             sensor: String, fillValue: Double = 0.0)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    points.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          store.write(db, sensor, batch.toDF(), fillValue)
+        }
+        ()
+      }
+}

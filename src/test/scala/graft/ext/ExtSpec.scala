@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Semantics checks for the training-data extension operators on
+  * constructed corpora (the sf-dir oracle checks cover scale/parity;
+  * these pin the behaviors the oracle can't show, e.g. that near-dups
+  * actually cluster).
+  */
+class ExtSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),
+      (1L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy cat today"), // near dup
+      (3L, "completely different words about spark execution engines"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps first id and counts dups") {
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(1) == 0L && out(0).getLong(2) == 2L)
+  }
+
+  test("minhash banding finds the near-dup pair, not the unrelated doc") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhash(sh, "doc_id", 8)
+    val pairs = Dedup.candidatePairs(Dedup.bands(sig, "doc_id", 1), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical docs share every band
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccard: identical docs 1.0; near-dups high; via candidates") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhash(sh, "doc_id", 8)
+    val cands = Dedup.candidatePairs(Dedup.bands(sig, "doc_id", 1), "doc_id")
+    val j = Dedup.jaccard(cands, sh, "doc_id").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 1L)) == 1.0)
+    j.get((0L, 2L)).foreach(v => assert(v > 0.3 && v < 1.0))
+  }
+
+  test("simhash: identical docs share fingerprints; bits are 0/1 string") {
+    val out = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getString(1) == out(1).getString(1))
+    assert(out(0).getString(1).matches("[01]{16}"))
+  }
+
+  test("cosine: self-similarity 1.0, orthogonal 0.0; topK ordering") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7071f, 0.7071f)))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val out = Similarity.topK(
+      vecs.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", col("qvec"), 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
+    assert(out(0).getDouble(1) == 1.0)
+    assert(out(2).getDouble(1) == 0.0)
+  }
+
+  test("LSH signature is deterministic and groups identical vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(-1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = vecs.select(col("vec_id"),
+      Similarity.lshSignature(col("embedding"), 6, 8).as("sig"))
+      .orderBy("vec_id").collect()
+    assert(out(0).getString(1) == out(1).getString(1))
+    assert(out(0).getString(1) != out(2).getString(1))
+    assert(out(0).getString(1).matches("[01]{6}"))
+  }
+
+  test("quality/token/fingerprint columns are sane on a known doc") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    val q = TextStats.qualityColumns(d, "doc_id", "text").head()
+    assert(q.getInt(1) == 11)         // n_chars
+    assert(q.getInt(2) == 3)          // n_words
+    assert(math.abs(q.getDouble(3) - 1.0 / 3) < 1e-6) // stopword ratio
+    val t = d.select(
+      TextStats.wsTokens(col("text")).as("ws"),
+      TextStats.bpeTokens(col("text")).as("bpe"),
+      TextStats.rollingFingerprint(col("text")).as("fp")).head()
+    assert(t.getInt(0) == 3 && t.getInt(1) == 3)
+    // fp = fold of (acc*31 + ascii) mod 1e9+7 over "the cat sat"
+    val expected = "the cat sat".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+    assert(t.getLong(2) == expected)
+  }
+
+  test("multimodal: media wrap + stub decode are schema-stable") {
+    import spark.implicits._
+    val d = Seq((7L, "abcd")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(d, "doc_id", "text")
+    assert(media.schema.fieldNames.toSeq == Seq("media_id", "payload", "meta"))
+    val out = Multimodal.decodeStub(media).head()
+    assert(out.getLong(0) == 7L)
+    assert(out.getInt(1) == 4)        // n_bytes
+    assert(out.getInt(2) == 'a'.toInt)
+    assert(out.getLong(3) == 0L)      // n_frames
+    val offs = Multimodal.frameOffsets(media, 4).select("frame_offsets")
+      .head().getSeq[Long](0)
+    assert(offs.length == 4 && offs.head == 0L)
+  }
+}

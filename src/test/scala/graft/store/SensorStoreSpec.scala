@@ -1,0 +1,207 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.Influx
+
+/** Write→read round-trips through the store — the Spark analog of the
+  * reference's highest-value tests (`tests/test_client.py:84-120`:
+  * exact frame equality across write/read paths; `:148-153`: 10k-point
+  * volume; `:172-206`: MultiIndex metrics; `test_write_point_list.py`:
+  * influx → store → read-back).
+  */
+class SensorStoreSpec extends SparkSpec {
+
+  private def freshStoreDir(): (SensorStore, String) = {
+    val dir = Files.createTempDirectory("graft-store").toString
+    (new SensorStore(spark, dir), dir)
+  }
+
+  private def freshStore(): SensorStore = freshStoreDir()._1
+
+  private def cfg1s = SensorConfig("test", "s1", "1s",
+    Seq(MetricDef(Seq("active")), MetricDef(Seq("reactive"))))
+
+  test("catalog: create / exists / list / config round-trip / delete") {
+    val st = freshStore()
+    st.createSensor(cfg1s)
+    assert(st.existsSensor("test", "s1"))
+    assert(st.listDbs() == Seq("test"))
+    assert(st.listSensors("test") == Seq("s1"))
+    val c = st.config("test", "s1")
+    assert(c.freq == "1s" && c.metricNames == Seq("active", "reactive"))
+    st.deleteSensor("test", "s1")
+    assert(!st.existsSensor("test", "s1"))
+  }
+
+  test("multi-level metric names flatten to dotted columns") {
+    val cfg = SensorConfig("test", "mi", "1D",
+      Seq(MetricDef(Seq("A", "B", "C")), MetricDef(Seq("D", "E", "F"))),
+      metadata = Map("level_names" -> "one,two,three"))
+    val st = freshStore()
+    st.createSensor(cfg)
+    val c = st.config("test", "mi")
+    assert(c.metricNames == Seq("A.B.C", "D.E.F"))
+    assert(c.metadata("level_names") == "one,two,three")
+  }
+
+  test("write then read: exact round-trip on the grid") {
+    import spark.implicits._
+    val st = freshStore()
+    st.createSensor(cfg1s)
+    val t0 = 1704067200L
+    val pts = Seq(
+      (t0, "active", 9.0), (t0, "reactive", 10.0),
+      (t0 + 1, "active", 11.0),
+      (t0 + 2, "reactive", 12.0))
+      .toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("metric"), col("value"))
+    st.write("test", "s1", pts)
+    val out = st.read("test", "s1").collect()
+    assert(out.length == 3)
+    assert(out(0).getFloat(1) == 9.0f && out(0).getFloat(2) == 10.0f)
+    assert(out(1).getFloat(1) == 11.0f && out(1).isNullAt(2))
+    assert(out(2).isNullAt(1) && out(2).getFloat(2) == 12.0f)
+  }
+
+  test("sub-tick timestamps snap down; same tick last-write-wins") {
+    import spark.implicits._
+    val st = freshStore()
+    st.createSensor(SensorConfig("test", "s15", "15m",
+      Seq(MetricDef(Seq("v")))))
+    val t0 = 1704067200L
+    val pts = Seq(
+      (t0 + 10, "v", 1.0),  // 00:00:10 → slot 00:00
+      (t0 + 700, "v", 2.0)) // 00:11:40 → same 15m slot, later wins
+      .toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("metric"), col("value"))
+    st.write("test", "s15", pts)
+    val out = st.read("test", "s15").collect()
+    assert(out.length == 1)
+    assert(out(0).getTimestamp(0).toInstant.getEpochSecond == t0)
+    assert(out(0).getFloat(1) == 2.0f)
+  }
+
+  test("second write upserts cells without touching others") {
+    import spark.implicits._
+    val st = freshStore()
+    st.createSensor(cfg1s)
+    val t0 = 1704067200L
+    def pts(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("sec", "metric", "value")
+        .select(timestamp_seconds(col("sec")).as("ts"), col("metric"), col("value"))
+    st.write("test", "s1", pts(Seq((t0, "active", 1.0), (t0, "reactive", 2.0))))
+    st.write("test", "s1", pts(Seq((t0, "active", 9.0)))) // only one cell
+    val out = st.read("test", "s1").collect()
+    assert(out.length == 1)
+    assert(out(0).getFloat(1) == 9.0f)   // overwritten
+    assert(out(0).getFloat(2) == 2.0f)   // preserved
+  }
+
+  test("schema evolution: new metric fills old chunks, NaN-free reads") {
+    import spark.implicits._
+    val st = freshStore()
+    st.createSensor(cfg1s)
+    val t0 = 1704067200L
+    def pts(rows: Seq[(Long, String, Double)]) =
+      rows.toDF("sec", "metric", "value")
+        .select(timestamp_seconds(col("sec")).as("ts"), col("metric"), col("value"))
+    st.write("test", "s1", pts(Seq((t0, "active", 1.0))))
+    // new metric "nueva" arrives much later (next chunk), fill=0
+    val t1 = t0 + 16384 * 2 // two chunks later for 1s freq
+    val cfg2 = st.write("test", "s1",
+      pts(Seq((t1, "nueva", 17.0), (t1, "active", 2.0))), fillValue = 0.0)
+    assert(cfg2.metricNames.contains("nueva"))
+    val out = st.read("test", "s1").orderBy("ts").collect()
+    assert(out.length == 2)
+    // old row: nueva filled with 0 (reference add_new_metrics semantics)
+    assert(out(0).getFloat(1) == 1.0f && out(0).getFloat(3) == 0.0f)
+    // new row: real value
+    assert(out(1).getFloat(1) == 2.0f && out(1).getFloat(3) == 17.0f)
+  }
+
+  test("time-range read prunes and bounds inclusively") {
+    import spark.implicits._
+    val st = freshStore()
+    st.createSensor(SensorConfig("test", "sh", "1h", Seq(MetricDef(Seq("v")))))
+    val t0 = 1704067200L
+    val pts = (0 until 48).map(h => (t0 + h * 3600L, "v", h.toDouble))
+      .toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("metric"), col("value"))
+    st.write("test", "sh", pts)
+    val out = st.read("test", "sh",
+      fromSec = Some(t0 + 10 * 3600), toSec = Some(t0 + 20 * 3600)).collect()
+    assert(out.length == 11)
+    assert(out.head.getFloat(1) == 10.0f && out.last.getFloat(1) == 20.0f)
+  }
+
+  test("lastTimestamp: empty → None, else max written tick") {
+    import spark.implicits._
+    val st = freshStore()
+    st.createSensor(cfg1s)
+    assert(st.lastTimestamp("test", "s1").isEmpty)
+    val t0 = 1704067200L
+    val pts = Seq((t0, "active", 1.0), (t0 + 999, "active", 2.0))
+      .toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("metric"), col("value"))
+    st.write("test", "s1", pts)
+    assert(st.lastTimestamp("test", "s1").contains(t0 + 999))
+  }
+
+  test("10k-point volume round-trip across many chunks") {
+    import spark.implicits._
+    val st = freshStore()
+    st.createSensor(SensorConfig("vol", "s", "1s", Seq(MetricDef(Seq("v")))))
+    val t0 = 1704067200L
+    // 10k points spaced 600s apart — spans ~367 chunks of 16384s
+    val pts = (0 until 10000).map(i => (t0 + i * 600L, "v", i.toDouble))
+      .toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("metric"), col("value"))
+    st.write("vol", "s", pts)
+    val out = st.read("vol", "s")
+    assert(out.count() == 10000L)
+    val bounds = out.agg(min("ts"), max("ts")).head()
+    assert(bounds.getTimestamp(0).toInstant.getEpochSecond == t0)
+    assert(bounds.getTimestamp(1).toInstant.getEpochSecond == t0 + 9999 * 600L)
+    assert(st.lastTimestamp("vol", "s").contains(t0 + 9999 * 600L))
+  }
+
+  test("checksum validation drops tampered rows, like the corrupt-chunk skip") {
+    import spark.implicits._
+    val (st, dir) = freshStoreDir()
+    st.createSensor(cfg1s)
+    val t0 = 1704067200L
+    val pts = Seq((t0, "active", 1.0), (t0 + 1, "active", 2.0))
+      .toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("metric"), col("value"))
+    st.write("test", "s1", pts)
+    assert(st.read("test", "s1", validateChecksums = true).count() == 2)
+
+    // tamper one row's stored checksum on disk (out-of-band corruption):
+    // write tampered copy to a tmp dir, then swap it in
+    val dataPath = s"$dir/test/s1/data"
+    val tmp = Files.createTempDirectory("tamper").toString
+    spark.read.parquet(dataPath)
+      .withColumn("checksum",
+        when(col("slot") === t0, col("checksum") + lit(100f))
+          .otherwise(col("checksum")))
+      .write.mode("overwrite").partitionBy("chunk_start").parquet(tmp)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().forEachRemaining(rm(_)) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(dataPath))
+    Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dataPath))
+
+    assert(st.read("test", "s1", validateChecksums = false).count() == 2)
+    val ok = st.read("test", "s1", validateChecksums = true)
+      .collect()
+    assert(ok.length == 1 && ok(0).getFloat(1) == 2.0f)
+  }
+}
