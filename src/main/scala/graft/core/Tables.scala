@@ -17,11 +17,16 @@ object Tables {
     // epoch-ns — normalize to a proper TimestampType (µs, floor), the
     // same truncation DuckDB applies when it reads ns into its µs
     // timestamps. `div` is integer division (exact on the int64 range,
-    // where a double round-trip would not be).
+    // where a double round-trip would not be). The raw long survives as
+    // `ts_ns`: a derived-column filter cannot be pushed into the parquet
+    // scan, so Reader.scanRange rewrites time bounds onto `ts_ns`
+    // (exactly equivalent: floor(ns/1000) ≥ s·10⁶ ⟺ ns ≥ s·10⁹) to keep
+    // row-group skipping — at 100 TB the scan prune IS the query plan.
     df.schema.fields.find(f => f.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
+        df.withColumn("ts_ns", org.apache.spark.sql.functions.col("ts"))
+          .withColumn("ts", org.apache.spark.sql.functions.expr(
+            "timestamp_micros(ts div 1000)"))
       case _ => df
     }
   }

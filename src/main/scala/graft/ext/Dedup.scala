@@ -40,31 +40,36 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions,
-    * the minimum `md5(seed || '|' || shingle)` over the document's
-    * shingles (hex strings compare lexicographically — engine-neutral).
-    * Output: (id, h, minhash). One aggregation; signature width is a
-    * constant factor, not a data-dependent blow-up.
+  /** MinHash signatures, wide: one row per id with columns
+    * `mh0..mh{k-1}` = min over the document's shingles of
+    * `md5(h || '|' || shingle)` (hex strings compare lexicographically —
+    * engine-neutral). A SINGLE hash aggregation with k `min` aggregates:
+    * no k-fold row blow-up, no second shuffle — at corpus scale the
+    * signature pass is one map-side-combinable pass over the shingles.
     */
   def minhash(shingleDf: DataFrame, idCol: String,
-              numHashes: Int): DataFrame =
-    shingleDf
-      .select(col(idCol),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("h"),
-        col("shingle"))
-      .groupBy(col(idCol), col("h"))
-      .agg(min(md5(concat(col("h"), lit("|"), col("shingle")))).as("minhash"))
+              numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map { h =>
+      min(md5(concat(lit(h.toString), lit("|"), col("shingle")))).as(s"mh$h")
+    }
+    shingleDf.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** LSH banding: rows of the signature are grouped into bands of
-    * `rowsPerBand`; a band's key is the hash of its concatenated
-    * minhashes. Docs sharing any (band, key) are near-dup candidates.
+  /** LSH banding over a wide signature: consecutive groups of
+    * `rowsPerBand` minhashes form a band whose key is the md5 of their
+    * comma-join. Pure narrow projection + explode — no shuffle.
     */
-  def bands(sig: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
-    sig.withColumn("band", (col("h") / lit(rowsPerBand)).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("h"), col("minhash")))),
-          x => x.getField("minhash")), ",")).as("band_key"))
+  def bands(sig: DataFrame, idCol: String, numHashes: Int,
+            rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val entries = (0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", parts: _*)).as("band_key"))
+    }
+    sig.select(col(idCol), explode(array(entries: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"),
+        col("bk.band_key").as("band_key"))
+  }
 
   /** Candidate pairs (a < b) sharing at least one LSH band. The
     * self-join shuffles on (band, band_key) — bucket-local, never
@@ -78,21 +83,25 @@ object Dedup {
       .select("a_id", "b_id").distinct()
   }
 
-  /** Exact n-gram Jaccard for candidate pairs: |A∩B| via a shingle
-    * equi-join restricted to candidates, |A∪B| = |A|+|B|-|A∩B|.
+  /** Exact n-gram Jaccard for candidate pairs: per-doc shingle SETS are
+    * gathered once (restricted by semi-join to docs that appear in a
+    * candidate pair — candidate-scale, not corpus-scale), then
+    * |A∩B| = `size(array_intersect)` evaluated per pair. Two broadcast
+    * joins + a narrow projection; no corpus-wide shuffle per pair.
     */
   def jaccard(cands: DataFrame, shingleDf: DataFrame,
               idCol: String): DataFrame = {
-    val sizes = shingleDf.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val sa = shingleDf.select(col(idCol).as("a_id"), col("shingle"))
-    val sb = shingleDf.select(col(idCol).as("b_id"), col("shingle"))
-    val inter = cands.join(sa, "a_id").join(sb, Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed(idCol, "a_id").withColumnRenamed("n", "n_a"), "a_id")
-      .join(sizes.withColumnRenamed(idCol, "b_id").withColumnRenamed("n", "n_b"), "b_id")
+    val ids = cands.select(col("a_id").as(idCol))
+      .union(cands.select(col("b_id").as(idCol))).distinct()
+    val sets = shingleDf.join(ids, Seq(idCol), "left_semi")
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
+    val a = sets.select(col(idCol).as("a_id"), col("sset").as("a_set"))
+    val b = sets.select(col(idCol).as("b_id"), col("sset").as("b_set"))
+    cands.join(broadcast(a), "a_id").join(broadcast(b), "b_id")
+      .withColumn("n_inter", size(array_intersect(col("a_set"), col("b_set"))))
       .withColumn("jaccard",
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6))
+        round(col("n_inter") /
+          (size(col("a_set")) + size(col("b_set")) - col("n_inter")), 6))
       .select("a_id", "b_id", "jaccard")
   }
 

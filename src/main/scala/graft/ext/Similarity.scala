@@ -17,14 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float arrays, computed in
-    * double (element casts first). Left-to-right order makes the fp
-    * result deterministic and engine-portable.
+  /** Sequential-fold dot product of two float/double arrays, computed
+    * in double (element casts first). Left-to-right order makes the fp
+    * result deterministic and engine-portable. Backed by the native
+    * codegen'd [[graft.expr.ArrayDot]] — the equivalent
+    * `aggregate(zip_with(...))` fold is interpreted per element and was
+    * the hot spot of every similarity query.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0d), (acc, x) => acc + x)
+    graft.expr.VectorExprs.array_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -42,20 +43,25 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * first md5 nibble of "p|d", centred: value in [-7.5, 7.5].
+    * Materialized driver-side into literal arrays so the per-row
+    * signature is a pure float fold — no hashing in the scan hot path
+    * (the md5 depends only on (plane, dim), never on data).
     */
-  private def planeWeight(plane: Int, d: Column): Column =
-    conv(substring(md5(concat_ws("|", lit(plane), d)), 1, 1), 16, 10)
-      .cast("int") - lit(7.5)
+  private def planeWeights(plane: Int, dim: Int): Seq[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { d =>
+      val hex = digest.digest(s"$plane|$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 1), 16) - 7.5
+    }
+  }
 
   /** Random-hyperplane LSH signature: bit p = [sum_d w(p,d)*x_d >= 0].
     * Returns a bit-string column usable as a bucket key.
     */
   def lshSignature(vec: Column, planes: Int, dim: Int): Column =
     concat((0 until planes).map { p =>
-      val s = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, d) => x.cast("double") * planeWeight(p, d)),
-        lit(0d), (acc, x) => acc + x)
+      val s = dot(vec, typedLit(planeWeights(p, dim)))
       when(s >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 

@@ -58,8 +58,10 @@ object TextStats {
     */
   def langId(df: DataFrame, idCol: String, textCol: String,
              langCol: String): DataFrame = {
+    // the token stream feeds 4 consumers (counts/totals/vocab/scores) —
+    // persist it once rather than re-exploding the corpus per consumer
     val tok = df.select(col(idCol), col(langCol),
-      explode(words(col(textCol))).as("w"))
+      explode(words(col(textCol))).as("w")).persist()
     val counts = tok.groupBy(col(langCol).as("model_lang"), col("w"))
       .agg(count(lit(1)).as("c"))
     val totals = tok.groupBy(col(langCol).as("model_lang"))

@@ -86,14 +86,18 @@ object ExtQueries {
     "dedup_near_minhash" -> ((s, dir) => {
       val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
       val sig = Dedup.minhash(sh, "doc_id", NumHashes)
-      Dedup.candidatePairs(Dedup.bands(sig, "doc_id", 1), "doc_id")
+      Dedup.candidatePairs(Dedup.bands(sig, "doc_id", NumHashes, 1), "doc_id")
         .orderBy("a_id", "b_id")
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
-      val sig = Dedup.minhash(sh, "doc_id", NumHashes)
-      val cands = Dedup.candidatePairs(Dedup.bands(sig, "doc_id", 1), "doc_id")
+      // sh feeds minhash + the set-gathering pass; cands feeds the id
+      // semi-join (twice) + the pair join — persist both, they are
+      // shingle-/candidate-scale, so the expensive chains run once
+      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3).persist()
+      val cands = Dedup.candidatePairs(
+        Dedup.bands(Dedup.minhash(sh, "doc_id", NumHashes), "doc_id",
+          NumHashes, 1), "doc_id").persist()
       Dedup.jaccard(cands, sh, "doc_id").orderBy("a_id", "b_id")
     }),
 
@@ -101,14 +105,19 @@ object ExtQueries {
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
     "dedup_embedding_cosine" -> ((s, dir) => {
+      // norms precomputed per vector (O(n)) instead of per pair (O(n²))
+      // — identical fp result, the sqrt just runs once per side.
       val e = emb(s, dir)
-      val a = e.select(col("vec_id"), col("embedding"), col("label"))
+      val a = e.select(col("vec_id"), col("embedding"), col("label"),
+        Similarity.norm(col("embedding")).as("norm_a"))
       val b = e.select(col("vec_id").as("nn_id"),
-        col("embedding").as("nn_emb"), col("label").as("nn_label"))
+        col("embedding").as("nn_emb"), col("label").as("nn_label"),
+        Similarity.norm(col("embedding")).as("norm_b"))
       val pairs = a.join(b,
         col("label") === col("nn_label") && col("vec_id") =!= col("nn_id"))
         .withColumn("sim",
-          round(Similarity.cosine(col("embedding"), col("nn_emb")), 6))
+          round(Similarity.dot(col("embedding"), col("nn_emb"))
+            / (col("norm_a") * col("norm_b")), 6))
       val win = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id"))
         .orderBy(col("sim").desc, col("nn_id"))

@@ -17,11 +17,27 @@ object Reader {
     * Literals are cast to the column's own type so the comparison stays
     * a pushable parquet filter (works for TIMESTAMP and TIMESTAMP_NTZ
     * sources alike).
+    *
+    * When the frame carries a raw `<tsCol>_ns` long (nano-precision
+    * sources, see Tables.load), the bounds are applied to IT instead:
+    * the normalized column is an expression, which no format can push
+    * down, while the long column gets parquet row-group min/max
+    * skipping. For whole-second bounds the rewrite is exact:
+    * floor(ns/1000) ≥ s·10⁶ ⟺ ns ≥ s·10⁹.
     */
   def scanRange(df: DataFrame, tsCol: String, fromTs: String,
                 toTs: String): DataFrame = {
-    val t = df.schema(tsCol).dataType
-    df.filter(col(tsCol) >= lit(fromTs).cast(t) && col(tsCol) < lit(toTs).cast(t))
+    val nsCol = s"${tsCol}_ns"
+    if (df.columns.contains(nsCol)) {
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss")
+      def ns(s: String): Long = java.time.LocalDateTime.parse(s, fmt)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+      df.filter(col(nsCol) >= ns(fromTs) && col(nsCol) < ns(toTs))
+    } else {
+      val t = df.schema(tsCol).dataType
+      df.filter(col(tsCol) >= lit(fromTs).cast(t) && col(tsCol) < lit(toTs).cast(t))
+    }
   }
 
   /** B-4 metric projection. */

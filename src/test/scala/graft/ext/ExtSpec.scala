@@ -30,16 +30,26 @@ class ExtSpec extends SparkSpec {
   test("minhash banding finds the near-dup pair, not the unrelated doc") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val sig = Dedup.minhash(sh, "doc_id", 8)
-    val pairs = Dedup.candidatePairs(Dedup.bands(sig, "doc_id", 1), "doc_id")
+    val pairs = Dedup.candidatePairs(Dedup.bands(sig, "doc_id", 8, 1), "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L))) // identical docs share every band
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("minhash bands support multi-row bands (4 bands of 2)") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhash(sh, "doc_id", 8)
+    val b = Dedup.bands(sig, "doc_id", 8, 2)
+    assert(b.select("band").distinct().count() == 4)
+    val pairs = Dedup.candidatePairs(b, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
   test("jaccard: identical docs 1.0; near-dups high; via candidates") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val sig = Dedup.minhash(sh, "doc_id", 8)
-    val cands = Dedup.candidatePairs(Dedup.bands(sig, "doc_id", 1), "doc_id")
+    val cands = Dedup.candidatePairs(Dedup.bands(sig, "doc_id", 8, 1), "doc_id")
     val j = Dedup.jaccard(cands, sh, "doc_id").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(j((0L, 1L)) == 1.0)
