@@ -1,0 +1,153 @@
+package graft.client
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Grid
+import graft.ingest.{Influx, Pivot}
+import graft.read.Downsample
+import graft.store.{MetricDef, SensorConfig, SensorStore}
+
+/** Library façade mirroring the reference client's public surface
+  * (`/root/reference/src/ong_tsdb/client.py` — `OngTsdbClient`), minus
+  * the HTTP transport: a user of the reference can port call-for-call.
+  *
+  * | reference                      | here                         |
+  * |--------------------------------|------------------------------|
+  * | `create_db` / `exist_db`       | `createDb` / `existsDb`      |
+  * | `create_sensor` (+keys, meta)  | `createSensor`               |
+  * | `delete_sensor` / `delete_db`  | `deleteSensor` / `deleteDb`  |
+  * | `write(seq_of_lines, fill)`    | `write(lines, fill)`         |
+  * | `write_df(db, sensor, df)`     | `writeDf` (wide frame)       |
+  * | `read(db, sensor, f, t, m)`    | `read` → wide frame          |
+  * | `read_grafana(...)`            | `readGrafana` → long frame   |
+  * | `get_lasttimestamp`            | `lastTimestamp`              |
+  * | `get_metadata`/`set_level_names`| `metadata` / `setLevelNames`|
+  *
+  * Auth tokens are stored with the sensor for config parity but not
+  * enforced — a library embeds in the caller's security context.
+  */
+class GraftClient(spark: SparkSession, baseDir: String) {
+
+  val store = new SensorStore(spark, baseDir)
+
+  // ---- catalog -------------------------------------------------------
+
+  def createDb(db: String): Unit =
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$baseDir/$db"))
+
+  def existsDb(db: String): Boolean = store.listDbs().contains(db)
+
+  def createSensor(db: String, sensor: String, freq: String,
+                   metrics: Seq[Seq[String]] = Seq.empty,
+                   readKey: String = "", writeKey: String = "",
+                   metadata: Map[String, String] = Map.empty): Unit = {
+    createDb(db)
+    store.createSensor(SensorConfig(db, sensor, freq,
+      metrics.map(MetricDef(_)), metadata, readKey, writeKey))
+  }
+
+  def existsSensor(db: String, sensor: String): Boolean =
+    store.existsSensor(db, sensor)
+
+  def deleteSensor(db: String, sensor: String): Unit =
+    store.deleteSensor(db, sensor)
+
+  def deleteDb(db: String): Unit =
+    store.listSensors(db).foreach(deleteSensor(db, _))
+
+  def metadata(db: String, sensor: String): Map[String, String] =
+    store.config(db, sensor).metadata
+
+  /** MultiIndex level names (reference `set_level_names`,
+    * `client.py:493-503`): stored comma-joined in metadata.
+    */
+  def setLevelNames(db: String, sensor: String, names: Seq[String]): Unit = {
+    val cfg = store.config(db, sensor)
+    store.createSensor(cfg.copy(
+      metadata = cfg.metadata + ("level_names" -> names.mkString(","))))
+  }
+
+  def levelNames(db: String, sensor: String): Seq[String] =
+    metadata(db, sensor).get("level_names").map(_.split(",").toSeq)
+      .getOrElse(Seq.empty)
+
+  // ---- write ---------------------------------------------------------
+
+  /** Ingest influx-protocol lines (reference `client.write`,
+    * `client.py:337-370` → `server.write_point_list`). Lines may span
+    * multiple (db, sensor) pairs — they are grouped per sensor like the
+    * server's `DbMeterData` (A-3). Missing timestamps get ingest time.
+    * Malformed lines raise, mirroring `InfluxParseException`.
+    */
+  def write(lines: Seq[String], fillValue: Double = 0.0): Unit = {
+    import spark.implicits._
+    val parsed = Influx.parseLines(lines.toDF("line"), "line").cache()
+    try {
+      val bad = parsed.filter(col("malformed")).select("line").limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"Cannot parse influx line: '${bad(0).getString(0)}'")
+      val nowSec = System.currentTimeMillis() / 1000
+      val pts = parsed
+        .withColumn("ts_sec", coalesce(col("ts_sec"), lit(nowSec)))
+        .select(col("db"), col("sensor"),
+          timestamp_seconds(col("ts_sec")).as("ts"),
+          col("metric"), col("value"))
+      val sensors = pts.select("db", "sensor").distinct().collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      sensors.foreach { case (db, sensor) =>
+        store.write(db, sensor,
+          pts.filter(col("db") === db && col("sensor") === sensor)
+            .select("ts", "metric", "value"),
+          fillValue)
+      }
+    } finally { parsed.unpersist(); () }
+  }
+
+  /** Ingest a wide frame (`ts` + one column per metric) — reference
+    * `write_df` (`client.py:372-382`): melt to points, then the normal
+    * ingest path (A-7).
+    */
+  def writeDf(db: String, sensor: String, wide: DataFrame,
+              fillValue: Double = 0.0): Unit = {
+    val metrics = wide.columns.filterNot(_ == "ts").toSeq
+    val long = Pivot.wideToLong(wide, Seq("ts"), metrics)
+      .select(col("ts"), col("metric"), col("value").cast("double"))
+    store.write(db, sensor, long, fillValue)
+  }
+
+  // ---- read ----------------------------------------------------------
+
+  /** Wide read (reference `client.read`/`local_read`): tick-grid rows
+    * `ts, <metrics...>` in `[fromSec, toSec]`, ordered by ts.
+    */
+  def read(db: String, sensor: String,
+           fromSec: Option[Long] = None, toSec: Option[Long] = None,
+           metrics: Option[Seq[String]] = None): DataFrame =
+    store.read(db, sensor, fromSec, toSec, metrics)
+
+  def lastTimestamp(db: String, sensor: String): Option[Long] =
+    store.lastTimestamp(db, sensor)
+
+  /** Grafana-style downsampled read (reference `/query`,
+    * `server.py:412-475` + `client.read_grafana`): per metric, first
+    * value at/after each of `maxDataPoints` boundaries, long format
+    * `(metric, value, ts_ms)`.
+    */
+  def readGrafana(db: String, sensor: String, fromSec: Long, toSec: Long,
+                  maxDataPoints: Int,
+                  targets: Option[Seq[String]] = None): DataFrame = {
+    val cfg = store.config(db, sensor)
+    val wanted = targets.getOrElse(cfg.metricNames)
+    val wide = store.read(db, sensor, Some(fromSec), Some(toSec), Some(wanted))
+      .withColumn("sec", Grid.tsSeconds(col("ts")))
+    val long = Pivot.wideToLong(wide, Seq("sec"), wanted)
+      .filter(!isnan(col("value")))
+    Downsample.firstPerBucket(long, Seq("metric"), col("sec"),
+        "value", "sec", fromSec, toSec, maxDataPoints)
+      .select(col("metric"), col("first_value").as("value"),
+        (col("first_ts") * 1000).as("ts_ms"))
+      .orderBy("metric", "ts_ms")
+  }
+}

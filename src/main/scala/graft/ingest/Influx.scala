@@ -27,20 +27,32 @@ object Influx {
     * ingest time), malformed (boolean).
     */
   def parseLines(df: DataFrame, lineCol: String): DataFrame = {
+    // `get()` (not getItem) everywhere: under ANSI mode an out-of-bounds
+    // index throws, and malformed lines must FLAG, not crash the batch
     val line = col(lineCol)
-    val header = split(line, " ").getItem(0)
-    val fields = split(line, " ").getItem(1)
+    val header = get(split(line, " "), lit(0))
+    val fields = coalesce(get(split(line, " "), lit(1)), lit(""))
     val tsStr = regexp_extract(line, """ (\d+)$""", 1)
     df.withColumn("malformed", !line.rlike(LineRegex))
-      .withColumn("db", split(header, ",").getItem(0))
+      .withColumn("db", get(split(header, ","), lit(0)))
       .withColumn("sensor", regexp_extract(header, """,[^=]+=(.+)$""", 1))
       .withColumn("field", explode(split(fields, ",")))
-      .withColumn("metric", split(col("field"), "=").getItem(0))
-      .withColumn("value", split(col("field"), "=").getItem(1).cast("double"))
+      .withColumn("metric", get(split(col("field"), "="), lit(0)))
+      .withColumn("value", get(split(col("field"), "="), lit(1)).cast("double"))
       .withColumn("ts_sec",
         when(tsStr === "", lit(null).cast("long"))
           .otherwise((tsStr.cast("decimal(30,0)") / lit(1000000000L)).cast("long")))
       .drop("field")
+  }
+
+  /** Fill-value parsing (reference C-5, `server.py:296-301`): numeric
+    * string → its value; "nan" (any case) → NaN; anything else → warn
+    * semantics collapsed to the default 0.0.
+    */
+  def parseFillValue(s: String): Double = {
+    val t = s.trim.toLowerCase
+    if (t == "nan") Double.NaN
+    else try t.toDouble catch { case _: NumberFormatException => 0.0 }
   }
 
   /** Render long-format points back into influx lines (client.py:372-382

@@ -1,0 +1,122 @@
+package graft.client
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Client-façade round-trips mirroring the reference's end-to-end suite
+  * (`tests/test_client.py`): influx-line writes incl. ragged lines and
+  * a mid-stream new metric (`:65-71`), frequency matrix (`:32`), wide
+  * DataFrame write path, metadata/level-names (`:172-206`), grafana
+  * downsampled read (`server.py:412-475`).
+  */
+class GraftClientSpec extends SparkSpec {
+
+  private def freshClient(): GraftClient =
+    new GraftClient(spark, Files.createTempDirectory("graft-client").toString)
+
+  private val t0 = 1704067200L
+
+  test("influx write → read: ragged lines + new metric (fixture A.2)") {
+    val c = freshClient()
+    c.createSensor("test", "s1", "1s",
+      Seq(Seq("active"), Seq("reactive")))
+    val ns = (i: Long) => s"${(t0 + i)}000000000"
+    // first write: only the original metrics (creates the chunk)…
+    c.write(Seq(
+      s"test,circuit=s1 active=9,reactive=10 ${ns(0)}",
+      s"test,circuit=s1 active=11 ${ns(1)}",
+      s"test,circuit=s1 reactive=12 ${ns(2)}",
+      s"test,circuit=s1 reactive=13,active=14 ${ns(3)}"))
+    // …second write introduces `nueva` → schema evolution: the chunk
+    // that already existed reads back with fill=0 for nueva
+    c.write(Seq(
+      s"test,circuit=s1 reactive=15,active=16,nueva=17 ${ns(4)}",
+      s"test,circuit=s1 reactive=18,nueva=19 ${ns(5)}"))
+    val cfg = c.store.config("test", "s1")
+    assert(cfg.metricNames == Seq("active", "reactive", "nueva"))
+    val rows = c.read("test", "s1").collect()
+    assert(rows.length == 6)
+    def cell(i: Int, j: Int): Option[Float] =
+      if (rows(i).isNullAt(j)) None else Some(rows(i).getFloat(j))
+    assert(cell(0, 1).contains(9f) && cell(0, 2).contains(10f))
+    assert(cell(1, 1).contains(11f) && cell(1, 2).isEmpty)
+    assert(cell(3, 1).contains(14f) && cell(3, 2).contains(13f))
+    // nueva: fill=0 in pre-evolution chunk rows, real values after
+    assert(cell(4, 3).contains(17f))
+    assert(cell(5, 3).contains(19f))
+    assert(cell(0, 3).contains(0f)) // same chunk as evolution → filled
+  }
+
+  test("malformed influx line raises") {
+    val c = freshClient()
+    c.createSensor("test", "s1", "1s", Seq(Seq("a")))
+    intercept[IllegalArgumentException](c.write(Seq("not an influx line")))
+  }
+
+  test("frequency matrix round-trip (1s / 15m / 1h / 1d)") {
+    val c = freshClient()
+    for (freq <- Seq("1s", "15m", "1h", "1d")) {
+      val tick = graft.core.Freq.seconds(freq)
+      val sensor = s"f_$freq"
+      c.createSensor("test", sensor, freq, Seq(Seq("v")))
+      c.write((0 until 5).map(i =>
+        s"test,circuit=$sensor v=${i + 1} ${(t0 + i * tick)}000000000"))
+      val rows = c.read("test", sensor).collect()
+      assert(rows.length == 5, s"freq $freq")
+      assert(rows.map(_.getFloat(1)).toSeq == Seq(1f, 2f, 3f, 4f, 5f))
+      assert(c.lastTimestamp("test", sensor).contains(t0 + 4 * tick))
+    }
+  }
+
+  test("writeDf wide-frame path round-trips") {
+    import spark.implicits._
+    val c = freshClient()
+    c.createSensor("test", "wd", "1h", Seq(Seq("p"), Seq("q")))
+    val wide = Seq(
+      (t0, Some(1.0), Some(2.0)),
+      (t0 + 3600, Some(3.0), None))
+      .toDF("sec", "p", "q")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("p"), col("q"))
+    c.writeDf("test", "wd", wide)
+    val rows = c.read("test", "wd").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getFloat(1) == 1f && rows(0).getFloat(2) == 2f)
+    assert(rows(1).getFloat(1) == 3f && rows(1).isNullAt(2))
+  }
+
+  test("metadata + level names round-trip (MultiIndex fixture A.3)") {
+    val c = freshClient()
+    c.createSensor("test", "mi", "1D",
+      Seq(Seq("A", "B", "C"), Seq("D", "E", "F")),
+      metadata = Map("who" -> "tester"))
+    c.setLevelNames("test", "mi", Seq("one", "two", "three"))
+    assert(c.levelNames("test", "mi") == Seq("one", "two", "three"))
+    assert(c.metadata("test", "mi")("who") == "tester")
+    assert(c.store.config("test", "mi").metricNames == Seq("A.B.C", "D.E.F"))
+  }
+
+  test("grafana downsampled read: first value per bucket, long format") {
+    val c = freshClient()
+    c.createSensor("test", "g", "1s", Seq(Seq("v")))
+    // 100 points over 100s; ask for 10 buckets → first of each 10s span
+    c.write((0 until 100).map(i =>
+      s"test,circuit=g v=$i ${(t0 + i)}000000000"))
+    val out = c.readGrafana("test", "g", t0, t0 + 99, 10).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getFloat(1)).toSeq == (0 until 100 by 10).map(_.toFloat))
+    assert(out.head.getLong(2) == t0 * 1000)
+  }
+
+  test("catalog lifecycle: dbs, sensors, delete") {
+    val c = freshClient()
+    c.createSensor("d1", "s1", "1s", Seq(Seq("a")))
+    c.createSensor("d1", "s2", "1s", Seq(Seq("a")))
+    assert(c.existsDb("d1") && c.existsSensor("d1", "s2"))
+    assert(c.store.listSensors("d1") == Seq("s1", "s2"))
+    c.deleteSensor("d1", "s2")
+    assert(!c.existsSensor("d1", "s2"))
+  }
+}
