@@ -189,6 +189,22 @@ object ExtQueries {
         .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
           col("first_byte").cast("long").as("first_byte"), col("n_frames"))
         .orderBy("media_id")),
+
+    // top-k tokens per language — the vocabulary-histogram pass of a
+    // corpus-analysis pipeline: one agg shuffle + a bounded window.
+    "text_token_histogram" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tok = docs(s, dir).select(col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      val counts = tok.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val win = Window.partitionBy(col("lang"))
+        .orderBy(col("c").desc, col("w"))
+      counts.withColumn("rank", row_number().over(win))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("w").as("token"), col("c"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("lang", "rank")
+    }),
   )
 
   // ---- oracles -------------------------------------------------------
@@ -344,6 +360,18 @@ object ExtQueries {
       """SELECT event_id,
         |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "text_token_histogram" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+        |), counts AS (
+        |  SELECT lang, w, count(*) AS c FROM tok GROUP BY lang, w
+        |), ranked AS (
+        |  SELECT lang, w, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS rank
+        |  FROM counts)
+        |SELECT lang, w AS token, c, rank FROM ranked WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
 
     "multimodal_pipeline" ->
       """SELECT doc_id AS media_id,

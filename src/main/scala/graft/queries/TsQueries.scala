@@ -165,6 +165,26 @@ object TsQueries {
           col("value"), col("ts_sec"))
         .orderBy("event_id")
     }),
+
+    // Window-function sessionization — the classic event-stream op the
+    // reference lacks entirely (§2.E "window functions: absent"); one
+    // shuffle on user_id, then per-partition sorted windows.
+    "events_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val sess = base(s, dir)
+        .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_sec").isNull ||
+            col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
+        .orderBy("user_id", "session_id")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -270,6 +290,26 @@ object TsQueries {
          |  max(CASE WHEN value IS NOT NULL
          |      THEN CAST((slot % 86400) / 300.0 AS BIGINT) END) AS max_idx
          |FROM base GROUP BY user_id, chunk ORDER BY user_id, chunk""".stripMargin,
+
+    "events_sessionize" ->
+      s"""$BaseCte, lagged AS (
+         |  SELECT user_id, sec, event_id,
+         |    lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_sec
+         |  FROM base
+         |), flagged AS (
+         |  SELECT user_id, sec, event_id,
+         |    CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM lagged
+         |), sess AS (
+         |  SELECT user_id, sec,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+         |                        ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(sec) AS start_sec, max(sec) AS end_sec
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
 
     "influx_parse" ->
       s"""$BaseCte, lines AS (

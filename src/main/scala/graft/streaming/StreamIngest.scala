@@ -39,6 +39,25 @@ object StreamIngest {
         timestamp_seconds(col("ts_sec")).cast(TimestampType).as("ts"),
         col("metric"), col("value"))
 
+  /** Event-time windowed statistics over a streaming point feed — the
+    * Spark-native capability the reference's design precludes (no
+    * watermarks/windows there, §2.E): per (event-time window, metric),
+    * count/avg/min/max with a watermark bounding state. Use with
+    * append mode for finalized windows or update/complete for live
+    * dashboards (the streaming analog of the grafana downsample).
+    */
+  def windowedStats(points: DataFrame, windowDur: String,
+                    watermark: String): DataFrame =
+    points
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("metric"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("window_start"), col("metric"),
+        col("n"), col("avg_value"), col("min_value"), col("max_value"))
+
   /** writeStream into the sensor store via foreachBatch upsert.
     * Caller starts/stops the returned writer.
     */

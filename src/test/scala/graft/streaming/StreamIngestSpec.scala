@@ -50,4 +50,30 @@ class StreamIngestSpec extends SparkSpec {
     assert(byTs(t0) == (Some(9.0f), Some(20.0f)))       // cell updated, other kept
     assert(byTs(t0 + 5) == (Some(11.0f), None))
   }
+
+  test("watermarked windowed stats aggregate per event-time window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    val src = MemoryStream[String]
+    val points = StreamIngest.parse(src.toDF().withColumnRenamed("value", "line"),
+      "line", "test", "w1")
+    val stats = StreamIngest.windowedStats(points, "5 minutes", "10 minutes")
+    val query = stats.writeStream.outputMode("complete")
+      .format("memory").queryName("wstats").start()
+    try {
+      src.addData(
+        s"test,circuit=w1 v=1 ${t0}000000000",
+        s"test,circuit=w1 v=3 ${(t0 + 60)}000000000",
+        s"test,circuit=w1 v=10 ${(t0 + 301)}000000000") // next window
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.sql(
+      "SELECT * FROM wstats ORDER BY window_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(2) == 2L && rows(0).getDouble(3) == 2.0)
+    assert(rows(1).getLong(2) == 1L && rows(1).getDouble(5) == 10.0)
+  }
 }
