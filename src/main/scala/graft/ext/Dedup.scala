@@ -105,6 +105,81 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Connected components over the candidate-pair graph — dedup
+    * clustering: every doc gets the minimum doc id reachable through
+    * near-dup edges. Hash-to-min label propagation: each iteration
+    * joins labels across edges and takes the min; converges in
+    * graph-diameter iterations with early stop. Near-dup components are
+    * small by construction (they are candidate buckets), so the loop is
+    * a handful of candidate-scale shuffles; a web-scale graph would
+    * swap in the large-star/small-star variant on the same join shape.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          driverThreshold: Long = 1000000L): DataFrame = {
+    // Candidate graphs are bucket-scale by construction; below the
+    // threshold a driver-side union-find beats ~log(diameter) rounds of
+    // cluster-wide joins (each round is several jobs). Above it, the
+    // distributed hash-to-min + pointer-jumping loop takes over.
+    val spark = pairs.sparkSession
+    val nEdges = pairs.count()
+    if (nEdges <= driverThreshold) {
+      val es = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return labels.toDF("id", "cluster_id")
+    }
+    // localCheckpoint (NOT persist) per generation: iterative plans nest
+    // their whole history otherwise — the logical plan doubles per
+    // iteration and analysis OOMs long before the data does
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var prevSum = Long.MinValue
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dst_label")).as("nbr_label"))
+      val propagated = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jumping: label ← label(label). Labels are always node
+      // ids (mins of ids), so the self-join is total; this turns
+      // diameter-many rounds into ~log(diameter).
+      val updated = propagated
+        .join(propagated.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"))
+        .select(col("id"), col("ll").as("label"))
+        .localCheckpoint()
+      // convergence check without a join: labels only ever decrease, so
+      // the label sum is a strictly-decreasing progress measure
+      val sumNow = updated.agg(sum(col("label"))).head().getLong(0)
+      changed = if (sumNow == prevSum) 0L else 1L
+      prevSum = sumNow
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** 16-bit SimHash over whitespace tokens. Bit `i` of a token is the
     * top bit of nibble `i` of `md5(token)` (hex char in [89abcdef]);
     * the document bit is the exact-integer majority vote

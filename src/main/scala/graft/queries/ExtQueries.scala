@@ -52,10 +52,11 @@ object ExtQueries {
   }
 
   /** Shared shingle/minhash/band CTE chain (3-gram shingles, 8 minhashes,
-    * 1-row bands).
+    * 1-row bands). `ShingleBody` is the list without the WITH keyword so
+    * recursive oracles can prepend `WITH RECURSIVE`.
     */
-  private val ShingleCtes =
-    """WITH sh0 AS (
+  private val ShingleBody =
+    """sh0 AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |), sh AS (
       |  SELECT DISTINCT doc_id,
@@ -74,6 +75,8 @@ object ExtQueries {
       |    ON a.band = b.band AND a.band_key = b.band_key
       |   AND a.doc_id < b.doc_id
       |)""".stripMargin
+
+  private val ShingleCtes = s"WITH $ShingleBody"
 
   // ---- queries -------------------------------------------------------
 
@@ -189,6 +192,16 @@ object ExtQueries {
         .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
           col("first_byte").cast("long").as("first_byte"), col("n_frames"))
         .orderBy("media_id")),
+
+    "dedup_cluster" -> ((s, dir) => {
+      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
+      val cands = Dedup.candidatePairs(
+        Dedup.bands(Dedup.minhash(sh, "doc_id", NumHashes), "doc_id",
+          NumHashes, 1), "doc_id").persist()
+      Dedup.connectedComponents(cands)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
 
     // top-k tokens per language — the vocabulary-histogram pass of a
     // corpus-analysis pipeline: one agg shuffle + a bounded window.
@@ -360,6 +373,19 @@ object ExtQueries {
       """SELECT event_id,
         |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $ShingleBody, edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION
+         |  SELECT b_id AS src, a_id AS dst FROM cand
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |)
+         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "text_token_histogram" ->
       """WITH tok AS (

