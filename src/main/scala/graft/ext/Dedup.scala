@@ -100,8 +100,8 @@ object Dedup {
     cands.join(broadcast(a), "a_id").join(broadcast(b), "b_id")
       .withColumn("n_inter", size(array_intersect(col("a_set"), col("b_set"))))
       .withColumn("jaccard",
-        round(col("n_inter") /
-          (size(col("a_set")) + size(col("b_set")) - col("n_inter")), 6))
+        TextStats.trunc6(col("n_inter") /
+          (size(col("a_set")) + size(col("b_set")) - col("n_inter"))))
       .select("a_id", "b_id", "jaccard")
   }
 

@@ -25,6 +25,15 @@ object TextStats {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** 6-decimal TRUNCATION for ratio outputs. Spark's `round` rounds the
+    * double's shortest decimal representation (BigDecimal.valueOf ⇒
+    * HALF_UP on the string), other engines round the binary value —
+    * they disagree exactly when a ratio lands on a `.5` at the 7th
+    * decimal (e.g. odd/1280). floor(x·10⁶)/10⁶ is a pure IEEE pipeline:
+    * identical input bits ⇒ identical output everywhere.
+    */
+  def trunc6(c: Column): Column = floor(c * lit(1000000d)) / lit(1000000d)
+
   /** Heuristic quality score in [0,1]: mix of length, stopword ratio
     * and mean word length (the classic cheap pre-filters for corpus
     * cleaning). Single-row arithmetic, deterministic.
@@ -40,12 +49,12 @@ object TextStats {
       col(idCol),
       nChars.as("n_chars"),
       nWords.as("n_words"),
-      round(stopHits.cast("double") / nWords, 6).as("stopword_ratio"),
-      round(meanWordLen, 6).as("mean_word_len"),
-      round(
+      trunc6(stopHits.cast("double") / nWords).as("stopword_ratio"),
+      trunc6(meanWordLen).as("mean_word_len"),
+      trunc6(
         least(lit(1d), nWords.cast("double") / lit(64d)) * lit(0.5)
           + least(lit(1d), stopHits.cast("double") / nWords * lit(5d)) * lit(0.25)
-          + least(lit(1d), meanWordLen / lit(8d)) * lit(0.25), 6)
+          + least(lit(1d), meanWordLen / lit(8d)) * lit(0.25))
         .as("quality"))
   }
 

@@ -242,7 +242,7 @@ object ExtQueries {
          |  GROUP BY c.a_id, c.b_id
          |)
          |SELECT i.a_id, i.b_id,
-         |  round(n_inter / (na.n + nb.n - n_inter), 6) AS jaccard
+         |  floor((n_inter / (na.n + nb.n - n_inter)) * 1000000) / 1000000 AS jaccard
          |FROM inter i
          |JOIN sizes na ON na.doc_id = i.a_id
          |JOIN sizes nb ON nb.doc_id = i.b_id
@@ -323,11 +323,11 @@ object ExtQueries {
         |      / len(string_split(text, ' ')) AS mean_wl
         |  FROM documents)
         |SELECT doc_id, n_chars, n_words,
-        |  round(stop_hits * 1.0 / n_words, 6) AS stopword_ratio,
-        |  round(mean_wl, 6) AS mean_word_len,
-        |  round(least(1.0, (n_words * 1.0) / 64.0) * 0.5
+        |  floor((stop_hits * 1.0 / n_words) * 1000000) / 1000000 AS stopword_ratio,
+        |  floor(mean_wl * 1000000) / 1000000 AS mean_word_len,
+        |  floor((least(1.0, (n_words * 1.0) / 64.0) * 0.5
         |      + least(1.0, (stop_hits * 1.0 / n_words) * 5.0) * 0.25
-        |      + least(1.0, mean_wl / 8.0) * 0.25, 6) AS quality
+        |      + least(1.0, mean_wl / 8.0) * 0.25) * 1000000) / 1000000 AS quality
         |FROM f ORDER BY doc_id""".stripMargin,
 
     "lang_id" ->
