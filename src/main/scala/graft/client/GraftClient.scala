@@ -27,9 +27,26 @@ import graft.store.{MetricDef, SensorConfig, SensorStore}
   * Auth tokens are stored with the sensor for config parity but not
   * enforced — a library embeds in the caller's security context.
   */
-class GraftClient(spark: SparkSession, baseDir: String) {
+class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
 
   val store = new SensorStore(spark, baseDir)
+
+  /** Reference auth model (`database.py:142-152` + server routes):
+    * writes need the sensor's write key; reads accept read OR write
+    * key. A sensor with empty keys is open (the library default).
+    */
+  private def authWrite(db: String, sensor: String): Unit = {
+    val cfg = store.config(db, sensor)
+    if (cfg.writeKey.nonEmpty && !store.keyOk(cfg.writeKey, token))
+      throw new graft.core.NotAuthorizedException(s"write $db/$sensor")
+  }
+
+  private def authRead(db: String, sensor: String): Unit = {
+    val cfg = store.config(db, sensor)
+    if (cfg.readKey.nonEmpty &&
+        !store.keyOk(cfg.readKey, token) && !store.keyOk(cfg.writeKey, token))
+      throw new graft.core.NotAuthorizedException(s"read $db/$sensor")
+  }
 
   // ---- catalog -------------------------------------------------------
 
@@ -86,8 +103,7 @@ class GraftClient(spark: SparkSession, baseDir: String) {
     try {
       val bad = parsed.filter(col("malformed")).select("line").limit(1).collect()
       if (bad.nonEmpty)
-        throw new IllegalArgumentException(
-          s"Cannot parse influx line: '${bad(0).getString(0)}'")
+        throw new graft.core.InfluxParseException(bad(0).getString(0))
       val nowSec = System.currentTimeMillis() / 1000
       val pts = parsed
         .withColumn("ts_sec", coalesce(col("ts_sec"), lit(nowSec)))
@@ -97,6 +113,7 @@ class GraftClient(spark: SparkSession, baseDir: String) {
       val sensors = pts.select("db", "sensor").distinct().collect()
         .map(r => (r.getString(0), r.getString(1)))
       sensors.foreach { case (db, sensor) =>
+        authWrite(db, sensor)
         store.write(db, sensor,
           pts.filter(col("db") === db && col("sensor") === sensor)
             .select("ts", "metric", "value"),
@@ -111,6 +128,7 @@ class GraftClient(spark: SparkSession, baseDir: String) {
     */
   def writeDf(db: String, sensor: String, wide: DataFrame,
               fillValue: Double = 0.0): Unit = {
+    authWrite(db, sensor)
     val metrics = wide.columns.filterNot(_ == "ts").toSeq
     val long = Pivot.wideToLong(wide, Seq("ts"), metrics)
       .select(col("ts"), col("metric"), col("value").cast("double"))
@@ -124,11 +142,15 @@ class GraftClient(spark: SparkSession, baseDir: String) {
     */
   def read(db: String, sensor: String,
            fromSec: Option[Long] = None, toSec: Option[Long] = None,
-           metrics: Option[Seq[String]] = None): DataFrame =
+           metrics: Option[Seq[String]] = None): DataFrame = {
+    authRead(db, sensor)
     store.read(db, sensor, fromSec, toSec, metrics)
+  }
 
-  def lastTimestamp(db: String, sensor: String): Option[Long] =
+  def lastTimestamp(db: String, sensor: String): Option[Long] = {
+    authRead(db, sensor)
     store.lastTimestamp(db, sensor)
+  }
 
   /** Grafana-style downsampled read (reference `/query`,
     * `server.py:412-475` + `client.read_grafana`): per metric, first

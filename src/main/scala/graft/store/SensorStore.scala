@@ -65,9 +65,14 @@ class SensorStore(spark: SparkSession, baseDir: String) {
       cfg.toJson.getBytes(StandardCharsets.UTF_8))
   }
 
-  def config(db: String, sensor: String): SensorConfig =
+  def config(db: String, sensor: String): SensorConfig = {
+    if (!Files.isDirectory(Paths.get(s"$baseDir/$db")))
+      throw new graft.core.DbNotFoundException(db)
+    if (!existsSensor(db, sensor))
+      throw new graft.core.SensorNotFoundException(db, sensor)
     SensorConfig.fromJson(new String(
       Files.readAllBytes(configPath(db, sensor)), StandardCharsets.UTF_8))
+  }
 
   def existsSensor(db: String, sensor: String): Boolean =
     Files.exists(configPath(db, sensor))
@@ -115,6 +120,12 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     */
   def write(db: String, sensor: String, points: DataFrame,
             fillValue: Double = 0.0): SensorConfig = {
+    val required = Seq("ts", "metric", "value")
+    val missing = required.filterNot(points.columns.contains)
+    if (missing.nonEmpty)
+      throw new graft.core.InvalidDataWriteException(
+        s"Points batch is missing column(s) ${missing.mkString(", ")} " +
+          s"(needs $required) — reference col-count guard database.py:444-445")
     var cfg = config(db, sensor)
     val tick = cfg.tickSeconds
     val chunkDur = tick * Freq.ChunkRows

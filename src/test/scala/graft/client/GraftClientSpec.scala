@@ -50,10 +50,38 @@ class GraftClientSpec extends SparkSpec {
     assert(cell(0, 3).contains(0f)) // same chunk as evolution → filled
   }
 
-  test("malformed influx line raises") {
+  test("malformed influx line raises InfluxParseException") {
     val c = freshClient()
     c.createSensor("test", "s1", "1s", Seq(Seq("a")))
-    intercept[IllegalArgumentException](c.write(Seq("not an influx line")))
+    intercept[graft.core.InfluxParseException](c.write(Seq("not an influx line")))
+  }
+
+  test("error taxonomy: missing db/sensor, bad batch shape, auth") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-auth").toString
+    val open = new GraftClient(spark, dir)
+    intercept[graft.core.DbNotFoundException](open.read("nope", "s"))
+    open.createDb("d")
+    intercept[graft.core.SensorNotFoundException](open.read("d", "s"))
+
+    open.createSensor("d", "s", "1s", Seq(Seq("a")),
+      readKey = "rk", writeKey = "wk")
+    intercept[graft.core.InvalidDataWriteException](
+      open.store.write("d", "s", Seq(1).toDF("wrong")))
+
+    // wrong token: neither read nor write allowed
+    intercept[graft.core.NotAuthorizedException](open.read("d", "s"))
+    intercept[graft.core.NotAuthorizedException](
+      open.write(Seq(s"d,circuit=s a=1 ${t0}000000000")))
+    // read key can read but not write
+    val reader = new GraftClient(spark, dir, token = "rk")
+    reader.read("d", "s").collect()
+    intercept[graft.core.NotAuthorizedException](
+      reader.write(Seq(s"d,circuit=s a=1 ${t0}000000000")))
+    // write key can do both (reference: write key implies read)
+    val writer = new GraftClient(spark, dir, token = "wk")
+    writer.write(Seq(s"d,circuit=s a=1 ${t0}000000000"))
+    assert(writer.read("d", "s").count() == 1)
   }
 
   test("frequency matrix round-trip (1s / 15m / 1h / 1d)") {

@@ -205,6 +205,34 @@ class SensorStoreSpec extends SparkSpec {
     assert(ok.length == 1 && ok(0).getFloat(1) == 2.0f)
   }
 
+  test("concurrent writers to different sensors do not interfere") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val st = freshStore()
+    val t0 = 1704067200L
+    val sensors = (0 until 4).map(i => s"c$i")
+    sensors.foreach(sn =>
+      st.createSensor(SensorConfig("conc", sn, "1s", Seq(MetricDef(Seq("v"))))))
+    val futures = sensors.zipWithIndex.map { case (sn, i) =>
+      Future {
+        val pts = (0 until 500).map(j => (t0 + j * 100L, "v", (i * 1000 + j).toDouble))
+          .toDF("sec", "metric", "value")
+          .select(timestamp_seconds(col("sec")).as("ts"), col("metric"), col("value"))
+        st.write("conc", sn, pts)
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    sensors.zipWithIndex.foreach { case (sn, i) =>
+      val rows = st.read("conc", sn).collect()
+      assert(rows.length == 500, sn)
+      assert(rows.head.getFloat(1) == i * 1000f)
+      // checksum audit after hostile interleaving (test_database.py:190-207 analog)
+      assert(st.read("conc", sn, validateChecksums = true).count() == 500)
+    }
+  }
+
   test("migrateCompression rewrites data, preserving every row (D-3)") {
     import spark.implicits._
     val (st, dir) = freshStoreDir()
