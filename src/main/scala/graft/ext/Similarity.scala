@@ -65,6 +65,26 @@ object Similarity {
       when(s >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** IVF-style ANN: assign every vector to its best "cell" (highest
+    * cosine against a deterministic centroid set), probe only the
+    * `nprobe` cells closest to the query, rank candidates by exact
+    * cosine. At 100 TB the table is written partitioned by `cell`, so a
+    * probe reads nprobe partitions; centroids here are the first k
+    * vectors (a k-means fit would slot in without changing the shape).
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, centIdCol: String,
+                centVecCol: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("cent_sim").desc, col(centIdCol))
+    df.crossJoin(broadcast(centroids))
+      .withColumn("cent_sim", cosine(col(vecCol), col(centVecCol)))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(vecCol), col(centIdCol).as("cell"))
+  }
+
   /** ANN: probe the query's LSH bucket, rank by exact cosine. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, query: Column,
               planes: Int, dim: Int, k: Int): DataFrame = {

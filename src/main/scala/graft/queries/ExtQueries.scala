@@ -145,6 +145,27 @@ object ExtQueries {
         "vec_id", "embedding", col("qvec"), Planes, Dim, 5)
     }),
 
+    "similar_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding",
+        cents, "cent_id", "cvec")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      // probe the 2 cells whose centroids best match the query
+      val qcells = cents.crossJoin(broadcast(q))
+        .withColumn("qsim", Similarity.cosine(col("cvec"), col("qvec")))
+        .orderBy(col("qsim").desc, col("cent_id"))
+        .limit(2).select(col("cent_id").as("cell"))
+      assigned.join(broadcast(qcells), "cell")
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     "text_stats" -> ((s, dir) =>
       docs(s, dir).groupBy("lang").agg(
         count(lit(1)).as("n_docs"),
@@ -298,6 +319,27 @@ object ExtQueries {
          |SELECT vec_id,
          |  round(${cosineSql("embedding", "qvec")}, 6) AS sim
          |FROM sigs WHERE sig = qsig
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+    "similar_ivf_topk" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < 8
+         |), q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC, c.cent_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) t
+         |  WHERE rn = 1
+         |), qcells AS (
+         |  SELECT cent_id AS cell FROM cents CROSS JOIN q
+         |  ORDER BY ${cosineSql("cvec", "qvec")} DESC, cent_id LIMIT 2
+         |)
+         |SELECT a.vec_id, round(${cosineSql("a.embedding", "q.qvec")}, 6) AS sim
+         |FROM assign a JOIN qcells ON a.cell = qcells.cell CROSS JOIN q
+         |WHERE a.vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
 
     "text_stats" ->

@@ -166,6 +166,18 @@ object TsQueries {
         .orderBy("event_id")
     }),
 
+    "downsample_mean_per_bucket" -> ((s, dir) =>
+      Downsample.meanPerBucket(base(s, dir), Seq("event_type"), col("sec"),
+          "value", startSec = 1704067200L, endSec = 1704067200L + 2678400L - 1,
+          maxDataPoints = 100)
+        .orderBy("event_type", "bucket")),
+
+    "ts_forward_fill" -> ((s, dir) =>
+      graft.read.GapFill.forwardFill(wide(s, dir), Seq("user_id"), "slot",
+          Seq("click"))
+        .select("slot", "user_id", "click", "click_filled")
+        .orderBy("slot", "user_id")),
+
     // Window-function sessionization — the classic event-stream op the
     // reference lacks entirely (§2.E "window functions: absent"); one
     // shuffle on user_id, then per-partition sorted windows.
@@ -290,6 +302,23 @@ object TsQueries {
          |  max(CASE WHEN value IS NOT NULL
          |      THEN CAST((slot % 86400) / 300.0 AS BIGINT) END) AS max_idx
          |FROM base GROUP BY user_id, chunk ORDER BY user_id, chunk""".stripMargin,
+
+    "downsample_mean_per_bucket" ->
+      s"""$BaseCte SELECT event_type,
+         |  CAST(floor((sec - 1704067200) / 26784.0) AS BIGINT) AS bucket,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_value,
+         |  count(*) AS n
+         |FROM base
+         |WHERE sec >= 1704067200 AND sec <= ${1704067200L + 2678400L - 1}
+         |  AND value IS NOT NULL
+         |GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
+
+    "ts_forward_fill" ->
+      s"""$WideCte SELECT slot, user_id, click,
+         |  last_value(click IGNORE NULLS) OVER (
+         |    PARTITION BY user_id ORDER BY slot
+         |    ROWS UNBOUNDED PRECEDING) AS click_filled
+         |FROM wide ORDER BY slot, user_id""".stripMargin,
 
     "events_sessionize" ->
       s"""$BaseCte, lagged AS (

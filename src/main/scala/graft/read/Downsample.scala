@@ -38,6 +38,24 @@ object Downsample {
         min_by(sec, col(orderCol)).as("first_ts"))
   }
 
+  /** Mean-per-bucket consolidation — the training-pipeline variant of
+    * B-9 (the reference only emits first-of-bucket). The sum is routed
+    * through DECIMAL so partial-aggregation order can never change the
+    * mean; the single final division happens in double.
+    */
+  def meanPerBucket(df: DataFrame, seriesCols: Seq[String], sec: Column,
+                    valueCol: String, startSec: Long, endSec: Long,
+                    maxDataPoints: Int): DataFrame = {
+    val spread = (endSec - startSec + 1) / maxDataPoints
+    df.filter(sec >= startSec && sec <= endSec && col(valueCol).isNotNull)
+      .withColumn("bucket", bucket(sec, startSec, spread))
+      .groupBy((seriesCols.map(col) :+ col("bucket")): _*)
+      .agg(
+        (sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double") / count(lit(1))).as("mean_value"),
+        count(lit(1)).as("n"))
+  }
+
   /** B-10 long output: `(metric, value, ts_ms)` rows, NaN/null cells
     * dropped (`server.py:453-455`).
     */

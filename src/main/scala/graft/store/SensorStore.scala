@@ -313,6 +313,45 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     rm(oldP)
   }
 
+  /** Materialize a coarser-grid rollup of the sensor (first non-null
+    * value per `bucketSec` bucket per metric) under
+    * `<sensor>/rollup_<bucketSec>/` — the pre-aggregated downsample
+    * table SURVEY §4 flags as the scale path for dashboard reads: a
+    * maxDataPoints query over years of 1s data hits the rollup and
+    * touches 1/bucketSec of the rows. Rollups are derived data;
+    * re-running overwrites them (cheap to rebuild per partition after
+    * upserts).
+    */
+  def materializeRollup(db: String, sensor: String,
+                        bucketSec: Long): String = {
+    val cfg = config(db, sensor)
+    val metrics = cfg.metricNames
+    val out = s"${sensorDir(db, sensor)}/rollup_$bucketSec"
+    val aggs = metrics.map(m =>
+      min_by(col(m), when(col(m).isNotNull, col("slot"))).as(m))
+    readRaw(db, sensor, metrics)
+      .withColumn("bucket", Grid.snapSeconds(col("slot"), bucketSec))
+      .groupBy(col("chunk_start"), col("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .repartition(col("chunk_start"))
+      .write.mode("overwrite").partitionBy("chunk_start").parquet(out)
+    out
+  }
+
+  /** Read a materialized rollup: `ts` + metric columns on the coarse
+    * grid, pruned by the same chunk partitioning as the base data.
+    */
+  def readRollup(db: String, sensor: String, bucketSec: Long,
+                 fromSec: Option[Long] = None,
+                 toSec: Option[Long] = None): DataFrame = {
+    var df = spark.read.parquet(s"${sensorDir(db, sensor)}/rollup_$bucketSec")
+    fromSec.foreach(f => df = df.filter(col("bucket") >= f - f % bucketSec))
+    toSec.foreach(t => df = df.filter(col("bucket") <= t))
+    df.select(timestamp_seconds(col("bucket")).cast(TimestampType).as("ts") +:
+        config(db, sensor).metricNames.map(col): _*)
+      .orderBy("ts")
+  }
+
   /** D-1 verify: per-chunk usage statistics. */
   def verifyStats(db: String, sensor: String): DataFrame = {
     val cfg = config(db, sensor)

@@ -205,6 +205,26 @@ class SensorStoreSpec extends SparkSpec {
     assert(ok.length == 1 && ok(0).getFloat(1) == 2.0f)
   }
 
+  test("rollup materialization: first value per coarse bucket, pruned reads") {
+    import spark.implicits._
+    val st = freshStore()
+    st.createSensor(cfg1s)
+    val t0 = 1704067200L
+    // 120 seconds of 1s data → 2 one-minute buckets
+    val pts = (0 until 120).map(i => (t0 + i, "active", i.toDouble))
+      .toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("metric"), col("value"))
+    st.write("test", "s1", pts)
+    st.materializeRollup("test", "s1", 60L)
+    val rows = st.readRollup("test", "s1", 60L).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getFloat(1) == 0f)   // first of minute 0
+    assert(rows(1).getFloat(1) == 60f)  // first of minute 1
+    val pruned = st.readRollup("test", "s1", 60L,
+      fromSec = Some(t0 + 60), toSec = Some(t0 + 119)).collect()
+    assert(pruned.length == 1 && pruned(0).getFloat(1) == 60f)
+  }
+
   test("concurrent writers to different sensors do not interfere") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
