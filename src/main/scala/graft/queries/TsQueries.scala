@@ -178,6 +178,17 @@ object TsQueries {
         .select("slot", "user_id", "click", "click_filled")
         .orderBy("slot", "user_id")),
 
+    // Sketch-based distinct counting — the approx path for cardinality
+    // at 100 TB (mergeable HLL partials, no exact-distinct shuffle).
+    // No DuckDB oracle: sketch algorithms differ across engines, so the
+    // driver records the weaker rows-only check for this key.
+    "events_approx_distinct_users" -> ((s, dir) =>
+      base(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type")),
+
     // Window-function sessionization — the classic event-stream op the
     // reference lacks entirely (§2.E "window functions: absent"); one
     // shuffle on user_id, then per-partition sorted windows.
