@@ -178,6 +178,14 @@ object TsQueries {
         .select("slot", "user_id", "click", "click_filled")
         .orderBy("slot", "user_id")),
 
+    // Skew-resistant two-stage aggregation: identical results to the
+    // plain groupBy (the oracle IS the plain aggregation), but the hot
+    // keys' map work spreads over saltFactor reducers.
+    "events_salted_sum" -> ((s, dir) =>
+      graft.ingest.Salt.saltedSumCount(base(s, dir), Seq("event_type"),
+          "value", "event_id", saltFactor = 8)
+        .orderBy("event_type")),
+
     // Sketch-based distinct counting — the approx path for cardinality
     // at 100 TB (mergeable HLL partials, no exact-distinct shuffle).
     // No DuckDB oracle: sketch algorithms differ across engines, so the
@@ -313,6 +321,11 @@ object TsQueries {
          |  max(CASE WHEN value IS NOT NULL
          |      THEN CAST((slot % 86400) / 300.0 AS BIGINT) END) AS max_idx
          |FROM base GROUP BY user_id, chunk ORDER BY user_id, chunk""".stripMargin,
+
+    "events_salted_sum" ->
+      s"""$BaseCte SELECT event_type, count(*) AS n_rows,
+         |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+         |FROM base GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "downsample_mean_per_bucket" ->
       s"""$BaseCte SELECT event_type,

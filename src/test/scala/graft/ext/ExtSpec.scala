@@ -125,6 +125,36 @@ class ExtSpec extends SparkSpec {
     assert(t.getLong(2) == expected)
   }
 
+  test("multimodal batch decode: per-partition typed mapPartitions path") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "abcdefgh".getBytes("UTF-8"), "text/plain"),
+      Multimodal.MediaRecord(2L, Array.emptyByteArray, "text/plain"))
+      .toDS().repartition(2) // exercise the per-partition codec init
+    val out = Multimodal.decodeBatch(media, thumbSize = 4, nFrames = 2)
+      .collect().sortBy(_.media_id)
+    assert(out(0).n_bytes == 8L)
+    assert(out(0).thumb.toSeq == "aceg".getBytes("UTF-8").toSeq)
+    assert(out(0).frame_bytes.toSeq == Seq('a'.toLong, 'e'.toLong))
+    assert(math.abs(out(0).byte_mean - "abcdefgh".getBytes.map(_.toInt).sum / 8.0) < 1e-9)
+    assert(out(1).n_bytes == 0L && out(1).thumb.length == 4)
+  }
+
+  test("salted aggregation equals the plain aggregation") {
+    import spark.implicits._
+    val df = (0 until 10000).map(i =>
+      (i.toLong, if (i % 100 == 0) "cold" else "hot", (i % 7).toDouble))
+      .toDF("id", "key", "v")
+    val plain = df.groupBy("key")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v").cast("decimal(28,2)")).cast("double").as("sum_value"))
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    val salted = graft.ingest.Salt
+      .saltedSumCount(df, Seq("key"), "v", "id", saltFactor = 8)
+      .orderBy("key").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+
   test("multimodal: media wrap + stub decode are schema-stable") {
     import spark.implicits._
     val d = Seq((7L, "abcd")).toDF("doc_id", "text")
