@@ -76,6 +76,34 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
   def metadata(db: String, sensor: String): Map[String, String] =
     store.config(db, sensor).metadata
 
+  /** Reference `get_metrics` (`client.py:415-418`). */
+  def metrics(db: String, sensor: String): Seq[String] =
+    store.config(db, sensor).metricNames
+
+  /** Reference `update_token` (`client.py:149`): tokens are immutable
+    * per client here — returns a new client bound to the new token.
+    */
+  def updateToken(newToken: String): GraftClient =
+    new GraftClient(spark, baseDir, newToken)
+
+  /** Reference `config_reload` (`client.py:384-390`): configs are read
+    * from disk on every access in this engine, so reload is a no-op
+    * kept for call-site parity.
+    */
+  def configReload(): Unit = ()
+
+  /** Reference `get_lastdate` (`client.py:402-413`): the last written
+    * tick as a wall-clock string in `tz` (region id or fixed offset).
+    */
+  def lastDate(db: String, sensor: String,
+               tz: String = "UTC"): Option[String] =
+    lastTimestamp(db, sensor).map { sec =>
+      java.time.Instant.ofEpochSecond(sec)
+        .atZone(java.time.ZoneId.of(tz))
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    }
+
   /** MultiIndex level names (reference `set_level_names`,
     * `client.py:493-503`): stored comma-joined in metadata.
     */

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-cliff sanity: replicate the sf0.1 events table 10x (~1M rows,
+  * distinct event_ids) and run the heaviest events-path queries on it,
+  * comparing per-row cost against the unreplicated run. A nonlinear
+  * blow-up here means a shuffle/plan problem that 100 TB would amplify.
+  * Usage: sbt "runMain graft.tools.ScaleSanity".
+  */
+object ScaleSanity {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "events")
+    val n = ev.count()
+    // 10 shifted copies: event_ids and timestamps stay unique
+    val big = (0 until 10).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS"))
+    }.reduce(_ union _)
+    val dir = java.nio.file.Files.createTempDirectory("scale").toString
+    big.write.parquet(s"$dir/events.parquet")
+    val bigN = spark.read.parquet(s"$dir/events.parquet").count()
+
+    def time(f: => Long): Double = {
+      val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9
+    }
+    val picks = Seq("pivot_long_to_wide", "upsert_last_write_wins",
+      "events_sessionize", "downsample_first_per_bucket", "verify_stats",
+      "influx_parse", "row_nansum")
+    val rows = picks.map { q =>
+      val f = graft.SparkEntry.queries(q)
+      val t1 = time(f(spark, "/root/testdata/sf0.1").count())
+      val t10 = time(f(spark, dir).count())
+      println(f"[scale] $q%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ratio=${t10 / t1}%5.2f")
+      t10 / t1
+    }
+    println(f"[scale] rows 1x=$n 10x=$bigN  median_ratio=${rows.sorted.apply(rows.size / 2)}%5.2f")
+    spark.stop()
+  }
+}

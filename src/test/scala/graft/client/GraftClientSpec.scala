@@ -138,6 +138,18 @@ class GraftClientSpec extends SparkSpec {
     assert(out.head.getLong(2) == t0 * 1000)
   }
 
+  test("parity helpers: metrics, lastDate, updateToken, configReload") {
+    val c = freshClient()
+    c.createSensor("d", "s", "1h", Seq(Seq("p"), Seq("q")))
+    assert(c.metrics("d", "s") == Seq("p", "q"))
+    assert(c.lastDate("d", "s").isEmpty)
+    c.write(Seq(s"d,circuit=s p=1 ${t0}000000000"))
+    assert(c.lastDate("d", "s").contains("2024-01-01 00:00:00"))
+    assert(c.lastDate("d", "s", "+05:30").contains("2024-01-01 05:30:00"))
+    c.configReload() // no-op, kept for call-site parity
+    assert(c.updateToken("x").metrics("d", "s") == Seq("p", "q"))
+  }
+
   test("catalog lifecycle: dbs, sensors, delete") {
     val c = freshClient()
     c.createSensor("d1", "s1", "1s", Seq(Seq("a")))
