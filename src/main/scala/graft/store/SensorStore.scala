@@ -243,7 +243,8 @@ class SensorStore(spark: SparkSession, baseDir: String) {
            fromSec: Option[Long] = None, toSec: Option[Long] = None,
            metrics: Option[Seq[String]] = None,
            validateChecksums: Boolean = false,
-           atol: Double = 1e-3): DataFrame = {
+           atol: Double = 1e-3,
+           nanForMissing: Boolean = false): DataFrame = {
     val cfg = config(db, sensor)
     val tick = cfg.tickSeconds
     val chunkDur = tick * Freq.ChunkRows
@@ -264,8 +265,15 @@ class SensorStore(spark: SparkSession, baseDir: String) {
         RowChecksum.nansum(all.map(col)), col("checksum"),
         rtol = 1e-5, atol = atol))
     }
+    // nanForMissing: reference float32 parity — unwritten cells read as
+    // NaN instead of null (`database.py:456-461`); storage keeps nulls
+    // (parquet RLE compresses them, NaN floats it cannot)
+    val outCols = wanted.map { m =>
+      if (nanForMissing) coalesce(col(m), lit(Float.NaN).cast(FloatType)).as(m)
+      else col(m)
+    }
     df.select(timestamp_seconds(col("slot")).cast(TimestampType).as("ts") +:
-        wanted.map(col): _*)
+        outCols: _*)
       .orderBy("ts")
   }
 

@@ -67,6 +67,20 @@ class SensorStoreSpec extends SparkSpec {
     assert(out(2).isNullAt(1) && out(2).getFloat(2) == 12.0f)
   }
 
+  test("nanForMissing: unwritten cells read as NaN (float32 parity)") {
+    import spark.implicits._
+    val st = freshStore()
+    st.createSensor(cfg1s)
+    val t0 = 1704067200L
+    val pts = Seq((t0, "active", 1.0))
+      .toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("metric"), col("value"))
+    st.write("test", "s1", pts)
+    val r = st.read("test", "s1", nanForMissing = true).head()
+    assert(r.getFloat(1) == 1.0f)
+    assert(r.getFloat(2).isNaN) // reactive never written → NaN, not null
+  }
+
   test("sub-tick timestamps snap down; same tick last-write-wins") {
     import spark.implicits._
     val st = freshStore()
