@@ -70,8 +70,7 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
   def deleteSensor(db: String, sensor: String): Unit =
     store.deleteSensor(db, sensor)
 
-  def deleteDb(db: String): Unit =
-    store.listSensors(db).foreach(deleteSensor(db, _))
+  def deleteDb(db: String): Unit = store.deleteDb(db)
 
   def metadata(db: String, sensor: String): Map[String, String] =
     store.config(db, sensor).metadata

@@ -38,11 +38,22 @@ object Influx {
       .withColumn("sensor", regexp_extract(header, """,[^=]+=(.+)$""", 1))
       .withColumn("field", explode(split(fields, ",")))
       .withColumn("metric", get(split(col("field"), "="), lit(0)))
-      .withColumn("value", get(split(col("field"), "="), lit(1)).cast("double"))
+      // TRY_CAST, not cast: a non-numeric value ('m=abc') must FLAG the
+      // row, not throw SparkNumberFormatException under ANSI mode and
+      // kill the whole batch (the reference raises per line:
+      // server_utils.py float(v) ValueError).
+      .withColumn("value_str", get(split(col("field"), "="), lit(1)))
+      .withColumn("value", expr("try_cast(value_str AS DOUBLE)"))
+      .withColumn("malformed",
+        col("malformed") || (col("value").isNull && col("value_str").isNotNull))
       .withColumn("ts_sec",
         when(tsStr === "", lit(null).cast("long"))
-          .otherwise((tsStr.cast("decimal(30,0)") / lit(1000000000L)).cast("long")))
-      .drop("field")
+          // floor before the long cast: decimal division rounds half-up
+          // at the derived scale, shifting ns within ~5ns of a second
+          // boundary into the next second (reference floors).
+          .otherwise(floor(tsStr.cast("decimal(30,0)") / lit(1000000000L))
+            .cast("long")))
+      .drop("field", "value_str")
   }
 
   /** Fill-value parsing (reference C-5, `server.py:296-301`): numeric

@@ -178,7 +178,12 @@ object ExtQueries {
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         sum(TextStats.wsTokens(col("text")).cast("long")).as("sum_words"),
-        round(sum(col("n_chars")) * lit(1.0d) / count(lit(1)), 6).as("avg_chars"))
+        // floor(x*1e6)/1e6 in BOTH engines: Spark round() rounds the
+        // shortest decimal string, DuckDB rounds the binary double —
+        // they diverge on .5-at-the-digit; floor of the same double is
+        // deterministic in both (see spark4 gotchas).
+        (floor(sum(col("n_chars")) * lit(1e6) / count(lit(1))) / lit(1e6))
+          .as("avg_chars"))
         .orderBy("lang")),
 
     "token_count" -> ((s, dir) =>
@@ -345,9 +350,10 @@ object ExtQueries {
          |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
 
     "text_stats" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-        |  sum(len(string_split(text, ' '))) AS sum_words,
-        |  round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_words,
+        |  floor(sum(n_chars) * 1000000.0 / count(*)) / 1000000.0 AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "token_count" ->

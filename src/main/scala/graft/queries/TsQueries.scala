@@ -356,8 +356,9 @@ object TsQueries {
          |  FROM lagged
          |), sess AS (
          |  SELECT user_id, sec,
-         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
-         |                        ROWS UNBOUNDED PRECEDING) AS session_id
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS session_id
          |  FROM flagged)
          |SELECT user_id, session_id, count(*) AS n_events,
          |  min(sec) AS start_sec, max(sec) AS end_sec

@@ -19,9 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Downsample {
 
-  /** Bucket index for an epoch-seconds column. `spread` in seconds. */
-  def bucket(sec: Column, startSec: Long, spread: Long): Column =
-    floor((sec - lit(startSec)) / lit(spread.toDouble)).cast("long")
+  /** Bucket index for an epoch-seconds column. `spread` in seconds —
+    * fractional: the reference computes it in float (`server.py` grafana
+    * query), and a sub-1.0 spread (short range, many maxDataPoints) must
+    * not collapse to 0 (ANSI divide-by-zero) or shift boundaries.
+    */
+  def bucket(sec: Column, startSec: Long, spread: Double): Column =
+    floor((sec - lit(startSec)) / lit(spread)).cast("long")
+
+  /** Float spread like the reference; guarded against a degenerate 0. */
+  private def spreadOf(startSec: Long, endSec: Long, maxDataPoints: Int): Double = {
+    val s = (endSec - startSec + 1).toDouble / maxDataPoints
+    if (s > 0) s else 1.0
+  }
 
   /** First value per (series, bucket): `orderCol` must be a unique
     * arrival/time order (ties on the boundary resolve by it).
@@ -29,7 +39,7 @@ object Downsample {
   def firstPerBucket(df: DataFrame, seriesCols: Seq[String], sec: Column,
                      valueCol: String, orderCol: String, startSec: Long,
                      endSec: Long, maxDataPoints: Int): DataFrame = {
-    val spread = (endSec - startSec + 1) / maxDataPoints
+    val spread = spreadOf(startSec, endSec, maxDataPoints)
     df.filter(sec >= startSec && sec <= endSec && col(valueCol).isNotNull)
       .withColumn("bucket", bucket(sec, startSec, spread))
       .groupBy((seriesCols.map(col) :+ col("bucket")): _*)
@@ -46,7 +56,7 @@ object Downsample {
   def meanPerBucket(df: DataFrame, seriesCols: Seq[String], sec: Column,
                     valueCol: String, startSec: Long, endSec: Long,
                     maxDataPoints: Int): DataFrame = {
-    val spread = (endSec - startSec + 1) / maxDataPoints
+    val spread = spreadOf(startSec, endSec, maxDataPoints)
     df.filter(sec >= startSec && sec <= endSec && col(valueCol).isNotNull)
       .withColumn("bucket", bucket(sec, startSec, spread))
       .groupBy((seriesCols.map(col) :+ col("bucket")): _*)

@@ -81,21 +81,36 @@ class SensorStore(spark: SparkSession, baseDir: String) {
 
   def listSensors(db: String): Seq[String] = listDir(s"$baseDir/$db")
 
-  def deleteSensor(db: String, sensor: String): Unit = {
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.foreach(rm)
-      Files.deleteIfExists(p)
+  def deleteSensor(db: String, sensor: String): Unit =
+    rmTree(Paths.get(sensorDir(db, sensor)))
+
+  /** Reference `delete_db` (`database.py:215` shutil.rmtree): removes
+    * every sensor AND the db directory itself, so existsDb goes false.
+    */
+  def deleteDb(db: String): Unit = rmTree(Paths.get(s"$baseDir/$db"))
+
+  /** Recursive delete that closes each Files.list stream — an unclosed
+    * stream leaks one fd per directory, which a long-lived driver
+    * deleting many chunk partitions can exhaust.
+    */
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(rmTree) finally s.close()
     }
-    rm(Paths.get(sensorDir(db, sensor)))
+    Files.deleteIfExists(p)
   }
 
   private def listDir(path: String): Seq[String] = {
     val p = Paths.get(path)
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
   }
 
   /** Constant-time token check (reference `database.py:142-152`). */
@@ -190,10 +205,14 @@ class SensorStore(spark: SparkSession, baseDir: String) {
   def listChunks(db: String, sensor: String): Seq[Long] = {
     val p = Paths.get(dataDir(db, sensor))
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("chunk_start="))
-      .map(_.stripPrefix("chunk_start=").toLong).toSeq.sorted
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("chunk_start="))
+        .map(_.stripPrefix("chunk_start=").toLong).toSeq.sorted
+      finally s.close()
+    }
   }
 
   // ---- read path (B-1..B-8) ------------------------------------------
@@ -311,14 +330,7 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     val oldP = Paths.get(s"$src.old")
     Files.move(srcP, oldP)
     Files.move(Paths.get(tmp), srcP)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val s = Files.list(p)
-        try s.iterator().asScala.foreach(rm) finally s.close()
-      }
-      Files.deleteIfExists(p)
-    }
-    rm(oldP)
+    rmTree(oldP)
   }
 
   /** Materialize a coarser-grid rollup of the sensor (first non-null

@@ -42,17 +42,29 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            grows, gcols = got.fetchall(), [d[0] for d in got.description]
-            want = con.execute(sql)
-            wrows, wcols = want.fetchall(), [d[0] for d in want.description]
+            gdf = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            wdf = con.execute(sql).df()
+            grows = list(gdf.itertuples(index=False, name=None))
+            gcols = list(gdf.columns)
+            wrows = list(wdf.itertuples(index=False, name=None))
+            wcols = list(wdf.columns)
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
         if sorted(gcols) != sorted(wcols):
             print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(wcols)}")
+            n_fail += 1
+            continue
+        # dtype-sensitive like the driver's pandas-hash compare: a DuckDB
+        # HUGEINT (e.g. uncast sum()) lands as float64 and must NOT be
+        # considered equal to Spark's int64 even when values agree.
+        gk = {c: gdf[c].dtype.kind for c in gcols}
+        wk = {c: wdf[c].dtype.kind for c in wcols}
+        if gk != {c: wk[c] for c in gk}:
+            diff = {c: (gk[c], wk[c]) for c in gk if gk[c] != wk[c]}
+            print(f"FAIL {name}: dtype kinds spark-vs-oracle {diff}")
             n_fail += 1
             continue
         g = normalise(grows, gcols)
