@@ -121,10 +121,16 @@ object Dedup {
     // cluster-wide joins (each round is several jobs). Above it, the
     // distributed hash-to-min + pointer-jumping loop takes over.
     val spark = pairs.sparkSession
-    val nEdges = pairs.count()
-    if (nEdges <= driverThreshold) {
-      val es = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE action decides the path AND fetches the edges: limit(T+1) +
+    // collect. pairs.count() followed by collect() would run the whole
+    // upstream LSH pipeline twice (or once + a cache read) — on small
+    // candidate graphs the job-scheduling overhead of the extra action
+    // costs more than the data.
+    val firstBatch = pairs
+      .select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .limit((driverThreshold + 1).toInt).collect()
+    if (firstBatch.length <= driverThreshold) {
+      val es = firstBatch.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
