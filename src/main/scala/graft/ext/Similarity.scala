@@ -85,6 +85,66 @@ object Similarity {
       .select(col(idCol), col(vecCol), col(centIdCol).as("cell"))
   }
 
+  /** Lloyd's k-means over an embedding column, built for determinism
+    * and scale:
+    *  - init: the k vectors with the smallest ids (reproducible — no
+    *    random seed to disagree about);
+    *  - assign: broadcast the k×dim centroid table, pick the max-cosine
+    *    cluster per vector (ties → lowest cluster id). One narrow pass;
+    *  - update: `posexplode` the vectors to (cluster, dim, value) and
+    *    take the per-(cluster, dim) mean with the SUM ROUTED THROUGH
+    *    DECIMAL — decimal addition is exact and associative, so the
+    *    result cannot depend on partial-aggregation order (a double sum
+    *    would make the fit nondeterministic run-to-run). Means rebuild
+    *    into arrays via sort_array(collect_list(struct(dim, mean)));
+    *  - empty cluster: keeps its previous centroid.
+    *
+    * Each iteration is one broadcast-join pass + one hash aggregation —
+    * at 100 TB that is iters × (scan + shuffle of k·dim partials), the
+    * textbook scalable k-means shape. Returns (idCol, cluster) for the
+    * final assignment; the fitted centroids feed [[ivfAssign]] as a
+    * real IVF index.
+    */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): DataFrame = {
+    val init = df.filter(col(idCol) < k)
+      .select(col(idCol).cast("int").as("cluster"), col(vecCol).as("cvec"))
+    var cents = init
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(df, idCol, vecCol, cents)
+      val means = assigned
+        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(25, 10)))
+          .cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          x => x.getField("m")).as("cvec"))
+      // empty clusters keep their previous centroid; localCheckpoint
+      // truncates the per-iteration plan growth (k·dim rows — tiny)
+      cents = cents.select(col("cluster"), col("cvec").as("prev"))
+        .join(means, Seq("cluster"), "left")
+        .select(col("cluster"),
+          coalesce(col("cvec"), col("prev").cast("array<double>")).as("cvec"))
+        .localCheckpoint()
+    }
+    assignToCentroids(df, idCol, vecCol, cents)
+      .select(col(idCol), col("cluster"))
+  }
+
+  /** Max-cosine cluster per vector (ties → lowest cluster id). */
+  private def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+                                cents: DataFrame): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("cent_sim").desc, col("cluster"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", cosine(col(vecCol), col("cvec")))
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") === 1)
+      .drop("cent_sim", "rn", "cvec")
+  }
+
   /** ANN: probe the query's LSH bucket, rank by exact cosine. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, query: Column,
               planes: Int, dim: Int, k: Int): DataFrame = {

@@ -231,6 +231,15 @@ object ExtQueries {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")),
 
+    // Lloyd's k-means (k=4, 2 iterations, deterministic first-k init,
+    // decimal-routed means): the real IVF-centroid fit. The oracle
+    // unrolls both iterations as CTEs with the byte-identical
+    // construction.
+    "kmeans_fit_assign" -> ((s, dir) =>
+      Similarity.kmeansFit(emb(s, dir), "vec_id", "embedding",
+          k = 4, iters = 2)
+        .orderBy("vec_id")),
+
     // top-k tokens per language — the vocabulary-histogram pass of a
     // corpus-analysis pipeline: one agg shuffle + a bounded window.
     "text_token_histogram" -> ((s, dir) => {
@@ -455,5 +464,45 @@ object ExtQueries {
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
         |  CAST(floor(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "kmeans_fit_assign" ->
+      s"""WITH c0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cluster,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM embeddings WHERE vec_id < 4
+         |), a0 AS (${kmeansAssignSql("c0")}
+         |), c1 AS (${kmeansUpdateSql("a0", "c0")}
+         |), a1 AS (${kmeansAssignSql("c1")}
+         |), c2 AS (${kmeansUpdateSql("a1", "c1")}
+         |), a2 AS (${kmeansAssignSql("c2")}
+         |)
+         |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
   )
+
+  /** One k-means assignment round: best-cosine cluster per vector
+    * (ties → lowest cluster id) — mirrors Similarity.assignToCentroids.
+    */
+  private def kmeansAssignSql(centsCte: String): String =
+    s"""
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC, c.cluster) AS rn
+       |    FROM embeddings e CROSS JOIN $centsCte c) WHERE rn = 1""".stripMargin
+
+  /** One centroid update: per-(cluster, dim) mean with the sum routed
+    * through DECIMAL (order-independent, exact — mirrors
+    * Similarity.kmeansFit), empty clusters keep the previous centroid.
+    */
+  private def kmeansUpdateSql(assignCte: String, prevCte: String): String =
+    s"""
+       |  SELECT p.cluster, coalesce(mm.cvec, p.cvec) AS cvec
+       |  FROM $prevCte p LEFT JOIN (
+       |    SELECT cluster, list(m ORDER BY i) AS cvec FROM (
+       |      SELECT cluster, i,
+       |        CAST(sum(CAST(embedding[i] AS DECIMAL(25,10))) AS DOUBLE)
+       |          / count(*) AS m
+       |      FROM $assignCte, range(1, 65) t(i) GROUP BY cluster, i)
+       |    GROUP BY cluster
+       |  ) mm ON p.cluster = mm.cluster""".stripMargin
 }

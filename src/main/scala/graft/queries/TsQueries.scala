@@ -216,6 +216,75 @@ object TsQueries {
           min(col("sec")).as("start_sec"), max(col("sec")).as("end_sec"))
         .orderBy("user_id", "session_id")
     }),
+
+    // As-of join: every click enriched with the user's most recent
+    // purchase value at-or-before it. UNION + one window pass — one
+    // shuffle on user_id, no range probe (operators.AsofJoin).
+    "asof_join_purchase" -> ((s, dir) => {
+      val b = base(s, dir)
+      val clicks = b.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "sec")
+      val purchases = b.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "sec")
+        .agg(max(col("value")).as("purchase_value"))
+      graft.operators.AsofJoin.lastAtOrBefore(
+        clicks, purchases, Seq("user_id"), "sec", "sec",
+        Seq("purchase_value"))
+        .orderBy("event_id")
+    }),
+
+    // Interval range join: clicks counted into ±15-min windows around
+    // low-user-id purchases. Bucketed equi-join (operators.RangeJoin) —
+    // NOT a nested-loop theta join.
+    "range_join_window_count" -> ((s, dir) => {
+      val b = base(s, dir)
+      val iv = b.filter(col("event_type") === "purchase" && col("user_id") < 50)
+        .select(col("event_id").as("interval_id"),
+          (col("sec") - 900).as("start_sec"), (col("sec") + 900).as("end_sec"))
+      val ck = b.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("sec").as("csec"))
+      val matched = graft.operators.RangeJoin.pointsInIntervals(
+        ck, col("csec"), iv, col("start_sec"), col("end_sec"),
+        bucketWidth = 1800L)
+        .groupBy("interval_id").agg(count(lit(1)).as("n_clicks"))
+      iv.join(matched, Seq("interval_id"), "left")
+        .select(col("interval_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy("interval_id")
+    }),
+
+    // Spark's NATIVE session_window operator (vs the manual lag/sum
+    // construction above): gap-merged sessions in one aggregation.
+    // Boundary (verified empirically at sf0.1): an event exactly gap
+    // seconds after the previous one still MERGES — touching windows
+    // join; a new session needs diff > gap.
+    "events_session_window" -> ((s, dir) =>
+      base(s, dir)
+        .groupBy(col("user_id"),
+          session_window(timestamp_seconds(col("sec")), "1800 seconds"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("start_sec"),
+          col("session_window.end").cast("long").as("end_sec"),
+          col("n_events"))
+        .orderBy("user_id", "start_sec")),
+
+    // Deterministic hash-gated stratified sampling (ext.Sampling):
+    // reproducible across engines/partitionings, monotone in the rate.
+    "sample_stratified" -> ((s, dir) =>
+      graft.ext.Sampling.stratified(base(s, dir), "event_id", "event_type",
+        Map("click" -> "1000", "view" -> "0800", "purchase" -> "ffff",
+          "signup" -> "4000", "error" -> "2000"))
+        .select("event_id", "event_type", "sample_bucket")
+        .orderBy("event_id")),
+
+    // Exact type-1 quantiles by rank selection — no interpolation, no
+    // float math, bit-identical across engines (operators.Quantiles).
+    "events_exact_quantiles" -> ((s, dir) =>
+      graft.operators.Quantiles.exactByRank(
+        base(s, dir).filter(col("value").isNotNull),
+        Seq("event_type"), "value", "event_id", Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type")),
   )
 
   def oracle: Map[String, String] = Map(
@@ -364,6 +433,82 @@ object TsQueries {
          |  min(sec) AS start_sec, max(sec) AS end_sec
          |FROM sess GROUP BY user_id, session_id
          |ORDER BY user_id, session_id""".stripMargin,
+
+    "asof_join_purchase" ->
+      s"""$BaseCte, clicks AS (
+         |  SELECT event_id, user_id, sec FROM base WHERE event_type = 'click'
+         |), purch AS (
+         |  SELECT user_id, sec, max(value) AS purchase_value
+         |  FROM base WHERE event_type = 'purchase' GROUP BY user_id, sec
+         |)
+         |SELECT c.event_id, c.user_id, c.sec, p.purchase_value,
+         |       p.sec AS asof_sec
+         |FROM clicks c ASOF LEFT JOIN purch p
+         |  ON c.user_id = p.user_id AND c.sec >= p.sec
+         |ORDER BY c.event_id""".stripMargin,
+
+    "range_join_window_count" ->
+      s"""$BaseCte, iv AS (
+         |  SELECT event_id AS interval_id, sec - 900 AS start_sec,
+         |         sec + 900 AS end_sec
+         |  FROM base WHERE event_type = 'purchase' AND user_id < 50
+         |), ck AS (
+         |  SELECT event_id, sec FROM base WHERE event_type = 'click'
+         |)
+         |SELECT iv.interval_id, count(ck.event_id) AS n_clicks
+         |FROM iv LEFT JOIN ck
+         |  ON ck.sec >= iv.start_sec AND ck.sec <= iv.end_sec
+         |GROUP BY iv.interval_id ORDER BY interval_id""".stripMargin,
+
+    // session_window merges touching windows: diff == gap is the SAME
+    // session; a new one needs diff > gap (verified at sf0.1).
+    "events_session_window" ->
+      s"""$BaseCte, lagged AS (
+         |  SELECT user_id, sec, event_id,
+         |    lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev_sec
+         |  FROM base
+         |), flagged AS (
+         |  SELECT user_id, sec, event_id,
+         |    CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM lagged
+         |), sess AS (
+         |  SELECT user_id, sec,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS session_id
+         |  FROM flagged)
+         |SELECT user_id, min(sec) AS start_sec, max(sec) + 1800 AS end_sec,
+         |  count(*) AS n_events
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, start_sec""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH hashed AS (
+        |  SELECT event_id, event_type,
+        |    substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS sample_bucket
+        |  FROM events
+        |)
+        |SELECT event_id, event_type, sample_bucket FROM hashed
+        |WHERE sample_bucket < CASE event_type
+        |  WHEN 'click' THEN '1000' WHEN 'view' THEN '0800'
+        |  WHEN 'purchase' THEN 'ffff' WHEN 'signup' THEN '4000'
+        |  WHEN 'error' THEN '2000' END
+        |ORDER BY event_id""".stripMargin,
+
+    "events_exact_quantiles" ->
+      s"""$BaseCte, ranked AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM base WHERE value IS NOT NULL
+         |)
+         |SELECT event_type,
+         |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS q50,
+         |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS q90,
+         |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS q99
+         |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "influx_parse" ->
       s"""$BaseCte, lines AS (

@@ -58,6 +58,26 @@ object StreamIngest {
       .select(col("window.start").as("window_start"), col("metric"),
         col("n"), col("avg_value"), col("min_value"), col("max_value"))
 
+  /** Event-time SESSION windows over a streaming point feed —
+    * gap-based sessions per key with `session_window` (state merges
+    * adjacent windows; the watermark closes sessions whose gap has
+    * provably passed, bounding state). Append mode emits each session
+    * exactly once when it finalizes. The batch analog is the
+    * `events_session_window` query key; semantics match: windows
+    * touching at exactly `gap` merge.
+    */
+  def sessionStats(points: DataFrame, keyCol: String, gap: String,
+                   watermark: String): DataFrame =
+    points
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(keyCol), col("n"), col("min_value"), col("max_value"))
+
   /** writeStream into the sensor store via foreachBatch upsert.
     * Caller starts/stops the returned writer.
     */

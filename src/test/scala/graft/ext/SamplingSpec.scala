@@ -1,0 +1,47 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  test("stratified sampling is deterministic and respects thresholds") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "stratum")
+    val out = Sampling.stratified(df, "id", "stratum",
+      Map("a" -> "8000", "b" -> "1000"))
+    val again = Sampling.stratified(df, "id", "stratum",
+      Map("a" -> "8000", "b" -> "1000"))
+    assert(out.collect().toSeq == again.collect().toSeq) // pure function
+    // every kept row's bucket is under its stratum threshold
+    val bad = out.filter(
+      (col("stratum") === "a" && col("sample_bucket") >= "8000") ||
+      (col("stratum") === "b" && col("sample_bucket") >= "1000")).count()
+    assert(bad == 0)
+    // rate sanity: "8000"/ffff ≈ 50%, "1000"/ffff ≈ 6.25% (hash-uniform)
+    val aRate = out.filter(col("stratum") === "a").count() / 500.0
+    val bRate = out.filter(col("stratum") === "b").count() / 500.0
+    assert(aRate > 0.35 && aRate < 0.65, s"aRate=$aRate")
+    assert(bRate > 0.01 && bRate < 0.15, s"bRate=$bRate")
+  }
+
+  test("shrinking the threshold yields a strict subset (monotone)") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, "s")).toDF("id", "stratum")
+    val big = Sampling.stratified(df, "id", "stratum", Map("s" -> "4000"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val small = Sampling.stratified(df, "id", "stratum", Map("s" -> "1000"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+    assert(small.size < big.size)
+  }
+
+  test("unlisted strata drop entirely") {
+    import spark.implicits._
+    val df = Seq((1L, "known"), (2L, "unknown")).toDF("id", "stratum")
+    val out = Sampling.stratified(df, "id", "stratum", Map("known" -> "ffff"))
+    assert(out.select("stratum").collect().map(_.getString(0)).toSet == Set("known"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** As-of join, bucketed range join, rank-selection quantiles. */
+class OperatorsSpec extends SparkSpec {
+
+  test("asof join carries the latest right value at-or-before each left ts") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "c"), (3L, 5L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 1.0), (1L, 15L, 2.0), (1L, 20L, 3.0), (2L, 30L, 9.0))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.lastAtOrBefore(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy("k", "t").collect()
+    // k=1 t=10 → right t=5; k=1 t=20 → right t=20 (at-or-before inclusive)
+    assert(out(0).getDouble(3) == 1.0 && out(0).getLong(4) == 5L)
+    assert(out(1).getDouble(3) == 3.0 && out(1).getLong(4) == 20L)
+    // k=2 t=15: only right row is at t=30 (future) → null
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+    // k=3: no right rows at all → null
+    assert(out(3).isNullAt(3) && out(3).isNullAt(4))
+  }
+
+  test("asof join tolerance nulls out stale matches") {
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 200L)).toDF("k", "t")
+    val right = Seq((1L, 90L, 7.0)).toDF("k", "t", "v")
+    val out = AsofJoin.lastAtOrBefore(left, right, Seq("k"), "t", "t",
+      Seq("v"), tolerance = Some(50L)).orderBy("t").collect()
+    assert(out(0).getDouble(2) == 7.0)  // 100-90=10 ≤ 50
+    assert(out(1).isNullAt(2))          // 200-90=110 > 50 → stale
+  }
+
+  test("asof join right ties at the same ts resolve by rightOrder (last wins)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 1.0, 100L), (1L, 10L, 2.0, 200L))
+      .toDF("k", "t", "v", "seq")
+    val out = AsofJoin.lastAtOrBefore(left, right, Seq("k"), "t", "t",
+      Seq("v"), rightOrder = Some("seq")).collect()
+    assert(out(0).getDouble(2) == 2.0)
+  }
+
+  test("range join matches points to every covering interval, no dups") {
+    import spark.implicits._
+    val points = Seq((1L, 5L), (2L, 25L), (3L, 105L)).toDF("pid", "t")
+    // i1 covers [0,30] (spans buckets 0-3 at W=10), i2 covers [20,26]
+    val intervals = Seq((10L, 0L, 30L), (20L, 20L, 26L)).toDF("iid", "s", "e")
+    val out = RangeJoin.pointsInIntervals(points, col("t"), intervals,
+      col("s"), col("e"), bucketWidth = 10L)
+      .select("pid", "iid").orderBy("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 10L), (2L, 10L), (2L, 20L)))
+  }
+
+  test("range join boundary inclusivity at interval start and end") {
+    import spark.implicits._
+    val points = Seq((1L, 20L), (2L, 26L), (3L, 19L), (4L, 27L)).toDF("pid", "t")
+    val intervals = Seq((9L, 20L, 26L)).toDF("iid", "s", "e")
+    val out = RangeJoin.pointsInIntervals(points, col("t"), intervals,
+      col("s"), col("e"), bucketWidth = 100L)
+      .select("pid").orderBy("pid").collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(1L, 2L)) // start and end inclusive; outside drops
+  }
+
+  test("exact quantiles select real data values at rank ceil(p*n)") {
+    import spark.implicits._
+    // group g: values 1..10 → q50 = 5th value = 5.0, q90 = 9th = 9.0
+    val df = (1 to 10).map(i => ("g", i.toDouble, i.toLong)).toDF("k", "v", "ord")
+    val out = Quantiles.exactByRank(df, Seq("k"), "v", "ord",
+      Seq(0.5, 0.9, 0.99)).collect()(0)
+    assert(out.getDouble(1) == 5.0)
+    assert(out.getDouble(2) == 9.0)
+    assert(out.getDouble(3) == 10.0) // ceil(0.99*10)=10
+  }
+
+  test("exact quantiles break value ties deterministically by order col") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 1L), ("g", 1.0, 2L), ("g", 2.0, 3L), ("g", 2.0, 4L))
+      .toDF("k", "v", "ord")
+    val out = Quantiles.exactByRank(df, Seq("k"), "v", "ord", Seq(0.5)).collect()(0)
+    assert(out.getDouble(1) == 1.0) // rank ceil(0.5*4)=2 → second 1.0
+  }
+}

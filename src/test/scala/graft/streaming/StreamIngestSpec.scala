@@ -76,4 +76,42 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows(0).getLong(2) == 2L && rows(0).getDouble(3) == 2.0)
     assert(rows(1).getLong(2) == 1L && rows(1).getDouble(5) == 10.0)
   }
+
+  test("session windows merge gap-adjacent events per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    val src = MemoryStream[String]
+    val points = StreamIngest.parse(src.toDF().withColumnRenamed("value", "line"),
+      "line", "test", "sess1")
+    val sessions = StreamIngest.sessionStats(points, "metric",
+      gap = "10 minutes", watermark = "30 minutes")
+    // session windows only support append (emit-on-finalize) / complete
+    val query = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessstats").start()
+    try {
+      src.addData(
+        s"test,circuit=sess1 v=1 ${t0}000000000",
+        s"test,circuit=sess1 v=5 ${(t0 + 300)}000000000",   // merges (300 < 600)
+        s"test,circuit=sess1 v=9 ${(t0 + 2000)}000000000")  // 1700 > 600 → new
+      query.processAllAvailable()
+      // advance the watermark past both session ends so append finalizes
+      // them; this late-arriving session itself stays open (not emitted)
+      src.addData(s"test,circuit=sess1 v=0 ${(t0 + 10000)}000000000")
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.sql(
+      "SELECT * FROM sessstats ORDER BY session_start").collect()
+    assert(rows.length == 2)
+    // first session: [t0, t0+300+gap), 2 events, values 1 and 5
+    assert(rows(0).getTimestamp(0).toInstant.getEpochSecond == t0)
+    assert(rows(0).getTimestamp(1).toInstant.getEpochSecond == t0 + 300 + 600)
+    assert(rows(0).getLong(3) == 2L)
+    assert(rows(0).getDouble(4) == 1.0 && rows(0).getDouble(5) == 5.0)
+    // second session: single event
+    assert(rows(1).getTimestamp(0).toInstant.getEpochSecond == t0 + 2000)
+    assert(rows(1).getLong(3) == 1L)
+  }
 }
