@@ -285,6 +285,44 @@ object TsQueries {
         base(s, dir).filter(col("value").isNotNull),
         Seq("event_type"), "value", "event_id", Seq(0.5, 0.9, 0.99))
         .orderBy("event_type")),
+
+    // Trailing 30-min moving average per series — RANGE frame, decimal-
+    // routed sum (sliding-frame sum order differs per engine otherwise).
+    "ts_rolling_mean" -> ((s, dir) =>
+      graft.read.Rolling.timeWindowMean(
+        base(s, dir).filter(col("value").isNotNull),
+        Seq("user_id", "event_type"), "sec", "value", windowSec = 1800L)
+        .select("event_id", "user_id", "event_type", "sec",
+          "value_rn", "value_rmean")
+        .orderBy("event_id")),
+
+    // PromQL-style delta / rate against the previous observation.
+    "ts_counter_rate" -> ((s, dir) =>
+      graft.read.Rolling.deltaRate(base(s, dir),
+        Seq("user_id", "event_type"), "sec", "value",
+        orderCols = Seq("event_id"))
+        .select("event_id", "user_id", "event_type", "sec",
+          "delta", "dt", "rate")
+        .orderBy("event_id")),
+
+    // Linear interpolation of null grid cells between neighbors
+    // (boundary cells fall back LOCF/NOCB).
+    "ts_interpolate" -> ((s, dir) =>
+      graft.read.GapFill.linearInterpolate(wide(s, dir), Seq("user_id"),
+        "slot", Seq("click"))
+        .select("slot", "user_id", "click", "click_interp")
+        .orderBy("slot", "user_id")),
+
+    // Grid gap audit: expected tick grid (sequence+explode, distributed)
+    // anti-joined against observed slots — one day, low-id users.
+    "ts_missing_slots" -> ((s, dir) => {
+      val day0 = 1704412800L // 2024-01-05
+      val b = base(s, dir).filter(col("user_id") < 20 &&
+        col("slot") >= day0 && col("slot") < day0 + 86400)
+      graft.read.GapFill.missingSlots(b, Seq("user_id"), "slot",
+        day0, day0 + 86400 - Tick, Tick)
+        .orderBy("user_id", "slot")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -495,6 +533,68 @@ object TsQueries {
         |  WHEN 'purchase' THEN 'ffff' WHEN 'signup' THEN '4000'
         |  WHEN 'error' THEN '2000' END
         |ORDER BY event_id""".stripMargin,
+
+    "ts_rolling_mean" ->
+      s"""$BaseCte
+         |SELECT event_id, user_id, event_type, sec,
+         |  count(value) OVER w AS value_rn,
+         |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+         |    / count(value) OVER w AS value_rmean
+         |FROM base WHERE value IS NOT NULL
+         |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY sec
+         |             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+
+    "ts_counter_rate" ->
+      s"""$BaseCte, lagged AS (
+         |  SELECT event_id, user_id, event_type, sec,
+         |    value - lag(value) OVER w AS delta,
+         |    sec - lag(sec) OVER w AS dt
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY user_id, event_type
+         |               ORDER BY sec, event_id)
+         |)
+         |SELECT event_id, user_id, event_type, sec, delta, dt,
+         |  CASE WHEN dt > 0 THEN delta / dt END AS rate
+         |FROM lagged ORDER BY event_id""".stripMargin,
+
+    "ts_interpolate" ->
+      s"""$WideCte, ctx AS (
+         |  SELECT slot, user_id, click,
+         |    last_value(click IGNORE NULLS) OVER wb AS prev_v,
+         |    first_value(click IGNORE NULLS) OVER wf AS next_v,
+         |    last_value(CASE WHEN click IS NOT NULL THEN slot END IGNORE NULLS)
+         |      OVER wb AS prev_t,
+         |    first_value(CASE WHEN click IS NOT NULL THEN slot END IGNORE NULLS)
+         |      OVER wf AS next_t
+         |  FROM wide
+         |  WINDOW wb AS (PARTITION BY user_id ORDER BY slot
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wf AS (PARTITION BY user_id ORDER BY slot
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |)
+         |SELECT slot, user_id, click,
+         |  CASE WHEN click IS NOT NULL THEN click
+         |       WHEN prev_v IS NULL THEN next_v
+         |       WHEN next_v IS NULL THEN prev_v
+         |       ELSE prev_v + (next_v - prev_v) *
+         |            (CAST(slot - prev_t AS DOUBLE) / (next_t - prev_t)) END
+         |    AS click_interp
+         |FROM ctx ORDER BY slot, user_id""".stripMargin,
+
+    "ts_missing_slots" ->
+      s"""$BaseCte, obs AS (
+         |  SELECT DISTINCT user_id, slot FROM base
+         |  WHERE user_id < 20 AND slot >= 1704412800 AND slot < 1704499200
+         |), grid AS (
+         |  SELECT u.user_id, g.slot
+         |  FROM (SELECT DISTINCT user_id FROM obs) u
+         |  CROSS JOIN (SELECT unnest(range(1704412800, 1704499200, 300))
+         |              AS slot) g
+         |)
+         |SELECT g.user_id, g.slot FROM grid g LEFT JOIN obs o
+         |  ON o.user_id = g.user_id AND o.slot = g.slot
+         |WHERE o.user_id IS NULL ORDER BY g.user_id, g.slot""".stripMargin,
 
     "events_exact_quantiles" ->
       s"""$BaseCte, ranked AS (

@@ -1,0 +1,50 @@
+package graft.read
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sliding time-window statistics and counter derivatives — the
+  * monitoring-query staples (moving average, PromQL-style delta/rate)
+  * the reference's first-per-bucket downsample cannot express.
+  *
+  * All one-shuffle shapes: partition by series, order by time, RANGE
+  * frames for the time windows. The rolling SUM is routed through
+  * DECIMAL: sliding-frame engines recompute window sums in
+  * engine-specific orders (Spark slides incrementally, DuckDB uses a
+  * segment tree) — with double accumulation the same query returns
+  * different last bits on different engines/partitionings; decimal
+  * addition is exact and associative, so the result is unique.
+  */
+object Rolling {
+
+  /** `<valueCol>_rmean`/`_rn`: mean and count of the trailing
+    * `windowSec` seconds (inclusive range frame) per series.
+    */
+  def timeWindowMean(df: DataFrame, partCols: Seq[String], secCol: String,
+                     valueCol: String, windowSec: Long): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(secCol))
+      .rangeBetween(-windowSec, Window.currentRow)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    df.withColumn(s"${valueCol}_rn", count(col(valueCol)).over(w))
+      .withColumn(s"${valueCol}_rmean",
+        (sum(col(valueCol).cast(dec)).over(w).cast("double") /
+          col(s"${valueCol}_rn")))
+  }
+
+  /** `delta`/`dt`/`rate`: difference to the previous observation per
+    * series and its per-second rate (null on each series' first row and
+    * where dt = 0).
+    */
+  def deltaRate(df: DataFrame, partCols: Seq[String], secCol: String,
+                valueCol: String, orderCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy((secCol +: orderCols).map(col): _*)
+    val d = col(valueCol) - lag(col(valueCol), 1).over(w)
+    val dt = col(secCol) - lag(col(secCol), 1).over(w)
+    df.withColumn("delta", d)
+      .withColumn("dt", dt)
+      .withColumn("rate", when(dt > 0, d / dt))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.read
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Rolling time-window stats, delta/rate, interpolation, gap audit. */
+class RollingGapSpec extends SparkSpec {
+
+  test("timeWindowMean averages the trailing range frame only") {
+    import spark.implicits._
+    val df = Seq(("s", 0L, 10.0), ("s", 100L, 20.0), ("s", 1900L, 30.0))
+      .toDF("k", "sec", "v")
+    val out = Rolling.timeWindowMean(df, Seq("k"), "sec", "v", 1800L)
+      .orderBy("sec").collect()
+    assert(out(0).getAs[Long]("v_rn") == 1L)
+    assert(out(0).getAs[Double]("v_rmean") == 10.0)
+    assert(out(1).getAs[Long]("v_rn") == 2L)
+    assert(out(1).getAs[Double]("v_rmean") == 15.0)
+    // t=1900: frame [100, 1900] — t=0 fell out, t=100 stays
+    assert(out(2).getAs[Long]("v_rn") == 2L)
+    assert(out(2).getAs[Double]("v_rmean") == 25.0)
+  }
+
+  test("deltaRate computes difference and per-second rate, null on firsts") {
+    import spark.implicits._
+    val df = Seq(("s", 0L, 1L, 100.0), ("s", 10L, 2L, 160.0),
+      ("t", 5L, 3L, 7.0)).toDF("k", "sec", "id", "v")
+    val out = Rolling.deltaRate(df, Seq("k"), "sec", "v", Seq("id"))
+      .orderBy("id").collect()
+    assert(out(0).isNullAt(4) && out(0).isNullAt(6)) // series first row
+    assert(out(1).getAs[Double]("delta") == 60.0)
+    assert(out(1).getAs[Long]("dt") == 10L)
+    assert(out(1).getAs[Double]("rate") == 6.0)
+    assert(out(2).isNullAt(4)) // other series unaffected
+  }
+
+  test("linearInterpolate fills interior nulls proportionally, LOCF/NOCB at edges") {
+    import spark.implicits._
+    val df = Seq(
+      ("u", 0L, None: Option[Double]),   // before first obs → NOCB 10
+      ("u", 10L, Some(10.0)),
+      ("u", 20L, None),                  // 10 + (40-10)*(20-10)/(40-10)=20
+      ("u", 30L, None),                  // 30
+      ("u", 40L, Some(40.0)),
+      ("u", 50L, None))                  // after last obs → LOCF 40
+      .toDF("k", "slot", "v")
+    val out = GapFill.linearInterpolate(df, Seq("k"), "slot", Seq("v"))
+      .orderBy("slot").collect().map(_.getAs[Double]("v_interp"))
+    assert(out.toSeq == Seq(10.0, 10.0, 20.0, 30.0, 40.0, 40.0))
+  }
+
+  test("missingSlots emits exactly the absent grid points per series") {
+    import spark.implicits._
+    val df = Seq(("a", 0L), ("a", 600L), ("b", 300L)).toDF("k", "slot")
+    val out = GapFill.missingSlots(df, Seq("k"), "slot", 0L, 600L, 300L)
+      .orderBy("k", "slot").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 300L), ("b", 0L), ("b", 600L)))
+  }
+}
