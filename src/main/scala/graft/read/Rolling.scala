@@ -27,10 +27,14 @@ object Rolling {
       .orderBy(col(secCol))
       .rangeBetween(-windowSec, Window.currentRow)
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
-    df.withColumn(s"${valueCol}_rn", count(col(valueCol)).over(w))
-      .withColumn(s"${valueCol}_rmean",
-        (sum(col(valueCol).cast(dec)).over(w).cast("double") /
-          col(s"${valueCol}_rn")))
+    // ONE select with both window expressions: chained withColumns
+    // interleave Projects that block CollapseWindow, planning two
+    // Window passes; a single projection gives one Window operator
+    // over one exchange+sort
+    df.select(col("*"),
+      count(col(valueCol)).over(w).as(s"${valueCol}_rn"),
+      (sum(col(valueCol).cast(dec)).over(w).cast("double") /
+        count(col(valueCol)).over(w)).as(s"${valueCol}_rmean"))
   }
 
   /** `delta`/`dt`/`rate`: difference to the previous observation per

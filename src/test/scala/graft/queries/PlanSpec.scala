@@ -53,4 +53,56 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected agg+sort exchanges only, got $exchanges:\n$p")
     assert(p.contains("HashAggregate"))
   }
+
+  test("asof join is one union + window pass — no join operator at all") {
+    val p = plan("asof_join_purchase")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
+      s"asof degraded to a join:\n$p")
+    // key-hash exchanges only (window + aggregation + output sort);
+    // never a range/cartesian expansion
+    assert(p.contains("Union"), p)
+  }
+
+  test("range join is a hash equi-join on the bucket, not a nested loop") {
+    val p = plan("range_join_window_count")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degraded to O(n·m):\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("rolling mean reuses ONE exchange+sort for both window aggregates") {
+    val p = plan("ts_rolling_mean")
+    // count + decimal-sum share the same window spec → a single Window
+    // operator over a single hash exchange (plus the output sort)
+    val windows = """\(\d+\) Window""".r.findAllIn(p).size
+    assert(windows == 1, s"expected 1 Window op, got $windows:\n$p")
+  }
+
+  test("interpolation's two window passes share one partitioning shuffle") {
+    val p = plan("ts_interpolate")
+    // forward+backward passes sort differently but partition identically:
+    // exactly one exchange hashes user_id for the windows
+    val winExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(user_id"))
+    assert(winExchanges <= 1, s"window passes re-shuffled:\n$p")
+  }
+
+  test("kmeans assignment broadcasts the centroid table") {
+    val p = graft.ext.Similarity.kmeansFit(
+      graft.core.Tables.load(spark, dir, "embeddings"),
+      "vec_id", "embedding", k = 4, iters = 1)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("arraydot"), s"centroid distance not codegen'd:\n$p")
+  }
+
+  test("stratified sample is a pure narrow filter — no exchange before sort") {
+    val p = plan("sample_stratified")
+    // the gate itself adds no shuffle; only the output orderBy exchanges
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"sampling should be narrow, got $exchanges:\n$p")
+    assert(!p.contains("Sample"), "hash-gate must not use Sample (seed-dependent)")
+  }
 }
