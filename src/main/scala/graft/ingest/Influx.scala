@@ -46,14 +46,17 @@ object Influx {
       .withColumn("value", expr("try_cast(value_str AS DOUBLE)"))
       .withColumn("malformed",
         col("malformed") || (col("value").isNull && col("value_str").isNotNull))
+      // integer `div` on int64, NOT decimal division: Spark rounds a
+      // decimal quotient half-up at the result scale (6) BEFORE any
+      // floor can run, so 1704067199999999999 ns became ...200 s. An
+      // int64 holds epoch-ns until year 2262; `div` floors exactly
+      // (reference floors too). try_cast → null for absurd digit runs
+      // (treated as no-timestamp) instead of an ANSI overflow crash.
+      .withColumn("ts_ns_str", tsStr)
       .withColumn("ts_sec",
-        when(tsStr === "", lit(null).cast("long"))
-          // floor before the long cast: decimal division rounds half-up
-          // at the derived scale, shifting ns within ~5ns of a second
-          // boundary into the next second (reference floors).
-          .otherwise(floor(tsStr.cast("decimal(30,0)") / lit(1000000000L))
-            .cast("long")))
-      .drop("field", "value_str")
+        when(col("ts_ns_str") === "", lit(null).cast("long"))
+          .otherwise(expr("try_cast(ts_ns_str AS BIGINT) div 1000000000")))
+      .drop("field", "value_str", "ts_ns_str")
   }
 
   /** Fill-value parsing (reference C-5, `server.py:296-301`): numeric

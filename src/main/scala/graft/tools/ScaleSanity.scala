@@ -37,7 +37,11 @@ object ScaleSanity {
     }
     val picks = Seq("pivot_long_to_wide", "upsert_last_write_wins",
       "events_sessionize", "downsample_first_per_bucket", "verify_stats",
-      "influx_parse", "row_nansum")
+      "influx_parse", "row_nansum",
+      // round-2 operators — all must stay ~linear:
+      "asof_join_purchase", "range_join_window_count",
+      "events_session_window", "ts_rolling_mean", "ts_counter_rate",
+      "ts_interpolate", "events_exact_quantiles")
     val rows = picks.map { q =>
       val f = graft.SparkEntry.queries(q)
       val t1 = time(f(spark, "/root/testdata/sf0.1").count())

@@ -159,4 +159,26 @@ class GraftClientSpec extends SparkSpec {
     c.deleteSensor("d1", "s2")
     assert(!c.existsSensor("d1", "s2"))
   }
+
+  test("deleteDb removes the db directory itself — existsDb goes false") {
+    // reference delete_db shutil.rmtree's the whole dir (database.py:215)
+    val c = freshClient()
+    c.createSensor("gone", "s1", "1s", Seq(Seq("a")))
+    c.write(Seq(s"gone,circuit=s1 a=1 ${t0}000000000"))
+    c.deleteDb("gone")
+    assert(!c.existsDb("gone"))
+    assert(c.store.listDbs().forall(_ != "gone"))
+  }
+
+  test("grafana read survives a range shorter than maxDataPoints (spread<1)") {
+    // integer spread would be 0 → ANSI DIVIDE_BY_ZERO; float spread
+    // buckets fine and every point lands in its own bucket
+    val c = freshClient()
+    c.createSensor("test", "short", "1s", Seq(Seq("v")))
+    c.write((0 until 5).map(i =>
+      s"test,circuit=short v=$i ${(t0 + i)}000000000"))
+    val out = c.readGrafana("test", "short", t0, t0 + 4, 1000).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getFloat(1)).toSeq == (0 until 5).map(_.toFloat))
+  }
 }

@@ -43,6 +43,23 @@ class InfluxSpec extends SparkSpec {
     assert(rows == Seq(true, false))
   }
 
+  test("non-numeric metric value FLAGS the row — never throws under ANSI") {
+    // the reference raises InfluxParseException per line (float(v)
+    // ValueError); a plain cast would kill the whole batch instead
+    val rows = parse("test,circuit=s1 m=abc 123", "test,circuit=s1 m=2.5 123")
+      .select("malformed", "value").collect()
+    assert(rows(0).getBoolean(0) && rows(0).isNullAt(1))
+    assert(!rows(1).getBoolean(0) && rows(1).getDouble(1) == 2.5)
+  }
+
+  test("ns→sec floors — a ts 1ns below a boundary must not round up") {
+    val rows = parse(
+      "test,circuit=s1 a=1 1704067199999999999",
+      "test,circuit=s1 a=1 1704067200000000000")
+      .select("ts_sec").collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1704067199L, 1704067200L))
+  }
+
   test("format → parse round-trip") {
     import spark.implicits._
     val df = Seq(("g", "u7", "active", 12.5, 1704067200L))
