@@ -141,7 +141,9 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
         .map(r => (r.getString(0), r.getString(1)))
       sensors.foreach { case (db, sensor) =>
         authWrite(db, sensor)
-        store.write(db, sensor,
+        // locked like the reference server's per-sensor process lock —
+        // concurrent client jobs writing one sensor serialize safely
+        store.writeLocked(db, sensor,
           pts.filter(col("db") === db && col("sensor") === sensor)
             .select("ts", "metric", "value"),
           fillValue)
@@ -159,7 +161,7 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
     val metrics = wide.columns.filterNot(_ == "ts").toSeq
     val long = Pivot.wideToLong(wide, Seq("ts"), metrics)
       .select(col("ts"), col("metric"), col("value").cast("double"))
-    store.write(db, sensor, long, fillValue)
+    store.writeLocked(db, sensor, long, fillValue)
   }
 
   // ---- read ----------------------------------------------------------

@@ -31,3 +31,11 @@ class NotAuthorizedException(what: String)
   */
 class InfluxParseException(line: String)
   extends GraftException(s"Cannot parse influx line: '$line'")
+
+/** Writer-lock acquisition timed out — another job holds the sensor's
+  * write lock (the cross-process analog of the reference's per-sensor
+  * process lock, `database.py:154-168`).
+  */
+class WriteLockTimeoutException(db: String, sensor: String, timeoutMs: Long)
+  extends GraftException(
+    s"Writer lock on $db/$sensor not acquired within ${timeoutMs}ms")

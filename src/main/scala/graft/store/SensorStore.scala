@@ -199,6 +199,54 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     cfg
   }
 
+  // ---- writer serialization ------------------------------------------
+
+  /** Run `f` holding the sensor's writer lock — the cross-process
+    * analog of the reference's per-sensor process lock
+    * (`database.py:154-168`). Acquisition is an ATOMIC exclusive file
+    * create (POSIX O_EXCL semantics — two contenders cannot both
+    * succeed); a crashed holder's lock is taken over after `staleMs`.
+    * With the lock, concurrent writers to ONE sensor serialize and the
+    * read-modify-write merge can never lose an update; readers never
+    * need the lock (parquet job commit keeps them consistent). On an
+    * object store without atomic create, swap this for a DynamoDB/etcd
+    * mutex or a Delta/Iceberg optimistic commit — `write` itself is
+    * format-agnostic.
+    */
+  def withWriterLock[T](db: String, sensor: String, timeoutMs: Long = 30000,
+                        staleMs: Long = 600000)(f: => T): T = {
+    val lock = Paths.get(sensorDir(db, sensor), "_WRITE_LOCK")
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        Files.write(lock,
+          s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}"
+            .getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale = try {
+            Files.getLastModifiedTime(lock).toMillis < System.currentTimeMillis() - staleMs
+          } catch { case _: java.io.IOException => false } // holder just released
+          if (stale) Files.deleteIfExists(lock) // takeover; next loop re-races
+          else if (System.currentTimeMillis() > deadline)
+            throw new graft.core.WriteLockTimeoutException(db, sensor, timeoutMs)
+          else Thread.sleep(50)
+      }
+    }
+    try f finally Files.deleteIfExists(lock)
+  }
+
+  /** `write` under the sensor's writer lock — safe for concurrent
+    * writer jobs targeting the same sensor.
+    */
+  def writeLocked(db: String, sensor: String, points: DataFrame,
+                  fillValue: Double = 0.0): SensorConfig =
+    withWriterLock(db, sensor) { write(db, sensor, points, fillValue) }
+
   /** Chunk partition values present on disk (driver-side listing — a
     * metadata op, like the reference's filename scan).
     */

@@ -267,6 +267,57 @@ class SensorStoreSpec extends SparkSpec {
     }
   }
 
+  test("writeLocked serializes concurrent writers to ONE sensor — no lost updates") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val st = freshStore()
+    val t0 = 1704067200L
+    st.createSensor(SensorConfig("race", "s", "1s", Seq(MetricDef(Seq("v")))))
+    // 4 writers, interleaved slot ranges that share chunk partitions:
+    // unlocked read-modify-write would lose whole slot sets when two
+    // writers merge against the same stale history concurrently
+    val futures = (0 until 4).map { i =>
+      Future {
+        val pts = (0 until 200).map(j => (t0 + (j * 4 + i) * 10L, "v",
+          (i * 10000 + j).toDouble))
+          .toDF("sec", "metric", "value")
+          .select(timestamp_seconds(col("sec")).as("ts"), col("metric"),
+            col("value"))
+        st.writeLocked("race", "s", pts)
+      }
+    }
+    Await.result(Future.sequence(futures), 300.seconds)
+    val rows = st.read("race", "s").collect()
+    assert(rows.length == 800) // every writer's every slot survived
+    assert(st.read("race", "s", validateChecksums = true).count() == 800)
+  }
+
+  test("writer lock: held blocks with timeout, stale lock is taken over") {
+    val (st, dir) = freshStoreDir()
+    st.createSensor(SensorConfig("lk", "s", "1s", Seq(MetricDef(Seq("v")))))
+    // hold the lock and verify a second acquisition times out
+    st.withWriterLock("lk", "s") {
+      val ex = intercept[graft.core.WriteLockTimeoutException] {
+        st.withWriterLock("lk", "s", timeoutMs = 300) { fail("must not enter") }
+      }
+      assert(ex.getMessage.contains("lk/s"))
+    }
+    // a crashed holder's stale lock (old mtime) is taken over
+    val lock = java.nio.file.Paths.get(s"$dir/lk/s/_WRITE_LOCK")
+    java.nio.file.Files.write(lock, "dead@0".getBytes)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000))
+    var entered = false
+    st.withWriterLock("lk", "s", timeoutMs = 5000, staleMs = 60000) {
+      entered = true
+    }
+    assert(entered)
+    assert(!java.nio.file.Files.exists(lock)) // released cleanly
+  }
+
   test("migrateCompression rewrites data, preserving every row (D-3)") {
     import spark.implicits._
     val (st, dir) = freshStoreDir()
