@@ -106,7 +106,16 @@ object Similarity {
     * real IVF index.
     */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int): DataFrame = {
+                k: Int, iters: Int): DataFrame =
+    assignToCentroids(df, idCol, vecCol,
+      kmeansCentroids(df, idCol, vecCol, k, iters))
+      .select(col(idCol), col("cluster"))
+
+  /** The fitted (cluster, cvec) centroid table itself — feed it to
+    * [[ivfAssign]]-style probes as a real IVF index.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
     val init = df.filter(col(idCol) < k)
       .select(col(idCol).cast("int").as("cluster"), col(vecCol).as("cvec"))
     var cents = init
@@ -128,13 +137,12 @@ object Similarity {
           coalesce(col("cvec"), col("prev").cast("array<double>")).as("cvec"))
         .localCheckpoint()
     }
-    assignToCentroids(df, idCol, vecCol, cents)
-      .select(col(idCol), col("cluster"))
+    cents
   }
 
   /** Max-cosine cluster per vector (ties → lowest cluster id). */
-  private def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
-                                cents: DataFrame): DataFrame = {
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        cents: DataFrame): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("cent_sim").desc, col("cluster"))

@@ -240,6 +240,30 @@ object ExtQueries {
           k = 4, iters = 2)
         .orderBy("vec_id")),
 
+    // End-to-end IVF ANN over FITTED centroids: k-means index build →
+    // cell assignment → probe the query's 2 best cells → exact re-rank.
+    // The plan is the same as similar_ivf_topk (broadcast cents +
+    // broadcast probed cells), just with learned cells.
+    "similar_ivf_kmeans" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 4, iters = 2)
+      val assigned = Similarity.assignToCentroids(e, "vec_id", "embedding",
+        cents)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val qcells = cents.crossJoin(broadcast(q))
+        .withColumn("qsim", Similarity.cosine(col("cvec"), col("qvec")))
+        .orderBy(col("qsim").desc, col("cluster"))
+        .limit(2).select("cluster")
+      assigned.join(broadcast(qcells), "cluster")
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     // top-k tokens per language — the vocabulary-histogram pass of a
     // corpus-analysis pipeline: one agg shuffle + a bounded window.
     "text_token_histogram" -> ((s, dir) => {
@@ -466,18 +490,36 @@ object ExtQueries {
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "kmeans_fit_assign" ->
-      s"""WITH c0 AS (
-         |  SELECT CAST(vec_id AS INTEGER) AS cluster,
-         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-         |  FROM embeddings WHERE vec_id < 4
-         |), a0 AS (${kmeansAssignSql("c0")}
-         |), c1 AS (${kmeansUpdateSql("a0", "c0")}
-         |), a1 AS (${kmeansAssignSql("c1")}
-         |), c2 AS (${kmeansUpdateSql("a1", "c1")}
-         |), a2 AS (${kmeansAssignSql("c2")}
-         |)
+      s"""$KmeansCtes
          |SELECT vec_id, cluster FROM a2 ORDER BY vec_id""".stripMargin,
+
+    "similar_ivf_kmeans" ->
+      s"""$KmeansCtes, q AS (
+         |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+         |), qc AS (
+         |  SELECT cluster FROM c2 CROSS JOIN q
+         |  ORDER BY ${cosineSql("c2.cvec", "q.qvec")} DESC, cluster LIMIT 2
+         |)
+         |SELECT a.vec_id, round(${cosineSql("a.embedding", "q.qvec")}, 6) AS sim
+         |FROM a2 a JOIN qc ON a.cluster = qc.cluster CROSS JOIN q
+         |WHERE a.vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
   )
+
+  /** Shared 2-iteration Lloyd's CTE chain: c0 init → a0 assign → c1
+    * update → a1 → c2 → a2 (final assignment).
+    */
+  private lazy val KmeansCtes =
+    s"""WITH c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cluster,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM embeddings WHERE vec_id < 4
+       |), a0 AS (${kmeansAssignSql("c0")}
+       |), c1 AS (${kmeansUpdateSql("a0", "c0")}
+       |), a1 AS (${kmeansAssignSql("c1")}
+       |), c2 AS (${kmeansUpdateSql("a1", "c1")}
+       |), a2 AS (${kmeansAssignSql("c2")}
+       |)""".stripMargin
 
   /** One k-means assignment round: best-cosine cluster per vector
     * (ties → lowest cluster id) — mirrors Similarity.assignToCentroids.
