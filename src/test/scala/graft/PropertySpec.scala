@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core.Grid
+import graft.ingest.Influx
+
+/** Property-based invariants over the hot parsing/grid/sampling paths.
+  * Cases come from scalacheck generators (fixed seed — reproducible);
+  * each property evaluates ALL cases in ONE Spark job (a collect per
+  * case would swamp the suite in job-scheduling overhead).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def gen[A](g: Gen[A], n: Int): Seq[A] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
+
+  private val token: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(12))
+
+  test("influx format→parse round-trips any (db, sensor, metric, value, sec)") {
+    import spark.implicits._
+    val cases = gen(for {
+      d <- token; s <- token; m <- token
+      v <- Gen.chooseNum(-1e6, 1e6)
+      sec <- Gen.chooseNum(0L, 4102444800L)
+    } yield (d, s, m, v, sec), 300)
+    val df = cases.toDF("db0", "sensor0", "metric0", "value0", "sec0")
+      .select(col("*"), Influx.formatLine(col("db0"), col("sensor0"),
+        col("metric0"), col("value0"), col("sec0")).as("line"))
+    val back = Influx.parseLines(df, "line")
+      .select((!col("malformed") &&
+        col("db") === col("db0") && col("sensor") === col("sensor0") &&
+        col("metric") === col("metric0") &&
+        // formatLine prints %.6f — the round-trip is exact to 1e-6
+        abs(col("value") - col("value0")) <= lit(5.000001e-7) &&
+        col("ts_sec") === col("sec0")).as("ok"), col("line"))
+      .collect()
+    val bad = back.filterNot(_.getBoolean(0)).take(3).map(_.getString(1))
+    assert(bad.isEmpty, s"round-trip failed for: ${bad.mkString(" | ")}")
+  }
+
+  test("grid snap: result is on-grid, ≤ input, within tick of input") {
+    import spark.implicits._
+    val secs = gen(Gen.chooseNum(0L, 4102444800L), 500)
+    Seq(1L, 15L, 300L, 3600L, 86400L).foreach { tick =>
+      val ok = secs.toDF("sec").select(
+        ((Grid.snapSeconds(col("sec"), tick) % tick === 0) &&
+          (Grid.snapSeconds(col("sec"), tick) <= col("sec")) &&
+          (col("sec") - Grid.snapSeconds(col("sec"), tick) < tick)).as("ok"))
+        .collect().map(_.getBoolean(0))
+      assert(ok.forall(identity), s"tick=$tick")
+    }
+  }
+
+  test("posInChunk is always within [0, chunkRows) and reconstructs ts") {
+    import spark.implicits._
+    val tick = 300L
+    val chunkDur = tick * graft.core.Freq.ChunkRows
+    val secs = gen(Gen.chooseNum(0L, 4102444800L), 500)
+    val ok = secs.toDF("sec")
+      .withColumn("slot", Grid.snapSeconds(col("sec"), tick))
+      .withColumn("chunk", Grid.chunkStart(col("slot"), chunkDur))
+      .withColumn("pos", Grid.posInChunk(col("slot"), chunkDur, tick))
+      .select((col("pos") >= 0 && col("pos") < graft.core.Freq.ChunkRows &&
+        (col("chunk") + col("pos") * tick === col("slot"))).as("ok"))
+      .collect().map(_.getBoolean(0))
+    assert(ok.forall(identity))
+  }
+
+  test("sampling monotonicity: any lower threshold keeps a subset") {
+    import spark.implicits._
+    val buckets = (0L until 2000L).toDF("id").select(col("id"),
+      graft.ext.Sampling.hashBucket(col("id")).as("b")).cache()
+    try {
+      val thresholds = Seq("0100", "0800", "2000", "8000", "ffff")
+      val counts = thresholds.map(t => buckets.filter(col("b") < t).count())
+      assert(counts == counts.sorted, s"not monotone: $counts")
+      // and uniform-ish: "8000" should keep roughly half
+      val half = counts(thresholds.indexOf("8000")).toDouble / 2000
+      assert(half > 0.4 && half < 0.6, s"half-rate=$half")
+    } finally { buckets.unpersist(); () }
+  }
+}
