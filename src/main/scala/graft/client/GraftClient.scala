@@ -185,15 +185,35 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
     * `server.py:412-475` + `client.read_grafana`): per metric, first
     * value at/after each of `maxDataPoints` boundaries, long format
     * `(metric, value, ts_ms)`.
+    *
+    * ROLLUP ROUTING (the 100 TB dashboard path): when a materialized
+    * rollup exists whose bucket fits under the query spread, the read
+    * is served from it — touching bucketSec-times fewer rows — instead
+    * of the raw grid. First-per-bucket over first-per-rollup-bucket
+    * returns exactly the raw first VALUES (the earliest raw point lives
+    * in the earliest non-empty rollup bucket and is its first); only
+    * the reported timestamps coarsen to the rollup grid. Pass
+    * `useRollups = false` to force raw reads (exact timestamps).
     */
   def readGrafana(db: String, sensor: String, fromSec: Long, toSec: Long,
                   maxDataPoints: Int,
-                  targets: Option[Seq[String]] = None): DataFrame = {
+                  targets: Option[Seq[String]] = None,
+                  useRollups: Boolean = true): DataFrame = {
     val cfg = store.config(db, sensor)
     val wanted = targets.getOrElse(cfg.metricNames)
-    val wide = store.read(db, sensor, Some(fromSec), Some(toSec), Some(wanted))
-      .withColumn("sec", Grid.tsSeconds(col("ts")))
-    val long = Pivot.wideToLong(wide, Seq("sec"), wanted)
+    val spread = (toSec - fromSec + 1).toDouble / maxDataPoints
+    val rollup = if (useRollups)
+      store.listRollups(db, sensor).filter(_ <= spread).lastOption
+    else None
+    val wide = rollup match {
+      case Some(b) =>
+        store.readRollup(db, sensor, b, Some(fromSec), Some(toSec))
+          .select((col("ts") +: wanted.map(col)): _*)
+      case None =>
+        store.read(db, sensor, Some(fromSec), Some(toSec), Some(wanted))
+    }
+    val withSec = wide.withColumn("sec", Grid.tsSeconds(col("ts")))
+    val long = Pivot.wideToLong(withSec, Seq("sec"), wanted)
       .filter(!isnan(col("value")))
     Downsample.firstPerBucket(long, Seq("metric"), col("sec"),
         "value", "sec", fromSec, toSec, maxDataPoints)

@@ -406,6 +406,20 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     out
   }
 
+  /** Materialized rollup buckets present for a sensor (metadata scan). */
+  def listRollups(db: String, sensor: String): Seq[Long] = {
+    val p = Paths.get(sensorDir(db, sensor))
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("rollup_"))
+        .map(_.stripPrefix("rollup_").toLong).toSeq.sorted
+      finally s.close()
+    }
+  }
+
   /** Read a materialized rollup: `ts` + metric columns on the coarse
     * grid, pruned by the same chunk partitioning as the base data.
     */

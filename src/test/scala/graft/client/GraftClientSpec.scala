@@ -170,6 +170,42 @@ class GraftClientSpec extends SparkSpec {
     assert(c.store.listDbs().forall(_ != "gone"))
   }
 
+  test("grafana read routes through a materialized rollup when one fits") {
+    val dir = Files.createTempDirectory("graft-client").toString
+    val c = new GraftClient(spark, dir)
+    c.createSensor("test", "ru", "1s", Seq(Seq("v")))
+    // 600 seconds of data; rollup at 60s
+    c.write((0 until 600 by 5).map(i =>
+      s"test,circuit=ru v=$i ${(t0 + i)}000000000"))
+    c.store.materializeRollup("test", "ru", 60L)
+    // spread = 600/10 = 60 ≥ rollup bucket → served from the rollup:
+    // values = true first per spread bucket, ts snapped to the 60s grid
+    val viaRollup = c.readGrafana("test", "ru", t0, t0 + 599, 10).collect()
+    assert(viaRollup.length == 10)
+    assert(viaRollup.map(_.getFloat(1)).toSeq == (0 until 600 by 60).map(_.toFloat))
+    assert(viaRollup.map(_.getLong(2)).toSeq ==
+      (0 until 600 by 60).map(i => (t0 + i) * 1000))
+    // raw path returns identical values (exactness of value routing)
+    val raw = c.readGrafana("test", "ru", t0, t0 + 599, 10, useRollups = false)
+      .collect()
+    assert(raw.map(_.getFloat(1)).toSeq == viaRollup.map(_.getFloat(1)).toSeq)
+    // proof the rollup actually served: drop base data, read still works
+    c.store.withWriterLock("test", "ru") {
+      val data = java.nio.file.Paths.get(s"$dir/test/ru/data")
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.iterator().forEachRemaining(rm) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+        ()
+      }
+      rm(data)
+    }
+    val orphan = c.readGrafana("test", "ru", t0, t0 + 599, 10).collect()
+    assert(orphan.length == 10)
+  }
+
   test("grafana read survives a range shorter than maxDataPoints (spread<1)") {
     // integer spread would be 0 → ANSI DIVIDE_BY_ZERO; float spread
     // buckets fine and every point lands in its own bucket
