@@ -78,6 +78,48 @@ object StreamIngest {
         col("session_window.end").as("session_end"),
         col(keyCol), col("n"), col("min_value"), col("max_value"))
 
+  /** Exactly-once-per-point ingest over an at-least-once source:
+    * duplicate (metric, ts) deliveries inside the watermark horizon are
+    * dropped with bounded state (`dropDuplicatesWithinWatermark` —
+    * state for a key expires once the watermark passes it, so the
+    * dedup buffer never grows beyond delay × rate).
+    */
+  def dedupPoints(points: DataFrame, watermark: String): DataFrame =
+    points
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("metric", "ts")
+
+  /** Typed state record for [[runningLast]]. */
+  case class LastPoint(metric: String, tsSec: Long, value: Double)
+
+  /** Custom streaming state via `mapGroupsWithState`: the engine-side
+    * "current value" cache per metric (the reference server keeps the
+    * analogous latest-point in RAM for its `/last_timestamp` endpoint).
+    * Each micro-batch emits the newest point per metric seen SO FAR —
+    * late/duplicate arrivals never regress the state (event-time
+    * max, not arrival order). State is one row per metric: O(sensor
+    * width), no watermark needed to bound it.
+    */
+  def runningLast(points: DataFrame): Dataset[LastPoint] = {
+    import points.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    points
+      .select(col("metric"), col("ts").cast("long").as("tsSec"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (metric: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[LastPoint]) =>
+          val newest = rows.maxBy(r => (r._2, r._3))
+          val best = state.getOption match {
+            case Some(prev) if prev.tsSec >= newest._2 => prev
+            case _ => LastPoint(metric, newest._2, newest._3)
+          }
+          state.update(best)
+          best
+      }
+  }
+
   /** writeStream into the sensor store via foreachBatch upsert.
     * Caller starts/stops the returned writer.
     */

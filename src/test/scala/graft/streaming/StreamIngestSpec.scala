@@ -114,4 +114,59 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows(1).getTimestamp(0).toInstant.getEpochSecond == t0 + 2000)
     assert(rows(1).getLong(3) == 1L)
   }
+
+  test("streaming dedup drops duplicate (metric, ts) within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    val src = MemoryStream[String]
+    val points = StreamIngest.parse(src.toDF().withColumnRenamed("value", "line"),
+      "line", "test", "dd1")
+    val deduped = StreamIngest.dedupPoints(points, "1 hour")
+    val query = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("ddout").start()
+    try {
+      src.addData(
+        s"test,circuit=dd1 v=1 ${t0}000000000",
+        s"test,circuit=dd1 v=1 ${t0}000000000") // dup inside one batch
+      query.processAllAvailable()
+      src.addData(
+        s"test,circuit=dd1 v=1 ${t0}000000000",       // dup across batches
+        s"test,circuit=dd1 v=2 ${(t0 + 60)}000000000") // genuinely new
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val n = spark.sql("SELECT count(*) FROM ddout").head().getLong(0)
+    assert(n == 2, s"expected 2 unique points, got $n")
+  }
+
+  test("mapGroupsWithState running-last never regresses on late arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    val src = MemoryStream[String]
+    val points = StreamIngest.parse(src.toDF().withColumnRenamed("value", "line"),
+      "line", "test", "rl1")
+    val lasts = StreamIngest.runningLast(points)
+    val query = lasts.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("rlout").start()
+    try {
+      src.addData(s"test,circuit=rl1 v=5 ${(t0 + 100)}000000000")
+      query.processAllAvailable()
+      // LATE point (t0) must not displace the newer state (t0+100)
+      src.addData(s"test,circuit=rl1 v=9 ${t0}000000000")
+      query.processAllAvailable()
+      src.addData(s"test,circuit=rl1 v=7 ${(t0 + 200)}000000000")
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // update-mode memory sink keeps one row per batch emission; the
+    // running last per batch must be 100 → 100 (late ignored) → 200
+    val rows = spark.sql(
+      "SELECT tsSec, value FROM rlout").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((t0 + 100, 5.0), (t0 + 100, 5.0), (t0 + 200, 7.0)))
+  }
 }
