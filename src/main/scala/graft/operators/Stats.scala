@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution analytics over metric columns.
+  *
+  * Pearson correlation is computed from DECIMAL-routed moment sums
+  * (Σx, Σy, Σxy, Σx², Σy², n): built-in `corr()` accumulates doubles in
+  * partition order, so the same data can return different last bits
+  * under a different partitioning — decimal sums are exact and
+  * associative, then the closed-form combination runs once in double.
+  * One hash aggregation; moments are mergeable partials, so the shape
+  * is map-side-combinable at any scale.
+  */
+object Stats {
+
+  // 18,6: a product of two of these is DECIMAL(37,12) — still inside
+  // the 38-digit cap of BOTH Spark and DuckDB, so products stay exact;
+  // wider inputs would silently lose scale (Spark) or error (DuckDB).
+  private val Dec = DecimalType(18, 6)
+
+  /** Pairwise Pearson correlation of `xCol`,`yCol` per group over rows
+    * where both are present. Output: group cols + n (long) + corr
+    * (double, 6-decimal truncated; null when either variance is 0).
+    */
+  def pearson(df: DataFrame, groupCols: Seq[String], xCol: String,
+              yCol: String): DataFrame = {
+    val both = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+      !isnan(col(xCol)) && !isnan(col(yCol)))
+    val x = col(xCol).cast(Dec)
+    val y = col(yCol).cast(Dec)
+    val agg = both.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val covTerm = col("sxy") * n - col("sx") * col("sy")
+    val varX = col("sxx") * n - col("sx") * col("sx")
+    val varY = col("syy") * n - col("sy") * col("sy")
+    // clamp before truncation: float noise can push a perfect
+    // correlation to ±1.0000001
+    agg.select((groupCols.map(col) :+ col("n") :+
+      when(varX > 0 && varY > 0,
+        graft.ext.TextStats.trunc6(
+          least(greatest(covTerm / (sqrt(varX) * sqrt(varY)), lit(-1d)),
+            lit(1d))))
+        .as("corr")): _*)
+  }
+
+  /** Fixed-width value histogram per group: bucket = floor(value /
+    * width), count per (group, bucket). The value-distribution audit —
+    * one map-side-combinable aggregation, shuffles one row per
+    * non-empty bucket.
+    */
+  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                width: Double): DataFrame =
+    df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .withColumn("bucket", floor(col(valueCol) / lit(width)).cast("long"))
+      .groupBy((groupCols.map(col) :+ col("bucket")): _*)
+      .agg(count(lit(1)).as("n"))
+}

@@ -313,6 +313,22 @@ object TsQueries {
         .select("slot", "user_id", "click", "click_interp")
         .orderBy("slot", "user_id")),
 
+    // Deterministic Pearson correlation from decimal-routed moment sums
+    // (built-in corr() is partition-order dependent in the last bits).
+    // Users pool into 10 cohorts so groups stay populated at every SF.
+    "metrics_correlation" -> ((s, dir) =>
+      graft.operators.Stats.pearson(
+        wide(s, dir).withColumn("cohort", pmod(col("user_id"), lit(10L))),
+        Seq("cohort"), "click", "view")
+        .filter(col("n") >= 2)
+        .orderBy("cohort")),
+
+    // Fixed-width value histogram per metric — the distribution audit.
+    "events_histogram" -> ((s, dir) =>
+      graft.operators.Stats.histogram(base(s, dir), Seq("event_type"),
+        "value", width = 10.0)
+        .orderBy("event_type", "bucket")),
+
     // Grid gap audit: expected tick grid (sequence+explode, distributed)
     // anti-joined against observed slots — one day, low-id users.
     "ts_missing_slots" -> ((s, dir) => {
@@ -581,6 +597,40 @@ object TsQueries {
          |            (CAST(slot - prev_t AS DOUBLE) / (next_t - prev_t)) END
          |    AS click_interp
          |FROM ctx ORDER BY slot, user_id""".stripMargin,
+
+    "metrics_correlation" ->
+      s"""$WideCte, m AS (
+         |  SELECT user_id % 10 AS cohort, count(*) AS n,
+         |    CAST(sum(CAST(click AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(view AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(click AS DECIMAL(18,6))
+         |           * CAST(view AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(click AS DECIMAL(18,6))
+         |           * CAST(click AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(view AS DECIMAL(18,6))
+         |           * CAST(view AS DECIMAL(18,6))) AS DOUBLE) AS syy
+         |  FROM wide
+         |  WHERE click IS NOT NULL AND view IS NOT NULL
+         |    AND NOT isnan(click) AND NOT isnan(view)
+         |  GROUP BY cohort
+         |)
+         |SELECT cohort, n,
+         |  CASE WHEN (sxx * CAST(n AS DOUBLE) - sx * sx) > 0
+         |        AND (syy * CAST(n AS DOUBLE) - sy * sy) > 0
+         |       THEN floor(least(greatest(
+         |                (sxy * CAST(n AS DOUBLE) - sx * sy)
+         |              / (sqrt(sxx * CAST(n AS DOUBLE) - sx * sx)
+         |                 * sqrt(syy * CAST(n AS DOUBLE) - sy * sy)),
+         |              CAST(-1.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+         |              * 1000000) / 1000000 END AS corr
+         |FROM m WHERE n >= 2 ORDER BY cohort""".stripMargin,
+
+    "events_histogram" ->
+      s"""$BaseCte
+         |SELECT event_type,
+         |  CAST(floor(value / 10.0) AS BIGINT) AS bucket, count(*) AS n
+         |FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
 
     "ts_missing_slots" ->
       s"""$BaseCte, obs AS (

@@ -84,4 +84,41 @@ class OperatorsSpec extends SparkSpec {
     val out = Quantiles.exactByRank(df, Seq("k"), "v", "ord", Seq(0.5)).collect()(0)
     assert(out.getDouble(1) == 1.0) // rank ceil(0.5*4)=2 → second 1.0
   }
+
+  test("pearson: perfect / inverse / degenerate correlations") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", 1.0, 2.0), ("up", 2.0, 4.0), ("up", 3.0, 6.0),     // r = 1
+      ("dn", 1.0, 3.0), ("dn", 2.0, 2.0), ("dn", 3.0, 1.0),     // r = -1
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0), ("flat", 3.0, 5.0)) // var=0
+      .toDF("k", "x", "y")
+    val out = Stats.pearson(df, Seq("k"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out("up").contains(1.0))
+    assert(out("dn").contains(-1.0))
+    assert(out("flat").isEmpty) // zero variance → null, not NaN
+  }
+
+  test("pearson is invariant under repartitioning (decimal moments)") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i =>
+      ("g", (i * 37 % 101).toDouble, ((i * 53 + 7) % 97).toDouble))
+      .toDF("k", "x", "y")
+    val a = Stats.pearson(df, Seq("k"), "x", "y").collect()(0).getDouble(2)
+    val b = Stats.pearson(df.repartition(13), Seq("k"), "x", "y")
+      .collect()(0).getDouble(2)
+    assert(a == b) // bit-identical, not approximately equal
+  }
+
+  test("histogram buckets by floor(value/width), skips null and NaN") {
+    import spark.implicits._
+    val df = Seq(("a", 5.0), ("a", 9.9), ("a", 10.0), ("a", -0.1),
+      ("a", Double.NaN), ("b", 25.0)).toDF("k", "v")
+    val out = Stats.histogram(df, Seq("k"), "v", 10.0)
+      .orderBy("k", "bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", -1L, 1L), ("a", 0L, 2L), ("a", 1L, 1L),
+      ("b", 2L, 1L)))
+  }
 }
