@@ -74,16 +74,27 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, centIdCol: String,
-                centVecCol: String): DataFrame = {
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("cent_sim").desc, col(centIdCol))
+                centVecCol: String): DataFrame =
+    argmaxAssign(df, idCol, vecCol, centroids, centIdCol, centVecCol, "cell")
+
+  /** Best-centroid argmax as ONE hash aggregation: `max_by` over the
+    * (similarity, -centroidId) struct picks max-cosine with ties to the
+    * lowest centroid id — map-side combinable, so the shuffle carries
+    * one partial row per vector, not the n×k scored rows a row_number
+    * window would sort and exchange. At 100 TB that removes a full
+    * sort + k-fold shuffle from every assignment pass.
+    */
+  private def argmaxAssign(df: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame, centIdCol: String,
+                           centVecCol: String, outCol: String): DataFrame =
     df.crossJoin(broadcast(centroids))
       .withColumn("cent_sim", cosine(col(vecCol), col(centVecCol)))
-      .withColumn("rn", row_number().over(win))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col(centIdCol).as("cell"))
-  }
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col(centIdCol),
+          struct(col("cent_sim"), (-col(centIdCol)).as("nid"))).as(outCol),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol), col(outCol))
 
   /** Lloyd's k-means over an embedding column, built for determinism
     * and scale:
@@ -140,18 +151,12 @@ object Similarity {
     cents
   }
 
-  /** Max-cosine cluster per vector (ties → lowest cluster id). */
+  /** Max-cosine cluster per vector (ties → lowest cluster id); output
+    * (idCol, vecCol, cluster) via the sort-free argmax aggregation.
+    */
   def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
-                        cents: DataFrame): DataFrame = {
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("cent_sim").desc, col("cluster"))
-    df.crossJoin(broadcast(cents))
-      .withColumn("cent_sim", cosine(col(vecCol), col("cvec")))
-      .withColumn("rn", row_number().over(win))
-      .filter(col("rn") === 1)
-      .drop("cent_sim", "rn", "cvec")
-  }
+                        cents: DataFrame): DataFrame =
+    argmaxAssign(df, idCol, vecCol, cents, "cluster", "cvec", "cluster")
 
   /** ANN: probe the query's LSH bucket, rank by exact cosine. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, query: Column,
