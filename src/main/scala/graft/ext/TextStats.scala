@@ -83,12 +83,15 @@ object TextStats {
       .agg(round(sum(
         log((coalesce(col("c"), lit(0L)) + lit(1d)) / (col("t") + col("v")))),
         6).as("score"))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("model_lang"))
-    scores.withColumn("rn", row_number().over(win))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("model_lang").as("pred_lang"), col("score"))
+    // argmax by (score DESC, lang ASC) without a per-doc sort window:
+    // min_by over the (-score, lang) struct — one more hash aggregation
+    // over doc×lang rows, map-side combinable
+    scores.groupBy(col(idCol))
+      .agg(
+        min_by(col("model_lang"), struct((-col("score")).as("ns"),
+          col("model_lang"))).as("pred_lang"),
+        (-min(struct((-col("score")).as("ns"), col("model_lang")))
+          .getField("ns")).as("score"))
   }
 
   /** Karp–Rabin polynomial rolling hash of the first `maxChars`

@@ -128,11 +128,15 @@ object ExtQueries {
         .withColumn("sim",
           round(Similarity.dot(col("embedding"), col("nn_emb"))
             / (col("norm_a") * col("norm_b")), 6))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("nn_id"))
-      pairs.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
-        .select("vec_id", "nn_id", "sim")
+      // argmax by (sim DESC, nn_id ASC) as a hash aggregation: the n²
+      // within-label pair stream never gets sorted or re-shuffled — the
+      // map side combines down to one partial per vec_id
+      pairs.groupBy(col("vec_id"))
+        .agg(
+          max_by(col("nn_id"), struct(col("sim"), (-col("nn_id")).as("ni")))
+            .as("nn_id"),
+          max(struct(col("sim"), (-col("nn_id")).as("ni"))).getField("sim")
+            .as("sim"))
         .orderBy("vec_id")
     }),
 
