@@ -14,6 +14,7 @@ import graft.expr.ArrayDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.arrayDotDescriptor)
+    e.injectFunction(GraftFunctions.hammingDescriptor)
   }
 }
 
@@ -27,13 +28,22 @@ object GraftFunctions {
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (children: Seq[Expression]) => ArrayDot(children(0), children(1)))
 
+  private[graft] val hammingDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("hamming_distance"),
+      new ExpressionInfo(classOf[graft.expr.HammingDistance].getName,
+        "hamming_distance"),
+      (children: Seq[Expression]) =>
+        graft.expr.HammingDistance(children(0), children(1)))
+
   /** Imperative registration into an existing session (for notebooks /
     * tests where the session pre-exists).
     */
   def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = arrayDotDescriptor
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
+    Seq(arrayDotDescriptor, hammingDescriptor).foreach {
+      case (id, info, builder) =>
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
     ()
   }
 }

@@ -186,6 +186,41 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Hamming-radius near-dup pairs over simhash bit-strings. The scale
+    * shape is PIGEONHOLE banding: split the `bits`-char fingerprint
+    * into `maxDist + 1` bands — two fingerprints within `maxDist` must
+    * agree exactly on at least one band — so candidate generation is a
+    * per-band equality self-join (bucket-local, like MinHash-LSH),
+    * never all-pairs; candidates verify with the native codegen'd
+    * [[graft.expr.HammingDistance]].
+    */
+  def simhashRadius(sim: DataFrame, idCol: String, simhashCol: String,
+                    maxDist: Int, bits: Int = 16): DataFrame = {
+    val nBands = maxDist + 1
+    val base = bits / nBands
+    val bands = (0 until nBands).map { b =>
+      val start = b * base + 1
+      val len = if (b == nBands - 1) bits - b * base else base
+      struct(lit(b).as("band"),
+        substring(col(simhashCol), start, len).as("key"))
+    }
+    val banded = sim.select(col(idCol), col(simhashCol),
+      explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col(simhashCol),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col(idCol).as("a_id"), col(simhashCol).as("sa"),
+      col("band"), col("key"))
+    val b = banded.select(col(idCol).as("b_id"), col(simhashCol).as("sb"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "sa", "sb").distinct()
+      .withColumn("dist",
+        graft.expr.HammingDistance.hamming(col("sa"), col("sb")))
+      .filter(col("dist") <= maxDist)
+      .select("a_id", "b_id", "dist")
+  }
+
   /** 16-bit SimHash over whitespace tokens. Bit `i` of a token is the
     * top bit of nibble `i` of `md5(token)` (hex char in [89abcdef]);
     * the document bit is the exact-integer majority vote

@@ -114,6 +114,13 @@ object ExtQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
+    // Hamming-radius pairs (≤1 bit apart) via pigeonhole half-banding +
+    // the native codegen'd hamming_distance expression.
+    "dedup_simhash_radius" -> ((s, dir) =>
+      Dedup.simhashRadius(Dedup.simhash(docs(s, dir), "doc_id", "text"),
+          "doc_id", "simhash", maxDist = 1)
+        .orderBy("a_id", "b_id")),
+
     "dedup_embedding_cosine" -> ((s, dir) => {
       // norms precomputed per vector (O(n)) instead of per pair (O(n²))
       // — identical fp result, the sqrt just runs once per side.
@@ -313,21 +320,25 @@ object ExtQueries {
          |JOIN sizes nb ON nb.doc_id = i.b_id
          |ORDER BY a_id, b_id""".stripMargin,
 
-    "dedup_simhash" -> {
-      val bitSums = (0 until 16).map(i =>
-        s"sum(CASE WHEN strpos('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1 >= 8 THEN 1 ELSE 0 END) AS s$i")
-        .mkString(",\n  ")
-      val bitStr = (0 until 16).map(i =>
-        s"CASE WHEN s$i * 2 >= n THEN '1' ELSE '0' END").mkString(", ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-         |), tb AS (SELECT doc_id, md5(tok) AS m FROM tok
-         |), agg AS (
-         |  SELECT doc_id, count(*) AS n,
-         |  $bitSums
-         |  FROM tb GROUP BY doc_id)
-         |SELECT doc_id, concat($bitStr) AS simhash FROM agg
-         |ORDER BY doc_id""".stripMargin
+    "dedup_simhash" ->
+      s"""$SimhashCtes
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_radius" -> {
+      val hamming = (1 to 16).map(i =>
+        s"CASE WHEN substr(sa, $i, 1) <> substr(sb, $i, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""$SimhashCtes, cands AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND
+         |    (substr(a.simhash, 1, 8) = substr(b.simhash, 1, 8) OR
+         |     substr(a.simhash, 9, 8) = substr(b.simhash, 9, 8))
+         |), scored AS (
+         |  SELECT a_id, b_id, CAST($hamming AS INTEGER) AS dist FROM cands
+         |)
+         |SELECT a_id, b_id, dist FROM scored WHERE dist <= 1
+         |ORDER BY a_id, b_id""".stripMargin
     },
 
     "dedup_embedding_cosine" ->
@@ -509,6 +520,27 @@ object ExtQueries {
          |WHERE a.vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
   )
+
+  /** Shared simhash CTE: `sh(doc_id, simhash)` — byte-identical to
+    * Dedup.simhash (top md5 nibble bit, exact-integer majority vote).
+    */
+  private lazy val SimhashCtes: String = {
+    val bitSums = (0 until 16).map(i =>
+      s"sum(CASE WHEN strpos('0123456789abcdef', substr(m, ${i + 1}, 1)) - 1 >= 8 THEN 1 ELSE 0 END) AS s$i")
+      .mkString(",\n  ")
+    val bitStr = (0 until 16).map(i =>
+      s"CASE WHEN s$i * 2 >= n THEN '1' ELSE '0' END").mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), tb AS (SELECT doc_id, md5(tok) AS m FROM tok
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n,
+       |  $bitSums
+       |  FROM tb GROUP BY doc_id
+       |), sh AS (
+       |  SELECT doc_id, concat($bitStr) AS simhash FROM agg
+       |)""".stripMargin
+  }
 
   /** Shared 2-iteration Lloyd's CTE chain: c0 init → a0 assign → c1
     * update → a1 → c2 → a2 (final assignment).

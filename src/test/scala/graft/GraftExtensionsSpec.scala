@@ -21,4 +21,14 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT array_dot(array(1.0D, NULL), array(1.0D, 1.0D)) AS d").head()
     assert(rn.isNullAt(0))
   }
+
+  test("hamming_distance is callable from SQL; length mismatch → null") {
+    GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT hamming_distance('1010', '1001') AS d").head().getInt(0) == 2)
+    assert(spark.sql(
+      "SELECT hamming_distance('abc', 'abc') AS d").head().getInt(0) == 0)
+    assert(spark.sql(
+      "SELECT hamming_distance('10', '100') AS d").head().isNullAt(0))
+  }
 }
