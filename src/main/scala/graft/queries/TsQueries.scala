@@ -296,6 +296,15 @@ object TsQueries {
           "value_rn", "value_rmean")
         .orderBy("event_id")),
 
+    // Rolling z-score anomaly detection (trailing 30-min window,
+    // decimal-routed moments; population σ).
+    "ts_anomaly_zscore" -> ((s, dir) =>
+      graft.read.Rolling.timeWindowZscore(
+        base(s, dir).filter(col("value").isNotNull),
+        Seq("user_id", "event_type"), "sec", "value", windowSec = 1800L)
+        .select("event_id", "user_id", "event_type", "sec", "rn", "zscore")
+        .orderBy("event_id")),
+
     // PromQL-style delta / rate against the previous observation.
     "ts_counter_rate" -> ((s, dir) =>
       graft.read.Rolling.deltaRate(base(s, dir),
@@ -560,6 +569,27 @@ object TsQueries {
          |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY sec
          |             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
          |ORDER BY event_id""".stripMargin,
+
+    "ts_anomaly_zscore" -> {
+      val n = "CAST(rn AS DOUBLE)"
+      val variance =
+        s"greatest((sxx - sx * sx / $n) / $n, CAST(0.0 AS DOUBLE))"
+      s"""$BaseCte, m AS (
+         |  SELECT event_id, user_id, event_type, sec, value,
+         |    count(value) OVER w AS rn,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))
+         |           * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
+         |  FROM base WHERE value IS NOT NULL
+         |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY sec
+         |               RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
+         |)
+         |SELECT event_id, user_id, event_type, sec, rn,
+         |  CASE WHEN rn >= 2 AND sqrt($variance) > 0
+         |       THEN floor((value - sx / $n) / sqrt($variance)
+         |              * 1000000) / 1000000 END AS zscore
+         |FROM m ORDER BY event_id""".stripMargin
+    },
 
     "ts_counter_rate" ->
       s"""$BaseCte, lagged AS (

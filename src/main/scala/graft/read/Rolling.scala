@@ -37,6 +37,40 @@ object Rolling {
         count(col(valueCol)).over(w)).as(s"${valueCol}_rmean"))
   }
 
+  /** Rolling z-score anomaly detection: how many trailing-window
+    * standard deviations the current value sits from the trailing-
+    * window mean. Moments (n, Σx, Σx²) accumulate through DECIMAL in
+    * ONE Window operator; the closed form runs in double — the same
+    * expression tree as the oracle, so results are bit-portable.
+    * Population σ; z is null when the window has fewer than `minN`
+    * points or zero variance.
+    */
+  def timeWindowZscore(df: DataFrame, partCols: Seq[String], secCol: String,
+                       valueCol: String, windowSec: Long,
+                       minN: Long = 2L): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(secCol))
+      .rangeBetween(-windowSec, Window.currentRow)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val x = col(valueCol).cast(dec)
+    val scored = df.select(col("*"),
+      count(col(valueCol)).over(w).as("rn"),
+      sum(x).over(w).cast("double").as("sx"),
+      sum(x * x).over(w).cast("double").as("sxx"))
+    val n = col("rn").cast("double")
+    val mean = col("sx") / n
+    val variance = greatest(
+      (col("sxx") - col("sx") * col("sx") / n) / n, lit(0d))
+    scored
+      .withColumn("rmean", mean)
+      .withColumn("rstd", sqrt(variance))
+      .withColumn("zscore",
+        when(col("rn") >= minN && sqrt(variance) > 0,
+          graft.ext.TextStats.trunc6(
+            (col(valueCol) - mean) / sqrt(variance))))
+      .drop("sx", "sxx")
+  }
+
   /** `delta`/`dt`/`rate`: difference to the previous observation per
     * series and its per-second rate (null on each series' first row and
     * where dt = 0).

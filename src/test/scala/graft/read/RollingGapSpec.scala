@@ -22,6 +22,24 @@ class RollingGapSpec extends SparkSpec {
     assert(out(2).getAs[Double]("v_rmean") == 25.0)
   }
 
+  test("timeWindowZscore flags the spike, nulls degenerate windows") {
+    import spark.implicits._
+    val df = Seq(
+      ("s", 0L, 10.0), ("s", 60L, 10.0), ("s", 120L, 10.0),
+      ("s", 180L, 100.0), // spike vs a zero-variance prefix
+      ("t", 0L, 5.0))     // single point → n<2 → null
+      .toDF("k", "sec", "v")
+    val out = Rolling.timeWindowZscore(df, Seq("k"), "sec", "v", 1800L)
+      .orderBy("k", "sec").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("zscore"))) // n=1
+    assert(out(1).isNullAt(out(1).fieldIndex("zscore"))) // σ=0
+    assert(out(2).isNullAt(out(2).fieldIndex("zscore"))) // σ=0
+    val z = out(3).getDouble(out(3).fieldIndex("zscore"))
+    // mean=32.5, σ=sqrt(((100-32.5)²+3·22.5²)/4)=38.97...; z≈1.732050
+    assert(math.abs(z - 1.732050) < 1e-6, s"z=$z")
+    assert(out(4).isNullAt(out(4).fieldIndex("zscore"))) // other series, n=1
+  }
+
   test("deltaRate computes difference and per-second rate, null on firsts") {
     import spark.implicits._
     val df = Seq(("s", 0L, 1L, 100.0), ("s", 10L, 2L, 160.0),
