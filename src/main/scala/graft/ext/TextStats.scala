@@ -94,6 +94,34 @@ object TextStats {
           .getField("ns")).as("score"))
   }
 
+  /** TF-IDF keyword extraction: the highest-scoring term per document
+    * (score = (termCount/docLen) · ln((N+1)/(docFreq+1)), smoothed).
+    * Three hash aggregations over the token stream + one broadcast of
+    * the vocabulary-sized document-frequency table; the per-doc argmax
+    * is a `min_by` over the (-score, term) struct — map-side
+    * combinable, no sort, ties to the lexicographically first term.
+    */
+  def topTfidfTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val tf = tok.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val docLen = tok.groupBy(col(idCol)).agg(count(lit(1)).as("len"))
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(docLen, Seq(idCol))
+      .join(broadcast(dfreq), Seq("w"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("c") / col("len")) *
+          log((col("n_docs") + lit(1L)) / (col("df") + lit(1L))))
+    scored.groupBy(col(idCol))
+      .agg(
+        min_by(col("w"), struct((-col("score")).as("ns"), col("w")))
+          .as("top_term"),
+        trunc6(-min(struct((-col("score")).as("ns"), col("w")))
+          .getField("ns")).as("tfidf"))
+  }
+
   /** Karp–Rabin polynomial rolling hash of the first `maxChars`
     * characters: fold `acc = (acc*31 + ascii(char)) mod 1e9+7`.
     * Deterministic content fingerprint with incremental-window

@@ -213,6 +213,11 @@ object ExtQueries {
       TextStats.langId(docs(s, dir), "doc_id", "text", "lang")
         .orderBy("doc_id")),
 
+    // TF-IDF keyword per document (smoothed idf, sort-free argmax).
+    "doc_top_tfidf" -> ((s, dir) =>
+      TextStats.topTfidfTerm(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextStats.rollingFingerprint(col("text"), 64).as("fp"))
@@ -503,6 +508,31 @@ object ExtQueries {
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
         |  CAST(floor(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "doc_top_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), tf AS (
+        |  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+        |), dfreq AS (
+        |  SELECT w, count(*) AS df FROM tf GROUP BY w
+        |), nd AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.w,
+        |    (tf.c / dl.len) * ln((nd.n_docs + 1) / (dfreq.df + 1)) AS score
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |  JOIN dfreq ON tf.w = dfreq.w CROSS JOIN nd
+        |), ranked AS (
+        |  SELECT doc_id, w, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, w) AS rk
+        |  FROM scored)
+        |SELECT doc_id, w AS top_term,
+        |  floor(score * 1000000) / 1000000 AS tfidf
+        |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     "kmeans_fit_assign" ->
       s"""$KmeansCtes
