@@ -41,7 +41,8 @@ object ScaleSanity {
       // round-2 operators — all must stay ~linear:
       "asof_join_purchase", "range_join_window_count",
       "events_session_window", "ts_rolling_mean", "ts_counter_rate",
-      "ts_interpolate", "events_exact_quantiles")
+      "ts_interpolate", "events_exact_quantiles", "ts_anomaly_zscore",
+      "metrics_correlation", "events_histogram")
     val rows = picks.map { q =>
       val f = graft.SparkEntry.queries(q)
       val t1 = time(f(spark, "/root/testdata/sf0.1").count())
