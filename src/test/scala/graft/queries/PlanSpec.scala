@@ -98,6 +98,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("arraydot"), s"centroid distance not codegen'd:\n$p")
   }
 
+  test("z-score moments run in ONE Window operator") {
+    val p = plan("ts_anomaly_zscore")
+    val windows = """\(\d+\) Window""".r.findAllIn(p).size
+    assert(windows == 1, s"expected 1 Window op, got $windows:\n$p")
+  }
+
+  test("tfidf argmax is aggregation-only — no sort window, df broadcast") {
+    val p = plan("doc_top_tfidf")
+    assert(!p.contains("Window"), s"argmax degraded to a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df table not broadcast:\n$p")
+  }
+
   test("stratified sample is a pure narrow filter — no exchange before sort") {
     val p = plan("sample_stratified")
     // the gate itself adds no shuffle; only the output orderBy exchanges
