@@ -38,4 +38,36 @@ object Sampling {
     df.withColumn("sample_bucket", hashBucket(col(idCol)))
       .filter(col("sample_bucket") < thr)
   }
+
+  /** Uniform-in-[0,1) hash of an id: the top-16-bit integer of
+    * md5(id) divided by 2¹⁶ (a power of two, so the division is exact
+    * in binary — the comparison against any rate is bit-portable).
+    */
+  def hashUniform(id: Column): Column =
+    conv(hashBucket(id), 16, 10).cast("int") / lit(65536.0)
+
+  /** PER-ROW-RATE sampling: keep a row iff `hashUniform(id) < rateCol`,
+    * where `rateCol` is any deterministic [0,1] column (a quality
+    * score, a per-domain quota, a curriculum weight). The standard
+    * quality-weighted corpus downsample — still a pure narrow filter,
+    * still reproducible under any repartitioning, and still monotone:
+    * raising a row's rate can only ever ADD it to the sample.
+    */
+  def weighted(df: DataFrame, idCol: String, rateCol: Column): DataFrame =
+    df.withColumn("sample_u", hashUniform(col(idCol)))
+      .filter(col("sample_u") < rateCol)
+
+  /** Exactly-k-per-stratum deterministic sampling: rank rows inside
+    * each stratum by their id hash (a reproducible shuffle) and keep
+    * the first k. One shuffle on the stratum + a per-partition sort —
+    * the "take exactly 100 docs per language, reproducibly" primitive.
+    */
+  def topKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                     k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
 }

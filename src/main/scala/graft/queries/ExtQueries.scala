@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 
 /** North-star extension queries (SURVEY.md §2.F): dedup, similarity
   * search, text analysis, multimodal plumbing — over `documents` /
@@ -217,6 +217,23 @@ object ExtQueries {
     "doc_top_tfidf" -> ((s, dir) =>
       TextStats.topTfidfTerm(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // Per-row-rate (length-weighted) deterministic sampling: longer
+    // docs keep with higher probability; pure narrow filter.
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weighted(
+        docs(s, dir).withColumn("rate",
+          least(lit(1.0), size(split(col("text"), " ")) / lit(100.0))),
+        "doc_id", col("rate"))
+        .select("doc_id", "lang", "rate", "sample_u")
+        .orderBy("doc_id")),
+
+    // Exactly-k-per-stratum reproducible sample (hash-ranked).
+    "sample_topk_per_stratum" -> ((s, dir) =>
+      Sampling.topKPerStratum(docs(s, dir), "doc_id", "lang", k = 20)
+        .select(col("doc_id"), col("lang"),
+          col("sample_rank").cast("long").as("sample_rank"))
+        .orderBy("lang", "sample_rank")),
 
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -508,6 +525,34 @@ object ExtQueries {
         |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
         |  CAST(floor(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "sample_weighted" -> {
+      val nib = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(hb, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT doc_id, lang,
+         |    least(CAST(1.0 AS DOUBLE),
+         |      len(string_split(text, ' ')) / CAST(100.0 AS DOUBLE)) AS rate,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hb
+         |  FROM documents
+         |), u AS (
+         |  SELECT doc_id, lang, rate,
+         |    CAST(($nib) AS DOUBLE) / CAST(65536.0 AS DOUBLE) AS sample_u
+         |  FROM h
+         |)
+         |SELECT doc_id, lang, rate, sample_u FROM u
+         |WHERE sample_u < rate ORDER BY doc_id""".stripMargin
+    },
+
+    "sample_topk_per_stratum" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, sample_rank FROM ranked
+        |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
 
     "doc_top_tfidf" ->
       """WITH tok AS (

@@ -38,6 +38,33 @@ class SamplingSpec extends SparkSpec {
     assert(small.size < big.size)
   }
 
+  test("weighted sampling: rate 0 keeps nothing, 1 keeps all, monotone per row") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, (i % 5) / 4.0)).toDF("id", "rate")
+    assert(Sampling.weighted(df, "id", lit(0.0)).count() == 0)
+    assert(Sampling.weighted(df, "id", lit(1.0)).count() == 500)
+    // per-row monotone: raising every rate can only add rows
+    val low = Sampling.weighted(df, "id", col("rate") * 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val high = Sampling.weighted(df, "id", col("rate"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(low.subsetOf(high))
+  }
+
+  test("topKPerStratum keeps exactly k per stratum, reproducibly") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val a = Sampling.topKPerStratum(df, "id", "stratum", 7)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a.length == 21)
+    val b = Sampling.topKPerStratum(df.repartition(11), "id", "stratum", 7)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b) // hash-ranked: repartition-proof
+    // a stratum with fewer than k rows keeps them all
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "stratum")
+    assert(Sampling.topKPerStratum(tiny, "id", "stratum", 7).count() == 2)
+  }
+
   test("unlisted strata drop entirely") {
     import spark.implicits._
     val df = Seq((1L, "known"), (2L, "unknown")).toDF("id", "stratum")
