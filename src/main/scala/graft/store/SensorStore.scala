@@ -406,6 +406,67 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     out
   }
 
+  /** Materialize a MERGEABLE mean rollup: per (chunk, bucket) and per
+    * metric, the `(sum, count)` partial pair with the sum routed
+    * through DECIMAL. Unlike the first-per-bucket rollup (exact only
+    * for first-value queries at exactly its grid), these partials
+    * RE-AGGREGATE: any coarser grid's mean derives exactly by summing
+    * them — the pre-aggregation shape that makes dashboard means over
+    * years of fine data a rollup-sized scan at ANY zoom level.
+    */
+  def materializeMeanRollup(db: String, sensor: String,
+                            bucketSec: Long): String = {
+    val cfg = config(db, sensor)
+    val metrics = cfg.metricNames
+    val out = s"${sensorDir(db, sensor)}/meanrollup_$bucketSec"
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val aggs = metrics.flatMap(m => Seq(
+      sum(when(!isnan(col(m)), col(m)).cast(dec)).as(s"${m}__sum"),
+      count(when(!isnan(col(m)), col(m))).as(s"${m}__n")))
+    readRaw(db, sensor, metrics)
+      .withColumn("bucket", Grid.snapSeconds(col("slot"), bucketSec))
+      .groupBy(col("chunk_start"), col("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .repartition(col("chunk_start"))
+      .write.mode("overwrite").partitionBy("chunk_start").parquet(out)
+    out
+  }
+
+  /** Read means from a materialized mean rollup, RE-AGGREGATED to any
+    * grid at least as coarse as the rollup's: partial (sum, count)
+    * pairs merge exactly (decimal addition is associative), then one
+    * division per output cell. Null where a coarse bucket holds no
+    * observations.
+    */
+  def readMeanRollup(db: String, sensor: String, bucketSec: Long,
+                     coarseSec: Long,
+                     fromSec: Option[Long] = None,
+                     toSec: Option[Long] = None): DataFrame = {
+    require(coarseSec % bucketSec == 0,
+      s"coarse grid $coarseSec must be a multiple of the rollup grid $bucketSec")
+    val metrics = config(db, sensor).metricNames
+    var df = spark.read.parquet(
+      s"${sensorDir(db, sensor)}/meanrollup_$bucketSec")
+    fromSec.foreach(f => df = df.filter(col("bucket") >= f - f % bucketSec))
+    toSec.foreach(t => df = df.filter(col("bucket") <= t))
+    val merged = df
+      .withColumn("cbucket", Grid.snapSeconds(col("bucket"), coarseSec))
+      .groupBy(col("cbucket"))
+      .agg(
+        metrics.flatMap(m => Seq(
+          sum(col(s"${m}__sum")).as(s"${m}__sum"),
+          sum(col(s"${m}__n")).as(s"${m}__n"))).head,
+        metrics.flatMap(m => Seq(
+          sum(col(s"${m}__sum")).as(s"${m}__sum"),
+          sum(col(s"${m}__n")).as(s"${m}__n"))).tail: _*)
+    merged.select(
+      timestamp_seconds(col("cbucket")).cast(TimestampType).as("ts") +:
+        metrics.map(m =>
+          when(col(s"${m}__n") > 0,
+            col(s"${m}__sum").cast("double") / col(s"${m}__n")).as(m)): _*)
+      .orderBy("ts")
+  }
+
   /** Materialized rollup buckets present for a sensor (metadata scan). */
   def listRollups(db: String, sensor: String): Seq[Long] = {
     val p = Paths.get(sensorDir(db, sensor))

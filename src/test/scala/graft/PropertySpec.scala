@@ -42,6 +42,31 @@ class PropertySpec extends SparkSpec {
     assert(bad.isEmpty, s"round-trip failed for: ${bad.mkString(" | ")}")
   }
 
+  test("adversarial influx lines NEVER throw — they flag or parse") {
+    import spark.implicits._
+    // structured garbage: every combination of broken header / missing
+    // '=' / non-numeric value / absurd ts / empty / unicode — under
+    // default ANSI mode any unguarded cast here kills the whole batch
+    val adversarial = Seq(
+      "", " ", ",", "=", "db", "db,", "db,c=s", "db,c=s ", "db,c=s m",
+      "db,c=s m=", "db,c=s m=abc", "db,c=s m=1e999", "db,c=s m=nän",
+      "db,c=s m=1 notanumber", "db,c=s m=1 99999999999999999999999999",
+      "db,c=s m=1 123 extra", "db,,c=s m=1", "db,c=s m=1,=2",
+      "db,c=s m==2", "🚀,c=s m=1 123", "db,c=🚀 m=∞ 456",
+      "a,b=c d=1.5 1704067200000000000") // one valid control line
+    val gen100 = gen(Gen.oneOf(adversarial), 100)
+    val parsed = Influx.parseLines(gen100.toDF("line"), "line")
+    // the whole point: this collect must not throw
+    val rows = parsed.select("malformed", "value", "ts_sec").collect()
+    assert(rows.nonEmpty)
+    // and the valid control line parses clean wherever it was sampled
+    val ok = Influx.parseLines(
+      Seq("a,b=c d=1.5 1704067200000000000").toDF("line"), "line").head()
+    assert(!ok.getAs[Boolean]("malformed") &&
+      ok.getAs[Double]("value") == 1.5 &&
+      ok.getAs[Long]("ts_sec") == 1704067200L)
+  }
+
   test("grid snap: result is on-grid, ≤ input, within tick of input") {
     import spark.implicits._
     val secs = gen(Gen.chooseNum(0L, 4102444800L), 500)

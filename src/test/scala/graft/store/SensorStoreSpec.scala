@@ -267,6 +267,37 @@ class SensorStoreSpec extends SparkSpec {
     }
   }
 
+  test("mean rollup partials re-aggregate exactly to any coarser grid") {
+    import spark.implicits._
+    val st = freshStore()
+    val t0 = 1704067200L
+    st.createSensor(SensorConfig("mr", "s", "1s", Seq(MetricDef(Seq("v")))))
+    // 600 seconds, value = i at second i (only even seconds written)
+    val pts = (0 until 600 by 2).map(i => (t0 + i, "v", i.toDouble))
+      .toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("metric"),
+        col("value"))
+    st.write("mr", "s", pts)
+    st.materializeMeanRollup("mr", "s", 60L)
+
+    // read back at the rollup grid: mean of evens in [b, b+60)
+    val at60 = st.readMeanRollup("mr", "s", 60L, 60L).collect()
+    assert(at60.length == 10)
+    // bucket 0 holds 0,2,...,58 → mean 29
+    assert(at60(0).getDouble(1) == 29.0)
+
+    // re-aggregated to 300s WITHOUT touching raw data: exact merge
+    val at300 = st.readMeanRollup("mr", "s", 60L, 300L).collect()
+    assert(at300.length == 2)
+    assert(at300(0).getDouble(1) == 149.0) // mean of 0..298 evens
+    assert(at300(1).getDouble(1) == 449.0) // mean of 300..598 evens
+
+    // a coarse grid that is not a multiple of the rollup grid refuses
+    intercept[IllegalArgumentException] {
+      st.readMeanRollup("mr", "s", 60L, 90L)
+    }
+  }
+
   test("writeLocked serializes concurrent writers to ONE sensor — no lost updates") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
