@@ -168,4 +168,24 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** MULTI-PROBE ANN: candidates from the query's bucket plus every
+    * bucket one signature-bit away — the standard LSH recall fix (a
+    * near neighbor on the wrong side of ONE hyperplane is no longer
+    * lost). Probing 1 + planes buckets costs (planes+1)/2^planes of the
+    * table; at 100 TB with the table written partitioned by signature
+    * the probe list is computed driver-side from the query vector and
+    * becomes a partition-pruned read of planes+1 partitions. Candidate
+    * test here is a codegen'd Hamming compare on the signature strings.
+    */
+  def annTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+                        query: Column, planes: Int, dim: Int,
+                        k: Int): DataFrame = {
+    val sig = lshSignature(col(vecCol), planes, dim)
+    val qsig = lshSignature(query, planes, dim)
+    df.filter(graft.expr.HammingDistance.hamming(sig, qsig) <= 1)
+      .select(col(idCol), round(cosine(col(vecCol), query), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 }

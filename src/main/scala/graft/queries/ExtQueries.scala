@@ -163,6 +163,15 @@ object ExtQueries {
         "vec_id", "embedding", col("qvec"), Planes, Dim, 5)
     }),
 
+    // Multi-probe ANN: the query bucket + every 1-bit-flip bucket.
+    "similar_ann_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.annTopKMultiProbe(
+        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", col("qvec"), Planes, Dim, 5)
+    }),
+
     "similar_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id") < 8)
@@ -397,6 +406,23 @@ object ExtQueries {
          |  round(${cosineSql("embedding", "qvec")}, 6) AS sim
          |FROM sigs WHERE sig = qsig
          |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+    "similar_ann_multiprobe" -> {
+      val hamming = (1 to Planes).map(i =>
+        s"CASE WHEN substr(sig, $i, 1) <> substr(qsig, $i, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |sigs AS (
+         |  SELECT e.vec_id, e.embedding, q.qvec,
+         |    ${lshSql("e.embedding")} AS sig,
+         |    ${lshSql("q.qvec")} AS qsig
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> 0)
+         |SELECT vec_id,
+         |  round(${cosineSql("embedding", "qvec")}, 6) AS sim
+         |FROM sigs WHERE ($hamming) <= 1
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+    },
 
     "similar_ivf_topk" ->
       s"""WITH cents AS (
