@@ -16,6 +16,10 @@ run / fork := true
 // LoggedOutput would wrap it as "[info] {...}" which breaks the parse.
 outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
+// ...and suppress the trailing "[success] Total time: ..." line sbt
+// prints AFTER the JSON — the bench driver reads the last stdout line
+// (BENCH_r02.json captured the [success] line and recorded parsed:null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

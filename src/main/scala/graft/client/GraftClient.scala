@@ -187,13 +187,20 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
     * `(metric, value, ts_ms)`.
     *
     * ROLLUP ROUTING (the 100 TB dashboard path): when a materialized
-    * rollup exists whose bucket fits under the query spread, the read
-    * is served from it — touching bucketSec-times fewer rows — instead
-    * of the raw grid. First-per-bucket over first-per-rollup-bucket
-    * returns exactly the raw first VALUES (the earliest raw point lives
-    * in the earliest non-empty rollup bucket and is its first); only
-    * the reported timestamps coarsen to the rollup grid. Pass
-    * `useRollups = false` to force raw reads (exact timestamps).
+    * rollup exists whose bucket ALIGNS with the query, the read is
+    * served from it — touching bucketSec-times fewer rows — instead of
+    * the raw grid. Alignment is required for exactness (ADVICE r2): the
+    * rollup is used only when `fromSec` sits on the rollup grid (no
+    * straddling first bucket whose pre-`fromSec` first value would be
+    * wrong and whose in-range values would be lost) AND the query
+    * spread is an integral multiple of the rollup bucket (so no rollup
+    * bucket straddles a spread boundary and migrates its value into the
+    * wrong output bucket). Then first-per-bucket over
+    * first-per-rollup-bucket returns exactly the raw first VALUES; only
+    * the reported timestamps coarsen to the rollup grid. Rollups are
+    * refreshed on write (`SensorStore.refreshRollups`), so they never
+    * serve pre-upsert data. Any misalignment falls back to the raw
+    * read; `useRollups = false` forces raw (exact timestamps).
     */
   def readGrafana(db: String, sensor: String, fromSec: Long, toSec: Long,
                   maxDataPoints: Int,
@@ -201,9 +208,15 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
                   useRollups: Boolean = true): DataFrame = {
     val cfg = store.config(db, sensor)
     val wanted = targets.getOrElse(cfg.metricNames)
-    val spread = (toSec - fromSec + 1).toDouble / maxDataPoints
-    val rollup = if (useRollups)
-      store.listRollups(db, sensor).filter(_ <= spread).lastOption
+    val span = toSec - fromSec + 1
+    // integral spread or no rollup: a fractional spread can never be a
+    // multiple of an integer bucket
+    val spreadSec = if (span % maxDataPoints == 0)
+      Some(span / maxDataPoints) else None
+    val rollup = if (useRollups) spreadSec.flatMap(sp =>
+      store.listRollups(db, sensor)
+        .filter(b => b <= sp && sp % b == 0 && fromSec % b == 0)
+        .lastOption)
     else None
     val wide = rollup match {
       case Some(b) =>

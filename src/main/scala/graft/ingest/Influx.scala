@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object Influx {
 
-  /** Lines that the grammar accepts: header, fields, optional ts. */
-  val LineRegex = """^([^, ]+),[^= ]+=([^ ]+) ([^ ]+)( \d+)?$"""
+  /** Lines that the grammar accepts: header, fields, optional ts
+    * (possibly negative — the reference's `int()` accepts pre-epoch).
+    */
+  val LineRegex = """^([^, ]+),[^= ]+=([^ ]+) ([^ ]+)( -?\d+)?$"""
 
   /** Parse a DataFrame with a string column `lineCol` into long-format
     * points. Output columns: db, sensor, metric, value (double),
@@ -32,7 +34,7 @@ object Influx {
     val line = col(lineCol)
     val header = get(split(line, " "), lit(0))
     val fields = coalesce(get(split(line, " "), lit(1)), lit(""))
-    val tsStr = regexp_extract(line, """ (\d+)$""", 1)
+    val tsStr = regexp_extract(line, """ (-?\d+)$""", 1)
     df.withColumn("malformed", !line.rlike(LineRegex))
       .withColumn("db", get(split(header, ","), lit(0)))
       .withColumn("sensor", regexp_extract(header, """,[^=]+=(.+)$""", 1))
@@ -46,17 +48,27 @@ object Influx {
       .withColumn("value", expr("try_cast(value_str AS DOUBLE)"))
       .withColumn("malformed",
         col("malformed") || (col("value").isNull && col("value_str").isNotNull))
-      // integer `div` on int64, NOT decimal division: Spark rounds a
-      // decimal quotient half-up at the result scale (6) BEFORE any
+      // integer arithmetic on int64, NOT decimal division: Spark rounds
+      // a decimal quotient half-up at the result scale (6) BEFORE any
       // floor can run, so 1704067199999999999 ns became ...200 s. An
-      // int64 holds epoch-ns until year 2262; `div` floors exactly
-      // (reference floors too). try_cast → null for absurd digit runs
-      // (treated as no-timestamp) instead of an ANSI overflow crash.
+      // int64 holds epoch-ns until year 2262. Spark's `div` TRUNCATES
+      // toward zero while the reference's Python `//` FLOORS — they
+      // differ on pre-epoch (negative) nanoseconds — so correct the
+      // truncated quotient by 1 whenever a negative remainder was
+      // discarded (java-style % keeps the dividend's sign). This floors
+      // for every sign and, unlike `ns - pmod(ns, 1e9)`, cannot
+      // overflow at the int64 edges under ANSI. try_cast → null for
+      // absurd digit runs (treated as no-timestamp) instead of an ANSI
+      // overflow crash.
       .withColumn("ts_ns_str", tsStr)
+      .withColumn("__ts_ns", expr("try_cast(ts_ns_str AS BIGINT)"))
       .withColumn("ts_sec",
         when(col("ts_ns_str") === "", lit(null).cast("long"))
-          .otherwise(expr("try_cast(ts_ns_str AS BIGINT) div 1000000000")))
-      .drop("field", "value_str", "ts_ns_str")
+          .otherwise(expr(
+            """__ts_ns div 1000000000
+              | - (CASE WHEN __ts_ns % 1000000000 < 0 THEN 1 ELSE 0 END)"""
+              .stripMargin)))
+      .drop("field", "value_str", "ts_ns_str", "__ts_ns")
   }
 
   /** Fill-value parsing (reference C-5, `server.py:296-301`): numeric

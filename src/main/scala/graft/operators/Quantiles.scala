@@ -23,10 +23,17 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** One row per group: `q<pct>` columns with the type-1 quantile of
-    * `valueCol` at each requested fraction.
+    * `valueCol` at each requested PERCENT (integer 1..100).
+    *
+    * The rank is computed in INTEGER arithmetic: `ceil(p·n)` for
+    * `p = pct/100` is exactly `(pct·n + 99) div 100`. A double
+    * `ceil(0.99 * n)` is off by one whenever the product lands just
+    * above an integer (0.99·300 = 297.00000000000006 → rank 298) —
+    * the "no float math" promise requires the rank itself to be exact,
+    * not just the selected value (ADVICE r2).
     */
   def exactByRank(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  orderCol: String, ps: Seq[Double]): DataFrame = {
+                  orderCol: String, pcts: Seq[Int]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(col(valueCol), col(orderCol))
@@ -35,10 +42,10 @@ object Quantiles {
       .withColumn("__n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(groupCols.map(col): _*)))
-    val aggs = ps.map { p =>
-      val name = s"q${(p * 100).round}"
-      max(when(col("__rn") === ceil(lit(p) * col("__n")).cast("long"),
-        col(valueCol))).as(name)
+    val aggs = pcts.map { pct =>
+      require(pct >= 1 && pct <= 100, s"percent out of range: $pct")
+      max(when(col("__rn") === expr(s"($pct * __n + 99) div 100"),
+        col(valueCol))).as(s"q$pct")
     }
     ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

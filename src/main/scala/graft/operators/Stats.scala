@@ -20,15 +20,23 @@ object Stats {
   // the 38-digit cap of BOTH Spark and DuckDB, so products stay exact;
   // wider inputs would silently lose scale (Spark) or error (DuckDB).
   private val Dec = DecimalType(18, 6)
+  // representable range of Dec: |v| < 1e12. Values beyond it would make
+  // the ANSI cast THROW (a data-dependent crash killing the whole job),
+  // so they are excluded from the moments up front — same guard in the
+  // DuckDB oracle (ADVICE r2).
+  private val DecRange = 1e12
 
   /** Pairwise Pearson correlation of `xCol`,`yCol` per group over rows
-    * where both are present. Output: group cols + n (long) + corr
-    * (double, 6-decimal truncated; null when either variance is 0).
+    * where both are present AND inside the DECIMAL(18,6) range
+    * (|v| < 1e12 — wider magnitudes are excluded, not crashed on).
+    * Output: group cols + n (long) + corr (double, 6-decimal truncated;
+    * null when either variance is 0).
     */
   def pearson(df: DataFrame, groupCols: Seq[String], xCol: String,
               yCol: String): DataFrame = {
     val both = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
-      !isnan(col(xCol)) && !isnan(col(yCol)))
+      !isnan(col(xCol)) && !isnan(col(yCol)) &&
+      abs(col(xCol)) < DecRange && abs(col(yCol)) < DecRange)
     val x = col(xCol).cast(Dec)
     val y = col(yCol).cast(Dec)
     val agg = both.groupBy(groupCols.map(col): _*)

@@ -279,11 +279,12 @@ object TsQueries {
         .orderBy("event_id")),
 
     // Exact type-1 quantiles by rank selection — no interpolation, no
-    // float math, bit-identical across engines (operators.Quantiles).
+    // float math (integer-exact ranks), bit-identical across engines
+    // (operators.Quantiles).
     "events_exact_quantiles" -> ((s, dir) =>
       graft.operators.Quantiles.exactByRank(
         base(s, dir).filter(col("value").isNotNull),
-        Seq("event_type"), "value", "event_id", Seq(0.5, 0.9, 0.99))
+        Seq("event_type"), "value", "event_id", Seq(50, 90, 99))
         .orderBy("event_type")),
 
     // Trailing 30-min moving average per series — RANGE frame, decimal-
@@ -562,9 +563,12 @@ object TsQueries {
     "ts_rolling_mean" ->
       s"""$BaseCte
          |SELECT event_id, user_id, event_type, sec,
-         |  count(value) OVER w AS value_rn,
-         |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
-         |    / count(value) OVER w AS value_rmean
+         |  count(CASE WHEN abs(value) < 1e22 THEN value END) OVER w
+         |    AS value_rn,
+         |  CAST(sum(CAST(CASE WHEN abs(value) < 1e22 THEN value END
+         |                AS DECIMAL(28,6))) OVER w AS DOUBLE)
+         |    / count(CASE WHEN abs(value) < 1e22 THEN value END) OVER w
+         |    AS value_rmean
          |FROM base WHERE value IS NOT NULL
          |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY sec
          |             RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
@@ -576,10 +580,13 @@ object TsQueries {
         s"greatest((sxx - sx * sx / $n) / $n, CAST(0.0 AS DOUBLE))"
       s"""$BaseCte, m AS (
          |  SELECT event_id, user_id, event_type, sec, value,
-         |    count(value) OVER w AS rn,
-         |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
-         |    CAST(sum(CAST(value AS DECIMAL(18,6))
-         |           * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
+         |    count(CASE WHEN abs(value) < 1e12 THEN value END) OVER w AS rn,
+         |    CAST(sum(CAST(CASE WHEN abs(value) < 1e12 THEN value END
+         |                  AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(CASE WHEN abs(value) < 1e12 THEN value END
+         |                  AS DECIMAL(18,6))
+         |           * CAST(CASE WHEN abs(value) < 1e12 THEN value END
+         |                  AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
          |  FROM base WHERE value IS NOT NULL
          |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY sec
          |               RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW)
@@ -642,6 +649,7 @@ object TsQueries {
          |  FROM wide
          |  WHERE click IS NOT NULL AND view IS NOT NULL
          |    AND NOT isnan(click) AND NOT isnan(view)
+         |    AND abs(click) < 1e12 AND abs(view) < 1e12
          |  GROUP BY cohort
          |)
          |SELECT cohort, n,
@@ -685,9 +693,9 @@ object TsQueries {
          |  FROM base WHERE value IS NOT NULL
          |)
          |SELECT event_type,
-         |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS q50,
-         |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS q90,
-         |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS q99
+         |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS q50,
+         |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN value END) AS q90,
+         |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS q99
          |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "influx_parse" ->

@@ -27,14 +27,18 @@ object Rolling {
       .orderBy(col(secCol))
       .rangeBetween(-windowSec, Window.currentRow)
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    // values beyond DECIMAL(28,6)'s range (|v| >= 1e22) would make the
+    // ANSI cast throw — guard them to null so they drop out of both the
+    // sum AND the count (n stays consistent with the summed set)
+    val guarded = when(abs(col(valueCol)) < lit(1e22), col(valueCol))
     // ONE select with both window expressions: chained withColumns
     // interleave Projects that block CollapseWindow, planning two
     // Window passes; a single projection gives one Window operator
     // over one exchange+sort
     df.select(col("*"),
-      count(col(valueCol)).over(w).as(s"${valueCol}_rn"),
-      (sum(col(valueCol).cast(dec)).over(w).cast("double") /
-        count(col(valueCol)).over(w)).as(s"${valueCol}_rmean"))
+      count(guarded).over(w).as(s"${valueCol}_rn"),
+      (sum(guarded.cast(dec)).over(w).cast("double") /
+        count(guarded).over(w)).as(s"${valueCol}_rmean"))
   }
 
   /** Rolling z-score anomaly detection: how many trailing-window
@@ -52,9 +56,14 @@ object Rolling {
       .orderBy(col(secCol))
       .rangeBetween(-windowSec, Window.currentRow)
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
-    val x = col(valueCol).cast(dec)
+    // |v| >= 1e12 exceeds DECIMAL(18,6) — null it out of the moments
+    // (count AND sums together) instead of letting the ANSI cast kill
+    // the query on one wild data point (ADVICE r2; same guard in the
+    // oracle)
+    val guarded = when(abs(col(valueCol)) < lit(1e12), col(valueCol))
+    val x = guarded.cast(dec)
     val scored = df.select(col("*"),
-      count(col(valueCol)).over(w).as("rn"),
+      count(guarded).over(w).as("rn"),
       sum(x).over(w).cast("double").as("sx"),
       sum(x * x).over(w).cast("double").as("sxx"))
     val n = col("rn").cast("double")

@@ -192,6 +192,12 @@ class SensorStore(spark: SparkSession, baseDir: String) {
         .write.mode("overwrite")
         .partitionBy("chunk_start")
         .parquet(dataDir(db, sensor))
+      // derived data stays derived: re-aggregate the touched chunk
+      // partitions of every materialized rollup so no read can see a
+      // pre-upsert rollup value (full rebuild when evolution widened
+      // the schema — old rollup files lack the new column).
+      refreshRollups(db, sensor, touched.toSeq,
+        fullRebuild = newMetrics.nonEmpty)
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -206,23 +212,34 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     * (`database.py:154-168`). Acquisition is an ATOMIC exclusive file
     * create (POSIX O_EXCL semantics — two contenders cannot both
     * succeed); a crashed holder's lock is taken over after `staleMs`.
+    *
+    * Ownership is token-checked: the lock file carries a unique
+    * `pid@nonce` token, stale takeover happens by an atomic RENAME to a
+    * per-contender tombstone (exactly one renamer can win — no
+    * double-delete race), and release deletes the file only while it
+    * still holds OUR token. A holder that pauses past `staleMs` (GC,
+    * long job) and resumes after a takeover therefore cannot delete the
+    * NEW holder's lock. A daemon heartbeat refreshes the lock mtime at
+    * `staleMs/3` so a long-but-alive write is never mistaken for a
+    * crash in the first place.
+    *
     * With the lock, concurrent writers to ONE sensor serialize and the
     * read-modify-write merge can never lose an update; readers never
     * need the lock (parquet job commit keeps them consistent). On an
-    * object store without atomic create, swap this for a DynamoDB/etcd
-    * mutex or a Delta/Iceberg optimistic commit — `write` itself is
-    * format-agnostic.
+    * object store without atomic create/rename, swap this for a
+    * DynamoDB/etcd mutex or a Delta/Iceberg optimistic commit —
+    * `write` itself is format-agnostic.
     */
   def withWriterLock[T](db: String, sensor: String, timeoutMs: Long = 30000,
                         staleMs: Long = 600000)(f: => T): T = {
-    val lock = Paths.get(sensorDir(db, sensor), "_WRITE_LOCK")
+    val dir = sensorDir(db, sensor)
+    val lock = Paths.get(dir, "_WRITE_LOCK")
+    val token = s"${ProcessHandle.current().pid()}@${java.util.UUID.randomUUID()}"
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
     while (!acquired) {
       try {
-        Files.write(lock,
-          s"${ProcessHandle.current().pid()}@${System.currentTimeMillis()}"
-            .getBytes(StandardCharsets.UTF_8),
+        Files.write(lock, token.getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW,
           java.nio.file.StandardOpenOption.WRITE)
         acquired = true
@@ -231,13 +248,39 @@ class SensorStore(spark: SparkSession, baseDir: String) {
           val stale = try {
             Files.getLastModifiedTime(lock).toMillis < System.currentTimeMillis() - staleMs
           } catch { case _: java.io.IOException => false } // holder just released
-          if (stale) Files.deleteIfExists(lock) // takeover; next loop re-races
+          if (stale) {
+            // takeover by atomic same-dir rename to a unique tombstone:
+            // of N contenders exactly one move succeeds (the rest see
+            // NoSuchFileException and re-race); nobody can delete a
+            // lock that a newer holder just re-created.
+            val tomb = Paths.get(dir, s"_WRITE_LOCK.stale.$token")
+            try { Files.move(lock, tomb); Files.deleteIfExists(tomb); () }
+            catch { case _: java.io.IOException => () }
+          }
           else if (System.currentTimeMillis() > deadline)
             throw new graft.core.WriteLockTimeoutException(db, sensor, timeoutMs)
           else Thread.sleep(50)
       }
     }
-    try f finally Files.deleteIfExists(lock)
+    val heartbeat = new Thread(() => {
+      try while (true) {
+        Thread.sleep(math.max(staleMs / 3, 50L))
+        try Files.setLastModifiedTime(lock,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case _: java.io.IOException => () } // taken over: stop touching
+      } catch { case _: InterruptedException => () }
+    }, s"graft-writelock-heartbeat-$db-$sensor")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+    try f finally {
+      heartbeat.interrupt()
+      // release only while the file still carries OUR token — after a
+      // stale takeover the path belongs to the new holder.
+      try {
+        if (new String(Files.readAllBytes(lock), StandardCharsets.UTF_8) == token)
+          Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () } // already taken over/released
+    }
   }
 
   /** `write` under the sensor's writer lock — safe for concurrent
@@ -392,18 +435,26 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     */
   def materializeRollup(db: String, sensor: String,
                         bucketSec: Long): String = {
-    val cfg = config(db, sensor)
-    val metrics = cfg.metricNames
     val out = s"${sensorDir(db, sensor)}/rollup_$bucketSec"
-    val aggs = metrics.map(m =>
-      min_by(col(m), when(col(m).isNotNull, col("slot"))).as(m))
-    readRaw(db, sensor, metrics)
-      .withColumn("bucket", Grid.snapSeconds(col("slot"), bucketSec))
-      .groupBy(col("chunk_start"), col("bucket"))
-      .agg(aggs.head, aggs.tail: _*)
+    rollupFrame(db, sensor, bucketSec, None)
       .repartition(col("chunk_start"))
       .write.mode("overwrite").partitionBy("chunk_start").parquet(out)
     out
+  }
+
+  /** First-per-bucket rollup aggregation, optionally restricted to a
+    * chunk subset (the unit of incremental refresh).
+    */
+  private def rollupFrame(db: String, sensor: String, bucketSec: Long,
+                          chunks: Option[Seq[Long]]): DataFrame = {
+    val metrics = config(db, sensor).metricNames
+    val aggs = metrics.map(m =>
+      min_by(col(m), when(col(m).isNotNull, col("slot"))).as(m))
+    var raw = readRaw(db, sensor, metrics)
+    chunks.foreach(c => raw = raw.filter(col("chunk_start").isin(c: _*)))
+    raw.withColumn("bucket", Grid.snapSeconds(col("slot"), bucketSec))
+      .groupBy(col("chunk_start"), col("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Materialize a MERGEABLE mean rollup: per (chunk, bucket) and per
@@ -416,20 +467,55 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     */
   def materializeMeanRollup(db: String, sensor: String,
                             bucketSec: Long): String = {
-    val cfg = config(db, sensor)
-    val metrics = cfg.metricNames
     val out = s"${sensorDir(db, sensor)}/meanrollup_$bucketSec"
+    meanRollupFrame(db, sensor, bucketSec, None)
+      .repartition(col("chunk_start"))
+      .write.mode("overwrite").partitionBy("chunk_start").parquet(out)
+    out
+  }
+
+  /** Mean-rollup partial-pair aggregation, optionally restricted to a
+    * chunk subset (the unit of incremental refresh).
+    */
+  private def meanRollupFrame(db: String, sensor: String, bucketSec: Long,
+                              chunks: Option[Seq[Long]]): DataFrame = {
+    val metrics = config(db, sensor).metricNames
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     val aggs = metrics.flatMap(m => Seq(
       sum(when(!isnan(col(m)), col(m)).cast(dec)).as(s"${m}__sum"),
       count(when(!isnan(col(m)), col(m))).as(s"${m}__n")))
-    readRaw(db, sensor, metrics)
-      .withColumn("bucket", Grid.snapSeconds(col("slot"), bucketSec))
+    var raw = readRaw(db, sensor, metrics)
+    chunks.foreach(c => raw = raw.filter(col("chunk_start").isin(c: _*)))
+    raw.withColumn("bucket", Grid.snapSeconds(col("slot"), bucketSec))
       .groupBy(col("chunk_start"), col("bucket"))
       .agg(aggs.head, aggs.tail: _*)
-      .repartition(col("chunk_start"))
-      .write.mode("overwrite").partitionBy("chunk_start").parquet(out)
-    out
+  }
+
+  /** Keep materialized rollups EXACT across upserts: re-aggregate only
+    * the touched chunk partitions of every existing rollup (dynamic
+    * partition overwrite — O(touched chunks) work, not a full rebuild),
+    * or rebuild fully when schema evolution added a column. Called from
+    * `write` so a rollup can never silently serve pre-upsert values
+    * (ADVICE r2: stale-rollup invalidation). Caller must already be in
+    * dynamic partitionOverwriteMode for the incremental path.
+    */
+  private def refreshRollups(db: String, sensor: String,
+                             touched: Seq[Long],
+                             fullRebuild: Boolean): Unit = {
+    listRollups(db, sensor).foreach { b =>
+      if (fullRebuild) materializeRollup(db, sensor, b)
+      else rollupFrame(db, sensor, b, Some(touched))
+        .repartition(col("chunk_start"))
+        .write.mode("overwrite").partitionBy("chunk_start")
+        .parquet(s"${sensorDir(db, sensor)}/rollup_$b")
+    }
+    listMeanRollups(db, sensor).foreach { b =>
+      if (fullRebuild) materializeMeanRollup(db, sensor, b)
+      else meanRollupFrame(db, sensor, b, Some(touched))
+        .repartition(col("chunk_start"))
+        .write.mode("overwrite").partitionBy("chunk_start")
+        .parquet(s"${sensorDir(db, sensor)}/meanrollup_$b")
+    }
   }
 
   /** Read means from a materialized mean rollup, RE-AGGREGATED to any
@@ -477,6 +563,20 @@ class SensorStore(spark: SparkSession, baseDir: String) {
         .map(_.getFileName.toString)
         .filter(_.startsWith("rollup_"))
         .map(_.stripPrefix("rollup_").toLong).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Materialized MEAN-rollup buckets present for a sensor. */
+  def listMeanRollups(db: String, sensor: String): Seq[Long] = {
+    val p = Paths.get(sensorDir(db, sensor))
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("meanrollup_"))
+        .map(_.stripPrefix("meanrollup_").toLong).toSeq.sorted
       finally s.close()
     }
   }

@@ -206,6 +206,44 @@ class GraftClientSpec extends SparkSpec {
     assert(orphan.length == 10)
   }
 
+  test("grafana rollup routing requires alignment: misaligned from or " +
+       "non-multiple spread falls back to raw (exact results)") {
+    val c = freshClient()
+    c.createSensor("test", "al", "1s", Seq(Seq("v")))
+    c.write((0 until 600).map(i =>
+      s"test,circuit=al v=$i ${(t0 + i)}000000000"))
+    c.store.materializeRollup("test", "al", 60L)
+    // from is mid-bucket (t0+30): a rollup bucket would straddle it and
+    // lose values 30..59 — must serve raw: first bucket value is 30
+    val midFrom = c.readGrafana("test", "al", t0 + 30, t0 + 599, 5).collect()
+    assert(midFrom.map(_.getFloat(1)).toSeq ==
+      Seq(30f, 144f, 258f, 372f, 486f))
+    assert(midFrom.head.getLong(2) == (t0 + 30) * 1000) // exact raw ts
+    // spread 90 is integral but not a multiple of the 60s bucket → raw;
+    // values are the true first of each 90s span
+    val spread90 = c.readGrafana("test", "al", t0, t0 + 539, 6).collect()
+    assert(spread90.map(_.getFloat(1)).toSeq ==
+      (0 until 540 by 90).map(_.toFloat))
+    // aligned query still routes through the rollup (coarsened ts)
+    val aligned = c.readGrafana("test", "al", t0, t0 + 599, 5).collect()
+    assert(aligned.map(_.getFloat(1)).toSeq ==
+      (0 until 600 by 120).map(_.toFloat))
+  }
+
+  test("rollups refresh on write: an upsert is visible through the rollup") {
+    val c = freshClient()
+    c.createSensor("test", "rf", "1s", Seq(Seq("v")))
+    c.write((0 until 120 by 5).map(i =>
+      s"test,circuit=rf v=$i ${(t0 + i)}000000000"))
+    c.store.materializeRollup("test", "rf", 60L)
+    // a write that REPLACES the first slot of the second bucket must
+    // show through the rollup: overwrite t0+60 itself
+    c.write(Seq(s"test,circuit=rf v=777 ${(t0 + 60)}000000000"))
+    val after = c.store.readRollup("test", "rf", 60L).collect()
+    val bucket2 = after.find(_.getTimestamp(0).toInstant.getEpochSecond == t0 + 60).get
+    assert(bucket2.getFloat(1) == 777f) // pre-fix: stale 60f
+  }
+
   test("grafana read survives a range shorter than maxDataPoints (spread<1)") {
     // integer spread would be 0 → ANSI DIVIDE_BY_ZERO; float spread
     // buckets fine and every point lands in its own bucket

@@ -24,6 +24,17 @@ class InfluxSpec extends SparkSpec {
       Row("test", "s1", "reactive", 10.0, 1704067200L)))
   }
 
+  test("pre-epoch nanoseconds floor to the earlier second (python //)") {
+    // -1 ns is inside second -1 ([-1e9, 0)); truncation would say 0
+    val rows = parse(
+      "test,circuit=s1 active=1 -1",
+      "test,circuit=s1 active=1 -1000000000",
+      "test,circuit=s1 active=1 -1000000001",
+      "test,circuit=s1 active=1 1")
+      .select("ts_sec").collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(-1L, -1L, -2L, 0L))
+  }
+
   test("ragged lines: single metric, missing ts → null ts") {
     val rows = parse("test,circuit=s1 active=11")
       .select("metric", "value", "ts_sec").collect().toSeq

@@ -71,17 +71,27 @@ class OperatorsSpec extends SparkSpec {
     // group g: values 1..10 → q50 = 5th value = 5.0, q90 = 9th = 9.0
     val df = (1 to 10).map(i => ("g", i.toDouble, i.toLong)).toDF("k", "v", "ord")
     val out = Quantiles.exactByRank(df, Seq("k"), "v", "ord",
-      Seq(0.5, 0.9, 0.99)).collect()(0)
+      Seq(50, 90, 99)).collect()(0)
     assert(out.getDouble(1) == 5.0)
     assert(out.getDouble(2) == 9.0)
     assert(out.getDouble(3) == 10.0) // ceil(0.99*10)=10
+  }
+
+  test("exact quantile ranks are integer-exact where double ceil is off by one") {
+    import spark.implicits._
+    // n=300: double 0.99*300 = 297.00000000000006 → ceil 298 (wrong);
+    // integer (99*300 + 99) div 100 = 297 (right)
+    val df = (1 to 300).map(i => ("g", i.toDouble, i.toLong)).toDF("k", "v", "ord")
+    val out = Quantiles.exactByRank(df, Seq("k"), "v", "ord", Seq(99))
+      .collect()(0)
+    assert(out.getDouble(1) == 297.0)
   }
 
   test("exact quantiles break value ties deterministically by order col") {
     import spark.implicits._
     val df = Seq(("g", 1.0, 1L), ("g", 1.0, 2L), ("g", 2.0, 3L), ("g", 2.0, 4L))
       .toDF("k", "v", "ord")
-    val out = Quantiles.exactByRank(df, Seq("k"), "v", "ord", Seq(0.5)).collect()(0)
+    val out = Quantiles.exactByRank(df, Seq("k"), "v", "ord", Seq(50)).collect()(0)
     assert(out.getDouble(1) == 1.0) // rank ceil(0.5*4)=2 → second 1.0
   }
 

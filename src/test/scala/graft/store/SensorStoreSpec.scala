@@ -349,6 +349,24 @@ class SensorStoreSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(lock)) // released cleanly
   }
 
+  test("writer lock release is ownership-checked: a taken-over holder " +
+       "does not delete the new holder's lock") {
+    val (st, dir) = freshStoreDir()
+    st.createSensor(SensorConfig("lk2", "s", "1s", Seq(MetricDef(Seq("v")))))
+    val lock = java.nio.file.Paths.get(s"$dir/lk2/s/_WRITE_LOCK")
+    st.withWriterLock("lk2", "s") {
+      // simulate: this holder paused > staleMs, a second writer took
+      // over and now holds the lock under ITS token
+      java.nio.file.Files.write(lock, "other-holder@nonce".getBytes)
+    }
+    // the original holder's release must NOT have deleted the new
+    // holder's lock (the pre-fix code deleted unconditionally)
+    assert(java.nio.file.Files.exists(lock))
+    assert(new String(java.nio.file.Files.readAllBytes(lock)) ==
+      "other-holder@nonce")
+    java.nio.file.Files.delete(lock)
+  }
+
   test("migrateCompression rewrites data, preserving every row (D-3)") {
     import spark.implicits._
     val (st, dir) = freshStoreDir()
