@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtQueries, RelQueries, TsQueries}
+import graft.queries.{ExtQueries, PipeQueries, RelQueries, TsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -29,10 +29,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TsQueries.queries ++ ExtQueries.queries ++ RelQueries.queries
+    TsQueries.queries ++ ExtQueries.queries ++ RelQueries.queries ++
+      PipeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TsQueries.oracle ++ ExtQueries.oracle ++ RelQueries.oracle
+    TsQueries.oracle ++ ExtQueries.oracle ++ RelQueries.oracle ++
+      PipeQueries.oracle
 }

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup/similarity (north-star
+  * §2.F family): benchmark decontamination, PII redaction, and a
+  * Gopher-style quality-rule chain. All are narrow per-document
+  * projections or broadcast-side joins — no shape that degrades at
+  * 100 TB (the one join broadcasts the small benchmark gram set; swap
+  * in a bloom-filter pre-pass when the benchmark side outgrows the
+  * broadcast threshold).
+  */
+object Pipeline {
+
+  /** Benchmark decontamination: drop every corpus document sharing at
+    * least one word `n`-gram with the benchmark set — the standard
+    * "remove eval-set overlap from training data" pass (cf. GPT-3
+    * appendix C / Gopher §A.8 13-gram decontamination, both public).
+    *
+    * Shape: shingle both sides (narrow explode), broadcast the DISTINCT
+    * benchmark grams (eval suites are tiny next to a training corpus),
+    * hash-semi-join, then LEFT ANTI against the hit list. The corpus is
+    * scanned once; nothing shuffles but the (small) hit-id set.
+    */
+  def decontaminateNgram(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val corpusGrams = Dedup.shingles(corpus, idCol, textCol, n)
+    val benchGrams = Dedup.shingles(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val contaminated = corpusGrams.join(broadcast(benchGrams), "shingle")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  // Redaction patterns — the conservative RE2-compatible subset so the
+  // same pattern text runs identically under Java regex (Spark) and
+  // RE2 (DuckDB oracle): no lookaround, no backrefs.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{2,3}[ -][0-9]{3}[ -][0-9]{4}"
+  val LongNumRe = "[0-9]{6,}"
+
+  /** PII redaction: emails, phone-shaped numbers, and long digit runs
+    * replaced by typed placeholders, with per-document match counts
+    * (the audit trail). Counts come from the ORIGINAL text; the
+    * replacements chain so a phone inside an already-redacted email
+    * cannot double-fire. Pure narrow projection — codegen'd regex per
+    * row, zero shuffles.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0))))
+      .withColumn("n_longnums",
+        size(regexp_extract_all(col(textCol), lit(LongNumRe), lit(0))))
+      .withColumn("clean",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          LongNumRe, "<NUM>"))
+
+  /** Gopher-style quality-rule chain: per-document boolean verdicts for
+    * each rule plus the conjunction, alongside the underlying stats
+    * (6-decimal-truncated ratios so the audit columns hash identically
+    * across engines). Thresholds follow the published Gopher rules
+    * (Rae et al. 2021 §A.2) adapted to the synthetic corpus. One narrow
+    * projection; the rule columns make the filter auditable — a plain
+    * `filter(pass)` would discard the WHY.
+    */
+  def qualityRules(df: DataFrame, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                   minDistinctRatio: Double = 0.3): DataFrame = {
+    val w = split(col(textCol), " ")
+    val nWords = size(w)
+    val wordChars = length(array_join(w, ""))
+    val meanLen = wordChars.cast("double") / nWords
+    val distinctRatio = size(array_distinct(w)).cast("double") / nWords
+    df.withColumn("n_words", nWords.cast("long"))
+      .withColumn("mean_word_len", TextStats.trunc6(meanLen))
+      .withColumn("distinct_ratio", TextStats.trunc6(distinctRatio))
+      .withColumn("r_length", nWords >= minWords && nWords <= maxWords)
+      .withColumn("r_word_len",
+        meanLen >= minMeanLen && meanLen <= maxMeanLen)
+      .withColumn("r_distinct", distinctRatio > minDistinctRatio)
+      .withColumn("pass",
+        col("r_length") && col("r_word_len") && col("r_distinct"))
+  }
+}

@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.ext.Pipeline
+import graft.operators.{IntervalJoin, Ohlc, WindowSuite}
+
+/** Round-3 queries: the training-data pipeline passes a corpus curator
+  * runs (decontamination, PII redaction, quality rules) and the
+  * relational/window breadth the reference lacks outright (SURVEY §2.E
+  * absences: grouping sets, set operations, window functions) plus OHLC
+  * resampling and interval-overlap joins. Every key has a
+  * byte-deterministic DuckDB oracle.
+  */
+object PipeQueries {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  private val Dec = DecimalType(18, 6)
+
+  // benchmark split for decontamination: every 97th doc plays the role
+  // of the held-out eval set
+  private val BenchMod = 97
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Benchmark decontamination: drop training docs sharing a 5-gram
+    // with the "eval" split (broadcast semi-join on benchmark grams).
+    "decontaminate_ngram" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % BenchMod === 0)
+      val corpus = d.filter(col("doc_id") % BenchMod =!= 0)
+      Pipeline.decontaminateNgram(corpus, bench, "doc_id", "text", 5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction with per-doc match counts (email/phone/digit-run).
+    "pii_redact" -> ((s, dir) =>
+      Pipeline.redactPii(docs(s, dir), "text")
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_longnums").cast("long").as("n_longnums"), col("clean"))
+        .orderBy("doc_id")),
+
+    // Gopher-style quality-rule chain: per-rule verdicts + stats.
+    "quality_rules" -> ((s, dir) =>
+      Pipeline.qualityRules(docs(s, dir), "text")
+        .select("doc_id", "n_words", "mean_word_len", "distinct_ratio",
+          "r_length", "r_word_len", "r_distinct", "pass")
+        .orderBy("doc_id")),
+
+    // OHLC candlestick resample per event_type over 1h buckets.
+    "ts_ohlc" -> ((s, dir) =>
+      Ohlc.resample(TsQueries.base(s, dir), Seq("event_type"), "sec",
+          "event_id", "value", bucketSec = 3600L)
+        .orderBy("event_type", "bucket")),
+
+    // ROLLUP grouping sets: (event_type, day) / (event_type) / () —
+    // subtotals + grand total in ONE pass (reference §2.E: absent).
+    "events_cube_rollup" -> ((s, dir) =>
+      TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .withColumn("day", expr("sec div 86400"))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Dec)).cast("double").as("sum_v"),
+          grouping(col("event_type")).cast("long").as("g_et"),
+          grouping(col("day")).cast("long").as("g_day"))
+        .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+          coalesce(col("day"), lit(-1L)).as("day"),
+          col("g_et"), col("g_day"), col("n"), col("sum_v"))
+        .orderBy("g_et", "g_day", "event_type", "day")),
+
+    // Set operations (reference §2.E: absent): INTERSECT and EXCEPT of
+    // per-event-type user sets, tagged and unioned.
+    "events_set_ops" -> ((s, dir) => {
+      val b = TsQueries.base(s, dir)
+      def users(et: String) =
+        b.filter(col("event_type") === et).select("user_id").distinct()
+      val inter = users("click").intersect(users("purchase"))
+        .withColumn("op", lit("click_and_purchase"))
+      val exc = users("view").except(users("error"))
+        .withColumn("op", lit("view_never_error"))
+      inter.unionByName(exc).select("op", "user_id")
+        .orderBy("op", "user_id")
+    }),
+
+    // Window-function suite (reference §2.E: absent): lead/lag, ntile,
+    // rank family, percent_rank/cume_dist per series.
+    "ts_window_suite" -> ((s, dir) =>
+      WindowSuite.navigate(
+        TsQueries.base(s, dir)
+          .filter(col("value").isNotNull && !isnan(col("value"))),
+        Seq("user_id", "event_type"), "sec", "event_id", "value")
+        .select("event_id", "user_id", "event_type", "sec", "lead_v",
+          "lag_v", "ntile4", "rnk", "drnk", "pct_rank", "cume_d")
+        .orderBy("event_id")),
+
+    // Interval-overlap join: user sessions × fixed maintenance windows,
+    // bucketed equi-join (never a nested loop).
+    "interval_overlap_join" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val sess = TsQueries.base(s, dir).filter(col("user_id") < 30)
+        .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_sec").isNull ||
+            col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("sec")).as("s_start"), max(col("sec")).as("s_end"))
+      val maint = s.range(372).select(col("id").as("w_id"),
+        (lit(1704067200L) + col("id") * 7200).as("w_start"),
+        (lit(1704067200L) + col("id") * 7200 + 1799).as("w_end"))
+      IntervalJoin.overlapPairs(sess, col("s_start"), col("s_end"),
+          maint, col("w_start"), col("w_end"), bucketWidth = 7200L)
+        .select("user_id", "session_id", "w_id")
+        .orderBy("user_id", "session_id", "w_id")
+    }),
+  )
+
+  // ---- oracles --------------------------------------------------------
+
+  private val BaseCte = TsQueries.BaseCteSql
+
+  def oracle: Map[String, String] = Map(
+
+    "decontaminate_ngram" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), g AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(w) - 3),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+         |           w[i+3] || ' ' || w[i+4])) AS shingle
+         |  FROM w WHERE len(w) >= 5
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM g WHERE doc_id % $BenchMod = 0
+         |), bad AS (
+         |  SELECT DISTINCT doc_id FROM g JOIN bench USING (shingle)
+         |  WHERE doc_id % $BenchMod <> 0
+         |)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % $BenchMod <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
+
+    "pii_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Pipeline.EmailRe}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${Pipeline.PhoneRe}')) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '${Pipeline.LongNumRe}')) AS BIGINT)
+         |    AS n_longnums,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${Pipeline.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Pipeline.PhoneRe}', '<PHONE>', 'g'),
+         |    '${Pipeline.LongNumRe}', '<NUM>', 'g') AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_rules" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), st AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(length(array_to_string(w, '')) AS DOUBLE) / len(w) AS mean_len,
+        |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dratio
+        |  FROM w
+        |)
+        |SELECT doc_id, n_words,
+        |  floor(mean_len * 1000000) / 1000000 AS mean_word_len,
+        |  floor(dratio * 1000000) / 1000000 AS distinct_ratio,
+        |  n_words >= 50 AND n_words <= 100000 AS r_length,
+        |  mean_len >= 3.0 AND mean_len <= 10.0 AS r_word_len,
+        |  dratio > 0.3 AS r_distinct,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        |    AND dratio > 0.3 AS pass
+        |FROM st ORDER BY doc_id""".stripMargin,
+
+    "ts_ohlc" ->
+      s"""$BaseCte
+         |SELECT event_type, sec - sec % 3600 AS bucket,
+         |  arg_min(value, (sec % 3600) * 10000000000 + event_id) AS open,
+         |  max(value) AS high, min(value) AS low,
+         |  arg_max(value, (sec % 3600) * 10000000000 + event_id) AS close,
+         |  count(*) AS n
+         |FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |GROUP BY event_type, bucket
+         |ORDER BY event_type, bucket""".stripMargin,
+
+    "events_cube_rollup" ->
+      s"""$BaseCte, v AS (
+         |  SELECT event_type, sec // 86400 AS day, value FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |)
+         |SELECT coalesce(event_type, '(all)') AS event_type,
+         |  coalesce(day, -1) AS day,
+         |  CAST(GROUPING(event_type) AS BIGINT) AS g_et,
+         |  CAST(GROUPING(day) AS BIGINT) AS g_day,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+         |FROM v GROUP BY ROLLUP(event_type, day)
+         |ORDER BY g_et, g_day, event_type, day""".stripMargin,
+
+    "events_set_ops" ->
+      s"""$BaseCte
+         |SELECT 'click_and_purchase' AS op, user_id FROM (
+         |  SELECT DISTINCT user_id FROM base WHERE event_type = 'click'
+         |  INTERSECT
+         |  SELECT DISTINCT user_id FROM base WHERE event_type = 'purchase')
+         |UNION ALL
+         |SELECT 'view_never_error' AS op, user_id FROM (
+         |  SELECT DISTINCT user_id FROM base WHERE event_type = 'view'
+         |  EXCEPT
+         |  SELECT DISTINCT user_id FROM base WHERE event_type = 'error')
+         |ORDER BY op, user_id""".stripMargin,
+
+    "ts_window_suite" ->
+      s"""$BaseCte
+         |SELECT event_id, user_id, event_type, sec,
+         |  lead(value) OVER wt AS lead_v,
+         |  lag(value) OVER wt AS lag_v,
+         |  ntile(4) OVER wv AS ntile4,
+         |  rank() OVER wvt AS rnk,
+         |  dense_rank() OVER wvt AS drnk,
+         |  percent_rank() OVER wvt AS pct_rank,
+         |  cume_dist() OVER wvt AS cume_d
+         |FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |WINDOW
+         |  wt AS (PARTITION BY user_id, event_type ORDER BY sec, event_id),
+         |  wv AS (PARTITION BY user_id, event_type ORDER BY value, event_id),
+         |  wvt AS (PARTITION BY user_id, event_type ORDER BY value)
+         |ORDER BY event_id""".stripMargin,
+
+    "interval_overlap_join" ->
+      s"""$BaseCte, lagged AS (
+         |  SELECT user_id, sec, event_id,
+         |    lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+         |      AS prev_sec
+         |  FROM base WHERE user_id < 30
+         |), flagged AS (
+         |  SELECT user_id, sec, event_id,
+         |    CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM lagged
+         |), sess AS (
+         |  SELECT user_id, sec,
+         |    CAST(sum(new_sess) OVER (PARTITION BY user_id
+         |      ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS session_id
+         |  FROM flagged
+         |), iv AS (
+         |  SELECT user_id, session_id,
+         |    min(sec) AS s_start, max(sec) AS s_end
+         |  FROM sess GROUP BY user_id, session_id
+         |), mw AS (
+         |  SELECT i AS w_id, 1704067200 + i * 7200 AS w_start,
+         |    1704067200 + i * 7200 + 1799 AS w_end
+         |  FROM (SELECT unnest(range(0, 372)) AS i)
+         |)
+         |SELECT iv.user_id, iv.session_id, mw.w_id
+         |FROM iv JOIN mw
+         |  ON iv.s_start <= mw.w_end AND mw.w_start <= iv.s_end
+         |ORDER BY user_id, session_id, w_id""".stripMargin,
+  )
+}

@@ -40,6 +40,9 @@ object TsQueries {
 
   // ---- oracle SQL building blocks ------------------------------------
 
+  /** Shared events CTE, visible to the other query modules. */
+  private[queries] def BaseCteSql: String = BaseCte
+
   private val BaseCte =
     """WITH base AS (
       |  SELECT event_id,

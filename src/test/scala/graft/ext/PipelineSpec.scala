@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+
+  test("decontaminateNgram drops docs sharing a 5-gram with the bench set") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares "the quick brown fox jumps" → contaminated
+      (1L, "prefix words the quick brown fox jumps again"),
+      // shares only a 4-gram ("quick brown fox jumps" split) → survives
+      (2L, "a quick brown fox jumps high today"),
+      // nothing in common → survives
+      (3L, "completely different content entirely here now ok"),
+      // short doc (< 5 words) → cannot match, survives
+      (4L, "tiny doc here")).toDF("doc_id", "text")
+    val out = Pipeline.decontaminateNgram(corpus, bench, "doc_id", "text", 5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L, 3L, 4L))
+  }
+
+  test("redactPii counts and replaces emails, phones, digit runs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or call +34 600 1234 ok"),
+      (2L, "account 1234567890 and code 42")).toDF("doc_id", "text")
+    val out = Pipeline.redactPii(df, "text")
+      .select("doc_id", "n_emails", "n_phones", "n_longnums", "clean")
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 1)
+    assert(out(0).getString(4) ==
+      "mail me at <EMAIL> or call <PHONE> ok")
+    assert(out(1).getInt(3) == 1)
+    assert(out(1).getString(4) == "account <NUM> and code 42")
+  }
+
+  test("qualityRules verdicts follow the thresholds") {
+    import spark.implicits._
+    val longDoc = (1 to 60).map(i => s"word$i").mkString(" ") // 60 distinct words
+    val df = Seq(
+      (1L, longDoc),                 // passes everything
+      (2L, "too short entirely"),    // fails r_length
+      (3L, (1 to 60).map(_ => "aa").mkString(" "))) // repetitive + short words
+      .toDF("doc_id", "text")
+    val out = Pipeline.qualityRules(df, "text")
+      .select("doc_id", "r_length", "r_word_len", "r_distinct", "pass")
+      .orderBy("doc_id").collect()
+    assert(out(0).getBoolean(4))
+    assert(!out(1).getBoolean(1) && !out(1).getBoolean(4))
+    assert(!out(2).getBoolean(3) && !out(2).getBoolean(2) && !out(2).getBoolean(4))
+  }
+}

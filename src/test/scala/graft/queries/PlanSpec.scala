@@ -117,4 +117,40 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"sampling should be narrow, got $exchanges:\n$p")
     assert(!p.contains("Sample"), "hash-gate must not use Sample (seed-dependent)")
   }
+
+  test("decontamination broadcasts the benchmark gram set") {
+    val p = plan("decontaminate_ngram")
+    assert(p.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle for the gram join:\n$p")
+  }
+
+  test("interval overlap join is a hash equi-join on the bucket") {
+    val p = plan("interval_overlap_join")
+    assert(!p.contains("NestedLoop"), s"theta-join nested loop:\n$p")
+    assert(p.contains("Join"), p)
+  }
+
+  test("cube/rollup is ONE Expand + aggregate pass (no per-set rescan)") {
+    val p = plan("events_cube_rollup")
+    val expands = """\(\d+\) Expand""".r.findAllIn(p).size
+    assert(expands == 1, s"expected 1 Expand, got $expands:\n$p")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+    assert(scans == 1, s"grouping sets re-scanned the table $scans times:\n$p")
+  }
+
+  test("window suite shares ONE exchange across its two orderings") {
+    val p = plan("ts_window_suite")
+    // one shuffle on the series key + the output orderBy — the two sort
+    // orders (time, value) must NOT re-exchange
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"window orderings re-shuffled, got $exchanges:\n$p")
+  }
+
+  test("ohlc is one map-side-combinable aggregation — no window, no extra sort") {
+    val p = plan("ts_ohlc")
+    assert(!p.contains("Window"), s"argmin/argmax degraded to a window:\n$p")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected agg+sort exchanges only, got $exchanges:\n$p")
+  }
 }
