@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.types.TimestampType
 
 import graft.ingest.Influx
@@ -117,6 +117,58 @@ object StreamIngest {
           }
           state.update(best)
           best
+      }
+  }
+
+  /** Stream-static enrichment: join the streaming point feed against a
+    * static dimension table on `keyCol`. The static side is explicitly
+    * broadcast — per micro-batch this is a map-side hash join with NO
+    * stream-side shuffle and no state store, the only join shape that
+    * stays O(batch) at any stream rate (a stream-stream join would
+    * buffer state; a shuffled join would re-exchange every batch).
+    */
+  def enrich(points: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    points.join(broadcast(dim), Seq(keyCol), "left")
+
+  /** Typed state record for [[deltaRate]]. */
+  case class RatePoint(metric: String, tsSec: Long, value: Double,
+                       delta: Double, dtSec: Long, rate: Double)
+
+  /** Streaming counter delta/rate via `flatMapGroupsWithState`: per
+    * metric, each in-order point emits `(delta, dt, rate)` against the
+    * previous point (the streaming analog of the batch
+    * `Rolling.deltaRate`). Out-of-order points (event time at or before
+    * the state) emit NOTHING rather than a negative-dt artifact —
+    * matching the monotone-counter contract. State is one (ts, value)
+    * pair per metric: O(sensor width), no timeout needed.
+    */
+  def deltaRate(points: DataFrame): Dataset[RatePoint] = {
+    import points.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    points
+      .select(col("metric"), col("ts").cast("long").as("tsSec"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (metric: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[LastPoint]) =>
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[RatePoint]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v) =>
+            prev match {
+              case Some(p) if ts > p.tsSec =>
+                val dt = ts - p.tsSec
+                out += RatePoint(metric, ts, v, v - p.value, dt,
+                  (v - p.value) / dt)
+                prev = Some(LastPoint(metric, ts, v))
+              case None =>
+                prev = Some(LastPoint(metric, ts, v)) // first point: no rate
+              case _ => () // late/duplicate: state never regresses
+            }
+          }
+          prev.foreach(state.update)
+          out.iterator
       }
   }
 

@@ -169,4 +169,103 @@ class StreamIngestSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(rows == Seq((t0 + 100, 5.0), (t0 + 100, 5.0), (t0 + 200, 7.0)))
   }
+
+  test("stream-static enrichment broadcasts the dimension per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    val dim = Seq(("v", "volts", 10.0), ("w", "watts", 1.0))
+      .toDF("metric", "unit", "scale")
+    val src = MemoryStream[String]
+    val points = StreamIngest.parse(src.toDF().withColumnRenamed("value", "line"),
+      "line", "test", "en1")
+    val enriched = StreamIngest.enrich(points, dim, "metric")
+      .withColumn("scaled", col("value") * col("scale"))
+    val query = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enout").start()
+    try {
+      src.addData(
+        s"test,circuit=en1 v=5 ${t0}000000000",
+        s"test,circuit=en1 w=3 ${t0}000000000",
+        s"test,circuit=en1 x=1 ${t0}000000000") // no dim row → left join null
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.sql(
+      "SELECT metric, unit, scaled FROM enout ORDER BY metric").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("v", "w", "x"))
+    assert(rows(0).getString(1) == "volts" && rows(0).getDouble(2) == 50.0)
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
+  test("append-mode windowed agg finalizes once and DROPS data past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    val src = MemoryStream[String]
+    val points = StreamIngest.parse(src.toDF().withColumnRenamed("value", "line"),
+      "line", "test", "lw1")
+    val stats = StreamIngest.windowedStats(points, "5 minutes", "10 minutes")
+    val query = stats.writeStream.outputMode("append")
+      .format("memory").queryName("lateout").start()
+    try {
+      src.addData(s"test,circuit=lw1 v=1 ${t0}000000000",
+        s"test,circuit=lw1 v=3 ${(t0 + 60)}000000000")
+      query.processAllAvailable()
+      // advance the watermark far past the first window (wm = max - 10m)
+      src.addData(s"test,circuit=lw1 v=9 ${(t0 + 3600)}000000000")
+      query.processAllAvailable()
+      // this point is OLDER than the watermark → must be discarded
+      src.addData(s"test,circuit=lw1 v=100 ${(t0 + 30)}000000000")
+      query.processAllAvailable()
+      // close the last window so nothing is pending
+      src.addData(s"test,circuit=lw1 v=2 ${(t0 + 7200)}000000000")
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.sql(
+      "SELECT window_start, n, max_value FROM lateout ORDER BY window_start")
+      .collect()
+    // first window finalized with its ON-TIME points only (n=2, max=3):
+    // the late v=100 neither reopened it nor re-emitted it
+    val first = rows.head
+    assert(first.getTimestamp(0).toInstant.getEpochSecond == t0)
+    assert(first.getLong(1) == 2L && first.getDouble(2) == 3.0)
+    assert(rows.count(_.getTimestamp(0).toInstant.getEpochSecond == t0) == 1)
+  }
+
+  test("streaming counter rate emits deltas in order; late points emit nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    val src = MemoryStream[String]
+    val points = StreamIngest.parse(src.toDF().withColumnRenamed("value", "line"),
+      "line", "test", "dr1")
+    val rates = StreamIngest.deltaRate(points)
+    val query = rates.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("drout").start()
+    try {
+      // one batch with out-of-order arrivals: must sort by event time
+      src.addData(
+        s"test,circuit=dr1 v=10 ${(t0 + 20)}000000000",
+        s"test,circuit=dr1 v=4 ${t0}000000000")
+      query.processAllAvailable()
+      src.addData(s"test,circuit=dr1 v=16 ${(t0 + 50)}000000000")
+      query.processAllAvailable()
+      // late point behind the state → silently dropped
+      src.addData(s"test,circuit=dr1 v=99 ${(t0 + 30)}000000000")
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.sql(
+      "SELECT tsSec, delta, dtSec, rate FROM drout ORDER BY tsSec").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(rows == Seq(
+      (t0 + 20, 6.0, 20L, 0.3),   // 4@t0 → 10@t0+20 within one batch
+      (t0 + 50, 6.0, 30L, 0.2))) // 10 → 16; the late 99 emitted nothing
+  }
 }
