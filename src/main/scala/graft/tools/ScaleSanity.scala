@@ -42,7 +42,10 @@ object ScaleSanity {
       "asof_join_purchase", "range_join_window_count",
       "events_session_window", "ts_rolling_mean", "ts_counter_rate",
       "ts_interpolate", "events_exact_quantiles", "ts_anomaly_zscore",
-      "metrics_correlation", "events_histogram")
+      "metrics_correlation", "events_histogram",
+      // round-3 operators on the events substrate:
+      "ts_ohlc", "events_cube_rollup", "events_set_ops",
+      "ts_window_suite", "interval_overlap_join")
     val rows = picks.map { q =>
       val f = graft.SparkEntry.queries(q)
       val t1 = time(f(spark, "/root/testdata/sf0.1").count())
