@@ -41,6 +41,19 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
 
+  /** Radius (range) search: ALL neighbors with cosine ≥ `minSim` —
+    * the filter variant of [[topK]] for "everything this similar"
+    * queries (dedup sweeps, recall sets). A narrow codegen'd
+    * projection + filter — no global sort cap; the threshold is
+    * applied to the 6-decimal-rounded similarity so the cut is
+    * engine-portable.
+    */
+  def rangeSearch(df: DataFrame, idCol: String, vecCol: String,
+                  query: Column, minSim: Double): DataFrame =
+    df.select(col(idCol), round(cosine(col(vecCol), query), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+      .orderBy(col("sim").desc, col(idCol))
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * first md5 nibble of "p|d", centred: value in [-7.5, 7.5].
     * Materialized driver-side into literal arrays so the per-row

@@ -155,6 +155,29 @@ object ExtQueries {
         "vec_id", "embedding", col("qvec"), 10)
     }),
 
+    // Radius search: every vector within the cosine threshold of the
+    // query (the recall-set variant of top-k).
+    "similar_range_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.rangeSearch(
+        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", col("qvec"), minSim = 0.1)
+    }),
+
+    // Inverted index: token → document-frequency + ordered posting
+    // list (string-joined for engine-portable hashing).
+    "doc_inverted_index" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(sort_array(collect_set(col("doc_id"))),
+            _.cast("string")), ",").as("postings"))
+        .filter(col("df") >= 3)
+        .orderBy("token")),
+
     "similar_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -393,6 +416,28 @@ object ExtQueries {
          |FROM embeddings e CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "similar_range_search" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  round(${cosineSql("e.embedding", "q.qvec")}, 6) AS sim
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |  AND round(${cosineSql("e.embedding", "q.qvec")}, 6) >= 0.1
+         |ORDER BY sim DESC, vec_id""".stripMargin,
+
+    "doc_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents
+        |), t AS (
+        |  SELECT DISTINCT doc_id, token FROM tok
+        |)
+        |SELECT token, count(*) AS df,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |    AS postings
+        |FROM t GROUP BY token HAVING count(*) >= 3
+        |ORDER BY token""".stripMargin,
 
     "similar_ann_lsh" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
