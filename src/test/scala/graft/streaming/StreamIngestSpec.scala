@@ -268,4 +268,39 @@ class StreamIngestSpec extends SparkSpec {
       (t0 + 20, 6.0, 20L, 0.3),   // 4@t0 → 10@t0+20 within one batch
       (t0 + 50, 6.0, 30L, 0.2))) // 10 → 16; the late 99 emitted nothing
   }
+
+  test("watermarked stream-stream interval join matches within the bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    val lsrc = MemoryStream[String]
+    val rsrc = MemoryStream[String]
+    val lpts = StreamIngest.parse(lsrc.toDF().withColumnRenamed("value", "line"),
+      "line", "test", "ssl")
+    val rpts = StreamIngest.parse(rsrc.toDF().withColumnRenamed("value", "line"),
+      "line", "test", "ssr")
+    val joined = StreamIngest.intervalJoin(lpts, rpts,
+      within = "60 SECONDS", watermark = "2 minutes")
+    val query = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjout").start()
+    try {
+      lsrc.addData(s"test,circuit=ssl v=1 ${t0}000000000")
+      rsrc.addData(
+        s"test,circuit=ssr v=10 ${(t0 + 30)}000000000",  // in window
+        s"test,circuit=ssr v=20 ${(t0 + 90)}000000000",  // past within
+        s"test,circuit=ssr w=30 ${(t0 + 10)}000000000")  // other metric
+      query.processAllAvailable()
+      // advance both watermarks so results finalize
+      lsrc.addData(s"test,circuit=ssl v=2 ${(t0 + 3600)}000000000")
+      rsrc.addData(s"test,circuit=ssr v=40 ${(t0 + 3600)}000000000")
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.sql(
+      "SELECT metric, l_value, r_value FROM ssjout " +
+        "WHERE l_value = 1.0 ORDER BY r_value").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("v", 1.0, 10.0))) // only the in-window same-metric row
+  }
 }
