@@ -62,6 +62,27 @@ object Pipeline {
             PhoneRe, "<PHONE>"),
           LongNumRe, "<NUM>"))
 
+  /** Repetition audit (Gopher §A.1.2's duplicate n-gram fraction,
+    * adapted to flat word streams): per document, the fraction of word
+    * 2-grams that are repeats of an earlier 2-gram. High values flag
+    * boilerplate/generated text. Pure narrow projection over the
+    * in-row token array — no explode, no shuffle.
+    */
+  def repetitionStats(df: DataFrame, textCol: String,
+                      maxDupFrac: Double = 0.4): DataFrame = {
+    val w = split(col(textCol), " ")
+    val grams = expr(
+      "transform(sequence(0, size(split(" + textCol + ", ' ')) - 2), " +
+        "i -> concat_ws(' ', split(" + textCol + ", ' ')[i], " +
+        "split(" + textCol + ", ' ')[i+1]))")
+    df.filter(size(w) >= 2)
+      .withColumn("n_2grams", (size(w) - 1).cast("long"))
+      .withColumn("dup_2gram_frac", TextStats.trunc6(
+        lit(1.0) - size(array_distinct(grams)).cast("double") /
+          (size(w) - 1)))
+      .withColumn("r_repetition", col("dup_2gram_frac") <= maxDupFrac)
+  }
+
   /** Gopher-style quality-rule chain: per-document boolean verdicts for
     * each rule plus the conjunction, alongside the underlying stats
     * (6-decimal-truncated ratios so the audit columns hash identically

@@ -55,6 +55,26 @@ object PipeQueries {
           "r_length", "r_word_len", "r_distinct", "pass")
         .orderBy("doc_id")),
 
+    // Duplicate 2-gram repetition audit (boilerplate detector).
+    "quality_repetition" -> ((s, dir) =>
+      Pipeline.repetitionStats(docs(s, dir), "text")
+        .select("doc_id", "n_2grams", "dup_2gram_frac", "r_repetition")
+        .orderBy("doc_id")),
+
+    // Retention cohorts: users grouped by first-activity day, counted
+    // on each later active day — the product-analytics staple.
+    "events_retention_cohorts" -> ((s, dir) => {
+      val days = TsQueries.base(s, dir)
+        .select(col("user_id"), expr("sec div 86400").as("day"))
+        .distinct()
+      val cohorts = days.groupBy("user_id")
+        .agg(min(col("day")).as("cohort"))
+      days.join(cohorts, "user_id")
+        .groupBy("cohort", "day")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "day")
+    }),
+
     // OHLC candlestick resample per event_type over 1h buckets.
     "ts_ohlc" -> ((s, dir) =>
       Ohlc.resample(TsQueries.base(s, dir), Seq("event_type"), "sec",
@@ -185,6 +205,33 @@ object PipeQueries {
         |    AND (mean_len >= 3.0 AND mean_len <= 10.0)
         |    AND dratio > 0.3 AS pass
         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "quality_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, CAST(len(w) - 1 AS BIGINT) AS n_2grams,
+        |    list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1]) AS grams
+        |  FROM w WHERE len(w) >= 2
+        |)
+        |SELECT doc_id, n_2grams,
+        |  floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / n_2grams)
+        |        * 1000000) / 1000000 AS dup_2gram_frac,
+        |  floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / n_2grams)
+        |        * 1000000) / 1000000 <= 0.4 AS r_repetition
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "events_retention_cohorts" ->
+      s"""$BaseCte, days AS (
+         |  SELECT DISTINCT user_id, sec // 86400 AS day FROM base
+         |), coh AS (
+         |  SELECT user_id, min(day) AS cohort FROM days GROUP BY user_id
+         |)
+         |SELECT c.cohort, d.day, count(*) AS n_users
+         |FROM days d JOIN coh c USING (user_id)
+         |GROUP BY c.cohort, d.day
+         |ORDER BY c.cohort, d.day""".stripMargin,
 
     "ts_ohlc" ->
       s"""$BaseCte

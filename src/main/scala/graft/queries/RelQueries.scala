@@ -40,6 +40,22 @@ object RelQueries {
           sum(dec("o_totalprice")).cast(DoubleType).as("total"))
         .orderBy("n_name")
     }),
+
+    // Per-customer running revenue — cumulative window sum routed
+    // through DECIMAL (running double sums are accumulation-order
+    // dependent; decimal addition is exact, so the prefix sums are
+    // unique on every engine and partitioning).
+    "orders_running_total" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(dec("o_totalprice")).over(w).cast(DoubleType)
+            .as("running_rev"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -58,5 +74,13 @@ object RelQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "orders_running_total" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -39,6 +39,22 @@ class PipelineSpec extends SparkSpec {
     assert(out(1).getString(4) == "account <NUM> and code 42")
   }
 
+  test("repetitionStats flags duplicate 2-gram fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),       // grams: ab ba ab ba ab → 2 distinct of 5
+      (2L, "all words differ here now"), // 4 grams, all distinct
+      (3L, "x")).toDF("doc_id", "text")  // <2 words: dropped
+    val out = Pipeline.repetitionStats(df, "text")
+      .select("doc_id", "n_2grams", "dup_2gram_frac", "r_repetition")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 5L)
+    assert(out(0).getDouble(2) == 0.6)
+    assert(!out(0).getBoolean(3))
+    assert(out(1).getDouble(2) == 0.0 && out(1).getBoolean(3))
+  }
+
   test("qualityRules verdicts follow the thresholds") {
     import spark.implicits._
     val longDoc = (1 to 60).map(i => s"word$i").mkString(" ") // 60 distinct words
