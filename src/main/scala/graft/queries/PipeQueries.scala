@@ -75,6 +75,46 @@ object PipeQueries {
         .orderBy("cohort", "day")
     }),
 
+    // Funnel conversion: first click → first at-or-after purchase
+    // within 7 days, per user. Two aggregations + one join on the
+    // user key; no window needed.
+    "events_funnel" -> ((s, dir) => {
+      val b = TsQueries.base(s, dir)
+      val firstClick = b.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("sec")).as("click_sec"))
+      val purchases = b.filter(col("event_type") === "purchase")
+        .select("user_id", "sec")
+      firstClick.join(purchases, Seq("user_id"), "left")
+        .groupBy("user_id", "click_sec")
+        .agg(min(when(col("sec") >= col("click_sec"), col("sec")))
+          .as("purchase_sec"))
+        .select(col("user_id"), col("click_sec"), col("purchase_sec"),
+          (col("purchase_sec") - col("click_sec")).as("delay_sec"),
+          (col("purchase_sec").isNotNull &&
+            col("purchase_sec") - col("click_sec") <= 604800L)
+            .as("converted"))
+        .orderBy("user_id")
+    }),
+
+    // Seasonal-naive forecast audit: predict each (user, type, slot)
+    // cell from the same slot one day earlier; MAE per event type
+    // through decimal sums.
+    "ts_seasonal_naive" -> ((s, dir) => {
+      val cell = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("user_id", "event_type", "slot")
+        .agg(max_by(col("value"), col("event_id")).as("v"))
+      val pred = cell.select(col("user_id"), col("event_type"),
+        (col("slot") + 86400L).as("slot"), col("v").as("v_pred"))
+      cell.join(pred, Seq("user_id", "event_type", "slot"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          graft.ext.TextStats.trunc6(
+            sum(abs(col("v") - col("v_pred")).cast(Dec)).cast("double") /
+              count(lit(1))).as("mae"))
+        .orderBy("event_type")
+    }),
+
     // OHLC candlestick resample per event_type over 1h buckets.
     "ts_ohlc" -> ((s, dir) =>
       Ohlc.resample(TsQueries.base(s, dir), Seq("event_type"), "sec",
@@ -232,6 +272,40 @@ object PipeQueries {
          |FROM days d JOIN coh c USING (user_id)
          |GROUP BY c.cohort, d.day
          |ORDER BY c.cohort, d.day""".stripMargin,
+
+    "events_funnel" ->
+      s"""$BaseCte, fc AS (
+         |  SELECT user_id, min(sec) AS click_sec FROM base
+         |  WHERE event_type = 'click' GROUP BY user_id
+         |), fp AS (
+         |  SELECT f.user_id, f.click_sec,
+         |    min(CASE WHEN b.sec >= f.click_sec THEN b.sec END)
+         |      AS purchase_sec
+         |  FROM fc f LEFT JOIN base b
+         |    ON b.user_id = f.user_id AND b.event_type = 'purchase'
+         |  GROUP BY f.user_id, f.click_sec
+         |)
+         |SELECT user_id, click_sec, purchase_sec,
+         |  purchase_sec - click_sec AS delay_sec,
+         |  purchase_sec IS NOT NULL
+         |    AND purchase_sec - click_sec <= 604800 AS converted
+         |FROM fp ORDER BY user_id""".stripMargin,
+
+    "ts_seasonal_naive" ->
+      s"""$BaseCte, cell AS (
+         |  SELECT user_id, event_type, slot, max_by(value, event_id) AS v
+         |  FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY user_id, event_type, slot
+         |), j AS (
+         |  SELECT c.event_type, abs(c.v - p.v) AS e
+         |  FROM cell c JOIN cell p
+         |    ON p.user_id = c.user_id AND p.event_type = c.event_type
+         |   AND p.slot = c.slot - 86400
+         |)
+         |SELECT event_type, count(*) AS n,
+         |  floor(CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         |        * 1000000) / 1000000 AS mae
+         |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ts_ohlc" ->
       s"""$BaseCte
