@@ -108,4 +108,78 @@ class PropertySpec extends SparkSpec {
       assert(half > 0.4 && half < 0.6, s"half-rate=$half")
     } finally { buckets.unpersist(); () }
   }
+
+  test("ohlc matches a brute-force reference on random series") {
+    import spark.implicits._
+    val cases = gen(for {
+      k <- Gen.chooseNum(0, 3)
+      sec <- Gen.chooseNum(1704067200L, 1704067200L + 7200L)
+      v <- Gen.chooseNum(-1000.0, 1000.0)
+    } yield (s"k$k", sec, v), 400).zipWithIndex
+      .map { case ((k, sec, v), i) => (k, sec, i.toLong, v) }
+    val df = cases.toDF("k", "sec", "id", "v")
+    val got = graft.operators.Ohlc.resample(df, Seq("k"), "sec", "id", "v", 3600L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6))).toMap
+    val want = cases.groupBy { case (k, sec, _, _) =>
+      (k, sec - sec % 3600L)
+    }.map { case (key, rows) =>
+      val byTime = rows.sortBy { case (_, sec, id, _) => (sec, id) }
+      key -> (byTime.head._4, rows.map(_._4).max, rows.map(_._4).min,
+        byTime.last._4, rows.length.toLong)
+    }
+    assert(got == want)
+  }
+
+  test("interval overlap join matches the O(n·m) reference on random intervals") {
+    import spark.implicits._
+    val ivGen = for {
+      s <- Gen.chooseNum(0L, 5000L); len <- Gen.chooseNum(0L, 800L)
+    } yield (s, s + len)
+    val as = gen(ivGen, 60).zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+    val bs = gen(ivGen, 60).zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+    val got = graft.operators.IntervalJoin.overlapPairs(
+        as.toDF("a_id", "s", "e"), col("s"), col("e"),
+        bs.toDF("b_id", "bs", "be"), col("bs"), col("be"), bucketWidth = 256L)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (ai, s, e) <- as; (bi, bs2, be) <- bs
+      if s <= be && bs2 <= e
+    } yield (ai, bi)).toSet
+    assert(got == want)
+  }
+
+  test("upsert merge: two sequential batches == one concatenated batch") {
+    import spark.implicits._
+    // random REAL cell writes; NaN masking is per-BATCH (pivot keeps
+    // the latest arrival, merge skips NaN cells — UpsertSpec covers
+    // it), so the batch-split associativity property quantifies over
+    // real values only
+    val writes = gen(for {
+      slot <- Gen.chooseNum(0L, 20L)
+      m <- Gen.oneOf("m1", "m2")
+      v <- Gen.chooseNum(-100.0, 100.0)
+    } yield (slot, m, v), 200).zipWithIndex
+      .map { case ((slot, m, v), i) => (slot, m, v, i.toLong) }
+    val (b1, b2) = writes.splitAt(100)
+    def wide(rows: Seq[(Long, String, Double, Long)]) =
+      graft.ingest.Pivot.longToWide(
+        rows.toDF("slot", "metric", "value", "arrival"),
+        Seq("slot"), "metric", "value", "arrival", Seq("m1", "m2"))
+    val empty = wide(Seq.empty)
+    val seq2 = graft.ingest.Upsert.merge(
+      graft.ingest.Upsert.merge(empty, wide(b1), Seq("slot"), Seq("m1", "m2")),
+      wide(b2), Seq("slot"), Seq("m1", "m2"))
+    val once = graft.ingest.Upsert.merge(empty, wide(writes),
+      Seq("slot"), Seq("m1", "m2"))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("slot", "m1", "m2").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .sortBy(_._1).toSeq
+    assert(norm(seq2) == norm(once))
+  }
 }
