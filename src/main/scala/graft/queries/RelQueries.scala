@@ -41,6 +41,22 @@ object RelQueries {
         .orderBy("n_name")
     }),
 
+    // TPC-H Q6-shaped forecast-revenue scan: every predicate pushes to
+    // the parquet scan (PushedFilters + row-group skipping on
+    // l_shipdate), only 4 columns read — the pure scan-efficiency
+    // benchmark at 100 TB. The float product runs in double (same
+    // operands both engines), the SUM through decimal.
+    "q6_forecast" -> ((s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01'") &&
+          expr("l_shipdate < TIMESTAMP '1997-01-01'") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          sum((col("l_extendedprice") * col("l_discount"))
+            .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n"))),
+
     // Per-customer running revenue — cumulative window sum routed
     // through DECIMAL (running double sums are accumulation-order
     // dependent; decimal addition is exact, so the prefix sums are
@@ -74,6 +90,17 @@ object RelQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+        |       AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "orders_running_total" ->
       """SELECT o_orderkey, o_custkey,

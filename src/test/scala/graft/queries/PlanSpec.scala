@@ -118,6 +118,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sample"), "hash-gate must not use Sample (seed-dependent)")
   }
 
+  test("q6 pushes every predicate into the scan and reads 4 columns") {
+    val p = plan("q6_forecast")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_quantity"), s"filters not pushed: $pushed")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_discount") && !read.contains("l_orderkey"),
+      s"scan reads unneeded columns: $read")
+  }
+
   test("decontamination broadcasts the benchmark gram set") {
     val p = plan("decontaminate_ngram")
     assert(p.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$p")
