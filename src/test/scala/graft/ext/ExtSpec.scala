@@ -169,4 +169,38 @@ class ExtSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(offs.length == 4 && offs.head == 0L)
   }
+
+  test("IVF table written partitioned by cell: probe reads prune partitions") {
+    import spark.implicits._
+    // 40 vectors in 4 obvious clusters around axis directions
+    val vecs = (0 until 40).map { i =>
+      val axis = i % 4
+      val base = Array.fill(8)(0.01f * ((i * 7) % 5))
+      base(axis * 2) = 1.0f
+      (i.toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = (0 until 4).map { c =>
+      val base = Array.fill(8)(0.0f)
+      base(c * 2) = 1.0f
+      (c.toLong, base.toSeq)
+    }.toDF("cent_id", "cvec")
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding",
+      cents, "cent_id", "cvec")
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/t"
+    assigned.write.partitionBy("cell").parquet(dir)
+    // the probe: read back only cells {0, 1}
+    val probe = spark.read.parquet(dir).filter(col("cell").isin(0L, 1L))
+    // the cell predicate must land in PartitionFilters (planner-side
+    // pruning — no data outside cell=0/ and cell=1/ is opened), never
+    // in the post-scan data Filter
+    val plan = probe.queryExecution.executedPlan.toString()
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("cell"), s"probe not partition-pruned:\n$plan")
+    // pruning is real: only the probed cells' rows come back
+    assert(probe.count() == 20)
+    // partition column type is re-inferred from dir names (int, not long)
+    assert(probe.select("cell").distinct().collect()
+      .map(_.get(0).toString.toLong).toSet == Set(0L, 1L))
+  }
 }
