@@ -234,4 +234,60 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
         (col("first_ts") * 1000).as("ts_ms"))
       .orderBy("metric", "ts_ms")
   }
+
+  /** Grafana-style MEAN downsample: wide `(ts, <metrics...>)` rows, one
+    * per spread bucket, each cell the mean of that metric's non-NaN
+    * readings in the bucket.
+    *
+    * ROLLUP ROUTING: when the query aligns (`fromSec` on the spread
+    * grid, spread an integral multiple of a materialized MEAN rollup's
+    * bucket), the answer comes from the rollup's decimal `(sum, count)`
+    * partials re-aggregated to the spread grid — EXACT, because decimal
+    * partial sums merge associatively; the raw path computes the
+    * identical expression shape (DECIMAL(28,6) sums, one double
+    * division) directly on the grid. Misaligned queries always fall
+    * back to raw, so routing changes cost, never values.
+    */
+  def readGrafanaMean(db: String, sensor: String, fromSec: Long,
+                      toSec: Long, maxDataPoints: Int,
+                      targets: Option[Seq[String]] = None,
+                      useRollups: Boolean = true): DataFrame = {
+    val cfg = store.config(db, sensor)
+    val wanted = targets.getOrElse(cfg.metricNames)
+    val span = toSec - fromSec + 1
+    val spreadSec = if (span % maxDataPoints == 0)
+      Some(span / maxDataPoints) else None
+    // fromSec % spread == 0 makes the query's spread grid coincide with
+    // the ABSOLUTE spread grid the rollup partials snap to
+    val aligned = spreadSec.filter(sp => fromSec % sp == 0)
+    val rollup = if (useRollups) aligned.flatMap(sp =>
+      store.listMeanRollups(db, sensor)
+        .filter(b => b <= sp && sp % b == 0).lastOption)
+    else None
+    rollup match {
+      case Some(b) =>
+        store.readMeanRollup(db, sensor, b, aligned.get,
+            Some(fromSec), Some(toSec))
+          .select((col("ts") +: wanted.map(col)): _*)
+      case None =>
+        val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+        val wide = store.read(db, sensor, Some(fromSec), Some(toSec),
+          Some(wanted))
+        val sp = spreadSec.getOrElse(
+          math.max(1L, span / math.max(1, maxDataPoints)))
+        val aggs = wanted.flatMap(m => Seq(
+          sum(when(!isnan(col(m)), col(m)).cast(dec)).as(s"${m}__sum"),
+          count(when(!isnan(col(m)), col(m))).as(s"${m}__n")))
+        wide.withColumn("sec", Grid.tsSeconds(col("ts")))
+          .withColumn("cbucket", Grid.snapSeconds(col("sec"), sp))
+          .groupBy(col("cbucket"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(timestamp_seconds(col("cbucket")).as("ts") +:
+            wanted.map(m =>
+              when(col(s"${m}__n") > 0,
+                col(s"${m}__sum").cast("double") / col(s"${m}__n"))
+                .as(m)): _*)
+          .orderBy("ts")
+    }
+  }
 }

@@ -244,6 +244,33 @@ class GraftClientSpec extends SparkSpec {
     assert(bucket2.getFloat(1) == 777f) // pre-fix: stale 60f
   }
 
+  test("grafana MEAN read: rollup partials re-aggregate to the raw answer") {
+    val c = freshClient()
+    c.createSensor("test", "gm", "1s", Seq(Seq("v")))
+    c.write((0 until 600).map(i =>
+      s"test,circuit=gm v=${i % 7} ${(t0 + i)}000000000"))
+    c.store.materializeMeanRollup("test", "gm", 60L)
+    // aligned: spread 120 = 2 rollup buckets; served from partials
+    val viaRollup = c.readGrafanaMean("test", "gm", t0, t0 + 599, 5).collect()
+    val raw = c.readGrafanaMean("test", "gm", t0, t0 + 599, 5,
+      useRollups = false).collect()
+    assert(viaRollup.length == 5 && raw.length == 5)
+    // EXACT equality — decimal partials merge associatively
+    assert(viaRollup.map(_.getDouble(1)).toSeq ==
+      raw.map(_.getDouble(1)).toSeq)
+    // an upsert refreshes the mean rollup too
+    c.write(Seq(s"test,circuit=gm v=1000 ${(t0 + 60)}000000000"))
+    val after = c.readGrafanaMean("test", "gm", t0, t0 + 599, 5).collect()
+    val afterRaw = c.readGrafanaMean("test", "gm", t0, t0 + 599, 5,
+      useRollups = false).collect()
+    assert(after.map(_.getDouble(1)).toSeq ==
+      afterRaw.map(_.getDouble(1)).toSeq)
+    assert(after.head.getDouble(1) > viaRollup.head.getDouble(1))
+    // misaligned from: falls back to raw silently
+    val mis = c.readGrafanaMean("test", "gm", t0 + 30, t0 + 599, 5)
+    assert(mis.count() > 0)
+  }
+
   test("grafana read survives a range shorter than maxDataPoints (spread<1)") {
     // integer spread would be 0 → ANSI DIVIDE_BY_ZERO; float spread
     // buckets fine and every point lands in its own bucket
