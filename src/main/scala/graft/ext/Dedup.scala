@@ -24,9 +24,14 @@ object Dedup {
     df.groupBy(md5(lower(trim(col(textCol)))).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
-  /** Distinct word `n`-gram shingles per document: one row per
-    * (id, shingle). `explode(sequence)` keeps generation inside codegen;
-    * `distinct` is per-doc set semantics for Jaccard.
+  /** Word `n`-gram shingles per document: one row per (id, position) —
+    * duplicates KEPT. `explode(sequence)` keeps generation inside
+    * codegen and the whole op narrow (zero shuffles). Every consumer is
+    * duplicate-insensitive — minhash takes `min`, Jaccard gathers
+    * `collect_set`, decontamination semi-joins then distincts ids — so
+    * a corpus-scale `.distinct()` here would buy nothing and cost the
+    * single largest shuffle of the dedup pipeline (the full shingle
+    * stream). Set semantics happen where sets are actually needed.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {
@@ -37,7 +42,6 @@ object Dedup {
         explode(sequence(lit(0), size(col("w")) - n)).as("i"), col("w"))
       .select(col(idCol),
         array_join(slice(col("w"), col("i") + 1, lit(n)), " ").as("shingle"))
-      .distinct()
   }
 
   /** MinHash signatures, wide: one row per id with columns
