@@ -110,6 +110,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out("flat").isEmpty) // zero variance → null, not NaN
   }
 
+  test("pearson survives a wild out-of-decimal-range value (no ANSI crash)") {
+    import spark.implicits._
+    // |v| >= 1e12 overflows DECIMAL(18,6): pre-guard must EXCLUDE the
+    // row, not let the cast throw CAST_OVERFLOW and kill the query
+    val df = Seq(
+      ("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0),
+      ("g", 5.0e12, 1.0)).toDF("k", "x", "y")
+    val out = Stats.pearson(df, Seq("k"), "x", "y").collect()(0)
+    assert(out.getLong(1) == 3L) // wild row excluded from the moments
+    assert(out.getDouble(2) == 1.0)
+  }
+
   test("pearson is invariant under repartitioning (decimal moments)") {
     import spark.implicits._
     val df = (0 until 1000).map(i =>

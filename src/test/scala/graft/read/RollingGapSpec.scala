@@ -22,6 +22,22 @@ class RollingGapSpec extends SparkSpec {
     assert(out(2).getAs[Double]("v_rmean") == 25.0)
   }
 
+  test("rolling moments survive a wild out-of-range value (no ANSI crash)") {
+    import spark.implicits._
+    // 5e22 exceeds BOTH guards (mean: DECIMAL(28,6) range 1e22;
+    // zscore: DECIMAL(18,6) range 1e12)
+    val df = Seq(("k", 0L, 1.0), ("k", 60L, 5.0e22), ("k", 120L, 3.0))
+      .toDF("k", "sec", "v")
+    // the wild point is nulled out of count AND sums together
+    val m = Rolling.timeWindowMean(df, Seq("k"), "sec", "v", 1800L)
+      .orderBy("sec").collect()
+    assert(m(1).getLong(m(1).fieldIndex("v_rn")) == 1L)
+    assert(m(2).getDouble(m(2).fieldIndex("v_rmean")) == 2.0)
+    val z = Rolling.timeWindowZscore(df, Seq("k"), "sec", "v", 1800L)
+      .orderBy("sec").collect() // must not throw
+    assert(z(2).getLong(z(2).fieldIndex("rn")) == 2L)
+  }
+
   test("timeWindowZscore flags the spike, nulls degenerate windows") {
     import spark.implicits._
     val df = Seq(
