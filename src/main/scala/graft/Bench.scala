@@ -17,7 +17,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // graft's native functions + the sort-under-count eliminator
+      // graft's native SQL functions (array_dot, hamming_distance);
+      // the queries' output sorts vanish under .count() via Catalyst's
+      // own EliminateSorts — no custom rule needed
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
