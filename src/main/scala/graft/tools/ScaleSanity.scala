@@ -54,6 +54,34 @@ object ScaleSanity {
       t10 / t1
     }
     println(f"[scale] rows 1x=$n 10x=$bigN  median_ratio=${rows.sorted.apply(rows.size / 2)}%5.2f")
+
+    // ---- documents corpus 10×: the text-pipeline operators ----------
+    // Each replica appends a unique marker token so replicas do not
+    // manufacture unbounded cross-replica near-dup structure; the
+    // LINEAR passes (decontaminate, redaction, quality, inverted
+    // index) are the ones whose cost must track corpus size. (The
+    // pair-emitting dedup ops are excluded: their OUTPUT grows
+    // quadratically in duplicate-group size by definition.)
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val nd = docs.count()
+    val bigDocs = (0 until 10).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+        .withColumn("text", concat(col("text"), lit(s" replicamarker$i")))
+    }.reduce(_ union _)
+    val ddir = java.nio.file.Files.createTempDirectory("scaledocs").toString
+    bigDocs.write.parquet(s"$ddir/documents.parquet")
+    val bigNd = spark.read.parquet(s"$ddir/documents.parquet").count()
+    val docPicks = Seq("decontaminate_ngram", "pii_redact",
+      "quality_rules", "quality_repetition", "doc_inverted_index",
+      "token_count", "lang_id", "doc_fingerprint")
+    val docRatios = docPicks.map { q =>
+      val f = graft.SparkEntry.queries(q)
+      val t1 = time(f(spark, "/root/testdata/sf0.1").count())
+      val t10 = time(f(spark, ddir).count())
+      println(f"[scale] $q%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ratio=${t10 / t1}%5.2f")
+      t10 / t1
+    }
+    println(f"[scale] docs 1x=$nd 10x=$bigNd  median_ratio=${docRatios.sorted.apply(docRatios.size / 2)}%5.2f")
     spark.stop()
   }
 }
