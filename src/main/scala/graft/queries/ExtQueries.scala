@@ -111,6 +111,30 @@ object ExtQueries {
       Dedup.jaccard(candsOf(s, dir), shinglesOf(s, dir), "doc_id")
         .orderBy("a_id", "b_id")),
 
+    // Sketch-accuracy audit: the minhash Jaccard ESTIMATE (matching
+    // signature fraction — k/8 is an exact binary double) against the
+    // exact set Jaccard, per candidate pair. The methodology check
+    // every sketch deployment wants: how wrong is the cheap path?
+    "dedup_minhash_estimate" -> ((s, dir) => {
+      val sig = Dedup.minhash(shinglesOf(s, dir), "doc_id", NumHashes)
+      val aSig = sig.select(col("doc_id").as("a_id") +:
+        (0 until NumHashes).map(h => col(s"mh$h").as(s"amh$h")): _*)
+      val bSig = sig.select(col("doc_id").as("b_id") +:
+        (0 until NumHashes).map(h => col(s"mh$h").as(s"bmh$h")): _*)
+      val matches = (0 until NumHashes)
+        .map(h => (col(s"amh$h") === col(s"bmh$h")).cast("int"))
+        .reduce(_ + _)
+      val est = candsOf(s, dir).join(aSig, "a_id").join(bSig, "b_id")
+        .select(col("a_id"), col("b_id"),
+          (matches / lit(NumHashes.toDouble)).as("est_jaccard"))
+      val exact = Dedup.jaccard(candsOf(s, dir), shinglesOf(s, dir), "doc_id")
+      est.join(exact, Seq("a_id", "b_id"))
+        .select(col("a_id"), col("b_id"), col("est_jaccard"), col("jaccard"),
+          graft.ext.TextStats.trunc6(
+            abs(col("est_jaccard") - col("jaccard"))).as("abs_err"))
+        .orderBy("a_id", "b_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
@@ -373,6 +397,37 @@ object ExtQueries {
          |JOIN sizes na ON na.doc_id = i.a_id
          |JOIN sizes nb ON nb.doc_id = i.b_id
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_minhash_estimate" ->
+      s"""$ShingleCtes, sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id
+         |), jacc AS (
+         |  SELECT i.a_id, i.b_id,
+         |    floor((n_inter / (na.n + nb.n - n_inter)) * 1000000) / 1000000
+         |      AS jaccard
+         |  FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.a_id
+         |  JOIN sizes nb ON nb.doc_id = i.b_id
+         |), est AS (
+         |  SELECT c.a_id, c.b_id,
+         |    count(CASE WHEN ma.minhash = mb.minhash THEN 1 END) / 8.0
+         |      AS est_jaccard
+         |  FROM cand c
+         |  JOIN mh ma ON ma.doc_id = c.a_id
+         |  JOIN mh mb ON mb.doc_id = c.b_id AND mb.h = ma.h
+         |  GROUP BY c.a_id, c.b_id
+         |)
+         |SELECT e.a_id, e.b_id, e.est_jaccard, j.jaccard,
+         |  floor(abs(e.est_jaccard - j.jaccard) * 1000000) / 1000000
+         |    AS abs_err
+         |FROM est e JOIN jacc j ON j.a_id = e.a_id AND j.b_id = e.b_id
+         |ORDER BY e.a_id, e.b_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""$SimhashCtes
