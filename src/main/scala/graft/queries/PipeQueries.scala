@@ -115,6 +115,19 @@ object PipeQueries {
         .orderBy("event_type")
     }),
 
+    // SRE multi-window burn-rate alert: error fraction over trailing
+    // 30-min AND 4-h windows per user; alert when both exceed their
+    // thresholds.
+    "ts_burn_rate" -> ((s, dir) =>
+      graft.read.Rolling.errorBurnRate(TsQueries.base(s, dir),
+          Seq("user_id"), "sec",
+          col("event_type") === "error",
+          shortSec = 1800L, longSec = 14400L,
+          shortThreshold = 0.5, longThreshold = 0.3)
+        .select("event_id", "user_id", "sec", "err_rate_short",
+          "err_rate_long", "alert")
+        .orderBy("event_id")),
+
     // OHLC candlestick resample per event_type over 1h buckets.
     "ts_ohlc" -> ((s, dir) =>
       Ohlc.resample(TsQueries.base(s, dir), Seq("event_type"), "sec",
@@ -306,6 +319,25 @@ object PipeQueries {
          |  floor(CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*)
          |        * 1000000) / 1000000 AS mae
          |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_burn_rate" ->
+      s"""$BaseCte
+         |SELECT event_id, user_id, sec,
+         |  count(CASE WHEN event_type = 'error' THEN 1 END) OVER ws
+         |    / count(*) OVER ws AS err_rate_short,
+         |  count(CASE WHEN event_type = 'error' THEN 1 END) OVER wl
+         |    / count(*) OVER wl AS err_rate_long,
+         |  (count(CASE WHEN event_type = 'error' THEN 1 END) OVER ws
+         |     / count(*) OVER ws > 0.5)
+         |  AND (count(CASE WHEN event_type = 'error' THEN 1 END) OVER wl
+         |     / count(*) OVER wl > 0.3) AS alert
+         |FROM base
+         |WINDOW
+         |  ws AS (PARTITION BY user_id ORDER BY sec
+         |         RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW),
+         |  wl AS (PARTITION BY user_id ORDER BY sec
+         |         RANGE BETWEEN 14400 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
 
     "ts_ohlc" ->
       s"""$BaseCte

@@ -80,6 +80,36 @@ object Rolling {
       .drop("sx", "sxx")
   }
 
+  /** Multi-window error burn rate (the SRE-workbook alert shape, public
+    * Google SRE Workbook ch.5): per series, the error fraction over a
+    * SHORT and a LONG trailing window; the alert fires only when BOTH
+    * exceed their thresholds — the short window gives fast detection,
+    * the long window suppresses blips. Rates are count/count integer
+    * ratios (exact IEEE division of the same ints on every engine — no
+    * decimal routing needed). Both frames share one exchange + one sort
+    * on the series key.
+    */
+  def errorBurnRate(df: DataFrame, partCols: Seq[String], secCol: String,
+                    isErrorCol: Column,
+                    shortSec: Long, longSec: Long,
+                    shortThreshold: Double, longThreshold: Double)
+      : DataFrame = {
+    // RANGE frames need no tie-break: all rows at equal secCol fall
+    // inside the frame together, so counts are tie-order invariant.
+    def w(sec: Long) = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(secCol))
+      .rangeBetween(-sec, Window.currentRow)
+    val err = when(isErrorCol, 1L)
+    val scored = df.select(col("*"),
+      (count(err).over(w(shortSec)) / count(lit(1)).over(w(shortSec)))
+        .as("err_rate_short"),
+      (count(err).over(w(longSec)) / count(lit(1)).over(w(longSec)))
+        .as("err_rate_long"))
+    scored.withColumn("alert",
+      col("err_rate_short") > shortThreshold &&
+        col("err_rate_long") > longThreshold)
+  }
+
   /** `delta`/`dt`/`rate`: difference to the previous observation per
     * series and its per-second rate (null on each series' first row and
     * where dt = 0).

@@ -38,6 +38,27 @@ class RollingGapSpec extends SparkSpec {
     assert(z(2).getLong(z(2).fieldIndex("rn")) == 2L)
   }
 
+  test("errorBurnRate alerts only when BOTH windows exceed thresholds") {
+    import spark.implicits._
+    // errors at 100, 160, 220; ok at 0, 400
+    val df = Seq(
+      ("k", 0L, "ok"), ("k", 100L, "error"), ("k", 160L, "error"),
+      ("k", 220L, "error"), ("k", 400L, "ok")).toDF("k", "sec", "et")
+    val out = Rolling.errorBurnRate(df, Seq("k"), "sec",
+        col("et") === "error", shortSec = 100L, longSec = 1000L,
+        shortThreshold = 0.6, longThreshold = 0.5)
+      .orderBy("sec").collect()
+    // at sec=220: short window [120,220] = 2 errors / 2 rows = 1.0;
+    // long window = 3/4 = 0.75 → both over → alert
+    val at220 = out(3)
+    assert(at220.getDouble(at220.fieldIndex("err_rate_short")) == 1.0)
+    assert(at220.getBoolean(at220.fieldIndex("alert")))
+    // at sec=400: short [300,400] = 0/1 → no alert though long is warm
+    val at400 = out(4)
+    assert(at400.getDouble(at400.fieldIndex("err_rate_short")) == 0.0)
+    assert(!at400.getBoolean(at400.fieldIndex("alert")))
+  }
+
   test("timeWindowZscore flags the spike, nulls degenerate windows") {
     import spark.implicits._
     val df = Seq(
