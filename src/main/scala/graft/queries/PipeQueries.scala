@@ -128,6 +128,25 @@ object PipeQueries {
           "err_rate_long", "alert")
         .orderBy("event_id")),
 
+    // Equi-DEPTH histogram: exact type-1 quartile boundaries (rank
+    // selection — no float math) broadcast back onto the stream, rows
+    // counted per quartile. The composition shape: a tiny exact-
+    // quantile aggregate drives a second single-pass aggregation.
+    "events_histogram_equidepth" -> ((s, dir) => {
+      val b = TsQueries.base(s, dir).filter(col("value").isNotNull)
+      val q = graft.operators.Quantiles.exactByRank(b, Seq("event_type"),
+        "value", "event_id", Seq(25, 50, 75))
+      b.join(broadcast(q), "event_type")
+        .withColumn("bucket",
+          when(col("value") <= col("q25"), 0L)
+            .when(col("value") <= col("q50"), 1L)
+            .when(col("value") <= col("q75"), 2L)
+            .otherwise(3L))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // OHLC candlestick resample per event_type over 1h buckets.
     "ts_ohlc" -> ((s, dir) =>
       Ohlc.resample(TsQueries.base(s, dir), Seq("event_type"), "sec",
@@ -319,6 +338,29 @@ object PipeQueries {
          |  floor(CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*)
          |        * 1000000) / 1000000 AS mae
          |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_histogram_equidepth" ->
+      s"""$BaseCte, ranked AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM base WHERE value IS NOT NULL
+         |), q AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN rn = (25 * n + 99) // 100 THEN value END) AS q25,
+         |    max(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS q50,
+         |    max(CASE WHEN rn = (75 * n + 99) // 100 THEN value END) AS q75
+         |  FROM ranked GROUP BY event_type
+         |)
+         |SELECT b.event_type,
+         |  CAST(CASE WHEN value <= q25 THEN 0 WHEN value <= q50 THEN 1
+         |            WHEN value <= q75 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+         |  count(*) AS n
+         |FROM base b JOIN q ON q.event_type = b.event_type
+         |WHERE value IS NOT NULL
+         |GROUP BY b.event_type, bucket
+         |ORDER BY b.event_type, bucket""".stripMargin,
 
     "ts_burn_rate" ->
       s"""$BaseCte
