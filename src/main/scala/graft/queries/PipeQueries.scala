@@ -128,6 +128,31 @@ object PipeQueries {
           "err_rate_long", "alert")
         .orderBy("event_id")),
 
+    // Robust outliers via MAD: median and median-absolute-deviation
+    // both by exact rank selection (no float interpolation), robust
+    // z = (v - med) / (1.4826 · MAD). Outlier-resistant where the
+    // moment-based z-score is not; two tiny exact-quantile aggregates
+    // broadcast back onto the stream.
+    "events_robust_outliers" -> ((s, dir) => {
+      val b = TsQueries.base(s, dir).filter(col("value").isNotNull &&
+        !isnan(col("value")))
+      val med = graft.operators.Quantiles.exactByRank(b, Seq("event_type"),
+        "value", "event_id", Seq(50)).withColumnRenamed("q50", "med")
+      val dev = b.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = graft.operators.Quantiles.exactByRank(dev, Seq("event_type"),
+        "adev", "event_id", Seq(50)).withColumnRenamed("q50", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"),
+          when(col("mad") > 0, graft.ext.TextStats.trunc6(
+            (col("value") - col("med")) / (lit(1.4826) * col("mad"))))
+            .as("robust_z"))
+        .withColumn("outlier",
+          col("robust_z").isNotNull && abs(col("robust_z")) > 3.5)
+        .orderBy("event_id")
+    }),
+
     // Equi-DEPTH histogram: exact type-1 quartile boundaries (rank
     // selection — no float math) broadcast back onto the stream, rows
     // counted per quartile. The composition shape: a tiny exact-
@@ -338,6 +363,45 @@ object PipeQueries {
          |  floor(CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*)
          |        * 1000000) / 1000000 AS mae
          |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_robust_outliers" ->
+      s"""$BaseCte, clean AS (
+         |  SELECT event_id, event_type, value FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |), r1 AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM clean
+         |), med AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS med
+         |  FROM r1 GROUP BY event_type
+         |), dev AS (
+         |  SELECT c.event_id, c.event_type, c.value, m.med,
+         |    abs(c.value - m.med) AS adev
+         |  FROM clean c JOIN med m ON m.event_type = c.event_type
+         |), r2 AS (
+         |  SELECT event_type, adev,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY adev, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM dev
+         |), mad AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN rn = (50 * n + 99) // 100 THEN adev END) AS mad
+         |  FROM r2 GROUP BY event_type
+         |), z AS (
+         |  SELECT d.event_id, d.event_type, d.value, d.med, ma.mad,
+         |    CASE WHEN ma.mad > 0 THEN
+         |      floor((d.value - d.med) / (1.4826 * ma.mad) * 1000000)
+         |        / 1000000 END AS robust_z
+         |  FROM dev d JOIN mad ma ON ma.event_type = d.event_type
+         |)
+         |SELECT event_id, event_type, value, med, mad, robust_z,
+         |  robust_z IS NOT NULL AND abs(robust_z) > 3.5 AS outlier
+         |FROM z ORDER BY event_id""".stripMargin,
 
     "events_histogram_equidepth" ->
       s"""$BaseCte, ranked AS (
