@@ -128,6 +128,21 @@ object PipeQueries {
           "err_rate_long", "alert")
         .orderBy("event_id")),
 
+    // DST-aware LOCAL-day aggregation: the reference serves Madrid-
+    // localized dashboards (LOCAL_TZ, `ong_utils`), where a "day" is
+    // 23/24/25 UTC-hours across DST transitions — bucketing by
+    // `sec div 86400` is simply wrong there. Both engines resolve the
+    // same IANA zone rules.
+    "tz_daily_local" -> ((s, dir) =>
+      TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .withColumn("day", to_date(from_utc_timestamp(
+          timestamp_seconds(col("sec")), "Europe/Madrid")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Dec)).cast("double").as("sum_v"))
+        .orderBy("day")),
+
     // Robust outliers via MAD: median and median-absolute-deviation
     // both by exact rank selection (no float interpolation), robust
     // z = (v - med) / (1.4826 · MAD). Outlier-resistant where the
@@ -363,6 +378,15 @@ object PipeQueries {
          |  floor(CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*)
          |        * 1000000) / 1000000 AS mae
          |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "tz_daily_local" ->
+      s"""$BaseCte
+         |SELECT CAST(to_timestamp(sec) AT TIME ZONE 'Europe/Madrid' AS DATE)
+         |    AS day,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+         |FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |GROUP BY day ORDER BY day""".stripMargin,
 
     "events_robust_outliers" ->
       s"""$BaseCte, clean AS (
