@@ -269,6 +269,30 @@ class StreamIngestSpec extends SparkSpec {
       (t0 + 50, 6.0, 30L, 0.2))) // 10 → 16; the late 99 emitted nothing
   }
 
+  test("AvailableNow trigger drains a backlog through the store writer and stops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    val dir = Files.createTempDirectory("graft-avail").toString
+    val store = new SensorStore(spark, dir)
+    store.createSensor(SensorConfig("test", "an1", "1s",
+      Seq(MetricDef(Seq("v")))))
+    val src = MemoryStream[String]
+    // backlog accumulated BEFORE the query starts — the catch-up shape
+    src.addData((0 until 50).map(i =>
+      s"test,circuit=an1 v=$i ${(t0 + i)}000000000"))
+    val points = StreamIngest.parse(src.toDF().withColumnRenamed("value", "line"),
+      "line", "test", "an1")
+    val query = StreamIngest.writer(points, store, "test", "an1")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow processes everything available, then STOPS itself
+    query.awaitTermination(60000)
+    assert(!query.isActive)
+    assert(store.read("test", "an1").count() == 50)
+  }
+
   test("watermarked stream-stream interval join matches within the bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
