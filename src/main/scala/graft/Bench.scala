@@ -36,10 +36,32 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+        .mkString("{", ",", "}")
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size}$omit,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full per-query detail goes to a repo file; the stdout line must fit
+    // the driver's 2000-char tail window or its JSON parse fails (the
+    // r1-r3 benches were captured but unparsed for exactly this reason).
+    // Keep the slowest queries in the line; drop the fastest until it fits.
+    val full = line(results, 0)
+    val bySlow = results.sortBy(-_._2)
+    val budget = 1800
+    var keep = results.size
+    var out = full
+    while (out.length > budget && keep > 1) {
+      keep -= 1
+      val kept = bySlow.take(keep).sortBy(_._1)
+      out = line(kept, results.size - keep)
+    }
+    try {
+      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(p, (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(out)
     spark.stop()
   }
 }
