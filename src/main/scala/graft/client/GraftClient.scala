@@ -103,6 +103,27 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
           .ofPattern("yyyy-MM-dd HH:mm:ss"))
     }
 
+  /** General metadata update (reference `update_metadata`,
+    * `database.py:287-298`): REPLACES the sensor's metadata dict
+    * wholesale, like the reference assignment — keys absent from
+    * `newMetadata` are dropped (including `level_names`).
+    */
+  def updateMetadata(db: String, sensor: String,
+                     newMetadata: Map[String, String]): Unit = {
+    val cfg = store.config(db, sensor)
+    store.createSensor(cfg.copy(metadata = newMetadata))
+  }
+
+  /** Merge variant of [[updateMetadata]] for callers that want to patch
+    * a few keys without re-supplying the whole dict: existing keys are
+    * overwritten, others kept.
+    */
+  def mergeMetadata(db: String, sensor: String,
+                    patch: Map[String, String]): Unit = {
+    val cfg = store.config(db, sensor)
+    store.createSensor(cfg.copy(metadata = cfg.metadata ++ patch))
+  }
+
   /** MultiIndex level names (reference `set_level_names`,
     * `client.py:493-503`): stored comma-joined in metadata.
     */
@@ -235,6 +256,45 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
       .orderBy("metric", "ts_ms")
   }
 
+  /** SHARED-BOUNDARY Grafana downsample — the reference's exact
+    * multi-target row-selection semantics (`server.py:444-459`): ONE
+    * boundary advances for ALL targets. The server walks grid rows in
+    * time order; the first ROW at/after each spread boundary is emitted
+    * with every non-NaN target value AT THAT ROW (an all-NaN row still
+    * advances the boundary), then the boundary jumps past it. Because
+    * boundaries live on the fixed grid anchored at `fromSec`, the
+    * emitted rows are exactly the first grid ROW of every non-empty
+    * spread bucket — expressible as ONE hash aggregation (`min_by` of
+    * the whole row struct per bucket), no sequential scan needed.
+    *
+    * This differs from [[readGrafana]] (per-target independent
+    * bucketing) on sparse multi-metric sensors: here a metric that is
+    * NaN on the bucket's first row contributes NOTHING for that bucket,
+    * even if it has a later value inside it. One acknowledged
+    * divergence from the reference loop (DETERMINISM.md): when a row
+    * lands exactly ON a boundary the reference's `while start_t < dt`
+    * fails to advance and re-emits the following row too, overshooting
+    * maxDataPoints — a contract-breaking artifact we do not replicate.
+    */
+  def readGrafanaShared(db: String, sensor: String, fromSec: Long,
+                        toSec: Long, maxDataPoints: Int,
+                        targets: Option[Seq[String]] = None): DataFrame = {
+    val cfg = store.config(db, sensor)
+    val wanted = targets.getOrElse(cfg.metricNames)
+    val wide = store.read(db, sensor, Some(fromSec), Some(toSec), Some(wanted))
+    val spread = Downsample.spreadOf(fromSec, toSec, maxDataPoints)
+    val firstRow = wide.withColumn("sec", Grid.tsSeconds(col("ts")))
+      .withColumn("bucket", Downsample.bucket(col("sec"), fromSec, spread))
+      .groupBy(col("bucket"))
+      .agg(min_by(struct(col("sec") +: wanted.map(col): _*), col("sec"))
+        .as("r"))
+      .select(col("r.sec").as("sec") +: wanted.map(m => col(s"r.$m").as(m)): _*)
+    Pivot.wideToLong(firstRow, Seq("sec"), wanted)
+      .filter(!isnan(col("value")))
+      .select(col("metric"), col("value"), (col("sec") * 1000).as("ts_ms"))
+      .orderBy("metric", "ts_ms")
+  }
+
   /** Grafana-style MEAN downsample: wide `(ts, <metrics...>)` rows, one
     * per spread bucket, each cell the mean of that metric's non-NaN
     * readings in the bucket.
@@ -273,16 +333,26 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
         val dec = org.apache.spark.sql.types.DecimalType(28, 6)
         val wide = store.read(db, sensor, Some(fromSec), Some(toSec),
           Some(wanted))
-        val sp = spreadSec.getOrElse(
-          math.max(1L, span / math.max(1, maxDataPoints)))
+        // RELATIVE float-spread bucketing anchored at fromSec — the
+        // same grid as readGrafana / Downsample (reference
+        // `server.py:430-434`): bucket k = floor((sec-fromSec)/spread),
+        // so no bucket ever precedes `fromSec` and at most
+        // maxDataPoints rows come back even for misaligned queries
+        // (fromSec % spread != 0, span % maxDataPoints != 0). Absolute
+        // snapping is used only on the rollup path above, where
+        // alignment is proven before routing — there the two grids
+        // coincide, so the paths stay bitwise-equal.
+        val spread = Downsample.spreadOf(fromSec, toSec, maxDataPoints)
         val aggs = wanted.flatMap(m => Seq(
           sum(when(!isnan(col(m)), col(m)).cast(dec)).as(s"${m}__sum"),
           count(when(!isnan(col(m)), col(m))).as(s"${m}__n")))
         wide.withColumn("sec", Grid.tsSeconds(col("ts")))
-          .withColumn("cbucket", Grid.snapSeconds(col("sec"), sp))
+          .withColumn("cbucket",
+            Downsample.bucket(col("sec"), fromSec, spread))
           .groupBy(col("cbucket"))
           .agg(aggs.head, aggs.tail: _*)
-          .select(timestamp_seconds(col("cbucket")).as("ts") +:
+          .select(timestamp_seconds(lit(fromSec) +
+              floor(col("cbucket") * lit(spread)).cast("long")).as("ts") +:
             wanted.map(m =>
               when(col(s"${m}__n") > 0,
                 col(s"${m}__sum").cast("double") / col(s"${m}__n"))

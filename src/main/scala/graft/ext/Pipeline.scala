@@ -70,17 +70,25 @@ object Pipeline {
     */
   def repetitionStats(df: DataFrame, textCol: String,
                       maxDupFrac: Double = 0.4): DataFrame = {
-    val w = split(col(textCol), " ")
-    val grams = expr(
-      "transform(sequence(0, size(split(" + textCol + ", ' ')) - 2), " +
-        "i -> concat_ws(' ', split(" + textCol + ", ' ')[i], " +
-        "split(" + textCol + ", ' ')[i+1]))")
+    // backtick-quote so a name with dots/spaces binds as ONE column
+    // (bare col() parses dots as struct-field access)
+    val w = split(col("`" + textCol.replace("`", "``") + "`"), " ")
+    // typed Column API throughout (a raw name interpolated into expr()
+    // breaks on names needing quoting); the split runs ONCE via the
+    // materialized __words column, not once per reference.
+    val grams = transform(
+      sequence(lit(0), size(col("__words")) - 2),
+      i => concat_ws(" ",
+        element_at(col("__words"), i + 1),
+        element_at(col("__words"), i + 2)))
     df.filter(size(w) >= 2)
-      .withColumn("n_2grams", (size(w) - 1).cast("long"))
+      .withColumn("__words", w)
+      .withColumn("n_2grams", (size(col("__words")) - 1).cast("long"))
       .withColumn("dup_2gram_frac", TextStats.trunc6(
         lit(1.0) - size(array_distinct(grams)).cast("double") /
-          (size(w) - 1)))
+          (size(col("__words")) - 1)))
       .withColumn("r_repetition", col("dup_2gram_frac") <= maxDupFrac)
+      .drop("__words")
   }
 
   /** Gopher-style quality-rule chain: per-document boolean verdicts for

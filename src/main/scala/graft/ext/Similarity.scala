@@ -171,6 +171,95 @@ object Similarity {
                         cents: DataFrame): DataFrame =
     argmaxAssign(df, idCol, vecCol, cents, "cluster", "cvec", "cluster")
 
+  /** EXACT nearest neighbor per vector within `groupCol` WITHOUT a
+    * group-wide all-pairs join — the scale-safe shape for embedding
+    * dedup where the output must stay exact (an LSH/IVF candidate set
+    * cannot guarantee the true top-1 when neighbors are weakly similar,
+    * as they are in this corpus: median within-label NN cosine ≈ 0.27).
+    *
+    * Ball-bound pruning on the sphere (the ball-tree bound, run as
+    * three dataframe passes):
+    *  1. assign every vector to its max-cosine k-means cell (broadcast
+    *     centroids, sort-free argmax — one aggregation);
+    *  2. per (group, cell) summary: the max angle of any member to the
+    *     cell centroid (`radius`). Tiny (groups × k rows) → broadcast;
+    *  3. own-cell best: pairs joined on (group, cell) — each task
+    *     bounded by a cell's population, never a whole group;
+    *  4. probe: for vector q and foreign cell c, any member x satisfies
+    *     angle(q,x) ≥ angle(q,centroid_c) − radius_c, so
+    *     sim(q,x) ≤ cos(max(0, angle(q,c) − radius_c)). Cells whose
+    *     bound cannot beat q's own-cell best (minus a 2e-6 float/
+    *     rounding margin) are PRUNED; survivors re-rank exactly.
+    *
+    * Exactness: a pruned member's unrounded sim < best − 2e-6, so even
+    * after 6-decimal rounding (≤ 5e-7 shift) it loses strictly — the
+    * argmax and its (sim DESC, id ASC) tie-break are unaffected. With
+    * clustered data the probe list collapses to a few cells per vector
+    * (IVF-probe cost); in the worst case every cell survives and the
+    * work equals all-pairs but is evenly spread over (group, cell)
+    * tasks instead of one quadratic group-wide join task.
+    */
+  def exactNNWithinGroup(e0: DataFrame, idCol: String, vecCol: String,
+                         groupCol: String, k: Int = 16,
+                         iters: Int = 1): DataFrame = {
+    val cents = kmeansCentroids(e0, idCol, vecCol, k, iters)
+    // cell assignment carrying (group, norm): one argmax aggregation
+    val m = e0.crossJoin(broadcast(cents))
+      .withColumn("cent_sim", cosine(col(vecCol), col("cvec")))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("cluster"),
+          struct(col("cent_sim"), (-col("cluster")).as("nid"))).as("cell"),
+        first(col(vecCol)).as(vecCol),
+        first(col(groupCol)).as(groupCol))
+      .withColumn("nrm", norm(col(vecCol)))
+      .persist()
+    val clamped = (c: Column) => acos(least(lit(1.0), greatest(lit(-1.0), c)))
+    // per-(group, cell) angular radius + the centroid itself, broadcast
+    val summary = m.join(broadcast(cents.withColumnRenamed("cluster", "cell")),
+        Seq("cell"))
+      .withColumn("ang", clamped(cosine(col(vecCol), col("cvec"))))
+      .groupBy(col(groupCol).as("sgrp"), col("cell").as("scell"))
+      .agg(max(col("ang")).as("radius"))
+      .join(cents.select(col("cluster").as("scell"), col("cvec")), Seq("scell"))
+    val a = m.select(col(idCol).as("qid"), col(groupCol).as("grp"),
+      col(vecCol).as("qvec"), col("cell").as("qcell"), col("nrm").as("qnrm"))
+    val b = m.select(col(idCol).as("nid"), col(groupCol).as("bgrp"),
+      col(vecCol).as("bvec"), col("cell").as("bcell"), col("nrm").as("bnrm"))
+    val sim = round(dot(col("qvec"), col("bvec")) /
+      (col("qnrm") * col("bnrm")), 6)
+    // own-cell exact best (may miss vectors alone in their cell)
+    val best0 = a.join(b,
+        col("grp") === col("bgrp") && col("qcell") === col("bcell") &&
+          col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), sim.as("sim"))
+      .groupBy("qid")
+      .agg(max(struct(col("sim"), (-col("nid")).as("ni"))).as("bst"))
+      .select(col("qid"), col("bst.sim").as("sim0"),
+        (-col("bst.ni")).as("nid0"))
+      .persist()
+    // foreign cells whose ball bound can still beat the own-cell best
+    val probes = a.join(best0, Seq("qid"), "left")
+      .join(broadcast(summary),
+        col("grp") === col("sgrp") && col("qcell") =!= col("scell"))
+      .withColumn("bound", cos(greatest(lit(0.0),
+        clamped(cosine(col("qvec"), col("cvec"))) - col("radius"))))
+      .filter(col("bound") >= coalesce(col("sim0") - lit(2e-6), lit(-2.0)))
+      .select(col("qid"), col("grp"), col("qvec"), col("qnrm"), col("scell"))
+    val candPairs = probes.join(b,
+        col("grp") === col("bgrp") && col("scell") === col("bcell"))
+      .select(col("qid"), col("nid"), sim.as("sim"))
+    best0.select(col("qid"), col("nid0").as("nid"), col("sim0").as("sim"))
+      .unionByName(candPairs)
+      .groupBy("qid")
+      .agg(
+        max_by(col("nid"), struct(col("sim"), (-col("nid")).as("ni")))
+          .as("nn_id"),
+        max(struct(col("sim"), (-col("nid")).as("ni"))).getField("sim")
+          .as("sim"))
+      .select(col("qid").as(idCol), col("nn_id"), col("sim"))
+  }
+
   /** ANN: probe the query's LSH bucket, rank by exact cosine. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, query: Column,
               planes: Int, dim: Int, k: Int): DataFrame = {

@@ -12,11 +12,12 @@ import graft.core.Grid
   *
   * ONE map-side-combinable hash aggregation: open/close are
   * `min_by`/`max_by` over a composite in-bucket order key — no window,
-  * no sort, no second shuffle. The order key packs
-  * `(sec - bucket) * 10^10 + order` into one int64 (in-bucket offset
-  * bounded by bucketSec ≤ ~10^8 and the tiebreak id below 10^10 — far
-  * above any per-bucket row count), so the argmin/argmax is totally
-  * ordered and deterministic even when timestamps tie.
+  * no sort, no second shuffle. The order key is a STRUCT
+  * `(sec - bucket, order)` — structs compare lexicographically, so the
+  * argmin/argmax is totally ordered and deterministic even when
+  * timestamps tie, with no packing invariant to violate (a packed
+  * `offset * 10^10 + order` int64 silently corrupts the ordering for
+  * order ids ≥ 10^10 or negative, and overflows for bucketSec ≳ 9.2e8).
   */
 object Ohlc {
 
@@ -24,7 +25,7 @@ object Ohlc {
                orderCol: String, valueCol: String,
                bucketSec: Long): DataFrame = {
     val bucket = Grid.snapSeconds(col(secCol), bucketSec)
-    val okey = (col(secCol) - bucket) * lit(10000000000L) + col(orderCol)
+    val okey = struct((col(secCol) - bucket).as("off"), col(orderCol).as("ord"))
     df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
       .withColumn("bucket", bucket)
       .groupBy((groupCols.map(col) :+ col("bucket")): _*)

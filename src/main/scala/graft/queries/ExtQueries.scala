@@ -145,31 +145,17 @@ object ExtQueries {
           "doc_id", "simhash", maxDist = 1)
         .orderBy("a_id", "b_id")),
 
-    "dedup_embedding_cosine" -> ((s, dir) => {
-      // norms precomputed per vector (O(n)) instead of per pair (O(n²))
-      // — identical fp result, the sqrt just runs once per side.
-      val e = emb(s, dir)
-      val a = e.select(col("vec_id"), col("embedding"), col("label"),
-        Similarity.norm(col("embedding")).as("norm_a"))
-      val b = e.select(col("vec_id").as("nn_id"),
-        col("embedding").as("nn_emb"), col("label").as("nn_label"),
-        Similarity.norm(col("embedding")).as("norm_b"))
-      val pairs = a.join(b,
-        col("label") === col("nn_label") && col("vec_id") =!= col("nn_id"))
-        .withColumn("sim",
-          round(Similarity.dot(col("embedding"), col("nn_emb"))
-            / (col("norm_a") * col("norm_b")), 6))
-      // argmax by (sim DESC, nn_id ASC) as a hash aggregation: the n²
-      // within-label pair stream never gets sorted or re-shuffled — the
-      // map side combines down to one partial per vec_id
-      pairs.groupBy(col("vec_id"))
-        .agg(
-          max_by(col("nn_id"), struct(col("sim"), (-col("nn_id")).as("ni")))
-            .as("nn_id"),
-          max(struct(col("sim"), (-col("nn_id")).as("ni"))).getField("sim")
-            .as("sim"))
-        .orderBy("vec_id")
-    }),
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      // EXACT within-label nearest neighbor WITHOUT the label-wide
+      // all-pairs join (the one shape that goes quadratic on a popular
+      // label at 100 TB): k-means cells + ball-bound pruning + exact
+      // re-rank of surviving cells — see Similarity.exactNNWithinGroup.
+      // Output and oracle are unchanged (the pruning is provably
+      // lossless), only the plan shape is: every pair join keys on
+      // (label, cell), never label alone.
+      Similarity.exactNNWithinGroup(emb(s, dir), "vec_id", "embedding",
+          "label", k = 16, iters = 1)
+        .orderBy("vec_id")),
 
     "similar_topk_cosine" -> ((s, dir) => {
       val e = emb(s, dir)

@@ -191,13 +191,22 @@ object TsQueries {
 
     // Sketch-based distinct counting — the approx path for cardinality
     // at 100 TB (mergeable HLL partials, no exact-distinct shuffle).
-    // No DuckDB oracle: sketch algorithms differ across engines, so the
-    // driver records the weaker rows-only check for this key.
+    // Sketch VALUES differ across engines, so the oracle-able contract
+    // is the accuracy AUDIT: the exact count plus a boolean holding the
+    // HLL estimate to its ±5% error envelope (Spark's HLL++ is
+    // deterministic for a given input set, so approx_ok is stable); the
+    // DuckDB oracle computes the same exact counts and expects `true`.
     "events_approx_distinct_users" -> ((s, dir) =>
       base(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        // rsd 0.02: measured worst relative error across the test SFs
+        // is 0.4% — an order of magnitude inside the 5% contract (the
+        // default 5% rsd actually missed it at sf0.1: 6.7% on `click`)
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("approx_ok"))
         .orderBy("event_type")),
 
     // Window-function sessionization — the classic event-stream op the
@@ -461,6 +470,15 @@ object TsQueries {
     "events_salted_sum" ->
       s"""$BaseCte SELECT event_type, count(*) AS n_rows,
          |  CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+         |FROM base GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The sketch estimate itself is engine-specific; the oracle pins
+    // the exact cardinality and asserts the estimate landed within the
+    // ±5% envelope (literal true on the DuckDB side).
+    "events_approx_distinct_users" ->
+      s"""$BaseCte SELECT event_type,
+         |  count(DISTINCT user_id) AS exact_users,
+         |  true AS approx_ok
          |FROM base GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "downsample_mean_per_bucket" ->

@@ -27,8 +27,11 @@ object Downsample {
   def bucket(sec: Column, startSec: Long, spread: Double): Column =
     floor((sec - lit(startSec)) / lit(spread)).cast("long")
 
-  /** Float spread like the reference; guarded against a degenerate 0. */
-  private def spreadOf(startSec: Long, endSec: Long, maxDataPoints: Int): Double = {
+  /** Float spread like the reference; guarded against a degenerate 0.
+    * Public so callers composing their own aggregation (e.g. the mean
+    * dashboard read's raw fallback) bucket on the SAME relative grid.
+    */
+  def spreadOf(startSec: Long, endSec: Long, maxDataPoints: Int): Double = {
     val s = (endSec - startSec + 1).toDouble / maxDataPoints
     if (s > 0) s else 1.0
   }

@@ -263,11 +263,24 @@ class SensorStore(spark: SparkSession, baseDir: String) {
       }
     }
     val heartbeat = new Thread(() => {
-      try while (true) {
-        Thread.sleep(math.max(staleMs / 3, 50L))
-        try Files.setLastModifiedTime(lock,
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-        catch { case _: java.io.IOException => () } // taken over: stop touching
+      try {
+        var owned = true
+        while (owned) {
+          Thread.sleep(math.max(staleMs / 3, 50L))
+          // refresh ONLY while the file still carries OUR token: after a
+          // stale takeover the new holder re-creates the lock at the same
+          // path, so a blind setLastModifiedTime would keep a lock we no
+          // longer own artificially fresh and block third-party takeover
+          // if the new holder crashes.
+          try {
+            if (new String(Files.readAllBytes(lock),
+                StandardCharsets.UTF_8) == token)
+              Files.setLastModifiedTime(lock,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  System.currentTimeMillis()))
+            else owned = false // taken over: stop touching for good
+          } catch { case _: java.io.IOException => owned = false }
+        }
       } catch { case _: InterruptedException => () }
     }, s"graft-writelock-heartbeat-$db-$sensor")
     heartbeat.setDaemon(true)

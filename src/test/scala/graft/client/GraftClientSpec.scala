@@ -266,9 +266,86 @@ class GraftClientSpec extends SparkSpec {
     assert(after.map(_.getDouble(1)).toSeq ==
       afterRaw.map(_.getDouble(1)).toSeq)
     assert(after.head.getDouble(1) > viaRollup.head.getDouble(1))
-    // misaligned from: falls back to raw silently
-    val mis = c.readGrafanaMean("test", "gm", t0 + 30, t0 + 599, 5)
-    assert(mis.count() > 0)
+    // misaligned from: falls back to raw silently, still exactly
+    // maxDataPoints buckets, none preceding `from`
+    val mis = c.readGrafanaMean("test", "gm", t0 + 30, t0 + 599, 5).collect()
+    assert(mis.length == 5)
+    assert(mis.forall(_.getTimestamp(0).toInstant.getEpochSecond >= t0 + 30))
+  }
+
+  test("grafana MEAN raw fallback buckets RELATIVE to from (misaligned query)") {
+    val c = freshClient()
+    c.createSensor("test", "mm", "1s", Seq(Seq("v")))
+    c.write((0 until 600).map(i =>
+      s"test,circuit=mm v=$i ${(t0 + i)}000000000"))
+    c.store.materializeMeanRollup("test", "mm", 60L)
+    // from=t0+30, span 569 → float spread 113.8, off every grid: the
+    // old absolute-grid fallback emitted a bucket BEFORE `from` and a
+    // 6th row; relative bucketing anchors at `from` (server.py:430-434)
+    val out = c.readGrafanaMean("test", "mm", t0 + 30, t0 + 598, 5).collect()
+    assert(out.length == 5)
+    val secs = out.map(_.getTimestamp(0).toInstant.getEpochSecond).toSeq
+    assert(secs.forall(_ >= t0 + 30), s"bucket precedes from: $secs")
+    // boundaries: from + floor(k·113.8)
+    assert(secs == Seq(30, 143, 257, 371, 485).map(t0 + _))
+    // bucket populations are consecutive ints → exact means
+    assert(out.map(_.getDouble(1)).toSeq ==
+      Seq((30 + 143) / 2.0, (144 + 257) / 2.0, (258 + 371) / 2.0,
+        (372 + 485) / 2.0, (486 + 598) / 2.0))
+    // where the grids coincide (aligned from, integral spread) the
+    // rollup-served path and the raw fallback agree bitwise
+    val viaRollup = c.readGrafanaMean("test", "mm", t0, t0 + 599, 5).collect()
+    val rawAligned = c.readGrafanaMean("test", "mm", t0, t0 + 599, 5,
+      useRollups = false).collect()
+    assert(viaRollup.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq ==
+      rawAligned.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq)
+  }
+
+  test("shared-boundary grafana read advances ONE boundary for all targets " +
+       "(reference server.py:444-459)") {
+    val c = freshClient()
+    c.createSensor("test", "sb", "1s", Seq(Seq("a"), Seq("b")))
+    // bucket 0 (t0..t0+4): a on the bucket's first row, b only later
+    // inside the bucket; bucket 1 (t0+5..t0+9): both on the first row
+    c.write(Seq(
+      s"test,circuit=sb a=1 ${t0}000000000",
+      s"test,circuit=sb b=2 ${(t0 + 1)}000000000",
+      s"test,circuit=sb a=3,b=4 ${(t0 + 5)}000000000"))
+    val shared = c.readGrafanaShared("test", "sb", t0, t0 + 9, 2).collect()
+      .map(r => (r.getString(0), r.getFloat(1), r.getLong(2)))
+    // reference semantics: bucket 0's emitted ROW is t0 — b is NaN
+    // there, so b contributes nothing for bucket 0 even though b=2
+    // exists at t0+1
+    assert(shared.toSeq == Seq(
+      ("a", 1f, t0 * 1000), ("a", 3f, (t0 + 5) * 1000),
+      ("b", 4f, (t0 + 5) * 1000)))
+    // the per-target variant DOES emit b@t0+1 — the documented
+    // divergence on sparse multi-metric sensors
+    val perTarget = c.readGrafana("test", "sb", t0, t0 + 9, 2).collect()
+      .map(r => (r.getString(0), r.getFloat(1), r.getLong(2)))
+    assert(perTarget.toSeq == Seq(
+      ("a", 1f, t0 * 1000), ("a", 3f, (t0 + 5) * 1000),
+      ("b", 2f, (t0 + 1) * 1000), ("b", 4f, (t0 + 5) * 1000)))
+  }
+
+  test("update_metadata replaces the dict; mergeMetadata patches it " +
+       "(reference database.py:287-298)") {
+    val c = freshClient()
+    c.createSensor("test", "md", "1s", Seq(Seq("v")),
+      metadata = Map("k1" -> "v1", "k2" -> "v2"))
+    c.updateMetadata("test", "md", Map("k2" -> "w2", "k3" -> "v3"))
+    assert(c.metadata("test", "md") == Map("k2" -> "w2", "k3" -> "v3"))
+    c.mergeMetadata("test", "md", Map("k2" -> "z2", "k4" -> "v4"))
+    assert(c.metadata("test", "md") ==
+      Map("k2" -> "z2", "k3" -> "v3", "k4" -> "v4"))
+    // level names survive a merge but not a wholesale replace (the
+    // reference assignment drops keys absent from new_metadata)
+    c.setLevelNames("test", "md", Seq("l1", "l2"))
+    c.mergeMetadata("test", "md", Map("k5" -> "v5"))
+    assert(c.levelNames("test", "md") == Seq("l1", "l2"))
+    c.updateMetadata("test", "md", Map("only" -> "this"))
+    assert(c.levelNames("test", "md").isEmpty)
+    assert(c.metadata("test", "md") == Map("only" -> "this"))
   }
 
   test("grafana read survives a range shorter than maxDataPoints (spread<1)") {

@@ -70,4 +70,21 @@ class PipelineSpec extends SparkSpec {
     assert(!out(1).getBoolean(1) && !out(1).getBoolean(4))
     assert(!out(2).getBoolean(3) && !out(2).getBoolean(2) && !out(2).getBoolean(4))
   }
+
+  test("repetitionStats works on column names that need quoting") {
+    import spark.implicits._
+    // "text col.v2" would break a string-interpolated expr() (parse
+    // error / wrong binding) — the typed Column API must handle it
+    val df = Seq((1L, "a b a b"), (2L, "x y z w"))
+      .toDF("doc_id", "text col.v2")
+    val out = Pipeline.repetitionStats(df, "text col.v2")
+      .select("doc_id", "n_2grams", "dup_2gram_frac", "r_repetition")
+      .orderBy("doc_id").collect()
+    // doc 1: grams (a b, b a, a b) → 2 distinct of 3 → dup 1/3
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) == 0.333333)
+    assert(out(0).getBoolean(3) == (0.333333 <= 0.4))
+    // doc 2: all distinct → dup 0
+    assert(out(1).getDouble(2) == 0.0 && out(1).getBoolean(3))
+  }
 }

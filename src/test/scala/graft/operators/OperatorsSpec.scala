@@ -143,4 +143,30 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", -1L, 1L), ("a", 0L, 2L), ("a", 1L, 1L),
       ("b", 2L, 1L)))
   }
+
+  test("ohlc open/close survive huge bucketSec, order ids ≥ 1e10 and negative") {
+    import spark.implicits._
+    // bucketSec 2e9 > the ~9.2e8 int64-overflow bound of the old packed
+    // key, and order ids beyond 1e10 / below 0 corrupted its ordering —
+    // the struct order key has no such invariant (ADVICE r3/r4).
+    val df = Seq(
+      (1500000000L, 20000000000L, 20.0), // offset 1.5e9, order 2e10
+      (1500000000L, -5L, 40.0),          // same sec, NEGATIVE order → opens tie
+      (1000000000L, 99L, 30.0),          // earliest sec → open
+      (1600000000L, 1L, 10.0))           // latest sec → close
+      .toDF("sec", "event_id", "v").withColumn("g", lit("a"))
+    val out = Ohlc.resample(df, Seq("g"), "sec", "event_id", "v",
+      bucketSec = 2000000000L).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getDouble(2) == 30.0, s"open: $r")   // min (offset, order)
+    assert(r.getDouble(3) == 40.0)                // high
+    assert(r.getDouble(4) == 10.0)                // low
+    assert(r.getDouble(5) == 10.0, s"close: $r")  // max (offset, order)
+    // ties on sec resolve by order: -5 before 2e10 → close of the tie
+    // pair is the 2e10 row, checked via a bucket with only those two
+    val tie = Ohlc.resample(df.filter(col("sec") === 1500000000L),
+      Seq("g"), "sec", "event_id", "v", 2000000000L).collect()(0)
+    assert(tie.getDouble(2) == 40.0 && tie.getDouble(5) == 20.0)
+  }
 }

@@ -163,4 +163,44 @@ class PlanSpec extends SparkSpec {
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
     assert(exchanges <= 2, s"expected agg+sort exchanges only, got $exchanges:\n$p")
   }
+
+  test("dedup_exact is one hash-aggregate exchange (plus the output sort)") {
+    val p = plan("dedup_exact")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected agg+sort exchanges only, got $exchanges:\n$p")
+  }
+
+  test("minhash candidate generation joins on (band, band_key) — never cartesian") {
+    // built directly (not via the session memo) so the join shape is
+    // visible in the plan, not hidden inside an InMemoryRelation
+    val docsDf = graft.core.Tables.load(spark, dir, "documents")
+    val sh = graft.ext.Dedup.shingles(docsDf, "doc_id", "text", 3)
+    val cand = graft.ext.Dedup.candidatePairs(
+      graft.ext.Dedup.bands(graft.ext.Dedup.minhash(sh, "doc_id", 8),
+        "doc_id", 8, 1), "doc_id")
+    val p = cand.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"banded self-join degraded to all-pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_embedding_cosine never joins on the label alone (no all-pairs)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = graft.SparkEntry.queries("dedup_embedding_cosine")(spark, dir)
+    // every pair-producing equi-join must key on the cell as well as the
+    // group — a group-only condition is the quadratic shape this query
+    // used to have (VERDICT r4 finding 5)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists(_.toString.contains("grp")) => j
+    }
+    assert(joins.nonEmpty, "expected grp-keyed pair joins in the plan")
+    joins.foreach { j =>
+      val c = j.condition.get.toString.toLowerCase
+      assert(c.contains("cell"), s"group-only (all-pairs) join survived: $c")
+    }
+    val p = df.queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

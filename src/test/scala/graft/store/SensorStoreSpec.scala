@@ -367,6 +367,38 @@ class SensorStoreSpec extends SparkSpec {
     java.nio.file.Files.delete(lock)
   }
 
+  test("writer lock heartbeat stops refreshing after a takeover " +
+       "(old holder cannot keep the new holder's lock artificially fresh)") {
+    val (st, dir) = freshStoreDir()
+    st.createSensor(SensorConfig("lk3", "s", "1s", Seq(MetricDef(Seq("v")))))
+    val lock = java.nio.file.Paths.get(s"$dir/lk3/s/_WRITE_LOCK")
+    val oldMtime = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600 * 1000)
+    val holder = new Thread(() =>
+      // staleMs 300 → heartbeat ticks every 100 ms; the body outlives
+      // the whole takeover simulation below
+      st.withWriterLock("lk3", "s", timeoutMs = 5000, staleMs = 300) {
+        Thread.sleep(1500)
+      })
+    holder.start()
+    try {
+      while (!java.nio.file.Files.exists(lock)) Thread.sleep(10)
+      // simulate a stale takeover: the lock now carries ANOTHER token
+      java.nio.file.Files.write(lock, "intruder@nonce".getBytes)
+      // give the heartbeat a few ticks to observe the foreign token and
+      // exit, THEN plant an old mtime and verify nobody refreshes it
+      Thread.sleep(300)
+      java.nio.file.Files.setLastModifiedTime(lock, oldMtime)
+      Thread.sleep(400)
+      assert(java.nio.file.Files.getLastModifiedTime(lock) == oldMtime,
+        "old holder's heartbeat kept refreshing a lock it no longer owns")
+    } finally holder.join()
+    // and the release path left the intruder's lock in place
+    assert(new String(java.nio.file.Files.readAllBytes(lock)) ==
+      "intruder@nonce")
+    java.nio.file.Files.delete(lock)
+  }
+
   test("migrateCompression rewrites data, preserving every row (D-3)") {
     import spark.implicits._
     val (st, dir) = freshStoreDir()
