@@ -152,9 +152,12 @@ object ExtQueries {
       // re-rank of surviving cells — see Similarity.exactNNWithinGroup.
       // Output and oracle are unchanged (the pruning is provably
       // lossless), only the plan shape is: every pair join keys on
-      // (label, cell), never label alone.
+      // (label, cell), never label alone. iters=0 = static first-k
+      // cells (exactness never depends on centroid quality, only the
+      // pruning rate does — raise iters when the corpus is clustered
+      // enough for the fit to pay for itself).
       Similarity.exactNNWithinGroup(emb(s, dir), "vec_id", "embedding",
-          "label", k = 16, iters = 1)
+          "label", k = 16, iters = 0)
         .orderBy("vec_id")),
 
     "similar_topk_cosine" -> ((s, dir) => {
