@@ -30,11 +30,28 @@ object ExtQueries {
     memo.getOrElseUpdate((s, dir, "shingles"),
       Dedup.shingles(docs(s, dir), "doc_id", "text", 3).persist())
 
+  /** The minhash signature table is part of the same shared index: the
+    * band/candidate build AND the estimate-vs-exact audit both read it,
+    * so computing the k-min aggregation once per (session, dir) halves
+    * the signature passes over the shingle stream.
+    */
+  private def minhashOf(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "minhash"),
+      Dedup.minhash(shinglesOf(s, dir), "doc_id", NumHashes).persist())
+
   private def candsOf(s: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((s, dir, "cands"),
       Dedup.candidatePairs(
-        Dedup.bands(Dedup.minhash(shinglesOf(s, dir), "doc_id", NumHashes),
+        Dedup.bands(minhashOf(s, dir),
           "doc_id", NumHashes, 1), "doc_id").persist())
+
+  /** Simhash fingerprints likewise serve two queries (the table itself
+    * and the Hamming-radius pair search) — one corpus tokenize+vote
+    * pass instead of two.
+    */
+  private def simhashOf(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "simhash"),
+      Dedup.simhash(docs(s, dir), "doc_id", "text").persist())
 
   val Dim = 64
   val Planes = 8
@@ -116,7 +133,7 @@ object ExtQueries {
     // exact set Jaccard, per candidate pair. The methodology check
     // every sketch deployment wants: how wrong is the cheap path?
     "dedup_minhash_estimate" -> ((s, dir) => {
-      val sig = Dedup.minhash(shinglesOf(s, dir), "doc_id", NumHashes)
+      val sig = minhashOf(s, dir)
       val aSig = sig.select(col("doc_id").as("a_id") +:
         (0 until NumHashes).map(h => col(s"mh$h").as(s"amh$h")): _*)
       val bSig = sig.select(col("doc_id").as("b_id") +:
@@ -136,12 +153,12 @@ object ExtQueries {
     }),
 
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+      simhashOf(s, dir).orderBy("doc_id")),
 
-    // Hamming-radius pairs (≤1 bit apart) via pigeonhole half-banding +
-    // the native codegen'd hamming_distance expression.
+    // Hamming-radius pairs (≤1 bit apart) via the Manku flipped-key
+    // multi-index + the native codegen'd hamming_distance expression.
     "dedup_simhash_radius" -> ((s, dir) =>
-      Dedup.simhashRadius(Dedup.simhash(docs(s, dir), "doc_id", "text"),
+      Dedup.simhashRadius(simhashOf(s, dir),
           "doc_id", "simhash", maxDist = 1)
         .orderBy("a_id", "b_id")),
 
