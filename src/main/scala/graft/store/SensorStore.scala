@@ -254,7 +254,24 @@ class SensorStore(spark: SparkSession, baseDir: String) {
             // NoSuchFileException and re-race); nobody can delete a
             // lock that a newer holder just re-created.
             val tomb = Paths.get(dir, s"_WRITE_LOCK.stale.$token")
-            try { Files.move(lock, tomb); Files.deleteIfExists(tomb); () }
+            try {
+              Files.move(lock, tomb)
+              // re-verify on the tombstone: a FRESH mtime means the
+              // stale holder released and someone re-acquired between
+              // our staleness read and the move — we stole a LIVE lock.
+              // Put it straight back (the path is free unless a third
+              // contender creates it in this same syscall window, which
+              // shrinks the race from the whole contention period to
+              // microseconds); only a genuinely stale tombstone is
+              // discarded.
+              if (Files.getLastModifiedTime(tomb).toMillis >=
+                  System.currentTimeMillis() - staleMs)
+                try Files.move(tomb, lock)
+                catch { case _: java.io.IOException =>
+                  Files.deleteIfExists(tomb); ()
+                }
+              else { Files.deleteIfExists(tomb); () }
+            }
             catch { case _: java.io.IOException => () }
           }
           else if (System.currentTimeMillis() > deadline)

@@ -82,6 +82,33 @@ object ScaleSanity {
       t10 / t1
     }
     println(f"[scale] docs 1x=$nd 10x=$bigNd  median_ratio=${docRatios.sorted.apply(docRatios.size / 2)}%5.2f")
+
+    // ---- embeddings 10×: exact NN stays linear when cells scale -----
+    // The ball-bound-pruned exact NN's per-task work is bounded by cell
+    // population, so the cell count k is the scale knob: 10× vectors
+    // with 10× cells keeps per-cell work constant (a FIXED k would let
+    // cells grow 10× and own-cell pair work 100× — the knob exists
+    // precisely to prevent that). Replicas are angularly perturbed so
+    // they don't manufacture sim=1.0 own-cell bests that would prune
+    // unrealistically well.
+    val embT = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val ne = embT.count()
+    val bigEmb = (0 until 10).map { i =>
+      embT.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(i * 0.05)))
+    }.reduce(_ union _)
+    val edir = java.nio.file.Files.createTempDirectory("scaleemb").toString
+    bigEmb.write.parquet(s"$edir/embeddings.parquet")
+    val bigNe = spark.read.parquet(s"$edir/embeddings.parquet").count()
+    def nn(dirPath: String, k: Int): Long =
+      graft.ext.Similarity.exactNNWithinGroup(
+        graft.core.Tables.load(spark, dirPath, "embeddings"),
+        "vec_id", "embedding", "label", k = k, iters = 0).count()
+    val e1 = time(nn("/root/testdata/sf0.1", 16))
+    val e10 = time(nn(edir, 160))
+    println(f"[scale] exactNN(k scales with n)  1x(k=16)=${e1}%6.2fs " +
+      f"10x(k=160)=${e10}%6.2fs ratio=${e10 / e1}%5.2f vecs 1x=$ne 10x=$bigNe")
     spark.stop()
   }
 }
