@@ -260,6 +260,51 @@ object Similarity {
       .select(col("qid").as(idCol), col("nn_id"), col("sim"))
   }
 
+  /** APPROXIMATE nearest neighbor per vector within `groupCol` — the
+    * 100 TB dedup path when exact top-1 isn't required: candidates are
+    * same-group vectors within Hamming distance 1 of the vector's LSH
+    * signature, exact-re-ranked by cosine. Vectors with no candidate
+    * drop out (their nearest neighbor isn't near by the LSH metric).
+    *
+    * Shape: Manku-style flipped-key multi-index — each vector probes
+    * its own signature plus every 1-bit flip, equi-joined on
+    * (group, probe = signature). A candidate pair matches on exactly
+    * ONE probe key, so the join emits no duplicate pairs and needs no
+    * distinct; fan-out is a fixed (planes+1)× explode. At scale the
+    * b-side is written bucketed by (group, signature), making each
+    * probe a pruned read. Work is Σ bucket², bounded by signature
+    * width — never group².
+    */
+  def annNNWithinGroup(e0: DataFrame, idCol: String, vecCol: String,
+                       groupCol: String, planes: Int,
+                       dim: Int): DataFrame = {
+    val base = e0.select(col(idCol), col(groupCol), col(vecCol),
+      lshSignature(col(vecCol), planes, dim).as("sig"),
+      norm(col(vecCol)).as("nrm"))
+    val flips = (0 until planes).map { p =>
+      concat(substring(col("sig"), 1, p),
+        when(substring(col("sig"), p + 1, 1) === "1", lit("0"))
+          .otherwise(lit("1")),
+        substring(col("sig"), p + 2, planes - p - 1))
+    }
+    val probes = base.withColumn("probe",
+      explode(array((col("sig") +: flips): _*)))
+    val b = base.select(col(idCol).as("nn_id"), col(groupCol).as("bgrp"),
+      col(vecCol).as("bvec"), col("sig").as("bsig"), col("nrm").as("bnrm"))
+    val sim = round(dot(col(vecCol), col("bvec")) /
+      (col("nrm") * col("bnrm")), 6)
+    probes.join(b,
+        col(groupCol) === col("bgrp") && col("probe") === col("bsig") &&
+          col(idCol) =!= col("nn_id"))
+      .select(col(idCol), col("nn_id"), sim.as("sim"))
+      .groupBy(idCol)
+      .agg(
+        max_by(col("nn_id"), struct(col("sim"), (-col("nn_id")).as("ni")))
+          .as("nn_id"),
+        max(struct(col("sim"), (-col("nn_id")).as("ni"))).getField("sim")
+          .as("sim"))
+  }
+
   /** ANN: probe the query's LSH bucket, rank by exact cosine. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, query: Column,
               planes: Int, dim: Int, k: Int): DataFrame = {

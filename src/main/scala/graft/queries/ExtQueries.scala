@@ -177,6 +177,16 @@ object ExtQueries {
           "label", k = 16, iters = 0)
         .orderBy("vec_id")),
 
+    // The APPROXIMATE 100 TB dedup path beside the exact key above:
+    // same-label candidates within Hamming-1 of the LSH signature,
+    // exact re-rank. The oracle mirrors the signature math bit-for-bit
+    // (md5-nibble hyperplanes), so recall differences are impossible —
+    // both engines see the same candidate sets.
+    "dedup_embedding_ann" -> ((s, dir) =>
+      Similarity.annNNWithinGroup(emb(s, dir), "vec_id", "embedding",
+          "label", Planes, Dim)
+        .orderBy("vec_id")),
+
     "similar_topk_cosine" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -469,6 +479,28 @@ object ExtQueries {
          |  FROM pairs)
          |SELECT vec_id, nn_id, sim FROM ranked WHERE rn = 1
          |ORDER BY vec_id""".stripMargin,
+
+    "dedup_embedding_ann" -> {
+      val hamming = (1 to Planes).map(i =>
+        s"CASE WHEN substr(a.sig, $i, 1) <> substr(b.sig, $i, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sigs AS (
+         |  SELECT vec_id, label, embedding, ${lshSql("embedding")} AS sig
+         |  FROM embeddings
+         |), cand AS (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim
+         |  FROM sigs a JOIN sigs b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id
+         |   AND ($hamming) <= 1
+         |), ranked AS (
+         |  SELECT vec_id, nn_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY sim DESC, nn_id) AS rn
+         |  FROM cand)
+         |SELECT vec_id, nn_id, sim FROM ranked WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "similar_topk_cosine" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)

@@ -203,4 +203,12 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.explainString(FormattedMode)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("dedup_embedding_ann probes via a (label, signature) equi-join") {
+    val p = plan("dedup_embedding_ann")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"hamming predicate degraded to all-pairs:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("arraydot"), p) // signature + re-rank in codegen
+  }
 }
