@@ -338,12 +338,21 @@ object TsQueries {
     // Deterministic Pearson correlation from decimal-routed moment sums
     // (built-in corr() is partition-order dependent in the last bits).
     // Users pool into 10 cohorts so groups stay populated at every SF.
-    "metrics_correlation" -> ((s, dir) =>
+    // Pearson over per-(user, day) click/view activity counts — dense
+    // at every SF. (The previous slot-level wide-cell pairing had no
+    // co-occurring cells below sf0.1, which made the driver's gate row
+    // a hollow 0-row match.)
+    "metrics_correlation" -> ((s, dir) => {
+      val daily = base(s, dir)
+        .groupBy(col("user_id"), expr("sec div 86400").as("day"))
+        .agg(count(when(col("event_type") === "click", 1)).as("clicks"),
+          count(when(col("event_type") === "view", 1)).as("views"))
       graft.operators.Stats.pearson(
-        wide(s, dir).withColumn("cohort", pmod(col("user_id"), lit(10L))),
-        Seq("cohort"), "click", "view")
+        daily.withColumn("cohort", pmod(col("user_id"), lit(10L))),
+        Seq("cohort"), "clicks", "views")
         .filter(col("n") >= 2)
-        .orderBy("cohort")),
+        .orderBy("cohort")
+    }),
 
     // Fixed-width value histogram per metric — the distribution audit.
     "events_histogram" -> ((s, dir) =>
@@ -657,20 +666,23 @@ object TsQueries {
          |FROM ctx ORDER BY slot, user_id""".stripMargin,
 
     "metrics_correlation" ->
-      s"""$WideCte, m AS (
+      s"""$BaseCte, daily AS (
+         |  SELECT user_id, sec // 86400 AS day,
+         |    count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+         |    count(CASE WHEN event_type = 'view' THEN 1 END) AS views
+         |  FROM base GROUP BY user_id, day
+         |), m AS (
          |  SELECT user_id % 10 AS cohort, count(*) AS n,
-         |    CAST(sum(CAST(click AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-         |    CAST(sum(CAST(view AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-         |    CAST(sum(CAST(click AS DECIMAL(18,6))
-         |           * CAST(view AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
-         |    CAST(sum(CAST(click AS DECIMAL(18,6))
-         |           * CAST(click AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-         |    CAST(sum(CAST(view AS DECIMAL(18,6))
-         |           * CAST(view AS DECIMAL(18,6))) AS DOUBLE) AS syy
-         |  FROM wide
-         |  WHERE click IS NOT NULL AND view IS NOT NULL
-         |    AND NOT isnan(click) AND NOT isnan(view)
-         |    AND abs(click) < 1e12 AND abs(view) < 1e12
+         |    CAST(sum(CAST(clicks AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(views AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(clicks AS DECIMAL(18,6))
+         |           * CAST(views AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(clicks AS DECIMAL(18,6))
+         |           * CAST(clicks AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(views AS DECIMAL(18,6))
+         |           * CAST(views AS DECIMAL(18,6))) AS DOUBLE) AS syy
+         |  FROM daily
+         |  WHERE abs(clicks) < 1e12 AND abs(views) < 1e12
          |  GROUP BY cohort
          |)
          |SELECT cohort, n,
