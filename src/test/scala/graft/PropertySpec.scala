@@ -182,4 +182,44 @@ class PropertySpec extends SparkSpec {
         .sortBy(_._1).toSeq
     assert(norm(seq2) == norm(once))
   }
+
+  test("exact-NN ball-bound pruning is lossless vs brute force " +
+       "(clustered vectors, integer grid → rounding ties)") {
+    import spark.implicits._
+    // 4 tight clusters across 2 groups, integer-grid noise so distinct
+    // pairs collide on the 6-decimal-rounded similarity (the tie-break
+    // path) and clusters make the bound actually prune
+    val n = 120
+    val dims = 8
+    val noise = gen(Gen.chooseNum(-2, 2), n * dims)
+    val vecs = (0 until n).map { i =>
+      val c = i % 4
+      val v = (0 until dims).map { d =>
+        if (d == 0) 7.0 + noise(i * dims + d)
+        else (((c * 31 + d * 17) % 7) - 3) * 5.0 + noise(i * dims + d)
+      }.toArray
+      (i.toLong, (i % 2).toLong, v)
+    }
+    val out = graft.ext.Similarity.exactNNWithinGroup(
+        vecs.toDF("vec_id", "label", "embedding"),
+        "vec_id", "embedding", "label", k = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // Spark round(x, 6) = HALF_UP on the shortest decimal string
+    def rnd6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val expected = vecs.map { case (id, g, v) =>
+      val best = vecs.iterator
+        .filter(o => o._2 == g && o._1 != id)
+        .map(o => (rnd6(dot(v, o._3) /
+          (math.sqrt(dot(v, v)) * math.sqrt(dot(o._3, o._3)))), o._1))
+        .maxBy { case (s, nid) => (s, -nid.toDouble) } // sim desc, id asc
+      id -> ((best._2, best._1))
+    }.toMap
+    assert(out == expected)
+  }
 }
