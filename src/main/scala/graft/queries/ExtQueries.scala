@@ -53,6 +53,29 @@ object ExtQueries {
     memo.getOrElseUpdate((s, dir, "simhash"),
       Dedup.simhash(docs(s, dir), "doc_id", "text").persist())
 
+  /** The fitted k-means centroid table (k=4, 2 Lloyd iterations) is the
+    * IVF index both `kmeans_fit_assign` and `similar_ivf_kmeans` build
+    * on — fit it once per (session, dir). Already localCheckpointed by
+    * the fit, so the memo shares a materialized plan.
+    */
+  private def kmeansCentsOf(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "kmeans_cents"),
+      Similarity.kmeansCentroids(emb(s, dir), "vec_id", "embedding",
+        k = 4, iters = 2))
+
+  /** Exact and ANN within-label NN results, memoized: each backs its
+    * own query key AND the recall audit that compares them.
+    */
+  private def exactNNOf(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "exactnn"),
+      Similarity.exactNNWithinGroup(emb(s, dir), "vec_id", "embedding",
+        "label", k = 16, iters = 0).persist())
+
+  private def annNNOf(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "annnn"),
+      Similarity.annNNWithinGroup(emb(s, dir), "vec_id", "embedding",
+        "label", Planes, Dim).persist())
+
   val Dim = 64
   val Planes = 8
   val NumHashes = 8
@@ -173,9 +196,24 @@ object ExtQueries {
       // cells (exactness never depends on centroid quality, only the
       // pruning rate does — raise iters when the corpus is clustered
       // enough for the fit to pay for itself).
-      Similarity.exactNNWithinGroup(emb(s, dir), "vec_id", "embedding",
-          "label", k = 16, iters = 0)
-        .orderBy("vec_id")),
+      exactNNOf(s, dir).orderBy("vec_id")),
+
+    // Recall audit of the approximate path against the exact one — the
+    // methodology check every ANN deployment needs: per label, how many
+    // vectors the LSH candidate generation answered at all, and how
+    // many of those answers are the TRUE nearest neighbor.
+    "dedup_embedding_recall" -> ((s, dir) => {
+      val labels = emb(s, dir).select(col("vec_id"), col("label"))
+      val ann = annNNOf(s, dir).select(col("vec_id"),
+        col("nn_id").as("ann_nn"))
+      labels.join(exactNNOf(s, dir), "vec_id")
+        .join(ann, Seq("vec_id"), "left")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          count(col("ann_nn")).as("n_ann_answered"),
+          count(when(col("ann_nn") === col("nn_id"), 1)).as("n_top1_match"))
+        .orderBy("label")
+    }),
 
     // The APPROXIMATE 100 TB dedup path beside the exact key above:
     // same-label candidates within Hamming-1 of the LSH signature,
@@ -183,9 +221,7 @@ object ExtQueries {
     // (md5-nibble hyperplanes), so recall differences are impossible —
     // both engines see the same candidate sets.
     "dedup_embedding_ann" -> ((s, dir) =>
-      Similarity.annNNWithinGroup(emb(s, dir), "vec_id", "embedding",
-          "label", Planes, Dim)
-        .orderBy("vec_id")),
+      annNNOf(s, dir).orderBy("vec_id")),
 
     "similar_topk_cosine" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -341,8 +377,9 @@ object ExtQueries {
     // unrolls both iterations as CTEs with the byte-identical
     // construction.
     "kmeans_fit_assign" -> ((s, dir) =>
-      Similarity.kmeansFit(emb(s, dir), "vec_id", "embedding",
-          k = 4, iters = 2)
+      Similarity.assignToCentroids(emb(s, dir), "vec_id", "embedding",
+          kmeansCentsOf(s, dir))
+        .select(col("vec_id"), col("cluster"))
         .orderBy("vec_id")),
 
     // End-to-end IVF ANN over FITTED centroids: k-means index build →
@@ -351,8 +388,7 @@ object ExtQueries {
     // broadcast probed cells), just with learned cells.
     "similar_ivf_kmeans" -> ((s, dir) => {
       val e = emb(s, dir)
-      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
-        k = 4, iters = 2)
+      val cents = kmeansCentsOf(s, dir)
       val assigned = Similarity.assignToCentroids(e, "vec_id", "embedding",
         cents)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -500,6 +536,44 @@ object ExtQueries {
          |  FROM cand)
          |SELECT vec_id, nn_id, sim FROM ranked WHERE rn = 1
          |ORDER BY vec_id""".stripMargin
+    },
+
+    "dedup_embedding_recall" -> {
+      val hamming = (1 to Planes).map(i =>
+        s"CASE WHEN substr(a.sig, $i, 1) <> substr(b.sig, $i, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sigs AS (
+         |  SELECT vec_id, label, embedding, ${lshSql("embedding")} AS sig
+         |  FROM embeddings
+         |), acand AS (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim
+         |  FROM sigs a JOIN sigs b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id
+         |   AND ($hamming) <= 1
+         |), aranked AS (
+         |  SELECT vec_id, nn_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY sim DESC, nn_id) AS rn
+         |  FROM acand
+         |), ann AS (SELECT vec_id, nn_id AS ann_nn FROM aranked WHERE rn = 1
+         |), epairs AS (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS sim
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id
+         |), eranked AS (
+         |  SELECT vec_id, nn_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY sim DESC, nn_id) AS rn
+         |  FROM epairs
+         |), ex AS (SELECT vec_id, nn_id FROM eranked WHERE rn = 1)
+         |SELECT e.label, count(*) AS n_vectors,
+         |  count(ann.ann_nn) AS n_ann_answered,
+         |  count(CASE WHEN ann.ann_nn = ex.nn_id THEN 1 END) AS n_top1_match
+         |FROM embeddings e JOIN ex ON ex.vec_id = e.vec_id
+         |LEFT JOIN ann ON ann.vec_id = e.vec_id
+         |GROUP BY e.label ORDER BY e.label""".stripMargin
     },
 
     "similar_topk_cosine" ->
