@@ -110,6 +110,7 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
     */
   def updateMetadata(db: String, sensor: String,
                      newMetadata: Map[String, String]): Unit = {
+    authWrite(db, sensor) // reference gates update_metadata behind auth
     val cfg = store.config(db, sensor)
     store.createSensor(cfg.copy(metadata = newMetadata))
   }
@@ -120,6 +121,7 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
     */
   def mergeMetadata(db: String, sensor: String,
                     patch: Map[String, String]): Unit = {
+    authWrite(db, sensor)
     val cfg = store.config(db, sensor)
     store.createSensor(cfg.copy(metadata = cfg.metadata ++ patch))
   }
@@ -128,6 +130,7 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
     * `client.py:493-503`): stored comma-joined in metadata.
     */
   def setLevelNames(db: String, sensor: String, names: Seq[String]): Unit = {
+    authWrite(db, sensor) // metadata mutation — same gate as the writes
     val cfg = store.config(db, sensor)
     store.createSensor(cfg.copy(
       metadata = cfg.metadata + ("level_names" -> names.mkString(","))))

@@ -71,24 +71,27 @@ object Pipeline {
   def repetitionStats(df: DataFrame, textCol: String,
                       maxDupFrac: Double = 0.4): DataFrame = {
     // backtick-quote so a name with dots/spaces binds as ONE column
-    // (bare col() parses dots as struct-field access)
+    // (bare col() parses dots as struct-field access); prefixed scratch
+    // name so a user column is never clobbered
+    val wc = "__graft_words"
     val w = split(col("`" + textCol.replace("`", "``") + "`"), " ")
     // typed Column API throughout (a raw name interpolated into expr()
-    // breaks on names needing quoting); the split runs ONCE via the
-    // materialized __words column, not once per reference.
+    // breaks on names needing quoting); projecting the words FIRST and
+    // filtering on the projected column keeps the split to one
+    // evaluation per row.
     val grams = transform(
-      sequence(lit(0), size(col("__words")) - 2),
+      sequence(lit(0), size(col(wc)) - 2),
       i => concat_ws(" ",
-        element_at(col("__words"), i + 1),
-        element_at(col("__words"), i + 2)))
-    df.filter(size(w) >= 2)
-      .withColumn("__words", w)
-      .withColumn("n_2grams", (size(col("__words")) - 1).cast("long"))
+        element_at(col(wc), i + 1),
+        element_at(col(wc), i + 2)))
+    df.withColumn(wc, w)
+      .filter(size(col(wc)) >= 2)
+      .withColumn("n_2grams", (size(col(wc)) - 1).cast("long"))
       .withColumn("dup_2gram_frac", TextStats.trunc6(
         lit(1.0) - size(array_distinct(grams)).cast("double") /
-          (size(col("__words")) - 1)))
+          (size(col(wc)) - 1)))
       .withColumn("r_repetition", col("dup_2gram_frac") <= maxDupFrac)
-      .drop("__words")
+      .drop(wc)
   }
 
   /** Gopher-style quality-rule chain: per-document boolean verdicts for

@@ -140,7 +140,11 @@ object Similarity {
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int): DataFrame = {
-    val init = df.filter(col(idCol) < k)
+    // seed from the k SMALLEST ids (not ids < k): reproducible for ANY
+    // id space — hashed/offset ids would otherwise silently yield an
+    // empty centroid set. Identical to the old filter on dense 0..n-1
+    // ids, so the mirrored oracles are unchanged.
+    val init = df.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("int").as("cluster"), col(vecCol).as("cvec"))
     var cents = init
     for (_ <- 0 until iters) {
@@ -213,7 +217,14 @@ object Similarity {
         first(col(vecCol)).as(vecCol),
         first(col(groupCol)).as(groupCol))
       .withColumn("nrm", norm(col(vecCol)))
-      .persist()
+      // lazy LOCAL checkpoint, not persist(): the assignment feeds four
+      // downstream branches and must compute once, but a persist()
+      // inside a library call leaks a CacheManager entry per invocation
+      // with no release path — checkpointed RDD blocks are GC-cleaned
+      // with the DataFrame. (Executor loss recomputes the block; on a
+      // shared long-lived cluster prefer an explicit persist/unpersist
+      // around the call.)
+      .localCheckpoint(false)
     val clamped = (c: Column) => acos(least(lit(1.0), greatest(lit(-1.0), c)))
     // per-(group, cell) angular radius + the centroid itself, broadcast
     val summary = m.join(broadcast(cents.withColumnRenamed("cluster", "cell")),
@@ -237,7 +248,7 @@ object Similarity {
       .agg(max(struct(col("sim"), (-col("nid")).as("ni"))).as("bst"))
       .select(col("qid"), col("bst.sim").as("sim0"),
         (-col("bst.ni")).as("nid0"))
-      .persist()
+      .localCheckpoint(false)
     // foreign cells whose ball bound can still beat the own-cell best
     val probes = a.join(best0, Seq("qid"), "left")
       .join(broadcast(summary),

@@ -268,7 +268,11 @@ class SensorStore(spark: SparkSession, baseDir: String) {
                   System.currentTimeMillis() - staleMs)
                 try Files.move(tomb, lock)
                 catch { case _: java.io.IOException =>
-                  Files.deleteIfExists(tomb); ()
+                  // restore raced a third contender's create: keep the
+                  // tombstone (unique name, preserves the victim's
+                  // token for post-mortem) rather than destroying the
+                  // last record of the double race
+                  ()
                 }
               else { Files.deleteIfExists(tomb); () }
             }
@@ -289,6 +293,11 @@ class SensorStore(spark: SparkSession, baseDir: String) {
           // path, so a blind setLastModifiedTime would keep a lock we no
           // longer own artificially fresh and block third-party takeover
           // if the new holder crashes.
+          // stop ONLY on positively observing a foreign token; an
+          // IOException may be the transient file-absent window of
+          // another contender's move/re-verify/move-back and must not
+          // kill a live holder's refresh (the lock would go stale
+          // mid-write and be stolen)
           try {
             if (new String(Files.readAllBytes(lock),
                 StandardCharsets.UTF_8) == token)
@@ -296,7 +305,7 @@ class SensorStore(spark: SparkSession, baseDir: String) {
                 java.nio.file.attribute.FileTime.fromMillis(
                   System.currentTimeMillis()))
             else owned = false // taken over: stop touching for good
-          } catch { case _: java.io.IOException => owned = false }
+          } catch { case _: java.io.IOException => () }
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-writelock-heartbeat-$db-$sensor")
