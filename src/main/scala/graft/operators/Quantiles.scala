@@ -49,4 +49,51 @@ object Quantiles {
     }
     ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Type-7 INTERPOLATED quantiles (`percentile_cont` / R default),
+    * made engine-portable by doing the position math in integers and
+    * pinning the one float expression's shape:
+    * `h = (n−1)·pct/100` splits exactly into `lo = (pct·(n−1)) div 100`
+    * (0-based lower index) and `frac = ((pct·(n−1)) mod 100)/100` —
+    * frac is a two-digit decimal, so its double value is one fixed
+    * rounding; the interpolation `v_lo + (v_hi − v_lo)·frac` is then a
+    * fixed-order IEEE pipeline both engines evaluate identically. The
+    * built-in `percentile`/`quantile_cont` would compute the same
+    * number through engine-specific association orders — close, but
+    * not hash-comparable.
+    *
+    * Same one-sort shape as [[exactByRank]]: both bracketing values are
+    * picked by rank in ONE aggregation pass (2 conditional aggregates
+    * per pct), interpolation is a final narrow projection.
+    */
+  def interpByRank(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   orderCol: String, pcts: Seq[Int]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol), col(orderCol))
+    val ranked = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*)))
+    val aggs = pcts.flatMap { pct =>
+      require(pct >= 1 && pct <= 100, s"percent out of range: $pct")
+      val lo = s"($pct * (__n - 1)) div 100" // 0-based floor index
+      Seq(
+        max(when(col("__rn") === expr(s"($lo) + 1"), col(valueCol)))
+          .as(s"__lo$pct"),
+        max(when(col("__rn") === expr(s"($lo) + 2"), col(valueCol)))
+          .as(s"__hi$pct"),
+        max(expr(s"(($pct * (__n - 1)) % 100) / cast(100 as double)"))
+          .as(s"__f$pct"))
+    }
+    val agged = ranked.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val outs = pcts.map { pct =>
+      (col(s"__lo$pct") +
+        (coalesce(col(s"__hi$pct"), col(s"__lo$pct")) - col(s"__lo$pct")) *
+          col(s"__f$pct")).as(s"q$pct")
+    }
+    agged.select(groupCols.map(col) ++ outs: _*)
+  }
 }

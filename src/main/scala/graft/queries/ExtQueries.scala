@@ -223,6 +223,28 @@ object ExtQueries {
     "dedup_embedding_ann" -> ((s, dir) =>
       annNNOf(s, dir).orderBy("vec_id")),
 
+    // Sub-document duplicated-SPAN audit (the Lee et al. substring-dedup
+    // motif, gram-approximated): per doc, the fraction of its word
+    // 8-gram positions whose gram also occurs in ANOTHER doc, plus a
+    // keep verdict. Two map-side-combinable aggregations + one join on
+    // the gram key — no pairwise anything.
+    "dedup_span_ngram" -> ((s, dir) =>
+      Dedup.spanDupStats(docs(s, dir), "doc_id", "text", n = 8)
+        .orderBy("doc_id")),
+
+    // Compressed-domain ANN: coarse top-20 by cosine against int8
+    // scalar-quantized RECONSTRUCTED vectors (the pass that scans 4×
+    // fewer bytes at 100 TB), exact re-rank of the survivors on the
+    // true vectors. Output keeps both scores — the quantization-error
+    // audit is visible in (sim_sq vs sim).
+    "similar_sq_int8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.sqTopK(
+        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", col("qvec"), k = 5)
+    }),
+
     "similar_topk_cosine" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -429,6 +451,69 @@ object ExtQueries {
       """SELECT md5(lower(trim(text))) AS content_hash,
         |  min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY doc_id""".stripMargin,
+
+    "dedup_span_ngram" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 6),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |           w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+        |           w[i+6] || ' ' || w[i+7])) AS gram
+        |  FROM w WHERE len(w) >= 8
+        |), pos AS (
+        |  SELECT doc_id, gram, count(*) AS positions
+        |  FROM g GROUP BY doc_id, gram
+        |), dupg AS (
+        |  SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2
+        |), dup AS (
+        |  SELECT doc_id, CAST(sum(positions) AS BIGINT) AS n_dup
+        |  FROM pos JOIN dupg USING (gram) GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, CAST(sum(positions) AS BIGINT) AS n_grams
+        |  FROM pos GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(t.n_grams, 0) AS n_grams,
+        |  coalesce(u.n_dup, 0) AS n_dup_grams,
+        |  CASE WHEN t.n_grams IS NOT NULL THEN
+        |    floor(coalesce(u.n_dup, 0) / t.n_grams * 1000000) / 1000000
+        |  END AS dup_frac,
+        |  (t.n_grams IS NULL OR
+        |   floor(coalesce(u.n_dup, 0) / t.n_grams * 1000000) / 1000000 <= 0.5)
+        |    AS keep
+        |FROM documents d
+        |LEFT JOIN tot t USING (doc_id)
+        |LEFT JOIN dup u USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "similar_sq_int8" ->
+      s"""WITH corp AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+         |), q AS (
+         |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+         |), ex AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM corp, unnest(range(1, len(embedding) + 1)) AS t(i)
+         |), rg AS (
+         |  SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY i
+         |), rec AS (
+         |  SELECT vec_id, list(CASE WHEN mx > mn THEN
+         |      mn + ((least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+         |              floor(((v - mn) / (mx - mn)) * 255))) + 0.5)
+         |            / 256.0) * (mx - mn)
+         |    ELSE mn END ORDER BY i) AS rvec
+         |  FROM ex JOIN rg USING (i) GROUP BY vec_id
+         |), coarse AS (
+         |  SELECT vec_id, round(${cosineSql("rvec", "qvec")}, 6) AS sim_sq
+         |  FROM rec CROSS JOIN q
+         |  ORDER BY sim_sq DESC, vec_id LIMIT 20
+         |)
+         |SELECT c.vec_id, c.sim_sq,
+         |  round(${cosineSql("e.embedding", "qvec")}, 6) AS sim
+         |FROM coarse c JOIN corp e USING (vec_id) CROSS JOIN q
+         |ORDER BY sim DESC, c.vec_id LIMIT 5""".stripMargin,
 
     "dedup_near_minhash" ->
       s"""$ShingleCtes SELECT a_id, b_id FROM cand ORDER BY a_id, b_id""",

@@ -61,6 +61,24 @@ object PipeQueries {
         .select("doc_id", "n_2grams", "dup_2gram_frac", "r_repetition")
         .orderBy("doc_id")),
 
+    // Corpus-frequency quality scoring (the unigram-LM proxy in exact
+    // integer math): per-doc OOV rate against the corpus's top-10
+    // vocabulary and mean token corpus-frequency.
+    "quality_vocab" -> ((s, dir) =>
+      graft.ext.TextStats.vocabStats(docs(s, dir), "doc_id", "text",
+          topK = 10)
+        .orderBy("doc_id")),
+
+    // Type-7 interpolated quantiles (percentile_cont semantics) per
+    // event type — engine-portable via integer position math + a
+    // pinned-shape interpolation expression (see Quantiles.interpByRank).
+    "events_quantiles_interp" -> ((s, dir) =>
+      graft.operators.Quantiles.interpByRank(
+        TsQueries.base(s, dir)
+          .filter(col("value").isNotNull && !isnan(col("value"))),
+        Seq("event_type"), "value", "event_id", Seq(25, 50, 75, 90))
+        .orderBy("event_type")),
+
     // Retention cohorts: users grouped by first-activity day, counted
     // on each later active day — the product-analytics staple.
     "events_retention_cohorts" -> ((s, dir) => {
@@ -333,6 +351,59 @@ object PipeQueries {
         |  floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / n_2grams)
         |        * 1000000) / 1000000 <= 0.4 AS r_repetition
         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "quality_vocab" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), counts AS (
+        |  SELECT w, count(*) AS c FROM tok GROUP BY w
+        |), top AS (
+        |  SELECT w, TRUE AS in_vocab FROM counts ORDER BY c DESC, w LIMIT 10
+        |), per AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |    count(CASE WHEN tp.in_vocab IS NULL THEN 1 END) AS n_oov,
+        |    CAST(sum(c.c) AS BIGINT) AS sum_freq
+        |  FROM tok t
+        |  JOIN counts c USING (w)
+        |  LEFT JOIN top tp ON tp.w = t.w
+        |  GROUP BY t.doc_id
+        |)
+        |SELECT doc_id, n_tokens, n_oov,
+        |  floor(n_oov / n_tokens * 1000000) / 1000000 AS oov_frac,
+        |  floor(sum_freq / n_tokens * 1000000) / 1000000 AS avg_tok_freq
+        |FROM per ORDER BY doc_id""".stripMargin,
+
+    "events_quantiles_interp" -> {
+      val pcts = Seq(25, 50, 75, 90)
+      val aggCols = pcts.map { p =>
+        s"""    max(CASE WHEN rn = ($p * (n - 1)) // 100 + 1 THEN value END)
+           |      AS lo$p,
+           |    max(CASE WHEN rn = ($p * (n - 1)) // 100 + 2 THEN value END)
+           |      AS hi$p,
+           |    max((($p * (n - 1)) % 100) / CAST(100 AS DOUBLE)) AS f$p"""
+          .stripMargin
+      }.mkString(",\n")
+      val outCols = pcts.map { p =>
+        s"  lo$p + (coalesce(hi$p, lo$p) - lo$p) * f$p AS q$p"
+      }.mkString(",\n")
+      s"""$BaseCte, clean AS (
+         |  SELECT event_type, value, event_id FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |), r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM clean
+         |), a AS (
+         |  SELECT event_type,
+         |$aggCols
+         |  FROM r GROUP BY event_type
+         |)
+         |SELECT event_type,
+         |$outCols
+         |FROM a ORDER BY event_type""".stripMargin
+    },
 
     "events_retention_cohorts" ->
       s"""$BaseCte, days AS (

@@ -327,6 +327,16 @@ object TsQueries {
           "delta", "dt", "rate")
         .orderBy("event_id")),
 
+    // Trailing-8-row EWMA (α = 1/2 — dyadic, so the fold's only float
+    // noise is one fixed-order addition per step; see Rolling.ewma).
+    "ts_ewma" -> ((s, dir) =>
+      graft.read.Rolling.ewma(
+        base(s, dir).filter(col("value").isNotNull && !isnan(col("value"))),
+        Seq("user_id", "event_type"), "sec", "event_id", "value", k = 8)
+        .select("event_id", "user_id", "event_type", "sec", "value",
+          "value_ewma")
+        .orderBy("event_id")),
+
     // Linear interpolation of null grid cells between neighbors
     // (boundary cells fall back LOCF/NOCB).
     "ts_interpolate" -> ((s, dir) =>
@@ -640,6 +650,23 @@ object TsQueries {
          |SELECT event_id, user_id, event_type, sec, delta, dt,
          |  CASE WHEN dt > 0 THEN delta / dt END AS rate
          |FROM lagged ORDER BY event_id""".stripMargin,
+
+    "ts_ewma" ->
+      s"""$BaseCte, clean AS (
+         |  SELECT event_id, user_id, event_type, sec, value FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |), g AS (
+         |  SELECT event_id, user_id, event_type, sec, value,
+         |    list(value) OVER (PARTITION BY user_id, event_type
+         |      ORDER BY sec, event_id
+         |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+         |  FROM clean
+         |)
+         |SELECT event_id, user_id, event_type, sec, value,
+         |  list_reduce(l, (acc, x) ->
+         |    acc * CAST(0.5 AS DOUBLE) + x * CAST(0.5 AS DOUBLE))
+         |    AS value_ewma
+         |FROM g ORDER BY event_id""".stripMargin,
 
     "ts_interpolate" ->
       s"""$WideCte, ctx AS (

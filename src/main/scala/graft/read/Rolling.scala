@@ -124,4 +124,40 @@ object Rolling {
       .withColumn("dt", dt)
       .withColumn("rate", when(dt > 0, d / dt))
   }
+
+  /** `<valueCol>_ewma`: exponentially weighted moving average with
+    * α = 1/2 over the trailing `k` ROWS per series (the smoothing
+    * staple the plain rolling mean isn't).
+    *
+    * Bit-portability without decimal routing: the window list is
+    * gathered in frame order and folded LEFT-TO-RIGHT with
+    * `acc' = acc·0.5 + x·0.5`, seeded by the window's oldest value.
+    * Multiplying by 0.5 is an exact IEEE scaling (power of two), so
+    * each step performs exactly ONE rounded addition in an order fixed
+    * by the frame — any engine that folds the same list produces the
+    * same bits. An α that is not a dyadic rational (0.9, 0.1, …) would
+    * reintroduce per-step multiply rounding; still deterministic, but
+    * the dyadic choice keeps the only float noise in the additions.
+    *
+    * One Window exchange+sort; the fold is a codegen'd `aggregate`
+    * over a bounded k-element array — state per row is O(k), not the
+    * unbounded full-history recursion of textbook EWMA (which no
+    * engine's window frame can express without a UDAF). Callers
+    * pre-filter nulls/NaNs: `collect_list` drops nulls (DuckDB's
+    * `list()` keeps them), so null handling must happen upstream for
+    * the oracle to agree.
+    */
+  def ewma(df: DataFrame, partCols: Seq[String], secCol: String,
+           orderCol: String, valueCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(secCol), col(orderCol))
+      .rowsBetween(-(k - 1), Window.currentRow)
+    val l = collect_list(col(valueCol).cast("double")).over(w)
+    df.withColumn("__l", l)
+      .withColumn(s"${valueCol}_ewma",
+        aggregate(slice(col("__l"), lit(2), size(col("__l")) - 1),
+          element_at(col("__l"), 1),
+          (acc, x) => acc * lit(0.5) + x * lit(0.5)))
+      .drop("__l")
+  }
 }

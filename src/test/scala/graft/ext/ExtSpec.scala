@@ -70,6 +70,70 @@ class ExtSpec extends SparkSpec {
     assert(run(0L) == expected)       // distributed hash-to-min path
   }
 
+  test("span dedup: duplicated-span fraction counts cross-doc grams only") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c d e"),   // grams (n=3): "a b c","b c d","c d e"
+      (1L, "a b c x y"),   // shares "a b c" with doc 0
+      (2L, "p q r s t"),   // no shared grams
+      (3L, "z z"))         // shorter than n → 0 grams
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(d, "doc_id", "text", n = 3, dupFracMax = 0.4)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 3L && out(0).getLong(2) == 1L)
+    assert(math.abs(out(0).getAs[Double]("dup_frac") - 0.333333) < 1e-9)
+    assert(out(0).getBoolean(4)) // 1/3 ≤ 0.4 → keep
+    assert(out(1).getLong(2) == 1L)
+    assert(out(2).getLong(2) == 0L && out(2).getBoolean(4))
+    // sub-n doc: zero grams, null frac, keep
+    assert(out(3).getLong(1) == 0L && out(3).isNullAt(3) && out(3).getBoolean(4))
+  }
+
+  test("span dedup: a gram repeated WITHIN one doc is not cross-doc duplicated") {
+    import spark.implicits._
+    val d = Seq((0L, "a b c a b c a b"), (1L, "x y z w v u"))
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(d, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    // doc 0 repeats "a b c" internally but no OTHER doc has it
+    assert(out(0).getLong(2) == 0L)
+  }
+
+  test("int8 scalar quantization: codes bounded, reconstruction within one cell") {
+    import spark.implicits._
+    val d = Seq((0L, Seq(0.0f, 10.0f)), (1L, Seq(1.0f, 20.0f)),
+      (2L, Seq(0.5f, 15.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.sqReconstruct(d, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    out.foreach { r =>
+      val codes = r.getSeq[Int](r.fieldIndex("qcode"))
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val orig = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+      val rec = r.getSeq[Double](r.fieldIndex("rvec"))
+      // dim 0 range [0,1] → cell 1/256; dim 1 range [10,20] → 10/256
+      assert(math.abs(orig(0) - rec(0)) <= 1.0 / 256 + 1e-12)
+      assert(math.abs(orig(1) - rec(1)) <= 10.0 / 256 + 1e-12)
+    }
+  }
+
+  test("sq top-k: coarse int8 scoring + exact re-rank finds the true neighbor") {
+    import spark.implicits._
+    val base = (1 to 40).map { i =>
+      val ang = i / 40.0 * math.Pi / 2
+      (i.toLong, Seq(math.cos(ang).toFloat, math.sin(ang).toFloat, 0.1f))
+    }
+    val d = base.toDF("vec_id", "embedding")
+      .withColumn("qvec", typedLit(Seq(1.0, 0.0, 0.1)))
+    val out = Similarity.sqTopK(d, "vec_id", "embedding", col("qvec"), k = 3)
+      .collect()
+    // nearest to the x-axis query are the smallest angles 1, 2, 3
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // exact sim must dominate the ordering and be close to sim_sq
+    out.foreach(r => assert(
+      math.abs(r.getAs[Double]("sim") - r.getAs[Double]("sim_sq")) < 0.05))
+  }
+
   test("simhash: identical docs share fingerprints; bits are 0/1 string") {
     val out = Dedup.simhash(docs, "doc_id", "text").orderBy("doc_id").collect()
     assert(out(0).getString(1) == out(1).getString(1))

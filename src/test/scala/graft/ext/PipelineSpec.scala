@@ -87,4 +87,29 @@ class PipelineSpec extends SparkSpec {
     // doc 2: all distinct → dup 0
     assert(out(1).getDouble(2) == 0.0 && out(1).getBoolean(3))
   }
+
+  test("vocabStats: OOV is measured against the deterministic top-K cut") {
+    import spark.implicits._
+    // corpus counts: the=4, fox=2, dog=1, cat=1 → top-2 = {the, fox}
+    // (count DESC, token ASC — "cat" and "dog" tie at 1, both out)
+    val df = Seq((1L, "the fox the dog"), (2L, "the fox the cat"))
+      .toDF("doc_id", "text")
+    val out = TextStats.vocabStats(df, "doc_id", "text", topK = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4L)       // n_tokens
+    assert(out(0).getLong(2) == 1L)       // n_oov: "dog"
+    assert(out(0).getDouble(3) == 0.25)   // oov_frac
+    // avg freq doc 1: (4 + 2 + 4 + 1)/4 = 2.75
+    assert(out(0).getDouble(4) == 2.75)
+    assert(out(1).getLong(2) == 1L)       // "cat"
+  }
+
+  test("vocabStats top-K tie at the cut is broken by token order") {
+    import spark.implicits._
+    // all four tokens have count 1 → top-2 = {a, b} lexicographically
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val out = TextStats.vocabStats(df, "doc_id", "text", topK = 2)
+      .collect()(0)
+    assert(out.getLong(2) == 2L) // c, d are OOV
+  }
 }

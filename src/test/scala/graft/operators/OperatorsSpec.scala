@@ -87,6 +87,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out.getDouble(1) == 297.0)
   }
 
+  test("interpolated quantiles match percentile_cont (type-7) semantics") {
+    import spark.implicits._
+    // values 1..5, n=5: h(25) = 4*0.25 = 1 → exactly v[2] = 2.0;
+    // h(90) = 4*0.9 = 3.6 → 4.0 + 0.6*(5.0-4.0) = 4.6
+    val df = (1 to 5).map(i => ("g", i.toDouble, i.toLong)).toDF("k", "v", "ord")
+    val out = Quantiles.interpByRank(df, Seq("k"), "v", "ord", Seq(25, 90))
+      .collect()(0)
+    assert(out.getDouble(1) == 2.0)
+    assert(math.abs(out.getDouble(2) - 4.6) < 1e-12)
+  }
+
+  test("interpolated quantiles: p=100 and single-row groups need no upper bracket") {
+    import spark.implicits._
+    val df = Seq(("g", 7.0, 1L)).toDF("k", "v", "ord")
+    val out = Quantiles.interpByRank(df, Seq("k"), "v", "ord", Seq(50, 100))
+      .collect()(0)
+    assert(out.getDouble(1) == 7.0) // n=1 → frac 0, hi bracket null → lo
+    assert(out.getDouble(2) == 7.0)
+  }
+
   test("exact quantiles break value ties deterministically by order col") {
     import spark.implicits._
     val df = Seq(("g", 1.0, 1L), ("g", 1.0, 2L), ("g", 2.0, 3L), ("g", 2.0, 4L))

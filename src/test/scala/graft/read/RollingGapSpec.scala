@@ -22,6 +22,31 @@ class RollingGapSpec extends SparkSpec {
     assert(out(2).getAs[Double]("v_rmean") == 25.0)
   }
 
+  test("ewma folds the trailing-k frame with α=1/2 and restarts per series") {
+    import spark.implicits._
+    val df = Seq(("a", 0L, 1L, 2.0), ("a", 10L, 2L, 4.0), ("a", 20L, 3L, 8.0),
+      ("b", 0L, 4L, 6.0))
+      .toDF("k", "sec", "oid", "v")
+    val out = Rolling.ewma(df, Seq("k"), "sec", "oid", "v", k = 3)
+      .orderBy("k", "sec").collect()
+    // a: e1=2; e2=2*.5+4*.5=3; e3=3*.5+8*.5=5.5
+    assert(out(0).getAs[Double]("v_ewma") == 2.0)
+    assert(out(1).getAs[Double]("v_ewma") == 3.0)
+    assert(out(2).getAs[Double]("v_ewma") == 5.5)
+    // b restarts at its own first value
+    assert(out(3).getAs[Double]("v_ewma") == 6.0)
+  }
+
+  test("ewma trailing window drops points beyond k rows") {
+    import spark.implicits._
+    val df = (1L to 5L).map(i => ("k", i, i, 100.0 * i))
+      .toDF("k", "sec", "oid", "v")
+    val out = Rolling.ewma(df, Seq("k"), "sec", "oid", "v", k = 2)
+      .orderBy("sec").collect()
+    // row 5: frame = [400, 500] → fold restarts at 400: 400*.5+500*.5
+    assert(out(4).getAs[Double]("v_ewma") == 450.0)
+  }
+
   test("rolling moments survive a wild out-of-range value (no ANSI crash)") {
     import spark.implicits._
     // 5e22 exceeds BOTH guards (mean: DECIMAL(28,6) range 1e22;
