@@ -33,4 +33,66 @@ object Sketches {
     partials.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol), false))
         .as("distinct_est"))
+
+  /** Misra–Gries heavy-hitter PARTIALS: per fine group (e.g. per
+    * chunk/day), the top `k` keys by exact local count, as a
+    * (key, count) map column. The same materialize-once pattern as
+    * [[hllPartials]] — but where HLL's union is lossless, Misra–Gries
+    * style summaries are lossy with a BOUNDED error: merging partials
+    * that each kept `k` entries and answering from the merged map
+    * under-counts any key by at most the sum of each partial's dropped
+    * mass (≤ N_partial − top-k mass, itself ≤ N_partial·k/(k+…)). The
+    * classic guarantee survives the merge: any key with true global
+    * count > ΣN/(k+1) is present in the merged summary.
+    *
+    * The partial build is exact-count + TakeOrdered-per-group (two
+    * map-side-combinable aggregations), not a per-row decrement loop —
+    * on Spark the bottleneck is the shuffle, and exact per-group counts
+    * shuffle the same bytes a decrement sketch would while keeping the
+    * summary deterministic (count DESC, key ASC cut).
+    */
+  def mgPartials(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                 k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__c").desc, col(keyCol))
+    df.groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__r", row_number().over(w))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        map_from_entries(array_sort(collect_list(
+          when(col("__r") <= k, struct(col(keyCol), col("__c"))))))
+          .as("mg_summary"),
+        sum(col("__c")).as("n_rows"),
+        sum(when(col("__r") > k, col("__c")).otherwise(lit(0L)))
+          .as("dropped_mass"))
+  }
+
+  /** Merge Misra–Gries partials to a coarser grouping: sum counts per
+    * key across partials (map explode + hash agg — partial-scale rows,
+    * never raw rows), keep the merged top `k`, and carry the summed
+    * dropped mass as the per-key under-count bound. A key absent from
+    * one partial's summary may be under-counted by that partial's
+    * dropped mass — `max_err` is the honest error bar the caller
+    * filters against (`count + max_err` upper bound, `count` lower).
+    */
+  def mgMerge(partials: DataFrame, groupCols: Seq[String],
+              k: Int): DataFrame = {
+    val exploded = partials.select(
+      (groupCols.map(col) :+ explode(col("mg_summary")).as(Seq("key", "c")) :+
+        col("dropped_mass")): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("count").desc, col("key"))
+    val bounds = partials.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("dropped_mass")).as("max_err"),
+        sum(col("n_rows")).as("n_rows"))
+    exploded.groupBy((groupCols :+ "key").map(col): _*)
+      .agg(sum(col("c")).as("count"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .drop("__r")
+      .join(bounds, groupCols)
+  }
 }

@@ -49,4 +49,39 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est01 - exact01.toDouble) / exact01 < 0.05,
       s"range estimate $est01 vs exact $exact01")
   }
+
+  test("misra-gries merge: guaranteed keys survive with bounded undercount") {
+    import spark.implicits._
+    // 4 chunks; key "hot" dominates globally, chunk-local noise differs
+    val rows = (0 until 4).flatMap { chunk =>
+      Seq.fill(60)((chunk.toLong, "hot")) ++
+        Seq.fill(25)((chunk.toLong, s"warm$chunk")) ++
+        (0 until 15).map(i => (chunk.toLong, s"noise${chunk}_$i"))
+    }
+    val df = rows.toDF("chunk", "key").withColumn("g", lit("all"))
+    val partials = Sketches.mgPartials(df, Seq("g", "chunk"), "key", k = 3)
+      .drop("chunk")
+    val merged = Sketches.mgMerge(partials, Seq("g"), k = 3).collect()
+    val byKey = merged.map(r =>
+      r.getAs[String]("key") -> (r.getAs[Long]("count"),
+        r.getAs[Long]("max_err"))).toMap
+    // guarantee: true count 240 > N/(k+1) = 400/4 = 100 → "hot" present
+    assert(byKey.contains("hot"))
+    val (lo, err) = byKey("hot")
+    // exact lower bound ≤ true ≤ lower + summed dropped mass
+    assert(lo <= 240L && 240L <= lo + err)
+    // "hot" was in every partial's top-3 → its count is exact
+    assert(lo == 240L)
+  }
+
+  test("misra-gries partials: deterministic top-k cut and mass accounting") {
+    import spark.implicits._
+    val df = Seq("a", "a", "b", "b", "c", "d").map(("g", _)).toDF("g", "key")
+    val p = Sketches.mgPartials(df, Seq("g"), "key", k = 3).collect()(0)
+    val m = p.getAs[Map[String, Long]]("mg_summary")
+    // a=2, b=2, then the c/d tie at 1 breaks by key ASC → c in, d out
+    assert(m == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    assert(p.getAs[Long]("n_rows") == 6L)
+    assert(p.getAs[Long]("dropped_mass") == 1L)
+  }
 }

@@ -216,4 +216,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
     assert(p.contains("arraydot"), p) // signature + re-rank in codegen
   }
+
+  test("span dedup joins on the gram key only — no pairwise stage anywhere") {
+    val p = plan("dedup_span_ngram")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"span dedup grew an all-pairs stage:\n$p")
+    // grams aggregate map-side: partial + final HashAggregate pairs
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("sq top-k: coarse pass is TakeOrdered; re-rank joins by id broadcast") {
+    val p = plan("similar_sq_int8")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"coarse cut is not TakeOrdered:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"survivor re-rank is not a broadcast id join:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ewma folds in ONE Window operator (no per-step self-joins)") {
+    val p = plan("ts_ewma")
+    val windows = """\(\d+\) Window""".r.findAllIn(p).size
+    assert(windows == 1, s"expected 1 Window op, got $windows:\n$p")
+    assert(!p.contains("Join"), s"ewma must not join:\n$p")
+  }
+
+  test("interpolated quantiles share one exchange across both windows + agg") {
+    val p = plan("events_quantiles_interp")
+    // rank window (ordered) + count window (unordered) + group agg all
+    // partition on event_type: ONE hash exchange + the output sort only
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected window+sort exchanges only, got $exchanges:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
 }
