@@ -261,6 +261,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (batch-vs-index) exact dedup — the shape production
+    * ingestion actually runs: a NEW batch is checked against the
+    * persisted content-hash index of the already-deduped corpus, and
+    * against itself, without ever rescanning corpus text. Verdicts:
+    * `dup_of_corpus` (hash already indexed — canonical is the corpus
+    * holder), `dup_in_batch` (first batch occurrence wins), `new`.
+    *
+    * Scale shape: the index side is corpus-scale, the batch side is
+    * small — so the batch is BROADCAST against the index (a right
+    * outer join keeps every batch row), and the within-batch
+    * first-wins aggregation is batch-scale. Corpus text is never
+    * touched; at 100 TB the index is the only big input and it is
+    * probed by hash, never shuffled on a new key.
+    *
+    * @param corpusIndex (content_hash, corpus_id) — e.g.
+    *                    `exact(corpus, id, text).select(hash, min-id)`
+    */
+  def incremental(batch: DataFrame, corpusIndex: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val bh = batch.select(col(idCol),
+      md5(lower(trim(col(textCol)))).as("content_hash"))
+    val firsts = bh.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("batch_first"))
+    val withFirsts = bh.join(broadcast(firsts), Seq("content_hash"))
+    corpusIndex
+      .join(broadcast(withFirsts), Seq("content_hash"), "right")
+      .select(col(idCol), col("content_hash"),
+        when(col("corpus_id").isNotNull, lit("dup_of_corpus"))
+          .when(col("batch_first") < col(idCol), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("verdict"),
+        when(col("corpus_id").isNotNull, col("corpus_id"))
+          .when(col("batch_first") < col(idCol), col("batch_first"))
+          .otherwise(col(idCol)).as("canonical_id"))
+  }
+
   /** Sub-document duplicated-SPAN audit — the approximate form of
     * suffix-array substring dedup (Lee et al. 2021, "Deduplicating
     * Training Data Makes Language Models Better"): a doc's span is

@@ -83,4 +83,70 @@ object AsofJoin {
       .select((leftCols.map(col) ++ valueCols.map(col) :+
         col(s"asof_$rightTs")): _*)
   }
+
+  /** NEAREST-in-time as-of join: for every left row, the right row
+    * whose timestamp is closest in EITHER direction (ties → the
+    * at-or-before side). Same union + one-exchange shape as
+    * [[lastAtOrBefore]], with one backward and one forward window
+    * frame over the shared sort: each direction's winner is a single
+    * `max`/`min` over a (ts, order, values…) struct — the whole
+    * candidate row rides in the struct, so adding value columns never
+    * adds window passes.
+    *
+    * Tie-breaks among right rows at the same timestamp: the BEFORE
+    * side takes the largest `rightOrder` (last-write-wins, LOCF
+    * convention), the AFTER side the smallest (first observation,
+    * NOCB convention).
+    *
+    * @param tolerance max allowed |leftTs − rightTs|; farther matches
+    *                  null out (None = unbounded)
+    */
+  def nearestInTime(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                    leftTs: String, rightTs: String, valueCols: Seq[String],
+                    rightOrder: Option[String] = None,
+                    tolerance: Option[Long] = None): DataFrame = {
+    val ts = "__asof_ts"
+    val side = "__asof_side" // right=0 before left=1 at equal ts ⇒ the
+                             // backward frame is inclusive, forward exclusive
+    val ord = "__asof_ord"
+    val leftCols = left.columns.toSeq
+
+    val taggedRight = right.select(
+      (keyCols.map(col) :+ col(rightTs).as(ts) :+ lit(0).as(side) :+
+        rightOrder.map(col).getOrElse(lit(0L)).as(ord)) ++
+        valueCols.map(col) ++
+        leftCols.filterNot(c => keyCols.contains(c))
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      (keyCols.map(col) :+ col(leftTs).as(ts) :+ lit(1).as(side) :+
+        lit(0L).as(ord)) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftCols.filterNot(c => keyCols.contains(c)).map(col): _*)
+
+    val base = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(ts), col(side), col(ord))
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightStruct = when(col(side) === 0,
+      struct(col(ts).as("__t") +: col(ord).as("__o") +:
+        valueCols.map(col): _*))
+
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("__b", max(rightStruct).over(wb))
+      .withColumn("__a", min(rightStruct).over(wf))
+    val distB = col(ts) - col("__b.__t")
+    val distA = col("__a.__t") - col(ts)
+    val useBefore = col("__b").isNotNull &&
+      (col("__a").isNull || distB <= distA)
+    val pick = when(useBefore, col("__b")).otherwise(col("__a"))
+    val dist = when(useBefore, distB).otherwise(distA)
+    val within = tolerance match {
+      case Some(tol) => pick.isNotNull && dist <= tol
+      case None      => pick.isNotNull
+    }
+    carried.filter(col(side) === 1)
+      .select((leftCols.map(col) ++
+        valueCols.map(v => when(within, pick.getField(v)).as(v)) :+
+        when(within, pick.getField("__t")).as(s"asof_$rightTs")): _*)
+  }
 }

@@ -223,6 +223,20 @@ object ExtQueries {
     "dedup_embedding_ann" -> ((s, dir) =>
       annNNOf(s, dir).orderBy("vec_id")),
 
+    // Incremental ingest dedup: a "new batch" (every 7th doc) checked
+    // against the persisted content-hash index of the rest of the
+    // corpus and against itself — corpus text is never rescanned, the
+    // batch side broadcasts. The shape every production ingest runs.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 7 === 3)
+      val corpus = d.filter(col("doc_id") % 7 =!= 3)
+      val index = Dedup.exact(corpus, "doc_id", "text")
+        .select(col("content_hash"), col("doc_id").as("corpus_id"))
+      Dedup.incremental(batch, index, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Sub-document duplicated-SPAN audit (the Lee et al. substring-dedup
     // motif, gram-approximated): per doc, the fraction of its word
     // 8-gram positions whose gram also occurs in ANOTHER doc, plus a
@@ -451,6 +465,30 @@ object ExtQueries {
       """SELECT md5(lower(trim(text))) AS content_hash,
         |  min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS content_hash
+        |  FROM documents WHERE doc_id % 7 = 3
+        |), ci AS (
+        |  SELECT md5(lower(trim(text))) AS content_hash,
+        |         min(doc_id) AS corpus_id
+        |  FROM documents WHERE doc_id % 7 <> 3 GROUP BY content_hash
+        |), bf AS (
+        |  SELECT content_hash, min(doc_id) AS batch_first
+        |  FROM batch GROUP BY content_hash
+        |)
+        |SELECT b.doc_id, b.content_hash,
+        |  CASE WHEN ci.corpus_id IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN bf.batch_first < b.doc_id THEN 'dup_in_batch'
+        |       ELSE 'new' END AS verdict,
+        |  CASE WHEN ci.corpus_id IS NOT NULL THEN ci.corpus_id
+        |       WHEN bf.batch_first < b.doc_id THEN bf.batch_first
+        |       ELSE b.doc_id END AS canonical_id
+        |FROM batch b
+        |JOIN bf USING (content_hash)
+        |LEFT JOIN ci USING (content_hash)
+        |ORDER BY b.doc_id""".stripMargin,
 
     "dedup_span_ngram" ->
       """WITH w AS (

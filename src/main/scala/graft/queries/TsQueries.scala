@@ -245,6 +245,22 @@ object TsQueries {
         .orderBy("event_id")
     }),
 
+    // NEAREST-in-time as-of join (either direction, ties → before,
+    // 15-min tolerance): same union + one-exchange window shape as the
+    // backward as-of above — no join operator, no range probe.
+    "asof_join_nearest" -> ((s, dir) => {
+      val b = base(s, dir)
+      val clicks = b.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "sec")
+      val purchases = b.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "sec")
+        .agg(max(col("value")).as("purchase_value"))
+      graft.operators.AsofJoin.nearestInTime(
+        clicks, purchases, Seq("user_id"), "sec", "sec",
+        Seq("purchase_value"), tolerance = Some(900L))
+        .orderBy("event_id")
+    }),
+
     // Interval range join: clicks counted into ±15-min windows around
     // low-user-id purchases. Bucketed equi-join (operators.RangeJoin) —
     // NOT a nested-loop theta join.
@@ -550,6 +566,46 @@ object TsQueries {
          |FROM clicks c ASOF LEFT JOIN purch p
          |  ON c.user_id = p.user_id AND c.sec >= p.sec
          |ORDER BY c.event_id""".stripMargin,
+
+    "asof_join_nearest" ->
+      s"""$BaseCte, clicks AS (
+         |  SELECT event_id, user_id, sec FROM base WHERE event_type = 'click'
+         |), purch AS (
+         |  SELECT user_id, sec, max(value) AS purchase_value
+         |  FROM base WHERE event_type = 'purchase' GROUP BY user_id, sec
+         |), u AS (
+         |  SELECT user_id, sec AS ts, 0 AS side, CAST(NULL AS BIGINT)
+         |    AS event_id, purchase_value FROM purch
+         |  UNION ALL
+         |  SELECT user_id, sec, 1, event_id, NULL FROM clicks
+         |), w AS (
+         |  SELECT *,
+         |    max(CASE WHEN side = 0 THEN
+         |          struct_pack(t := ts, v := purchase_value) END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, side
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+         |    min(CASE WHEN side = 0 THEN
+         |          struct_pack(t := ts, v := purchase_value) END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, side
+         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS a
+         |  FROM u
+         |), picked AS (
+         |  SELECT event_id, user_id, ts,
+         |    CASE WHEN b IS NOT NULL AND (a IS NULL OR
+         |           ts - struct_extract(b, 't') <= struct_extract(a, 't') - ts)
+         |         THEN b ELSE a END AS p,
+         |    CASE WHEN b IS NOT NULL AND (a IS NULL OR
+         |           ts - struct_extract(b, 't') <= struct_extract(a, 't') - ts)
+         |         THEN ts - struct_extract(b, 't')
+         |         ELSE struct_extract(a, 't') - ts END AS dist
+         |  FROM w WHERE side = 1
+         |)
+         |SELECT event_id, user_id, ts AS sec,
+         |  CASE WHEN p IS NOT NULL AND dist <= 900
+         |       THEN struct_extract(p, 'v') END AS purchase_value,
+         |  CASE WHEN p IS NOT NULL AND dist <= 900
+         |       THEN struct_extract(p, 't') END AS asof_sec
+         |FROM picked ORDER BY event_id""".stripMargin,
 
     "range_join_window_count" ->
       s"""$BaseCte, iv AS (

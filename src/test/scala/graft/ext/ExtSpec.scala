@@ -70,6 +70,26 @@ class ExtSpec extends SparkSpec {
     assert(run(0L) == expected)       // distributed hash-to-min path
   }
 
+  test("incremental dedup: corpus hit beats batch-first; first-in-batch wins") {
+    import spark.implicits._
+    val corpus = Seq((0L, "alpha beta"), (1L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "ALPHA BETA "),   // normalises to corpus doc 0's hash
+      (11L, "epsilon zeta"),  // genuinely new
+      (12L, "epsilon zeta"),  // dup of 11 within the batch
+      (13L, "eta theta"))     // new
+      .toDF("doc_id", "text")
+    val index = Dedup.exact(corpus, "doc_id", "text")
+      .select(col("content_hash"), col("doc_id").as("corpus_id"))
+    val out = Dedup.incremental(batch, index, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(2) == "dup_of_corpus" && out(0).getLong(3) == 0L)
+    assert(out(1).getString(2) == "new" && out(1).getLong(3) == 11L)
+    assert(out(2).getString(2) == "dup_in_batch" && out(2).getLong(3) == 11L)
+    assert(out(3).getString(2) == "new" && out(3).getLong(3) == 13L)
+  }
+
   test("span dedup: duplicated-span fraction counts cross-doc grams only") {
     import spark.implicits._
     val d = Seq(

@@ -24,6 +24,34 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3).isNullAt(3) && out(3).isNullAt(4))
   }
 
+  test("nearest asof picks the closer side, ties to before") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 19L), (1L, 25L), (2L, 5L)).toDF("k", "t")
+    val right = Seq((1L, 4L, 1.0), (1L, 30L, 2.0)).toDF("k", "t", "v")
+    val out = AsofJoin.nearestInTime(left, right, Seq("k"), "t", "t", Seq("v"))
+      .orderBy("k", "t").collect()
+    // t=10: before 4 (dist 6) vs after 30 (dist 20) → before
+    assert(out(0).getDouble(2) == 1.0 && out(0).getLong(3) == 4L)
+    // t=19: dist 15 vs 11 → after
+    assert(out(1).getDouble(2) == 2.0 && out(1).getLong(3) == 30L)
+    // t=25: dist 21 vs 5 → after
+    assert(out(2).getDouble(2) == 2.0)
+    // k=2: no right rows → null
+    assert(out(3).isNullAt(2) && out(3).isNullAt(3))
+  }
+
+  test("nearest asof: exact tie and tolerance behave as documented") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 1.0), (1L, 15L, 2.0)).toDF("k", "t", "v")
+    val out = AsofJoin.nearestInTime(left, right, Seq("k"), "t", "t",
+      Seq("v"), tolerance = Some(20L)).orderBy("t").collect()
+    // t=10: dist 5 both sides → tie goes to the BEFORE row
+    assert(out(0).getDouble(2) == 1.0 && out(0).getLong(3) == 5L)
+    // t=100: nearest is 15 at dist 85 > tolerance 20 → nulled
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
   test("asof join tolerance nulls out stale matches") {
     import spark.implicits._
     val left = Seq((1L, 100L), (1L, 200L)).toDF("k", "t")

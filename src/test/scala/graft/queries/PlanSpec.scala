@@ -217,6 +217,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("arraydot"), p) // signature + re-rank in codegen
   }
 
+  test("nearest asof is union + windows — no join operator, no range probe") {
+    val p = plan("asof_join_nearest")
+    assert(p.contains("Union") && p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop") &&
+      !p.contains("CartesianProduct"), s"nearest asof degraded to a join:\n$p")
+  }
+
+  test("incremental dedup broadcasts the batch against the corpus index") {
+    val p = plan("dedup_incremental")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"batch-vs-index join degraded to a corpus shuffle:\n$p")
+  }
+
   test("span dedup joins on the gram key only — no pairwise stage anywhere") {
     val p = plan("dedup_span_ngram")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
