@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING as dataframe passes — the
+  * vocabulary-learning step of an LLM data pipeline (Sennrich et al.
+  * 2016), distributed the only way that scales: each merge step is one
+  * corpus-wide pair-count aggregation (map-side combinable) + a 1-row
+  * argmax + one narrow re-segmentation projection. Nothing is ever
+  * collected to the driver — the selected pair rides along as a 1-row
+  * broadcast.
+  *
+  * Determinism and engine portability:
+  *  - ties in the pair argmax break on (count DESC, left ASC, right
+  *    ASC) — binary string order, identical everywhere;
+  *  - segmentations are strings of '·'-WRAPPED symbols ("·a· ·b·"):
+  *    the wrapper makes `replace(seg, "·a· ·b·", "·ab·")` boundary-
+  *    safe (a symbol can never match inside a longer symbol) and
+  *    adjacent-overlap-safe (left-to-right non-overlapping replacement
+  *    — the same greedy semantics in Spark and DuckDB, and the same
+  *    order real BPE applies merges in);
+  *  - word frequencies weight the counts, so training reads each
+  *    DISTINCT word once per step regardless of corpus size — at
+  *    100 TB the words table is the (tiny) aggregation output, and the
+  *    steps loop over it, never over raw text.
+  */
+object Bpe {
+
+  /** Initial character segmentation, wrapped: "abc" → "·a· ·b· ·c·". */
+  def segment0(word: Column): Column =
+    concat_ws(" ", transform(split(word, ""),
+      c => concat(lit("·"), c, lit("·"))))
+
+  /** Corpus-weighted counts of adjacent symbol pairs in `segCol`. */
+  private def pairCounts(seg: DataFrame, segCol: String,
+                         countCol: String): DataFrame = {
+    val sy = split(col(segCol), " ")
+    seg.select(col(countCol), sy.as("sy"))
+      .filter(size(col("sy")) >= 2)
+      .select(col(countCol),
+        explode(transform(sequence(lit(0), size(col("sy")) - 2),
+          i => struct(element_at(col("sy"), i + 1).as("s1"),
+            element_at(col("sy"), i + 2).as("s2")))).as("p"))
+      .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+      .agg(sum(col(countCol)).as("pair_count"))
+  }
+
+  /** Train `steps` merges over a (word, count) table. Returns the merge
+    * table: (step, left_sym, right_sym, merged, pair_count) — one row
+    * per learned rule, the artifact a tokenizer ships.
+    */
+  def fit(words: DataFrame, wordCol: String, countCol: String,
+          steps: Int): DataFrame = {
+    val spark = words.sparkSession
+    var seg = words.filter(length(col(wordCol)) > 0)
+      .select(col(countCol).as("__c"), segment0(col(wordCol)).as("__seg"))
+      .localCheckpoint()
+    var merges: DataFrame = null
+    for (step <- 1 to steps) {
+      val best = pairCounts(seg, "__seg", "__c")
+        .orderBy(col("pair_count").desc, col("s1"), col("s2"))
+        .limit(1)
+        .withColumn("merged",
+          concat(lit("·"),
+            regexp_replace(col("s1"), "·", ""),
+            regexp_replace(col("s2"), "·", ""), lit("·")))
+        .localCheckpoint() // selected ONCE; feeds both outputs below
+      merges = {
+        val row = best.select(lit(step).as("step"), col("s1").as("left_sym"),
+          col("s2").as("right_sym"), col("merged"), col("pair_count"))
+        if (merges == null) row else merges.unionByName(row)
+      }
+      // apply the rule: left-to-right non-overlapping replacement of the
+      // wrapped pair — one narrow projection over the words table
+      seg = seg.crossJoin(broadcast(best))
+        .select(col("__c"),
+          expr("replace(__seg, concat(s1, ' ', s2), merged)").as("__seg"))
+        .localCheckpoint()
+    }
+    merges
+  }
+}

@@ -223,6 +223,20 @@ object ExtQueries {
     "dedup_embedding_ann" -> ((s, dir) =>
       annNNOf(s, dir).orderBy("vec_id")),
 
+    // BPE tokenizer training (3 merge steps) over the corpus word
+    // table: each step is one weighted pair-count aggregation + a
+    // 1-row broadcast argmax + a narrow re-segmentation — the
+    // vocabulary-learning pass of an LLM pipeline, never collecting to
+    // the driver. The oracle unrolls the 3 steps as CTEs with the
+    // byte-identical wrapped-symbol construction.
+    "bpe_train_merges" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      graft.ext.Bpe.fit(words, "w", "c", steps = 3).orderBy("step")
+    }),
+
     // Incremental ingest dedup: a "new batch" (every 7th doc) checked
     // against the persisted content-hash index of the rest of the
     // corpus and against itself — corpus text is never rescanned, the
@@ -465,6 +479,41 @@ object ExtQueries {
       """SELECT md5(lower(trim(text))) AS content_hash,
         |  min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY doc_id""".stripMargin,
+
+    "bpe_train_merges" -> {
+      // one (pairs → best → next segmentation) block per unrolled step
+      val stepCtes = (1 to 3).map { i =>
+        s"""p$i AS (
+           |  SELECT sy[i] AS s1, sy[i+1] AS s2, CAST(sum(c) AS BIGINT) AS pc
+           |  FROM (SELECT c, string_split(seg, ' ') AS sy FROM seg$i) q,
+           |       unnest(range(1, len(sy))) AS t(i)
+           |  GROUP BY s1, s2
+           |), b$i AS (
+           |  SELECT s1, s2, pc,
+           |    '·' || replace(s1, '·', '') || replace(s2, '·', '') || '·' AS m
+           |  FROM p$i ORDER BY pc DESC, s1, s2 LIMIT 1
+           |), seg${i + 1} AS (
+           |  SELECT c, replace(seg, (SELECT s1 || ' ' || s2 FROM b$i),
+           |                    (SELECT m FROM b$i)) AS seg
+           |  FROM seg$i
+           |)""".stripMargin
+      }.mkString(", ")
+      val unionAll = (1 to 3).map { i =>
+        s"""SELECT $i AS step, s1 AS left_sym, s2 AS right_sym,
+           |       m AS merged, pc AS pair_count FROM b$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY w
+         |), seg1 AS (
+         |  SELECT c, array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> '·' || w[i] || '·'), ' ') AS seg
+         |  FROM words
+         |), $stepCtes
+         |$unionAll
+         |ORDER BY step""".stripMargin
+    },
 
     "dedup_incremental" ->
       """WITH batch AS (

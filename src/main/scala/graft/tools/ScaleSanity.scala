@@ -73,7 +73,13 @@ object ScaleSanity {
     val bigNd = spark.read.parquet(s"$ddir/documents.parquet").count()
     val docPicks = Seq("decontaminate_ngram", "pii_redact",
       "quality_rules", "quality_repetition", "doc_inverted_index",
-      "token_count", "lang_id", "doc_fingerprint")
+      "token_count", "lang_id", "doc_fingerprint",
+      // round-5 linear doc passes: span audit (gram-key join),
+      // vocabulary scoring, batch-vs-index dedup, BPE training (the
+      // steps loop over the words TABLE, so corpus cost is the one
+      // tokenize+count scan)
+      "dedup_span_ngram", "quality_vocab", "dedup_incremental",
+      "bpe_train_merges")
     val docRatios = docPicks.map { q =>
       val f = graft.SparkEntry.queries(q)
       val t1 = time(f(spark, "/root/testdata/sf0.1").count())

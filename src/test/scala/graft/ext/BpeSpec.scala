@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BPE trainer semantics on a hand-computed corpus. */
+class BpeSpec extends SparkSpec {
+
+  test("bpe fit learns the hand-computed merge sequence") {
+    import spark.implicits._
+    // "aaab"×2, "aab"×1:
+    //   step 1: (a,a) = 2·2 + 1 = 5 beats (a,b) = 3 → merge ·aa·
+    //   step 2: (aa,a)=2 vs (a,b)=2 tie → s1 ASC in BINARY order:
+    //     '·' is 0xC2B7 > 'a', so "·aa·" < "·a·" → (·aa·,·a·) → ·aaa·
+    //   step 3: (aaa,b)=2 beats (aa,b)=1 → ·aaab·
+    val words = Seq(("aaab", 2L), ("aab", 1L)).toDF("w", "c")
+    val out = Bpe.fit(words, "w", "c", steps = 3).orderBy("step").collect()
+    assert(out.map(r => (r.getString(1), r.getString(2), r.getString(3),
+      r.getLong(4))).toSeq == Seq(
+      ("·a·", "·a·", "·aa·", 5L),
+      ("·aa·", "·a·", "·aaa·", 2L),
+      ("·aaa·", "·b·", "·aaab·", 2L)))
+  }
+
+  test("bpe replacement is left-to-right non-overlapping (greedy BPE order)") {
+    import spark.implicits._
+    // "aaaa": after merging (a,a), greedy left-to-right gives ·aa· ·aa·
+    // (not ·a· ·aa· ·a· or overlap artifacts)
+    val words = Seq(("aaaa", 1L)).toDF("w", "c")
+    val m = Bpe.fit(words, "w", "c", steps = 2).orderBy("step").collect()
+    // step 1: (a,a)=3 → ·aa·; step 2 re-seg is "·aa· ·aa·" → (aa,aa)=1
+    assert(m(0).getString(3) == "·aa·" && m(0).getLong(4) == 3L)
+    assert(m(1).getString(1) == "·aa·" && m(1).getString(2) == "·aa·" &&
+      m(1).getString(3) == "·aaaa·" && m(1).getLong(4) == 1L)
+  }
+
+  test("bpe wrapped symbols never match inside longer symbols") {
+    import spark.implicits._
+    // corpus where symbol "x" and merged "xy" coexist: replacing
+    // "·x· ·z·" must not fire inside "·xy· ·z·"
+    val words = Seq(("xyz", 3L), ("xz", 1L)).toDF("w", "c")
+    // step 1: (x,y)=3 beats (x,z)=1 and (y,z)=3 tie → s1: ·x· < ·y· → xy
+    val m = Bpe.fit(words, "w", "c", steps = 2).orderBy("step").collect()
+    assert(m(0).getString(3) == "·xy·")
+    // step 2: "xyz"→"·xy· ·z·" (xy,z)=3; "xz"→(x,z)=1 → merge (xy,z)
+    assert(m(1).getString(1) == "·xy·" && m(1).getString(3) == "·xyz·")
+  }
+}
