@@ -223,6 +223,21 @@ object ExtQueries {
     "dedup_embedding_ann" -> ((s, dir) =>
       annNNOf(s, dir).orderBy("vec_id")),
 
+    // PageRank (2 fixed iterations, decimal-routed sums) over the LSH
+    // candidate graph — ranks the hubs of each near-dup neighborhood
+    // (the doc to keep when collapsing a cluster). Shares the memoized
+    // candidate index with the other dedup keys.
+    "graph_pagerank" -> ((s, dir) => {
+      val cand = candsOf(s, dir)
+      val edges = cand.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(
+          cand.select(col("b_id").as("src"), col("a_id").as("dst")))
+      graft.operators.Graph.pagerank(edges, "src", "dst",
+          docs(s, dir).select(col("doc_id")), "doc_id", iters = 2)
+        .select("doc_id", "rank_fp", "rank")
+        .orderBy("doc_id")
+    }),
+
     // BPE tokenizer training (3 merge steps) over the corpus word
     // table: each step is one weighted pair-count aggregation + a
     // 1-row broadcast argmax + a narrow re-segmentation — the
@@ -479,6 +494,36 @@ object ExtQueries {
       """SELECT md5(lower(trim(text))) AS content_hash,
         |  min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY doc_id""".stripMargin,
+
+    "graph_pagerank" -> {
+      val sc = graft.operators.Graph.Scale
+      def iter(i: Int, prev: String) =
+        s"""c$i AS (
+           |  SELECT e.dst AS doc_id, CAST(sum(r.r // od.outd) AS BIGINT) AS s
+           |  FROM e
+           |  JOIN $prev r ON r.doc_id = e.src
+           |  JOIN od ON od.src = e.src
+           |  GROUP BY e.dst
+           |), r$i AS (
+           |  SELECT d.doc_id,
+           |    ($sc * 15) // (100 * (SELECT n FROM nn))
+           |      + (coalesce(c$i.s, 0) * 85) // 100 AS r
+           |  FROM documents d LEFT JOIN c$i USING (doc_id)
+           |)""".stripMargin
+      s"""$ShingleCtes, e AS (
+         |  SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION ALL
+         |  SELECT b_id AS src, a_id AS dst FROM cand
+         |), nn AS (SELECT count(*) AS n FROM documents
+         |), od AS (SELECT src, count(*) AS outd FROM e GROUP BY src
+         |), r0 AS (
+         |  SELECT doc_id, $sc // (SELECT n FROM nn) AS r
+         |  FROM documents
+         |), ${iter(1, "r0")}, ${iter(2, "r1")}
+         |SELECT doc_id, CAST(r AS BIGINT) AS rank_fp,
+         |  CAST(r AS DOUBLE) / CAST($sc AS DOUBLE) AS rank
+         |FROM r2 ORDER BY doc_id""".stripMargin
+    },
 
     "bpe_train_merges" -> {
       // one (pairs → best → next segmentation) block per unrolled step
