@@ -146,6 +146,16 @@ object TsQueries {
           maxDataPoints = 100)
         .orderBy("event_type", "bucket")),
 
+    // LTTB-style visual downsample (bucket-parallel variant): the
+    // dashboard decimation that keeps spikes where first/mean-per-
+    // bucket flatten them.
+    "downsample_lttb" -> ((s, dir) =>
+      Downsample.lttbPerBucket(base(s, dir), Seq("event_type"), col("sec"),
+          "value", "event_id",
+          startSec = 1704067200L, endSec = 1704067200L + 2678400L - 1,
+          maxDataPoints = 100)
+        .orderBy("event_type", "bucket")),
+
     "long_format_dropna" -> ((s, dir) =>
       Downsample.longFormat(wide(s, dir), Seq("slot", "user_id"), Metrics, "slot")
         .orderBy("metric", "slot", "user_id")),
@@ -483,6 +493,39 @@ object TsQueries {
          |WHERE sec >= 1704067200 AND sec <= ${1704067200L + 2678400L - 1}
          |  AND value IS NOT NULL
          |GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
+
+    "downsample_lttb" ->
+      s"""$BaseCte, pts AS (
+         |  SELECT event_type, event_id, sec, value,
+         |    CAST(floor((sec - 1704067200) / 26784.0) AS BIGINT) AS bucket
+         |  FROM base
+         |  WHERE sec >= 1704067200 AND sec <= ${1704067200L + 2678400L - 1}
+         |    AND value IS NOT NULL AND NOT isnan(value)
+         |), avgs AS (
+         |  SELECT event_type, bucket,
+         |    CAST(sum(CAST(sec AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS ax,
+         |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS ay
+         |  FROM pts GROUP BY event_type, bucket
+         |), j AS (
+         |  SELECT p.*, pr.ax AS px, pr.ay AS py, nb.ax AS nx, nb.ay AS ny
+         |  FROM pts p
+         |  LEFT JOIN avgs pr
+         |    ON pr.event_type = p.event_type AND pr.bucket = p.bucket - 1
+         |  LEFT JOIN avgs nb
+         |    ON nb.event_type = p.event_type AND nb.bucket = p.bucket + 1
+         |), a AS (
+         |  SELECT *, CASE WHEN px IS NOT NULL AND nx IS NOT NULL THEN
+         |    abs((px - nx) * (value - py) - (px - sec) * (ny - py)) END
+         |    AS area
+         |  FROM j
+         |), ranked AS (
+         |  SELECT event_type, bucket, sec, value, event_id,
+         |    row_number() OVER (PARTITION BY event_type, bucket
+         |      ORDER BY area DESC NULLS LAST, event_id) AS rn
+         |  FROM a
+         |)
+         |SELECT event_type, bucket, sec, value, event_id AS picked_id
+         |FROM ranked WHERE rn = 1 ORDER BY event_type, bucket""".stripMargin,
 
     "long_format_dropna" -> {
       val arms = Metrics.map(m =>

@@ -69,6 +69,72 @@ object Downsample {
         count(lit(1)).as("n"))
   }
 
+  /** LTTB-style VISUAL downsample (Steinarsson's Largest-Triangle-
+    * Three-Buckets, the de-facto dashboard decimation algorithm), in
+    * its bucket-parallel form: per (series, bucket) keep the point
+    * with the largest triangle area against the PREVIOUS and NEXT
+    * bucket AVERAGES. True LTTB anchors on the previously SELECTED
+    * point — an inherently sequential recursion no engine's window
+    * frame expresses; anchoring on the neighbor averages is the
+    * standard parallelization (each bucket decides independently) and
+    * preserves the visual property that spikes/extremes survive where
+    * first-/mean-per-bucket flatten them.
+    *
+    * Shape: one aggregation for bucket (time, value) means (decimal-
+    * routed, order-free), two self-joins on (series, bucket±1) — both
+    * sides bucket-scale, not point-scale — then one argmax aggregation
+    * over the points. Edge buckets (missing a neighbor) keep their
+    * first point by `orderCol`. Ties in area break by `orderCol` —
+    * the area expression has one fixed shape, so the float compare is
+    * engine-portable.
+    */
+  def lttbPerBucket(df: DataFrame, seriesCols: Seq[String], sec: Column,
+                    valueCol: String, orderCol: String, startSec: Long,
+                    endSec: Long, maxDataPoints: Int): DataFrame = {
+    val spread = spreadOf(startSec, endSec, maxDataPoints)
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val pts = df.filter(sec >= startSec && sec <= endSec &&
+        col(valueCol).isNotNull && !isnan(col(valueCol)))
+      .withColumn("bucket", bucket(sec, startSec, spread))
+      .withColumn("__sec", sec)
+    val avgs = pts
+      .groupBy((seriesCols.map(col) :+ col("bucket")): _*)
+      .agg(
+        (sum(col("__sec").cast(dec)).cast("double") / count(lit(1)))
+          .as("ax"),
+        (sum(col(valueCol).cast(dec)).cast("double") / count(lit(1)))
+          .as("ay"))
+    val prev = avgs.select((seriesCols.map(col) :+
+      (col("bucket") + 1).as("bucket") :+ col("ax").as("px") :+
+      col("ay").as("py")): _*)
+    val next = avgs.select((seriesCols.map(col) :+
+      (col("bucket") - 1).as("bucket") :+ col("ax").as("nx") :+
+      col("ay").as("ny")): _*)
+    val joined = pts
+      .join(prev, seriesCols :+ "bucket", "left")
+      .join(next, seriesCols :+ "bucket", "left")
+    // twice the triangle area — the /2 cannot change the argmax
+    val area = abs(
+      (col("px") - col("nx")) * (col(valueCol) - col("py")) -
+        (col("px") - col("__sec")) * (col("ny") - col("py")))
+    val keyed = joined.withColumn("__area",
+      when(col("px").isNotNull && col("nx").isNotNull, area))
+    keyed
+      .groupBy((seriesCols.map(col) :+ col("bucket")): _*)
+      .agg(
+        when(max(col("__area")).isNotNull,
+          max_by(struct(col("__sec").as("sec"), col(valueCol).as("value"),
+            col(orderCol).as("oid")),
+            struct(col("__area"), (-col(orderCol)).as("no"))))
+          .otherwise(
+            min_by(struct(col("__sec").as("sec"), col(valueCol).as("value"),
+              col(orderCol).as("oid")), col(orderCol)))
+          .as("pick"))
+      .select((seriesCols.map(col) :+ col("bucket") :+
+        col("pick.sec").as("sec") :+ col("pick.value").as("value") :+
+        col("pick.oid").as("picked_id")): _*)
+  }
+
   /** B-10 long output: `(metric, value, ts_ms)` rows, NaN/null cells
     * dropped (`server.py:453-455`).
     */
