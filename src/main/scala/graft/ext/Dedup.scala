@@ -269,11 +269,13 @@ object Dedup {
     * holder), `dup_in_batch` (first batch occurrence wins), `new`.
     *
     * Scale shape: the index side is corpus-scale, the batch side is
-    * small — so the batch is BROADCAST against the index (a right
-    * outer join keeps every batch row), and the within-batch
-    * first-wins aggregation is batch-scale. Corpus text is never
-    * touched; at 100 TB the index is the only big input and it is
-    * probed by hash, never shuffled on a new key.
+    * small. An outer join cannot broadcast its preserved side (Spark
+    * builds the hash table on the other side), so the probe is split:
+    * an INNER join of the index against the broadcast batch-hash set
+    * (the only touch of the big table — a broadcast-hash probe, no
+    * index shuffle) yields a hit list bounded by the BATCH size, which
+    * then left-joins back onto the batch rows broadcast-side. Corpus
+    * text is never read; every non-index frame is batch-scale.
     *
     * @param corpusIndex (content_hash, corpus_id) — e.g.
     *                    `exact(corpus, id, text).select(hash, min-id)`
@@ -285,8 +287,11 @@ object Dedup {
     val firsts = bh.groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("batch_first"))
     val withFirsts = bh.join(broadcast(firsts), Seq("content_hash"))
-    corpusIndex
-      .join(broadcast(withFirsts), Seq("content_hash"), "right")
+    val hits = corpusIndex.join(
+      broadcast(withFirsts.select("content_hash").distinct()),
+      Seq("content_hash"))
+    withFirsts
+      .join(broadcast(hits), Seq("content_hash"), "left")
       .select(col(idCol), col("content_hash"),
         when(col("corpus_id").isNotNull, lit("dup_of_corpus"))
           .when(col("batch_first") < col(idCol), lit("dup_in_batch"))

@@ -142,7 +142,11 @@ object TextStats {
   def vocabStats(df: DataFrame, idCol: String, textCol: String,
                  topK: Int): DataFrame = {
     val tok = df.select(col(idCol), explode(words(col(textCol))).as("w"))
+    // the count table feeds BOTH the top-K cut and the scoring join —
+    // lazy localCheckpoint so the corpus-scale aggregation runs once
+    // (not persist(): a library call must not leak CacheManager entries)
     val counts = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     // deterministic vocabulary cut (count DESC, token ASC) via
     // TakeOrdered — per-partition top-K then a driver merge of K-row
     // partials; never the single-partition global rank window
