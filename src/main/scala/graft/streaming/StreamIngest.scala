@@ -172,6 +172,49 @@ object StreamIngest {
       }
   }
 
+  case class EwmaPoint(metric: String, tsSec: Long, value: Double,
+                       ewma: Double)
+
+  /** Stateful streaming EWMA — the UNBOUNDED-history recursion
+    * `e_t = α·v_t + (1−α)·e_{t-1}` that no batch window frame can
+    * express (the batch `Rolling.ewma` restarts on a trailing-k frame
+    * for exactly that reason): streaming state carries `e_{t-1}`
+    * naturally, O(1) per series. α = 1/2 keeps the same dyadic
+    * bit-portability as the batch operator. Late points (event time at
+    * or before the state) emit nothing — state never regresses, same
+    * contract as [[deltaRate]].
+    */
+  def ewmaSmooth(points: DataFrame): Dataset[EwmaPoint] = {
+    import points.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    points
+      .select(col("metric"), col("ts").cast("long").as("tsSec"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (metric: String, rows: Iterator[(String, Long, Double)],
+         state: GroupState[LastPoint]) =>
+          // state.value is the previous EWMA, not the previous raw value
+          var prev = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaPoint]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, v) =>
+            prev match {
+              case Some(p) if ts <= p.tsSec => () // late: never regress
+              case Some(p) =>
+                val e = p.value * 0.5 + v * 0.5
+                out += EwmaPoint(metric, ts, v, e)
+                prev = Some(LastPoint(metric, ts, e))
+              case None =>
+                out += EwmaPoint(metric, ts, v, v) // seed at first value
+                prev = Some(LastPoint(metric, ts, v))
+            }
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Watermarked stream-stream interval join: match each left point
     * with right points for the same metric whose event time lies in
     * `[left.ts, left.ts + within]` — e.g. raw readings joined to the

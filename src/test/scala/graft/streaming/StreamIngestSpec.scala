@@ -269,6 +269,40 @@ class StreamIngestSpec extends SparkSpec {
       (t0 + 50, 6.0, 30L, 0.2))) // 10 → 16; the late 99 emitted nothing
   }
 
+  test("stateful streaming EWMA carries the recursion across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    val src = MemoryStream[String]
+    val points = StreamIngest.parse(src.toDF().withColumnRenamed("value", "line"),
+      "line", "test", "ew1")
+    val smoothed = StreamIngest.ewmaSmooth(points)
+    val query = smoothed.toDF().writeStream.outputMode("update")
+      .format("memory").queryName("ewout").start()
+    try {
+      src.addData(
+        s"test,circuit=ew1 v=2 ${t0}000000000",
+        s"test,circuit=ew1 v=4 ${(t0 + 10)}000000000")
+      query.processAllAvailable()
+      // next batch continues from the STATE (e=3), not from scratch
+      src.addData(s"test,circuit=ew1 v=8 ${(t0 + 20)}000000000")
+      query.processAllAvailable()
+      // late point behind the state emits nothing and leaves e intact
+      src.addData(s"test,circuit=ew1 v=99 ${(t0 + 15)}000000000")
+      src.addData(s"test,circuit=ew1 v=5.5 ${(t0 + 30)}000000000")
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.sql("SELECT tsSec, ewma FROM ewout ORDER BY tsSec")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(
+      (t0, 2.0),          // seed
+      (t0 + 10, 3.0),     // 2*.5 + 4*.5
+      (t0 + 20, 5.5),     // 3*.5 + 8*.5 — state crossed the batch
+      (t0 + 30, 5.5)))    // 5.5*.5 + 5.5*.5; late 99 emitted nothing
+  }
+
   test("AvailableNow trigger drains a backlog through the store writer and stops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
