@@ -57,6 +57,32 @@ object Sampling {
     df.withColumn("sample_u", hashUniform(col(idCol)))
       .filter(col("sample_u") < rateCol)
 
+  /** Corpus-MIXTURE resampling: hash-gated downsample of over-
+    * represented sources so the kept corpus approaches a UNIFORM
+    * source distribution (rate_s = min(1, (N/K)/n_s) — sources at or
+    * below the uniform share keep everything). The data-mixture pass
+    * of training-set assembly, with all the hash-gate properties of
+    * [[weighted]]: deterministic, repartition-proof, monotone.
+    *
+    * Shape: one count aggregation (source-cardinality rows), the rate
+    * table broadcast back, one narrow filter. Nothing corpus-scale
+    * shuffles.
+    */
+  def mixToUniform(df: DataFrame, idCol: String,
+                   sourceCol: String): DataFrame = {
+    val bySource = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_source"))
+    val totals = bySource.agg(sum(col("n_source")).as("n_total"),
+      count(lit(1)).as("n_sources"))
+    val rates = bySource.crossJoin(broadcast(totals))
+      .withColumn("rate",
+        least(lit(1.0), col("n_total") / col("n_sources") / col("n_source")))
+      .select(col(sourceCol), col("n_source"), col("rate"))
+    df.join(broadcast(rates), sourceCol)
+      .withColumn("sample_u", hashUniform(col(idCol)))
+      .filter(col("sample_u") < col("rate"))
+  }
+
   /** Exactly-k-per-stratum deterministic sampling: rank rows inside
     * each stratum by their id hash (a reproducible shuffle) and keep
     * the first k. One shuffle on the stratum + a per-partition sort —

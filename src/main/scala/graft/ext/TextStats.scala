@@ -166,6 +166,32 @@ object TextStats {
         trunc6(col("sum_freq") / col("n_tokens")).as("avg_tok_freq"))
   }
 
+  /** Overlapping token-window chunking — the RAG/embedding prep pass:
+    * each doc yields `ceil(max(0, n−size)/stride) + 1` chunks of up to
+    * `size` words, consecutive chunks overlapping by `size − stride`
+    * words. Pure narrow explode over integer chunk starts — zero
+    * shuffles, embarrassingly parallel, and the chunk count is exact
+    * integer arithmetic (no float ceil).
+    */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"bad chunk geometry: size=$size stride=$stride")
+    val w = words(col(textCol))
+    df.select(col(idCol), w.as("__w"))
+      .withColumn("__extra",
+        greatest(org.apache.spark.sql.functions.size(col("__w")) - size,
+          lit(0)))
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        expr(s"(__extra + ${stride - 1}) div $stride"))))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        org.apache.spark.sql.functions
+          .size(slice(col("__w"), col("chunk_idx") * stride + 1, lit(size)))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("__w"), col("chunk_idx") * stride + 1,
+          lit(size)), " ").as("chunk_text"))
+  }
+
   /** Karp–Rabin polynomial rolling hash of the first `maxChars`
     * characters: fold `acc = (acc*31 + ascii(char)) mod 1e9+7`.
     * Deterministic content fingerprint with incremental-window

@@ -408,6 +408,21 @@ object ExtQueries {
           col("sample_rank").cast("long").as("sample_rank"))
         .orderBy("lang", "sample_rank")),
 
+    // Overlapping token-window chunking (RAG/embedding prep): 32-word
+    // chunks, stride 24 (8-word overlap). Pure narrow explode.
+    "text_chunk_windows" -> ((s, dir) =>
+      TextStats.chunkWindows(docs(s, dir), "doc_id", "text",
+          size = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Data-mixture resampling: hash-gated downsample of over-
+    // represented languages toward the uniform share (en keeps ~46%
+    // on this corpus, the rest keep everything).
+    "corpus_mix_resample" -> ((s, dir) =>
+      Sampling.mixToUniform(docs(s, dir), "doc_id", "lang")
+        .select("doc_id", "lang", "n_source", "rate", "sample_u")
+        .orderBy("doc_id")),
+
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextStats.rollingFingerprint(col("text"), 64).as("fp"))
@@ -997,6 +1012,49 @@ object ExtQueries {
          |  FROM h
          |)
          |SELECT doc_id, lang, rate, sample_u FROM u
+         |WHERE sample_u < rate ORDER BY doc_id""".stripMargin
+    },
+
+    "text_chunk_windows" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), c AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(0, (greatest(len(w) - 32, 0) + 23) // 24 + 1))
+        |      AS chunk_idx
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  array_to_string(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+        |    AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "corpus_mix_resample" -> {
+      val nib = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(hb, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH bysrc AS (
+         |  SELECT lang, count(*) AS n_source FROM documents GROUP BY lang
+         |), tot AS (
+         |  SELECT CAST(sum(n_source) AS BIGINT) AS n_total,
+         |    count(*) AS n_sources
+         |  FROM bysrc
+         |), rates AS (
+         |  SELECT lang, n_source,
+         |    least(CAST(1 AS DOUBLE), n_total / n_sources / n_source) AS rate
+         |  FROM bysrc CROSS JOIN tot
+         |), h AS (
+         |  SELECT d.doc_id, d.lang, r.n_source, r.rate,
+         |    substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS hb
+         |  FROM documents d JOIN rates r USING (lang)
+         |), u AS (
+         |  SELECT doc_id, lang, n_source, rate,
+         |    CAST(($nib) AS DOUBLE) / CAST(65536.0 AS DOUBLE) AS sample_u
+         |  FROM h
+         |)
+         |SELECT doc_id, lang, n_source, rate, sample_u FROM u
          |WHERE sample_u < rate ORDER BY doc_id""".stripMargin
     },
 

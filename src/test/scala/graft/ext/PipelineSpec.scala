@@ -104,6 +104,43 @@ class PipelineSpec extends SparkSpec {
     assert(out(1).getLong(2) == 1L)       // "cat"
   }
 
+  test("chunkWindows: overlap, tail chunk, and sub-size docs") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c"))                                            // < size
+      .toDF("doc_id", "text")
+    val out = TextStats.chunkWindows(df, "doc_id", "text",
+      size = 4, stride = 3).orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // ceil((10-4)/3)+1 = 3 chunks: [w1..w4], [w4..w7], [w7..w10]
+    assert(d1.length == 3)
+    assert(d1(0).getString(3) == "w1 w2 w3 w4")
+    assert(d1(1).getString(3) == "w4 w5 w6 w7") // 1-word overlap
+    assert(d1(2).getString(3) == "w7 w8 w9 w10")
+    assert(d1.forall(_.getLong(2) == 4L))
+    // short doc: exactly one (partial) chunk
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getString(3) == "a b c" &&
+      d2(0).getLong(2) == 3L)
+  }
+
+  test("mixToUniform downsamples only the over-represented sources") {
+    import spark.implicits._
+    // 40 "big" docs vs 10 "small": uniform share = 25 → big rate 0.625,
+    // small rate 1.0 (never upsampled)
+    val df = ((1L to 40L).map(i => (i, "big")) ++
+      (41L to 50L).map(i => (i, "small"))).toDF("doc_id", "src")
+    val out = Sampling.mixToUniform(df, "doc_id", "src")
+    val rates = out.select("src", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("small") == 1.0)
+    assert(math.abs(rates("big") - 0.625) < 1e-12)
+    // every small doc kept; big docs filtered by the hash gate
+    assert(out.filter(col("src") === "small").count() == 10L)
+    val kept = out.filter(col("src") === "big").count()
+    assert(kept < 40L && kept > 0L)
+  }
+
   test("vocabStats top-K tie at the cut is broken by token order") {
     import spark.implicits._
     // all four tokens have count 1 → top-2 = {a, b} lexicographically
