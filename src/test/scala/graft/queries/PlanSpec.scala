@@ -231,6 +231,20 @@ class PlanSpec extends SparkSpec {
       s"batch-vs-index join degraded to a corpus shuffle:\n$p")
   }
 
+  test("chunking is a pure narrow explode — only the output-sort exchange") {
+    val p = plan("text_chunk_windows")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"chunking grew a shuffle:\n$p")
+    assert(p.contains("Generate"), p) // the explode
+  }
+
+  test("mixture resample broadcasts the rate table — corpus never shuffles") {
+    val p = plan("corpus_mix_resample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"rate join degraded to a corpus shuffle:\n$p")
+  }
+
   test("span dedup joins on the gram key only — no pairwise stage anywhere") {
     val p = plan("dedup_span_ngram")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
