@@ -35,6 +35,16 @@ class BpeSpec extends SparkSpec {
       m(1).getString(3) == "·aaaa·" && m(1).getLong(4) == 1L)
   }
 
+  test("bpe fit exhausts its merge supply gracefully (no crash, fewer rows)") {
+    import spark.implicits._
+    // one 2-char word: step 1 merges it whole; steps 2-3 have NO pairs
+    // left — fit returns the 1 learnable rule, not 3
+    val words = Seq(("ab", 1L)).toDF("w", "c")
+    val m = Bpe.fit(words, "w", "c", steps = 3).collect()
+    assert(m.length == 1)
+    assert(m(0).getString(3) == "·ab·")
+  }
+
   test("bpe wrapped symbols never match inside longer symbols") {
     import spark.implicits._
     // corpus where symbol "x" and merged "xy" coexist: replacing

@@ -126,6 +126,15 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(out.getDouble(2) - 4.6) < 1e-12)
   }
 
+  test("interpolated quantiles: p=1 on a big group interpolates near the min") {
+    import spark.implicits._
+    // n=101: h(1) = 100*1/100 = 1 exactly → v[2] = 2.0, frac 0
+    val df = (1 to 101).map(i => ("g", i.toDouble, i.toLong)).toDF("k", "v", "ord")
+    val out = Quantiles.interpByRank(df, Seq("k"), "v", "ord", Seq(1))
+      .collect()(0)
+    assert(out.getDouble(1) == 2.0)
+  }
+
   test("interpolated quantiles: p=100 and single-row groups need no upper bracket") {
     import spark.implicits._
     val df = Seq(("g", 7.0, 1L)).toDF("k", "v", "ord")

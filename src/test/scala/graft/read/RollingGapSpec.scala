@@ -37,6 +37,16 @@ class RollingGapSpec extends SparkSpec {
     assert(out(3).getAs[Double]("v_ewma") == 6.0)
   }
 
+  test("ewma with k=1 degenerates to the value itself") {
+    import spark.implicits._
+    val df = Seq(("k", 1L, 1L, 7.0), ("k", 2L, 2L, 9.0))
+      .toDF("k", "sec", "oid", "v")
+    val out = Rolling.ewma(df, Seq("k"), "sec", "oid", "v", k = 1)
+      .orderBy("sec").collect()
+    assert(out(0).getAs[Double]("v_ewma") == 7.0)
+    assert(out(1).getAs[Double]("v_ewma") == 9.0)
+  }
+
   test("ewma trailing window drops points beyond k rows") {
     import spark.implicits._
     val df = (1L to 5L).map(i => ("k", i, i, 100.0 * i))
