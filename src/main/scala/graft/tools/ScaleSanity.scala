@@ -45,7 +45,10 @@ object ScaleSanity {
       "metrics_correlation", "events_histogram",
       // round-3 operators on the events substrate:
       "ts_ohlc", "events_cube_rollup", "events_set_ops",
-      "ts_window_suite", "interval_overlap_join")
+      "ts_window_suite", "interval_overlap_join",
+      // round-5 events-substrate operators:
+      "ts_ewma", "events_quantiles_interp", "downsample_lttb",
+      "asof_join_nearest")
     val rows = picks.map { q =>
       val f = graft.SparkEntry.queries(q)
       val t1 = time(f(spark, "/root/testdata/sf0.1").count())
