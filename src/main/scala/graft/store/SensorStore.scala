@@ -445,6 +445,29 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     * by construction; the reference's backup + checksum-gate dance
     * exists because its rewrite wasn't atomic).
     */
+  /** Retention: drop every chunk partition that ends at or before
+    * `cutoffSec` — whole-chunk granularity (a chunk straddling the
+    * cutoff stays, like dropping whole days of a day-partitioned
+    * table). The delete is PARTITION-DIRECTORY removal, applied to the
+    * data table AND every materialized rollup (rollups share the
+    * chunk_start partitioning, so derived data can never outlive its
+    * source): no file is rewritten, no data is scanned — at 100 TB
+    * retention is a metadata operation, which is the entire point of
+    * partitioning by chunk. Returns the dropped chunk starts.
+    */
+  def deleteBefore(db: String, sensor: String, cutoffSec: Long): Seq[Long] = {
+    val cfg = config(db, sensor)
+    val chunkDur = cfg.tickSeconds * Freq.ChunkRows
+    val dropped = listChunks(db, sensor).filter(_ + chunkDur <= cutoffSec)
+    val roots = dataDir(db, sensor) +:
+      (listRollups(db, sensor).map(b => s"${sensorDir(db, sensor)}/rollup_$b") ++
+        listMeanRollups(db, sensor)
+          .map(b => s"${sensorDir(db, sensor)}/meanrollup_$b"))
+    for (root <- roots; c <- dropped)
+      rmTree(Paths.get(s"$root/chunk_start=$c"))
+    dropped
+  }
+
   def migrateCompression(db: String, sensor: String, codec: String): Unit = {
     val src = dataDir(db, sensor)
     if (listChunks(db, sensor).isEmpty) return

@@ -239,6 +239,36 @@ class SensorStoreSpec extends SparkSpec {
     assert(pruned.length == 1 && pruned(0).getFloat(1) == 60f)
   }
 
+  test("deleteBefore drops whole old chunks from data AND rollups") {
+    import spark.implicits._
+    val st = freshStore()
+    st.createSensor(cfg1s)
+    val chunkDur = 16384L // 1s tick × 2^14 rows
+    val base = 1704067200L / chunkDur * chunkDur
+    val pts = Seq(base, base + chunkDur, base + 2 * chunkDur).zipWithIndex
+      .map { case (t, i) => (t, "active", i.toDouble) }
+      .toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("metric"),
+        col("value"))
+    st.write("test", "s1", pts)
+    st.materializeRollup("test", "s1", 60L)
+    assert(st.listChunks("test", "s1").length == 3)
+    // cutoff INSIDE the second chunk → only the wholly-older first
+    // chunk drops (whole-chunk granularity)
+    val dropped = st.deleteBefore("test", "s1", base + chunkDur + 5)
+    assert(dropped == Seq(base))
+    assert(st.listChunks("test", "s1") ==
+      Seq(base + chunkDur, base + 2 * chunkDur))
+    val out = st.read("test", "s1")
+      .select(unix_timestamp(col("ts")).as("sec")).collect()
+    assert(out.length == 2 && out.forall(_.getLong(0) >= base + chunkDur))
+    // the rollup's partition for the dropped chunk is gone too
+    val roll = st.readRollup("test", "s1", 60L)
+    assert(roll.count() == 2)
+    // idempotent: nothing older remains
+    assert(st.deleteBefore("test", "s1", base + chunkDur + 5).isEmpty)
+  }
+
   test("concurrent writers to different sensors do not interfere") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
