@@ -140,6 +140,16 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
     metadata(db, sensor).get("level_names").map(_.split(",").toSeq)
       .getOrElse(Seq.empty)
 
+  /** Retention (extension — the reference never deletes data): drop
+    * every whole chunk ending at or before `cutoffSec`, from the data
+    * table and every materialized rollup. Destructive → write-key
+    * gated like the other mutations. Returns the dropped chunk starts.
+    */
+  def deleteBefore(db: String, sensor: String, cutoffSec: Long): Seq[Long] = {
+    authWrite(db, sensor)
+    store.deleteBefore(db, sensor, cutoffSec)
+  }
+
   // ---- write ---------------------------------------------------------
 
   /** Ingest influx-protocol lines (reference `client.write`,

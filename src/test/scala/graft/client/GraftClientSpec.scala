@@ -82,6 +82,10 @@ class GraftClientSpec extends SparkSpec {
     val writer = new GraftClient(spark, dir, token = "wk")
     writer.write(Seq(s"d,circuit=s a=1 ${t0}000000000"))
     assert(writer.read("d", "s").count() == 1)
+    // retention is destructive → write-key gated like the mutations
+    intercept[graft.core.NotAuthorizedException](
+      reader.deleteBefore("d", "s", t0))
+    assert(writer.deleteBefore("d", "s", t0).isEmpty) // nothing wholly older
   }
 
   test("frequency matrix round-trip (1s / 15m / 1h / 1d)") {
