@@ -223,6 +223,29 @@ object ExtQueries {
     "dedup_embedding_ann" -> ((s, dir) =>
       annNNOf(s, dir).orderBy("vec_id")),
 
+    // Dedup observability: per source, how much exact- and near-
+    // duplicate structure the corpus carries (docs in shared-hash
+    // groups; docs in any LSH candidate pair). The curation dashboard
+    // a corpus owner watches — two doc-scale joins over the memoized
+    // candidate index.
+    "dedup_stats_by_source" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hashes = d.select(col("doc_id"), col("source"),
+        md5(lower(trim(col("text")))).as("ch"))
+      val groupN = hashes.groupBy("ch").agg(count(lit(1)).as("n"))
+      val cand = candsOf(s, dir)
+      val nearIds = cand.select(col("a_id").as("doc_id"))
+        .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
+        .withColumn("is_near", lit(true))
+      hashes.join(groupN, "ch")
+        .join(nearIds, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n") > 1, 1)).as("n_exact_dup"),
+          count(col("is_near")).as("n_near_cand"))
+        .orderBy("source")
+    }),
+
     // PageRank (2 fixed iterations, decimal-routed sums) over the LSH
     // candidate graph — ranks the hubs of each near-dup neighborhood
     // (the doc to keep when collapsing a cluster). Shares the memoized
@@ -509,6 +532,26 @@ object ExtQueries {
       """SELECT md5(lower(trim(text))) AS content_hash,
         |  min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY doc_id""".stripMargin,
+
+    "dedup_stats_by_source" ->
+      s"""$ShingleCtes, h AS (
+         |  SELECT doc_id, source, md5(lower(trim(text))) AS ch
+         |  FROM documents
+         |), gn AS (
+         |  SELECT ch, count(*) AS n FROM h GROUP BY ch
+         |), near AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT a_id AS doc_id FROM cand
+         |    UNION ALL
+         |    SELECT b_id AS doc_id FROM cand)
+         |)
+         |SELECT h.source, count(*) AS n_docs,
+         |  count(CASE WHEN gn.n > 1 THEN 1 END) AS n_exact_dup,
+         |  count(near.doc_id) AS n_near_cand
+         |FROM h
+         |JOIN gn USING (ch)
+         |LEFT JOIN near USING (doc_id)
+         |GROUP BY h.source ORDER BY h.source""".stripMargin,
 
     "graph_pagerank" -> {
       val sc = graft.operators.Graph.Scale
