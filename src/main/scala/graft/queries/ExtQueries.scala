@@ -311,6 +311,32 @@ object ExtQueries {
         "vec_id", "embedding", col("qvec"), k = 5)
     }),
 
+    // BATCH ANN serving: the query side is a TABLE (first 8 vectors),
+    // so the probe is an equi-join on the LSH signature — the shape a
+    // real serving path runs (vs the single-query bucket filter of
+    // similar_ann_lsh). Top-3 per query by exact cosine re-rank.
+    "similar_batch_ann" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val sigs = e.select(col("vec_id"), col("embedding"),
+        Similarity.lshSignature(col("embedding"), Planes, Dim).as("sig"))
+      val qs = sigs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+          col("sig"))
+      val cands = sigs.join(qs, Seq("sig"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6)
+            .as("sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      cands.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("sim"))
+        .orderBy("q_id", "rank")
+    }),
+
     "similar_topk_cosine" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -532,6 +558,26 @@ object ExtQueries {
       """SELECT md5(lower(trim(text))) AS content_hash,
         |  min(doc_id) AS doc_id, count(*) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY doc_id""".stripMargin,
+
+    "similar_batch_ann" ->
+      s"""WITH sigs AS (
+         |  SELECT vec_id, embedding, ${lshSql("embedding")} AS sig
+         |  FROM embeddings
+         |), qs AS (
+         |  SELECT vec_id AS q_id, embedding AS qvec, sig FROM sigs
+         |  WHERE vec_id < 8
+         |), cands AS (
+         |  SELECT q.q_id, s.vec_id,
+         |    round(${cosineSql("s.embedding", "q.qvec")}, 6) AS sim
+         |  FROM sigs s JOIN qs q ON s.sig = q.sig AND s.vec_id <> q.q_id
+         |), ranked AS (
+         |  SELECT q_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY sim DESC, vec_id) AS rank
+         |  FROM cands
+         |)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, sim
+         |FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
 
     "dedup_stats_by_source" ->
       s"""$ShingleCtes, h AS (
