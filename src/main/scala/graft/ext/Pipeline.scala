@@ -34,6 +34,46 @@ object Pipeline {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** [[decontaminateNgram]]'s scale path for when the benchmark gram
+    * set outgrows the broadcast threshold: a BLOOM pre-filter on gram
+    * hashes cuts the corpus gram stream to near-hit-only BEFORE the
+    * exact shuffle join confirms membership (the bloom admits false
+    * positives, so the exact join stays — correctness never depends on
+    * the sketch; the sketch only prunes the join's probe side, which
+    * at 100 TB is the difference between shuffling every corpus gram
+    * and shuffling the contaminated sliver).
+    *
+    * Uses Spark's own bloom machinery (`BloomFilterAggregate` /
+    * `BloomFilterMightContain`, surfaced by [[graft.GraftFunctions]])
+    * — a mergeable binary sketch built in one aggregation and probed
+    * by a codegen'd predicate.
+    */
+  def decontaminateNgramBloom(corpus: DataFrame, bench: DataFrame,
+                              idCol: String, textCol: String, n: Int,
+                              expectedItems: Long = 1000000L): DataFrame = {
+    graft.GraftFunctions.register(corpus.sparkSession)
+    val corpusGrams = Dedup.shingles(corpus, idCol, textCol, n)
+    val benchGrams = Dedup.shingles(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    // the sketch is a bounded driver artifact (~1.2 bytes/item at the
+    // default 3% fpp) inlined as a LITERAL — the same shape AQE's
+    // runtime row-level filtering injects, and what MightContain
+    // requires (its bloom side must be a constant or scalar subquery)
+    val bf = benchGrams
+      .select(expr(s"bloom_agg(xxhash64(shingle), ${expectedItems}L)")
+        .as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val survivors = corpusGrams
+      .filter(call_function("bloom_might_contain", lit(bf),
+        expr("xxhash64(shingle)")))
+      .select(col(idCol), col("shingle"))
+    // exact confirm on the pruned stream — NO broadcast hint: this path
+    // exists precisely because the bench side is too big to broadcast
+    val contaminated = survivors.join(benchGrams, "shingle")
+      .select(col(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   // Redaction patterns — the conservative RE2-compatible subset so the
   // same pattern text runs identically under Java regex (Spark) and
   // RE2 (DuckDB oracle): no lookaround, no backrefs.

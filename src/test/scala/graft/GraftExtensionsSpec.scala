@@ -31,4 +31,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT hamming_distance('10', '100') AS d").head().isNullAt(0))
   }
+
+  test("bloom_agg + bloom_might_contain: no false negatives, few positives") {
+    GraftFunctions.register(spark)
+    spark.range(100)
+      .selectExpr("bloom_agg(xxhash64(id), 100L) AS bf")
+      .createOrReplaceTempView("bfv")
+    // every inserted key hits (bloom guarantee: zero false negatives)
+    val hits = spark.sql(
+      """SELECT count(*) FROM range(200)
+        |WHERE bloom_might_contain((SELECT bf FROM bfv), xxhash64(id))"""
+        .stripMargin).head().getLong(0)
+    assert(hits >= 100L, s"false negatives: only $hits of 100 inserted hit")
+    // ...and the 100 non-members mostly miss (default ~3% fpp)
+    assert(hits <= 120L, s"false-positive rate blown: $hits")
+  }
 }

@@ -104,6 +104,26 @@ class PipelineSpec extends SparkSpec {
     assert(out(1).getLong(2) == 1L)       // "cat"
   }
 
+  test("bloom-pre-filtered decontamination equals the exact broadcast path") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words the quick brown fox jumps again"), // contaminated
+      (2L, "a quick brown fox jumps high today"),           // survives
+      (3L, "completely different content entirely here now ok"),
+      (4L, "too short"))
+      .toDF("doc_id", "text")
+    val exact = Pipeline.decontaminateNgram(corpus, bench, "doc_id", "text", 5)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val bloom = Pipeline.decontaminateNgramBloom(corpus, bench,
+        "doc_id", "text", 5, expectedItems = 1000L)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    // the bloom only prunes the probe side; the exact join confirms —
+    // outputs are identical regardless of false positives
+    assert(bloom == exact && exact == Seq(2L, 3L, 4L))
+  }
+
   test("chunkWindows: overlap, tail chunk, and sub-size docs") {
     import spark.implicits._
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
