@@ -49,10 +49,24 @@ object Bpe {
   /** Train `steps` merges over a (word, count) table. Returns the merge
     * table: (step, left_sym, right_sym, merged, pair_count) — one row
     * per learned rule, the artifact a tokenizer ships.
+    *
+    * Input words must not contain the U+00B7 sentinel itself (e.g.
+    * Catalan "l·l"): segment0 would wrap it into "···" and the
+    * merged-symbol builder strips interior dots, making distinct symbol
+    * sequences indistinguishable — silently-wrong merges. Rather than
+    * silently corrupt, fit() REJECTS such input (one cheap aggregation
+    * over the distinct-words table); callers on interpunct-bearing
+    * corpora should pre-escape (e.g. replace '·' with an unused
+    * private-use codepoint) and un-escape the learned symbols.
     */
   def fit(words: DataFrame, wordCol: String, countCol: String,
           steps: Int): DataFrame = {
     val spark = words.sparkSession
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    val nBad = words.filter(col(wordCol).contains("·")).limit(1).count()
+    require(nBad == 0L,
+      "Bpe.fit: input contains the U+00B7 sentinel character; " +
+        "pre-escape it before training (see Scaladoc)")
     var seg = words.filter(length(col(wordCol)) > 0)
       .select(col(countCol).as("__c"), segment0(col(wordCol)).as("__seg"))
       .localCheckpoint()

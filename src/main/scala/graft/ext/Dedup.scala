@@ -90,8 +90,13 @@ object Dedup {
   /** Exact n-gram Jaccard for candidate pairs: per-doc shingle SETS are
     * gathered once (restricted by semi-join to docs that appear in a
     * candidate pair — candidate-scale, not corpus-scale), then
-    * |A∩B| = `size(array_intersect)` evaluated per pair. Two broadcast
-    * joins + a narrow projection; no corpus-wide shuffle per pair.
+    * |A∩B| = `size(array_intersect)` evaluated per pair. Two equi-joins
+    * on the id keys + a narrow projection; no corpus-wide shuffle per
+    * pair. The set tables carry NO forced broadcast hint: on a crawl,
+    * near-dup candidates are a double-digit fraction of the corpus and
+    * the payload is full shingle arrays — far past the broadcast limit.
+    * AQE broadcasts when the runtime size allows; otherwise the joins
+    * shuffle on `a_id`/`b_id`, which distribute fine.
     */
   def jaccard(cands: DataFrame, shingleDf: DataFrame,
               idCol: String): DataFrame = {
@@ -101,7 +106,7 @@ object Dedup {
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
     val a = sets.select(col(idCol).as("a_id"), col("sset").as("a_set"))
     val b = sets.select(col(idCol).as("b_id"), col("sset").as("b_set"))
-    cands.join(broadcast(a), "a_id").join(broadcast(b), "b_id")
+    cands.join(a, "a_id").join(b, "b_id")
       .withColumn("n_inter", size(array_intersect(col("a_set"), col("b_set"))))
       .withColumn("jaccard",
         TextStats.trunc6(col("n_inter") /
@@ -278,7 +283,11 @@ object Dedup {
     * text is never read; every non-index frame is batch-scale.
     *
     * @param corpusIndex (content_hash, corpus_id) — e.g.
-    *                    `exact(corpus, id, text).select(hash, min-id)`
+    *                    `exact(corpus, id, text).select(hash, min-id)`.
+    *                    One row per hash is the contract; a
+    *                    multi-row-per-hash index is normalised here to
+    *                    min(corpus_id) so batch rows are never
+    *                    duplicated by the probe join.
     */
   def incremental(batch: DataFrame, corpusIndex: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
@@ -287,9 +296,14 @@ object Dedup {
     val firsts = bh.groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("batch_first"))
     val withFirsts = bh.join(broadcast(firsts), Seq("content_hash"))
-    val hits = corpusIndex.join(
-      broadcast(withFirsts.select("content_hash").distinct()),
-      Seq("content_hash"))
+    // enforce the one-row-per-hash contract (cheap: hit-list scale after
+    // the semi-probe below, but aggregating first keeps the hit list
+    // itself duplicate-free and bounded by distinct batch hashes)
+    val hits = corpusIndex
+      .join(broadcast(withFirsts.select("content_hash").distinct()),
+        Seq("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("corpus_id")).as("corpus_id"))
     withFirsts
       .join(broadcast(hits), Seq("content_hash"), "left")
       .select(col(idCol), col("content_hash"),
@@ -299,6 +313,61 @@ object Dedup {
         when(col("corpus_id").isNotNull, col("corpus_id"))
           .when(col("batch_first") < col(idCol), col("batch_first"))
           .otherwise(col(idCol)).as("canonical_id"))
+  }
+
+  /** Incremental NEAR-dup (batch-vs-index) dedup — the MinHash-LSH
+    * companion to [[incremental]]: a new batch is checked against the
+    * PERSISTED band index of the already-deduped corpus (and against
+    * itself) without ever rescanning corpus text. Verdicts:
+    * `near_dup_of_corpus` (some band matches an indexed doc —
+    * canonical is the min matching corpus id), `near_dup_in_batch`
+    * (a band matches an earlier batch doc — first batch occurrence
+    * wins), `new`. Corpus hits take precedence over batch hits.
+    *
+    * Scale shape: the batch's shingle→minhash→band chain is
+    * batch-scale and narrow; the ONLY touch of the corpus-scale index
+    * is an inner join against the BROADCAST batch band list — a
+    * broadcast-hash probe, so the index (pre-bucketed on
+    * (band, band_key) at rest) never shuffles. Both hit lists are
+    * bounded by the batch size and re-join the batch broadcast-side.
+    * Docs shorter than the shingle width have no bands and verdict
+    * `new` — the same blind spot any MinHash pipeline has.
+    *
+    * @param corpusBands (band, band_key, corpus_id) — e.g.
+    *                    `bands(minhash(shingles(corpus,…),…),…)` with
+    *                    the id renamed, written bucketed by the band
+    *                    key columns.
+    */
+  def incrementalNear(batch: DataFrame, corpusBands: DataFrame,
+                      idCol: String, textCol: String, numHashes: Int,
+                      rowsPerBand: Int, n: Int): DataFrame = {
+    // lazy localCheckpoint: the batch band list feeds BOTH probes —
+    // build the (batch-scale) chain once, leak no CacheManager entry
+    val bBands = bands(
+      minhash(shingles(batch, idCol, textCol, n), idCol, numHashes),
+      idCol, numHashes, rowsPerBand).localCheckpoint(false)
+    val probe = bBands.select(col(idCol), col("band"), col("band_key"))
+    val corpusHits = corpusBands
+      .join(broadcast(probe), Seq("band", "band_key"))
+      .groupBy(col(idCol)).agg(min(col("corpus_id")).as("corpus_nn"))
+    // the within-batch self-join is batch-scale on BOTH sides — the
+    // broadcast here is bounded by the batch band list, same contract
+    // as every other batch-derived frame in the incremental family
+    val earlier = probe
+      .join(broadcast(
+          probe.select(col(idCol).as("__a"), col("band"), col("band_key"))),
+        Seq("band", "band_key"))
+      .filter(col("__a") < col(idCol))
+      .groupBy(col(idCol)).agg(min(col("__a")).as("batch_first"))
+    batch.select(col(idCol))
+      .join(broadcast(corpusHits), Seq(idCol), "left")
+      .join(broadcast(earlier), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("corpus_nn").isNotNull, lit("near_dup_of_corpus"))
+          .when(col("batch_first").isNotNull, lit("near_dup_in_batch"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("corpus_nn"), col("batch_first"), col(idCol))
+          .as("canonical_id"))
   }
 
   /** Sub-document duplicated-SPAN audit — the approximate form of

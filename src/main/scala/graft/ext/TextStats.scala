@@ -68,17 +68,22 @@ object TextStats {
   def langId(df: DataFrame, idCol: String, textCol: String,
              langCol: String): DataFrame = {
     // the token stream feeds 4 consumers (counts/totals/vocab/scores) —
-    // persist it once rather than re-exploding the corpus per consumer
+    // lazy localCheckpoint so the corpus explode runs once without
+    // leaking a CacheManager entry (a library call must clean up itself)
     val tok = df.select(col(idCol), col(langCol),
-      explode(words(col(textCol))).as("w")).persist()
+      explode(words(col(textCol))).as("w")).localCheckpoint(false)
     val counts = tok.groupBy(col(langCol).as("model_lang"), col("w"))
       .agg(count(lit(1)).as("c"))
     val totals = tok.groupBy(col(langCol).as("model_lang"))
       .agg(count(lit(1)).as("t"))
     val vocab = tok.agg(countDistinct(col("w")).as("v"))
+    // totals×vocab is #langs rows — always broadcastable. `counts` is
+    // lang×vocabulary scale: NO forced hint (a 100 TB corpus's vocab can
+    // exceed the 8 GB broadcast limit); AQE picks broadcast when small,
+    // and the fallback is a plain shuffle join on (model_lang, w).
     val scores = tok.select(col(idCol), col("w"))
       .crossJoin(broadcast(totals.crossJoin(vocab)))
-      .join(broadcast(counts), Seq("model_lang", "w"), "left")
+      .join(counts, Seq("model_lang", "w"), "left")
       .groupBy(col(idCol), col("model_lang"))
       .agg(round(sum(
         log((coalesce(col("c"), lit(0L)) + lit(1d)) / (col("t") + col("v")))),
@@ -96,10 +101,13 @@ object TextStats {
 
   /** TF-IDF keyword extraction: the highest-scoring term per document
     * (score = (termCount/docLen) · ln((N+1)/(docFreq+1)), smoothed).
-    * Three hash aggregations over the token stream + one broadcast of
-    * the vocabulary-sized document-frequency table; the per-doc argmax
+    * Three hash aggregations over the token stream; the per-doc argmax
     * is a `min_by` over the (-score, term) struct — map-side
     * combinable, no sort, ties to the lexicographically first term.
+    * The document-frequency table is vocabulary-scale, so it carries NO
+    * forced broadcast hint: AQE broadcasts it when its runtime size
+    * allows, and otherwise the join shuffles on the term key (Zipf head
+    * skew is handled by AQE skew-join splitting).
     */
   def topTfidfTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(words(col(textCol))).as("w"))
@@ -109,7 +117,7 @@ object TextStats {
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(docLen, Seq(idCol))
-      .join(broadcast(dfreq), Seq("w"))
+      .join(dfreq, Seq("w"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         (col("c") / col("len")) *
@@ -131,13 +139,14 @@ object TextStats {
     * division of two exact integers, truncated to 6 decimals.
     *
     * Scale shape: one hash aggregation token→count (map-side
-    * combinable), a bounded top-K cut (rank window over the vocabulary
-    * — token-cardinality rows, not corpus rows), and one broadcast-able
-    * join of the token stream against the count table, folded by one
-    * final per-doc aggregation. Vocabulary tables are millions of rows
-    * at 100 TB — broadcast still holds; were it not to, the join key is
-    * the token itself, a plain shuffle join with no skew beyond Zipf's
-    * head (AQE splits those).
+    * combinable), a bounded top-K cut (TakeOrdered over the vocabulary
+    * — token-cardinality rows, not corpus rows), and one join of the
+    * token stream against the count table, folded by one final per-doc
+    * aggregation. The `top` side is bounded by the `topK` parameter and
+    * is broadcast; the full count table is vocabulary-scale and carries
+    * NO forced hint — a 100 TB corpus's vocab can exceed the broadcast
+    * limit, so AQE broadcasts when small and otherwise the join
+    * shuffles on the token key (Zipf-head skew split by AQE).
     */
   def vocabStats(df: DataFrame, idCol: String, textCol: String,
                  topK: Int): DataFrame = {
@@ -155,7 +164,7 @@ object TextStats {
     val vocab = counts.join(broadcast(top), Seq("w"), "left")
       .select(col("w"), col("c"),
         coalesce(col("in_vocab"), lit(false)).as("in_vocab"))
-    tok.join(broadcast(vocab), Seq("w"))
+    tok.join(vocab, Seq("w"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),

@@ -30,8 +30,11 @@ object Graph {
     * edge list (both keyed on the node id — at 100 TB both sides are
     * bucketed by it, so this is a co-located join) + one hash
     * aggregation of contributions per destination. The rank table is
-    * nodes-scale, the join is edges-scale; localCheckpoint truncates
-    * the iteration's plan growth exactly like the k-means fit.
+    * nodes-scale, the join is edges-scale; LAZY localCheckpoint(false)
+    * truncates the iteration's plan growth exactly like the k-means
+    * fit but defers materialization — the fixed-point math is exact
+    * integer arithmetic, so no eager cut is needed for determinism,
+    * and first-run cost is one job instead of one per iteration.
     *
     * Determinism by FIXED-POINT INTEGER arithmetic: ranks live in
     * int64 units of [[Scale]] (`r0 = Scale div n`, contribution
@@ -56,7 +59,7 @@ object Graph {
       .agg(count(lit(1)).as("__out"))
     var ranks = nodes.select(col(idCol)).crossJoin(broadcast(n1))
       .select(col(idCol), expr(s"${Scale}L div __n").as("__r"), col("__n"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     for (_ <- 0 until iters) {
       val contrib = edges
         .join(ranks.join(outdeg, idCol)
@@ -69,7 +72,7 @@ object Graph {
           (expr(s"(${Scale}L * ${100 - dampingPct}) div (100 * __n)") +
             expr(s"(coalesce(__sum, 0L) * $dampingPct) div 100")).as("__r"),
           col("__n"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     // rank_fp: the exact fixed-point value; rank: its double view
     // (long→double is one correctly-rounded conversion — identical

@@ -26,6 +26,19 @@ object ExtQueries {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Release every memoized index table (unpersisting the cached ones).
+    * The memo is correct for a bench run but unbounded in a long-lived
+    * session — a library surface needs an explicit release valve. The
+    * next query touch simply rebuilds (getOrElseUpdate), so clearing is
+    * always safe, never wrong, only ever a recompute.
+    */
+  def clearMemo(): Unit = {
+    memo.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    memo.clear()
+  }
+
   private def shinglesOf(s: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((s, dir, "shingles"),
       Dedup.shingles(docs(s, dir), "doc_id", "text", 3).persist())
@@ -287,6 +300,46 @@ object ExtQueries {
         .select(col("content_hash"), col("doc_id").as("corpus_id"))
       Dedup.incremental(batch, index, "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // Incremental NEAR-dup: the batch (every 7th doc) probed against
+    // the persisted MinHash band index of the rest of the corpus —
+    // batch bands broadcast onto the index (the corpus side never
+    // shuffles), within-batch first-wins. The corpus index derives
+    // from the memoized signature table (narrow banding — no extra
+    // shuffle), exactly the artifact a production pipeline persists.
+    "dedup_incremental_near" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val batch = d.filter(col("doc_id") % 7 === 3)
+      val corpusBands = Dedup.bands(
+          minhashOf(s, dir).filter(col("doc_id") % 7 =!= 3),
+          "doc_id", NumHashes, 1)
+        .select(col("band"), col("band_key"), col("doc_id").as("corpus_id"))
+      Dedup.incrementalNear(batch, corpusBands, "doc_id", "text",
+          NumHashes, rowsPerBand = 1, n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Recall audit of the int8-SQ coarse pass: how many of the exact
+    // top-k survive into the coarse top-(k·rerankFactor) — so the
+    // rerank factor is MEASURED, not assumed (mirrors
+    // dedup_embedding_recall's methodology for the LSH path).
+    "similar_sq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val corpus = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+      val coarse = Similarity.sqReconstruct(corpus, "vec_id", "embedding")
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("rvec"), col("qvec")), 6).as("sim_sq"))
+        .orderBy(col("sim_sq").desc, col("vec_id")).limit(20)
+      val exact = corpus
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      exact.join(coarse, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("k_exact"), count(col("sim_sq")).as("n_in_coarse"))
+        .select(col("k_exact"), col("n_in_coarse"),
+          TextStats.trunc6(col("n_in_coarse") / col("k_exact")).as("recall"))
     }),
 
     // Sub-document duplicated-SPAN audit (the Lee et al. substring-dedup
@@ -687,6 +740,61 @@ object ExtQueries {
         |JOIN bf USING (content_hash)
         |LEFT JOIN ci USING (content_hash)
         |ORDER BY b.doc_id""".stripMargin,
+
+    "dedup_incremental_near" ->
+      s"""$ShingleCtes, bb AS (
+         |  SELECT doc_id, band, band_key FROM bd WHERE doc_id % 7 = 3
+         |), cb AS (
+         |  SELECT doc_id AS corpus_id, band, band_key FROM bd
+         |  WHERE doc_id % 7 <> 3
+         |), ch AS (
+         |  SELECT b.doc_id, min(c.corpus_id) AS corpus_nn
+         |  FROM bb b JOIN cb c USING (band, band_key) GROUP BY b.doc_id
+         |), bh AS (
+         |  SELECT b2.doc_id, min(b1.doc_id) AS batch_first
+         |  FROM bb b1 JOIN bb b2 USING (band, band_key)
+         |  WHERE b1.doc_id < b2.doc_id GROUP BY b2.doc_id
+         |)
+         |SELECT d.doc_id,
+         |  CASE WHEN ch.corpus_nn IS NOT NULL THEN 'near_dup_of_corpus'
+         |       WHEN bh.batch_first IS NOT NULL THEN 'near_dup_in_batch'
+         |       ELSE 'new' END AS verdict,
+         |  coalesce(ch.corpus_nn, bh.batch_first, d.doc_id) AS canonical_id
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) d
+         |LEFT JOIN ch USING (doc_id)
+         |LEFT JOIN bh USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "similar_sq_recall" ->
+      s"""WITH corp AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+         |), q AS (
+         |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+         |), ex AS (
+         |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM corp, unnest(range(1, len(embedding) + 1)) AS t(i)
+         |), rg AS (
+         |  SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY i
+         |), rec AS (
+         |  SELECT vec_id, list(CASE WHEN mx > mn THEN
+         |      mn + ((least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+         |              floor(((v - mn) / (mx - mn)) * 255))) + 0.5)
+         |            / 256.0) * (mx - mn)
+         |    ELSE mn END ORDER BY i) AS rvec
+         |  FROM ex JOIN rg USING (i) GROUP BY vec_id
+         |), coarse AS (
+         |  SELECT vec_id, round(${cosineSql("rvec", "qvec")}, 6) AS sim_sq
+         |  FROM rec CROSS JOIN q
+         |  ORDER BY sim_sq DESC, vec_id LIMIT 20
+         |), exact AS (
+         |  SELECT vec_id, round(${cosineSql("embedding", "qvec")}, 6) AS sim
+         |  FROM corp CROSS JOIN q
+         |  ORDER BY sim DESC, vec_id LIMIT 5
+         |)
+         |SELECT count(*) AS k_exact,
+         |  count(c.sim_sq) AS n_in_coarse,
+         |  floor((count(c.sim_sq) / count(*)) * 1000000) / 1000000 AS recall
+         |FROM exact e LEFT JOIN coarse c USING (vec_id)""".stripMargin,
 
     "dedup_span_ngram" ->
       """WITH w AS (

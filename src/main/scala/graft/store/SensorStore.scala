@@ -578,6 +578,13 @@ class SensorStore(spark: SparkSession, baseDir: String) {
         .write.mode("overwrite").partitionBy("chunk_start")
         .parquet(s"${sensorDir(db, sensor)}/meanrollup_$b")
     }
+    listSketchRollups(db, sensor).foreach { b =>
+      if (fullRebuild) materializeSketchRollup(db, sensor, b)
+      else sketchRollupFrame(db, sensor, b, Some(touched))
+        .repartition(col("chunk_start"))
+        .write.mode("overwrite").partitionBy("chunk_start")
+        .parquet(s"${sensorDir(db, sensor)}/sketchrollup_$b")
+    }
   }
 
   /** Read means from a materialized mean rollup, RE-AGGREGATED to any
@@ -613,6 +620,92 @@ class SensorStore(spark: SparkSession, baseDir: String) {
           when(col(s"${m}__n") > 0,
             col(s"${m}__sum").cast("double") / col(s"${m}__n")).as(m)): _*)
       .orderBy("ts")
+  }
+
+  /** Materialize a MERGEABLE distinct-count SKETCH rollup: per
+    * (chunk, bucket) and per metric, a binary DataSketches HLL partial
+    * over the metric's non-NaN values (stringified — one fixed,
+    * deterministic representation). HLL union is associative and
+    * lossless at a fixed lgK, so "distinct over <any range / any
+    * coarser grid>" merges partials exactly as the direct sketch over
+    * the raw rows would compute (SketchesSpec pins the algebra;
+    * SensorStoreSpec pins this store path) — the dashboard
+    * distinct-over-range read becomes a rollup-sized scan.
+    * lgK is fixed at [[SketchLgK]] so incremental refresh partials
+    * always union with the materialized ones.
+    */
+  def materializeSketchRollup(db: String, sensor: String,
+                              bucketSec: Long): String = {
+    val out = s"${sensorDir(db, sensor)}/sketchrollup_$bucketSec"
+    sketchRollupFrame(db, sensor, bucketSec, None)
+      .repartition(col("chunk_start"))
+      .write.mode("overwrite").partitionBy("chunk_start").parquet(out)
+    out
+  }
+
+  /** Fixed sketch precision for store rollups (union requires equal
+    * lgK between materialize and refresh).
+    */
+  val SketchLgK = 12
+
+  private def sketchRollupFrame(db: String, sensor: String, bucketSec: Long,
+                                chunks: Option[Seq[Long]]): DataFrame = {
+    val metrics = config(db, sensor).metricNames
+    val aggs = metrics.map(m =>
+      hll_sketch_agg(when(!isnan(col(m)), col(m).cast("string")), SketchLgK)
+        .as(s"${m}__hll"))
+    var raw = readRaw(db, sensor, metrics)
+    chunks.foreach(c => raw = raw.filter(col("chunk_start").isin(c: _*)))
+    raw.withColumn("bucket", Grid.snapSeconds(col("slot"), bucketSec))
+      .groupBy(col("chunk_start"), col("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read distinct-count estimates from a materialized sketch rollup,
+    * merged to any grid at least as coarse as the rollup's: one
+    * `hll_union_agg` per metric over partial-scale rows (never the raw
+    * rows), one estimate per output cell. Null where a coarse bucket
+    * holds no observations.
+    */
+  def readSketchRollup(db: String, sensor: String, bucketSec: Long,
+                       coarseSec: Long,
+                       fromSec: Option[Long] = None,
+                       toSec: Option[Long] = None): DataFrame = {
+    require(coarseSec % bucketSec == 0,
+      s"coarse grid $coarseSec must be a multiple of the rollup grid $bucketSec")
+    val metrics = config(db, sensor).metricNames
+    var df = spark.read.parquet(
+      s"${sensorDir(db, sensor)}/sketchrollup_$bucketSec")
+    fromSec.foreach(f => df = df.filter(col("bucket") >= f - f % bucketSec))
+    toSec.foreach(t => df = df.filter(col("bucket") <= t))
+    val merged = df
+      .withColumn("cbucket", Grid.snapSeconds(col("bucket"), coarseSec))
+      .groupBy(col("cbucket"))
+      .agg(
+        metrics.map(m =>
+          hll_sketch_estimate(hll_union_agg(col(s"${m}__hll"), false))
+            .as(s"${m}_distinct")).head,
+        metrics.map(m =>
+          hll_sketch_estimate(hll_union_agg(col(s"${m}__hll"), false))
+            .as(s"${m}_distinct")).tail: _*)
+    merged.select(
+      timestamp_seconds(col("cbucket")).cast(TimestampType).as("ts") +:
+        metrics.map(m => col(s"${m}_distinct")): _*)
+      .orderBy("ts")
+  }
+
+  /** Materialized SKETCH-rollup buckets present for a sensor. */
+  def listSketchRollups(db: String, sensor: String): Seq[Long] = {
+    val p = Paths.get(sensorDir(db, sensor))
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("sketchrollup_"))
+        .map(_.stripPrefix("sketchrollup_").toLong).toSeq.sorted
+      finally s.close()
+    }
   }
 
   /** Materialized rollup buckets present for a sensor (metadata scan). */

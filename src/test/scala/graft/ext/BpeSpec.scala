@@ -45,6 +45,27 @@ class BpeSpec extends SparkSpec {
     assert(m(0).getString(3) == "·ab·")
   }
 
+  test("bpe fit rejects steps < 1 instead of returning null") {
+    import spark.implicits._
+    val words = Seq(("ab", 1L)).toDF("w", "c")
+    intercept[IllegalArgumentException] {
+      Bpe.fit(words, "w", "c", steps = 0)
+    }
+  }
+
+  test("bpe fit rejects input containing the U+00B7 sentinel (no silent corruption)") {
+    import spark.implicits._
+    // Catalan interpunct: segment0 would wrap '·' into '···' and the
+    // merged-symbol builder strips interior dots — distinct symbol
+    // sequences would collapse. fit must fail loudly, not learn wrong
+    // merges.
+    val words = Seq(("col·lecció", 1L), ("ab", 1L)).toDF("w", "c")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.fit(words, "w", "c", steps = 1)
+    }
+    assert(e.getMessage.contains("U+00B7"))
+  }
+
   test("bpe wrapped symbols never match inside longer symbols") {
     import spark.implicits._
     // corpus where symbol "x" and merged "xy" coexist: replacing

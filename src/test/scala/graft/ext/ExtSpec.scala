@@ -56,6 +56,71 @@ class ExtSpec extends SparkSpec {
     j.get((0L, 2L)).foreach(v => assert(v > 0.3 && v < 1.0))
   }
 
+  test("langId leaks no CacheManager entry (lazy localCheckpoint, not persist)") {
+    graft.queries.ExtQueries.clearMemo()
+    spark.catalog.clearCache()
+    import spark.implicits._
+    val df = Seq((0L, "the cat sat on the mat", "en"),
+      (1L, "le chat noir dort bien", "fr")).toDF("doc_id", "text", "lang")
+    TextStats.langId(df, "doc_id", "text", "lang").collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "langId must not leave a CacheManager entry behind")
+  }
+
+  test("clearMemo: a cleared session rebuilds the shared dedup index correctly") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("dedup_near_minhash")
+    val before = q(spark, dir).collect().map(_.toString).sorted.toSeq
+    graft.queries.ExtQueries.clearMemo()
+    val after = q(spark, dir).collect().map(_.toString).sorted.toSeq
+    assert(before == after, "rebuild after clearMemo must be identical")
+  }
+
+  test("incremental dedup tolerates a multi-row-per-hash corpus index") {
+    import spark.implicits._
+    val batch = Seq((10L, "alpha beta"), (11L, "alpha beta"), (12L, "gamma"))
+      .toDF("doc_id", "text")
+    // index violating the one-row-per-hash contract: two corpus holders
+    // of the same content hash — incremental must not duplicate batch
+    // rows, and must pick the min corpus id as canonical
+    val dupIndex = Seq((1L, "alpha beta"), (2L, "alpha beta"))
+      .toDF("corpus_id", "text")
+      .select(md5(lower(trim(col("text")))).as("content_hash"), col("corpus_id"))
+    val out = Dedup.incremental(batch, dupIndex, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 3, s"batch rows duplicated: ${out.length}")
+    assert(out(0).getString(2) == "dup_of_corpus" && out(0).getLong(3) == 1L)
+    assert(out(1).getString(2) == "dup_of_corpus" && out(1).getLong(3) == 1L)
+    assert(out(2).getString(2) == "new" && out(2).getLong(3) == 12L)
+  }
+
+  test("incrementalNear: corpus hit beats batch hit; short docs are new") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words about spark execution engines"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // = corpus 1
+      (11L, "the quick brown fox jumps over the lazy dog today"), // = 10 too; corpus wins
+      (12L, "an entirely novel document with its own distinct phrasing"),
+      (13L, "an entirely novel document with its own distinct phrasing"), // dup of 12 in batch
+      (14L, "tiny doc")) // < 3 words: no shingles → new
+      .toDF("doc_id", "text")
+    val idx = Dedup.bands(
+        Dedup.minhash(Dedup.shingles(corpus, "doc_id", "text", 3), "doc_id", 8),
+        "doc_id", 8, 1)
+      .select(col("band"), col("band_key"), col("doc_id").as("corpus_id"))
+    val out = Dedup.incrementalNear(batch, idx, "doc_id", "text", 8, 1, 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((10L, "near_dup_of_corpus", 1L)))
+    assert(out(1) == ((11L, "near_dup_of_corpus", 1L))) // corpus precedence
+    assert(out(2) == ((12L, "new", 12L)))
+    assert(out(3) == ((13L, "near_dup_in_batch", 12L)))
+    assert(out(4) == ((14L, "new", 14L)))
+  }
+
   test("connected components: driver union-find and distributed loop agree") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))

@@ -104,10 +104,31 @@ class PlanSpec extends SparkSpec {
     assert(windows == 1, s"expected 1 Window op, got $windows:\n$p")
   }
 
-  test("tfidf argmax is aggregation-only — no sort window, df broadcast") {
+  test("tfidf argmax is aggregation-only — no sort window, no cartesian") {
     val p = plan("doc_top_tfidf")
     assert(!p.contains("Window"), s"argmax degraded to a window:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"df table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  private def hintCount(name: String): Int =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.size
+
+  test("token-vocabulary-scale joins carry NO forced broadcast hint") {
+    // A forced broadcast() on a vocab/candidate-scale table is fine at
+    // sf0.1 and a driver OOM at 100 TB — only provably-bounded tables
+    // (1-row totals, the topK cut, #langs×vocab-free frames) may hint.
+    // lang_id: exactly the 1-row-per-lang totals×vocab hint;
+    // doc_top_tfidf: exactly the 1-row nDocs hint;
+    // quality_vocab: exactly the topK-bounded cut hint;
+    // dedup_ngram_jaccard: no hints anywhere — the shingle-set joins
+    // shuffle on the id keys (AQE broadcasts when runtime size allows).
+    assert(hintCount("lang_id") == 1, "lang_id must hint only totals×vocab")
+    assert(hintCount("doc_top_tfidf") == 1, "tfidf must hint only nDocs")
+    assert(hintCount("quality_vocab") == 1, "vocabStats must hint only topK cut")
+    assert(hintCount("dedup_ngram_jaccard") == 0,
+      "jaccard must not force-broadcast the shingle-set tables")
   }
 
   test("stratified sample is a pure narrow filter — no exchange before sort") {
@@ -260,6 +281,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"survivor re-rank is not a broadcast id join:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("incremental near-dup: corpus band index never shuffles") {
+    val p = plan("dedup_incremental_near")
+    // every join is a broadcast-hash probe with a batch-scale build
+    // side — the corpus-scale band index streams straight into its BHJ
+    // with no Exchange below it; the only shuffles are the two
+    // batch-scale hit-list aggregations and the output sort
+    assert(!p.contains("SortMergeJoin"), s"probe degraded to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 4,
+      s"expected hit-list aggs + sort exchanges only, got $exchanges:\n$p")
   }
 
   test("ewma folds in ONE Window operator (no per-step self-joins)") {

@@ -328,6 +328,44 @@ class SensorStoreSpec extends SparkSpec {
     }
   }
 
+  test("sketch rollup: merged distinct estimates equal the direct sketch") {
+    import spark.implicits._
+    val st = freshStore()
+    val t0 = 1704067200L
+    st.createSensor(SensorConfig("sk", "s", "1s", Seq(MetricDef(Seq("v")))))
+    // 600 seconds; value cycles over 37 distinct doubles so coarse
+    // buckets genuinely merge overlapping value sets across partials
+    val pts = (0 until 600).map(i => (t0 + i, "v", (i % 37).toDouble))
+      .toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("metric"),
+        col("value"))
+    st.write("sk", "s", pts)
+    st.materializeSketchRollup("sk", "s", 60L)
+    assert(st.listSketchRollups("sk", "s") == Seq(60L))
+
+    // merged-to-300s estimates from partials must EQUAL the direct
+    // sketch over the raw rows at the same grid (union is lossless at
+    // fixed lgK — the SketchesSpec algebra, via the store path)
+    val merged = st.readSketchRollup("sk", "s", 60L, 300L).collect()
+    val direct = st.read("sk", "s")
+      .select((unix_timestamp(col("ts")) - (unix_timestamp(col("ts")) % 300))
+        .as("cb"), col("v"))
+      .groupBy("cb")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(when(!isnan(col("v")), col("v").cast("string")),
+          lit(st.SketchLgK))).as("d"))
+      .orderBy("cb").collect()
+    assert(merged.length == 2 && direct.length == 2)
+    assert(merged.map(_.getLong(1)).toSeq == direct.map(_.getLong(1)).toSeq)
+    // 37 distinct values everywhere — HLL at lgK=12 is exact this small
+    assert(merged.map(_.getLong(1)).toSeq == Seq(37L, 37L))
+
+    // non-multiple coarse grid refuses, like the mean rollup
+    intercept[IllegalArgumentException] {
+      st.readSketchRollup("sk", "s", 60L, 90L)
+    }
+  }
+
   test("writeLocked serializes concurrent writers to ONE sensor — no lost updates") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
