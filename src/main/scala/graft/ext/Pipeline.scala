@@ -34,6 +34,40 @@ object Pipeline {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** GRADED decontamination — the fraction-threshold variant (the
+    * BIG-bench / GPT-3 appendix style): instead of dropping a doc on
+    * ANY shared n-gram, report the FRACTION of its n-gram positions
+    * found in the benchmark gram set and keep docs at or under
+    * `maxOverlap` (incidental collisions survive, wholesale inclusions
+    * are caught). Same scale shape as [[decontaminateNgram]] — the
+    * benchmark gram set joins the corpus gram stream (broadcast when
+    * small, bloom route when not) — plus one per-doc aggregation.
+    * Docs shorter than `n` words have no grams and report NULL frac
+    * with keep = true, mirroring `Dedup.spanDupStats`.
+    */
+  def decontaminateOverlapFrac(corpus: DataFrame, bench: DataFrame,
+                               idCol: String, textCol: String, n: Int,
+                               maxOverlap: Double): DataFrame = {
+    val corpusGrams = Dedup.shingles(corpus, idCol, textCol, n)
+    val benchGrams = Dedup.shingles(bench, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+    val total = corpusGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val hit = corpusGrams.join(broadcast(benchGrams), "shingle")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    corpus.select(col(idCol))
+      .join(total, Seq(idCol), "left")
+      .join(hit, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(col("n_grams").isNotNull,
+          TextStats.trunc6(coalesce(col("n_hit"), lit(0L)) / col("n_grams")))
+          .as("overlap_frac"))
+      .withColumn("keep",
+        col("overlap_frac").isNull || col("overlap_frac") <= maxOverlap)
+  }
+
   /** [[decontaminateNgram]]'s scale path for when the benchmark gram
     * set outgrows the broadcast threshold: a BLOOM pre-filter on gram
     * hashes cuts the corpus gram stream to near-hit-only BEFORE the

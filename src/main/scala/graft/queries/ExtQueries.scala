@@ -554,6 +554,29 @@ object ExtQueries {
         .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")),
 
+    // Cluster COLLAPSE — the materialization step after clustering:
+    // every doc gets its canonical (min reachable id; itself when
+    // unclustered), a keep verdict (canonical holder survives), and
+    // the cluster size. What a curation pipeline actually writes out
+    // when near-dups are folded. Doc-scale joins over the shared
+    // memoized candidate index; the label table is cluster-member-
+    // scale, AQE broadcasts it at will.
+    "dedup_collapse" -> ((s, dir) => {
+      val clusters = Dedup.connectedComponents(candsOf(s, dir))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val full = docs(s, dir).select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("canonical_id"))
+      val sizes = full.groupBy("canonical_id")
+        .agg(count(lit(1)).as("n_members"))
+      full.join(sizes, Seq("canonical_id"))
+        .select(col("doc_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("kept"),
+          col("n_members"))
+        .orderBy("doc_id")
+    }),
+
     // Lloyd's k-means (k=4, 2 iterations, deterministic first-k init,
     // decimal-routed means): the real IVF-centroid fit. The oracle
     // unrolls both iterations as CTEs with the byte-identical
@@ -1173,6 +1196,30 @@ object ExtQueries {
          |)
          |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "dedup_collapse" ->
+      s"""WITH RECURSIVE $ShingleBody, edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION
+         |  SELECT b_id AS src, a_id AS dst FROM cand
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), lab AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), f AS (
+         |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN lab l USING (doc_id)
+         |), sz AS (
+         |  SELECT canonical_id, count(*) AS n_members FROM f
+         |  GROUP BY canonical_id
+         |)
+         |SELECT f.doc_id, f.canonical_id,
+         |  f.doc_id = f.canonical_id AS kept, sz.n_members
+         |FROM f JOIN sz USING (canonical_id)
+         |ORDER BY f.doc_id""".stripMargin,
 
     "text_token_histogram" ->
       """WITH tok AS (

@@ -29,6 +29,61 @@ object PipeQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // GRADED decontamination: per corpus doc, the FRACTION of its
+    // 5-gram positions found in the eval split's gram set; keep at
+    // ≤ 10% (incidental collisions survive, wholesale inclusions die —
+    // the fraction-threshold BIG-bench/GPT-3 variant of the exact
+    // any-gram key below).
+    "decontaminate_overlap_frac" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % BenchMod === 0)
+      val corpus = d.filter(col("doc_id") % BenchMod =!= 0)
+      Pipeline.decontaminateOverlapFrac(corpus, bench, "doc_id", "text",
+          n = 5, maxOverlap = 0.1)
+        .orderBy("doc_id")
+    }),
+
+    // Winsorized robust statistics: per event_type, clamp values to
+    // the exact type-1 [p5, p95] band (integer-rank selection — no
+    // float interpolation anywhere) and report clip counts + the
+    // decimal-routed clamped mean. The outlier-tolerant aggregation a
+    // metrics pipeline uses where plain means are spike-dominated.
+    "events_winsorize" -> ((s, dir) => {
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+      val qs = graft.operators.Quantiles.exactByRank(
+        b, Seq("event_type"), "value", "event_id", Seq(5, 95))
+      // qs is #event_types rows — AQE broadcasts it; no forced hint
+      b.join(qs, Seq("event_type"))
+        .select(col("event_type"), col("value"), col("q5"), col("q95"))
+        .withColumn("w", least(greatest(col("value"), col("q5")), col("q95")))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("value") < col("q5"), 1)).as("n_clip_lo"),
+          count(when(col("value") > col("q95"), 1)).as("n_clip_hi"),
+          (sum(col("w").cast(DecimalType(28, 6))).cast("double") /
+            count(lit(1))).as("wmean"))
+        .orderBy("event_type")
+    }),
+
+    // Mergeable Misra–Gries heavy hitters, END TO END as an oracled
+    // key: per (event_type, day) top-8 user partials → merged per
+    // event_type with the summed-dropped-mass error bar. The partial/
+    // merge algebra SketchesSpec pins, exercised on real data with a
+    // DuckDB oracle replicating the exact deterministic cut.
+    "events_heavy_hitters_mg" -> ((s, dir) => {
+      val b = TsQueries.base(s, dir)
+        .select(col("event_type"), expr("sec div 86400").as("day"),
+          col("user_id"))
+      val partials = graft.operators.Sketches.mgPartials(
+        b, Seq("event_type", "day"), "user_id", k = 8)
+      graft.operators.Sketches.mgMerge(partials, Seq("event_type"), k = 8)
+        .select(col("event_type"), col("key").cast("long").as("user_id"),
+          col("count"), col("max_err"), col("n_rows"))
+        .orderBy(col("event_type"), col("count").desc, col("user_id"))
+    }),
+
     // Benchmark decontamination: drop training docs sharing a 5-gram
     // with the "eval" split (broadcast semi-join on benchmark grams).
     "decontaminate_ngram" -> ((s, dir) => {
@@ -337,6 +392,91 @@ object PipeQueries {
          |WHERE doc_id % $BenchMod <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
+
+    "decontaminate_overlap_frac" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w) - 3),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+         |           w[i+3] || ' ' || w[i+4])) AS shingle
+         |  FROM w WHERE len(w) >= 5
+         |), bench AS (
+         |  SELECT DISTINCT shingle FROM g WHERE doc_id % $BenchMod = 0
+         |), tot AS (
+         |  SELECT doc_id, count(*) AS n_grams FROM g
+         |  WHERE doc_id % $BenchMod <> 0 GROUP BY doc_id
+         |), hit AS (
+         |  SELECT g.doc_id, count(*) AS n_hit FROM g JOIN bench USING (shingle)
+         |  WHERE g.doc_id % $BenchMod <> 0 GROUP BY g.doc_id
+         |), f AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+         |    CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |    CASE WHEN t.n_grams IS NOT NULL THEN
+         |      floor((coalesce(h.n_hit, 0) / t.n_grams) * 1000000) / 1000000
+         |    END AS overlap_frac
+         |  FROM documents d
+         |  LEFT JOIN tot t USING (doc_id)
+         |  LEFT JOIN hit h USING (doc_id)
+         |  WHERE d.doc_id % $BenchMod <> 0
+         |)
+         |SELECT doc_id, n_grams, n_hit, overlap_frac,
+         |  (overlap_frac IS NULL OR overlap_frac <= 0.1) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "events_winsorize" ->
+      s"""$BaseCte, b AS (
+         |  SELECT event_type, event_id, value FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |), r AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM b
+         |), q AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN rn = (5 * n + 99) // 100 THEN value END) AS q5,
+         |    max(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS q95
+         |  FROM r GROUP BY event_type
+         |)
+         |SELECT b.event_type, count(*) AS n,
+         |  count(CASE WHEN value < q5 THEN 1 END) AS n_clip_lo,
+         |  count(CASE WHEN value > q95 THEN 1 END) AS n_clip_hi,
+         |  CAST(sum(CAST(least(greatest(value, q5), q95) AS DECIMAL(28,6)))
+         |       AS DOUBLE) / count(*) AS wmean
+         |FROM b JOIN q USING (event_type)
+         |GROUP BY b.event_type ORDER BY b.event_type""".stripMargin,
+
+    "events_heavy_hitters_mg" ->
+      s"""$BaseCte, e AS (
+         |  SELECT event_type, sec // 86400 AS day, user_id FROM base
+         |), pc AS (
+         |  SELECT event_type, day, user_id, count(*) AS c
+         |  FROM e GROUP BY event_type, day, user_id
+         |), pr AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type, day
+         |                               ORDER BY c DESC, user_id) AS r
+         |  FROM pc
+         |), bounds AS (
+         |  SELECT event_type,
+         |    CAST(sum(CASE WHEN r > 8 THEN c ELSE 0 END) AS BIGINT) AS max_err,
+         |    CAST(sum(c) AS BIGINT) AS n_rows
+         |  FROM pr GROUP BY event_type
+         |), merged AS (
+         |  SELECT event_type, user_id, CAST(sum(c) AS BIGINT) AS count
+         |  FROM pr WHERE r <= 8 GROUP BY event_type, user_id
+         |), rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |                               ORDER BY count DESC, user_id) AS rr
+         |  FROM merged
+         |)
+         |SELECT k.event_type, k.user_id, k.count, b.max_err, b.n_rows
+         |FROM rk k JOIN bounds b USING (event_type)
+         |WHERE k.rr <= 8
+         |ORDER BY k.event_type, k.count DESC, k.user_id""".stripMargin,
 
     "pii_redact" ->
       s"""SELECT doc_id,

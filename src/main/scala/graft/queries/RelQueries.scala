@@ -72,6 +72,50 @@ object RelQueries {
             .as("running_rev"))
         .orderBy("o_orderkey")
     }),
+
+    // Entity-resolution near join: supplier names within edit distance
+    // 1 (one-typo records) via the FastSS deletion-neighborhood — an
+    // equi-join on deletion keys (bounded (len+1)× fan-out), never an
+    // all-pairs compare; codegen levenshtein verifies candidates only.
+    "supplier_name_near_join" -> ((s, dir) =>
+      graft.ext.Strings.nearJoin(
+          Tables.load(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name")),
+          "s_suppkey", "s_name")
+        .select(col("a_id").as("a_key"), col("b_id").as("b_key"),
+          col("a_str").as("a_name"), col("b_str").as("b_name"), col("dist"))
+        .orderBy("a_key", "b_key")),
+
+    // CDC snapshot diff — the table-maintenance staple: two order
+    // snapshots (old = keys % 13 ≠ 0; new = keys % 19 ≠ 0 with the
+    // price bumped on keys % 17 = 0) diffed into per-verdict counts.
+    // Scale shape: side-tagged union + ONE hash aggregation on the
+    // key (map-side combinable) — never a full outer join's two-sided
+    // shuffle-and-match, and only the key + compared columns travel.
+    "snapshot_diff_orders" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val old = o.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          lit(1).as("side"))
+      val nw = o.filter(col("o_orderkey") % 19 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 17 === 0, col("o_totalprice") + lit(1.0d))
+            .otherwise(col("o_totalprice")).as("price"),
+          lit(2).as("side"))
+      old.unionByName(nw)
+        .groupBy("o_orderkey")
+        .agg(
+          max(when(col("side") === 1, col("price"))).as("old_price"),
+          max(when(col("side") === 2, col("price"))).as("new_price"))
+        .select(
+          when(col("old_price").isNull, lit("inserted"))
+            .when(col("new_price").isNull, lit("deleted"))
+            .when(col("old_price") =!= col("new_price"), lit("changed"))
+            .otherwise(lit("unchanged")).as("verdict"))
+        .groupBy("verdict").agg(count(lit(1)).as("n"))
+        .orderBy("verdict")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -109,5 +153,50 @@ object RelQueries {
         |             ORDER BY o_orderdate, o_orderkey
         |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "supplier_name_near_join" ->
+      """WITH k AS (
+        |  SELECT s_suppkey, s_name, unnest(list_append(
+        |    list_transform(range(1, len(s_name) + 1),
+        |      i -> substr(s_name, 1, i - 1)
+        |           || substr(s_name, i + 1, len(s_name) - i)),
+        |    s_name)) AS dkey
+        |  FROM supplier
+        |), pairs AS (
+        |  SELECT DISTINCT a.s_suppkey AS a_key, b.s_suppkey AS b_key,
+        |    a.s_name AS a_name, b.s_name AS b_name
+        |  FROM k a JOIN k b ON a.dkey = b.dkey AND a.s_suppkey < b.s_suppkey
+        |)
+        |SELECT a_key, b_key, a_name, b_name,
+        |  CAST(levenshtein(a_name, b_name) AS BIGINT) AS dist
+        |FROM pairs WHERE levenshtein(a_name, b_name) <= 1
+        |ORDER BY a_key, b_key""".stripMargin,
+
+    "snapshot_diff_orders" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey % 13 <> 0
+        |), nw AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 17 = 0
+        |         THEN o_totalprice + CAST(1.0 AS DOUBLE)
+        |         ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey % 19 <> 0
+        |), tagged AS (
+        |  SELECT o_orderkey, price, 1 AS side FROM old
+        |  UNION ALL
+        |  SELECT o_orderkey, price, 2 AS side FROM nw
+        |), merged AS (
+        |  SELECT o_orderkey,
+        |    max(CASE WHEN side = 1 THEN price END) AS old_price,
+        |    max(CASE WHEN side = 2 THEN price END) AS new_price
+        |  FROM tagged GROUP BY o_orderkey
+        |)
+        |SELECT CASE WHEN old_price IS NULL THEN 'inserted'
+        |            WHEN new_price IS NULL THEN 'deleted'
+        |            WHEN old_price <> new_price THEN 'changed'
+        |            ELSE 'unchanged' END AS verdict,
+        |  count(*) AS n
+        |FROM merged GROUP BY 1 ORDER BY verdict""".stripMargin,
   )
 }

@@ -104,6 +104,25 @@ class PipelineSpec extends SparkSpec {
     assert(out(1).getLong(2) == 1L)       // "cat"
   }
 
+  test("decontaminateOverlapFrac grades by position fraction, not any-hit") {
+    import spark.implicits._
+    // bench doc: "a b c d e f" → grams {a b c d e, b c d e f}
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a b c d e f"),             // both grams hit → frac 1.0, dropped
+      (2L, "a b c d e x y z w q r s"), // 1 of 8 grams hit → 0.125, dropped at 0.1
+      (3L, "p q r s t u v w x y a b"), // 0 hits → 0.0, kept
+      (4L, "too short"))               // < 5 words → NULL frac, kept
+      .toDF("doc_id", "text")
+    val out = Pipeline.decontaminateOverlapFrac(corpus, bench,
+        "doc_id", "text", n = 5, maxOverlap = 0.1)
+      .orderBy("doc_id").collect()
+    assert(out(0).getDouble(3) == 1.0 && !out(0).getBoolean(4))
+    assert(out(1).getDouble(3) == 0.125 && !out(1).getBoolean(4))
+    assert(out(2).getDouble(3) == 0.0 && out(2).getBoolean(4))
+    assert(out(3).isNullAt(3) && out(3).getBoolean(4))
+  }
+
   test("bloom-pre-filtered decontamination equals the exact broadcast path") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox jumps over the dog"))

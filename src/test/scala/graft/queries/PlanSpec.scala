@@ -297,6 +297,22 @@ class PlanSpec extends SparkSpec {
       s"expected hit-list aggs + sort exchanges only, got $exchanges:\n$p")
   }
 
+  test("string near join: equi-join on deletion keys, never all-pairs") {
+    val p = plan("supplier_name_near_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"near join degraded to all-pairs:\n$p")
+  }
+
+  test("snapshot diff is a side-tagged union + key aggregation — no join") {
+    val p = plan("snapshot_diff_orders")
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Join"), s"diff must not join:\n$p")
+    // key agg + verdict agg + output sort only
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected 3 exchanges, got $exchanges:\n$p")
+  }
+
   test("ewma folds in ONE Window operator (no per-step self-joins)") {
     val p = plan("ts_ewma")
     val windows = """\(\d+\) Window""".r.findAllIn(p).size
