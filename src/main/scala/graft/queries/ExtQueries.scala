@@ -164,6 +164,76 @@ object ExtQueries {
       Dedup.jaccard(candsOf(s, dir), shinglesOf(s, dir), "doc_id")
         .orderBy("a_id", "b_id")),
 
+    // Asymmetric CONTAINMENT (Broder) for candidate pairs — catches
+    // quote-inclusion near-dups Jaccard under-scores: a short doc fully
+    // contained in a long one has low Jaccard but containment_a = 1.
+    // Same candidate-restricted two-join shape as dedup_ngram_jaccard,
+    // over the shared memoized shingle/candidate index.
+    "dedup_containment" -> ((s, dir) => {
+      val cands = candsOf(s, dir)
+      val ids = cands.select(col("a_id").as("doc_id"))
+        .union(cands.select(col("b_id").as("doc_id"))).distinct()
+      val sets = shinglesOf(s, dir).join(ids, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sset"))
+      val a = sets.select(col("doc_id").as("a_id"), col("sset").as("a_set"))
+      val b = sets.select(col("doc_id").as("b_id"), col("sset").as("b_set"))
+      cands.join(a, "a_id").join(b, "b_id")
+        .withColumn("n_inter", size(array_intersect(col("a_set"), col("b_set"))))
+        .select(col("a_id"), col("b_id"),
+          col("n_inter").cast("long").as("n_inter"),
+          TextStats.trunc6(col("n_inter") / size(col("a_set")))
+            .as("containment_a"),
+          TextStats.trunc6(col("n_inter") / size(col("b_set")))
+            .as("containment_b"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Unigram-LM scoring — the float-log companion to the exact-integer
+    // quality_vocab: per doc, the corpus-LM total and mean token
+    // log-probability (the cheap perplexity proxy curation pipelines
+    // threshold on). Each log P(w) is one fixed-shape float expression;
+    // the cross-row SUM routes through DECIMAL(38,18) so accumulation
+    // order cannot change the result (a double at |v|≤20 has ulp far
+    // coarser than 1e-18 — the cast can never land on a rounding tie).
+    "doc_unigram_logprob" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      // counts is vocabulary-scale: no forced broadcast hint
+      tok.join(counts, Seq("w"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          log(col("c").cast("double") / col("n_total").cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 18)).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lp")).as("lp_sum"))
+        .select(col("doc_id"), col("n_tokens"),
+          TextStats.trunc6(col("lp_sum").cast("double")).as("sum_logprob"),
+          TextStats.trunc6(col("lp_sum").cast("double") / col("n_tokens"))
+            .as("mean_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // Triangle census of the near-dup candidate graph — the structure
+    // audit that separates tight duplicate cliques from chains of
+    // borderline pairs. Compact-forward orientation: edges are already
+    // a<b, so every triangle a<b<c is found EXACTLY once by joining
+    // wedges (a<b, b<c) against the closing edge (a,c) — two hash
+    // equi-joins on node keys, fan-out bounded by oriented degree,
+    // never an all-pairs or undirected double-count.
+    "graph_triangles" -> ((s, dir) => {
+      val e = candsOf(s, dir)
+      val ab = e.select(col("a_id").as("a"), col("b_id").as("b"))
+      val bc = e.select(col("a_id").as("b"), col("b_id").as("c"))
+      val ac = e.select(col("a_id").as("a"), col("b_id").as("c"))
+      val tri = ab.join(bc, "b").join(ac, Seq("a", "c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy("doc_id")
+    }),
+
     // Sketch-accuracy audit: the minhash Jaccard ESTIMATE (matching
     // signature fraction — k/8 is an exact binary double) against the
     // exact set Jaccard, per candidate pair. The methodology check
@@ -901,6 +971,57 @@ object ExtQueries {
          |JOIN sizes na ON na.doc_id = i.a_id
          |JOIN sizes nb ON nb.doc_id = i.b_id
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_containment" ->
+      s"""$ShingleCtes, sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id
+         |)
+         |SELECT i.a_id, i.b_id, CAST(n_inter AS BIGINT) AS n_inter,
+         |  floor((n_inter / na.n) * 1000000) / 1000000 AS containment_a,
+         |  floor((n_inter / nb.n) * 1000000) / 1000000 AS containment_b
+         |FROM inter i
+         |JOIN sizes na ON na.doc_id = i.a_id
+         |JOIN sizes nb ON nb.doc_id = i.b_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "doc_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), counts AS (
+        |  SELECT w, count(*) AS c FROM tok GROUP BY w
+        |), total AS (
+        |  SELECT count(*) AS n_total FROM tok
+        |), lp AS (
+        |  SELECT doc_id,
+        |    CAST(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |         AS DECIMAL(38,18)) AS lp
+        |  FROM tok JOIN counts USING (w) CROSS JOIN total
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor(CAST(sum(lp) AS DOUBLE) * 1000000) / 1000000 AS sum_logprob,
+        |  floor((CAST(sum(lp) AS DOUBLE) / count(*)) * 1000000) / 1000000
+        |    AS mean_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "graph_triangles" ->
+      s"""$ShingleCtes, tri AS (
+         |  SELECT ab.a_id AS a, ab.b_id AS b, bc.b_id AS c
+         |  FROM cand ab
+         |  JOIN cand bc ON bc.a_id = ab.b_id
+         |  JOIN cand ac ON ac.a_id = ab.a_id AND ac.b_id = bc.b_id
+         |), nodes AS (
+         |  SELECT a AS doc_id FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri
+         |)
+         |SELECT doc_id, count(*) AS n_triangles
+         |FROM nodes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_estimate" ->
       s"""$ShingleCtes, sizes AS (

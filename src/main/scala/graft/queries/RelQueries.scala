@@ -73,6 +73,23 @@ object RelQueries {
         .orderBy("o_orderkey")
     }),
 
+    // SCD2 dimension build from an append log: each customer's orders
+    // become validity intervals — valid_from = the order's date,
+    // valid_to = the next order's date (NULL + is_current on the
+    // latest). ONE lead() window over one key exchange; the shape a
+    // warehouse uses to snapshot slowly-changing attributes.
+    "orders_scd2_intervals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").as("valid_from"), col("o_totalprice"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("o_orderkey")
+    }),
+
     // Entity-resolution near join: supplier names within edit distance
     // 1 (one-typo records) via the FastSS deletion-neighborhood — an
     // equi-join on deletion keys (bounded (len+1)× fan-out), never an
@@ -152,6 +169,17 @@ object RelQueries {
         |       OVER (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey
         |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "orders_scd2_intervals" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate AS valid_from,
+        |  o_totalprice,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                          ORDER BY o_orderdate, o_orderkey)
+        |    AS valid_to,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                          ORDER BY o_orderdate, o_orderkey)
+        |    IS NULL AS is_current
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "supplier_name_near_join" ->
