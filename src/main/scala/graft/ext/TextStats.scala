@@ -25,6 +25,21 @@ object TextStats {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Size-gated broadcast routing for vocabulary-scale tables (the
+    * ADVICE-r5 remedy for forced hints): hint `broadcast` only when
+    * the frame's MEASURED row count is under `maxRows`, else return it
+    * unhinted so the join shuffles on its key. The caller must pass an
+    * already-checkpointed frame — the gate's count() then materializes
+    * the checkpoint once and every consumer reuses it, so the probe is
+    * one cheap job, not a recompute. At test scale the gate passes and
+    * the token stream never shuffle-writes; on a 100 TB corpus whose
+    * vocab outgrows the gate, the join degrades to a plain shuffle
+    * instead of a driver OOM. Values are identical either way — join
+    * strategy cannot change results.
+    */
+  def gatedBroadcast(df: DataFrame, maxRows: Long = 2000000L): DataFrame =
+    if (df.count() <= maxRows) broadcast(df) else df
+
   /** 6-decimal TRUNCATION for ratio outputs. Spark's `round` rounds the
     * double's shortest decimal representation (BigDecimal.valueOf ⇒
     * HALF_UP on the string), other engines round the binary value —
@@ -73,17 +88,18 @@ object TextStats {
     val tok = df.select(col(idCol), col(langCol),
       explode(words(col(textCol))).as("w")).localCheckpoint(false)
     val counts = tok.groupBy(col(langCol).as("model_lang"), col("w"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(false)
     val totals = tok.groupBy(col(langCol).as("model_lang"))
       .agg(count(lit(1)).as("t"))
     val vocab = tok.agg(countDistinct(col("w")).as("v"))
     // totals×vocab is #langs rows — always broadcastable. `counts` is
-    // lang×vocabulary scale: NO forced hint (a 100 TB corpus's vocab can
-    // exceed the 8 GB broadcast limit); AQE picks broadcast when small,
-    // and the fallback is a plain shuffle join on (model_lang, w).
+    // lang×vocabulary scale: size-GATED hint (a 100 TB corpus's vocab
+    // can exceed the broadcast limit — past the gate the join shuffles
+    // on (model_lang, w) instead of OOMing the driver; under it the
+    // token stream never shuffle-writes).
     val scores = tok.select(col(idCol), col("w"))
       .crossJoin(broadcast(totals.crossJoin(vocab)))
-      .join(counts, Seq("model_lang", "w"), "left")
+      .join(gatedBroadcast(counts), Seq("model_lang", "w"), "left")
       .groupBy(col(idCol), col("model_lang"))
       .agg(round(sum(
         log((coalesce(col("c"), lit(0L)) + lit(1d)) / (col("t") + col("v")))),
@@ -104,20 +120,21 @@ object TextStats {
     * Three hash aggregations over the token stream; the per-doc argmax
     * is a `min_by` over the (-score, term) struct — map-side
     * combinable, no sort, ties to the lexicographically first term.
-    * The document-frequency table is vocabulary-scale, so it carries NO
-    * forced broadcast hint: AQE broadcasts it when its runtime size
-    * allows, and otherwise the join shuffles on the term key (Zipf head
-    * skew is handled by AQE skew-join splitting).
+    * The document-frequency table is vocabulary-scale, so its hint is
+    * size-GATED ([[gatedBroadcast]]): broadcast while it provably
+    * fits, a plain term-key shuffle join past the gate (Zipf head
+    * skew handled by AQE skew-join splitting) — never a driver OOM.
     */
   def topTfidfTerm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(words(col(textCol))).as("w"))
     val tf = tok.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
     val docLen = tok.groupBy(col(idCol)).agg(count(lit(1)).as("len"))
     val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(false)
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(docLen, Seq(idCol))
-      .join(dfreq, Seq("w"))
+      .join(gatedBroadcast(dfreq), Seq("w"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         (col("c") / col("len")) *
@@ -143,10 +160,10 @@ object TextStats {
     * — token-cardinality rows, not corpus rows), and one join of the
     * token stream against the count table, folded by one final per-doc
     * aggregation. The `top` side is bounded by the `topK` parameter and
-    * is broadcast; the full count table is vocabulary-scale and carries
-    * NO forced hint — a 100 TB corpus's vocab can exceed the broadcast
-    * limit, so AQE broadcasts when small and otherwise the join
-    * shuffles on the token key (Zipf-head skew split by AQE).
+    * is broadcast unconditionally; the full count table is
+    * vocabulary-scale and size-GATED ([[gatedBroadcast]]) — broadcast
+    * while it provably fits, token-key shuffle join past the gate
+    * (Zipf-head skew split by AQE), never a driver OOM.
     */
   def vocabStats(df: DataFrame, idCol: String, textCol: String,
                  topK: Int): DataFrame = {
@@ -164,7 +181,7 @@ object TextStats {
     val vocab = counts.join(broadcast(top), Seq("w"), "left")
       .select(col("w"), col("c"),
         coalesce(col("in_vocab"), lit(false)).as("in_vocab"))
-    tok.join(vocab, Seq("w"))
+    tok.join(gatedBroadcast(vocab.localCheckpoint(false)), Seq("w"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),

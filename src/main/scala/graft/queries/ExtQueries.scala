@@ -199,9 +199,10 @@ object ExtQueries {
       val tok = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
       val total = tok.agg(count(lit(1)).as("n_total"))
-      // counts is vocabulary-scale: no forced broadcast hint
-      tok.join(counts, Seq("w"))
+      // counts is vocabulary-scale: size-gated hint, never unconditional
+      tok.join(TextStats.gatedBroadcast(counts), Seq("w"))
         .crossJoin(broadcast(total))
         .select(col("doc_id"),
           log(col("c").cast("double") / col("n_total").cast("double"))

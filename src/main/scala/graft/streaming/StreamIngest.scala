@@ -89,6 +89,69 @@ object StreamIngest {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("metric", "ts")
 
+  /** Build the Bloom screen artifact for [[nearDupScreen]] from a
+    * persisted MinHash band index (`(band, band_key, corpus_id)` —
+    * the same table [[graft.ext.Dedup.incrementalNear]] probes).
+    * Sketch-sized driver artifact (~1.2 bytes/item at 3% fpp), the
+    * standard runtime-filter shape.
+    */
+  def bandBloom(corpusBands: DataFrame,
+                expectedItems: Long = 1000000L): Array[Byte] = {
+    graft.GraftFunctions.register(corpusBands.sparkSession)
+    corpusBands
+      .select(expr(
+        "bloom_agg(xxhash64(concat(cast(band AS string), ':', band_key)), " +
+          s"${expectedItems}L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+  }
+
+  /** STREAMING near-dup screening — the stream-side half of
+    * [[graft.ext.Dedup.incrementalNear]]: each document is flagged
+    * `maybe_near_dup` when ANY of its LSH bands might be in the
+    * corpus band index's Bloom screen, else new. The whole operator
+    * is ONE narrow projection: the shingle → minhash → band chain is
+    * computed as per-row ARRAY expressions (no explode, no groupBy —
+    * a streaming aggregation would carry per-doc state; this carries
+    * none), and the index probe is a codegen'd `bloom_might_contain`
+    * against a literal sketch. Stateless, watermark-free, O(batch) at
+    * any stream rate. Bloom false positives are the contract: flagged
+    * docs route to the exact batch-side confirm (`incrementalNear`);
+    * un-flagged verdicts are exact (the construction is byte-identical
+    * to the batch band chain, so a true index band can never miss).
+    * Index refresh is a batch-side re-materialization — the standard
+    * lambda split.
+    */
+  def nearDupScreen(docs: DataFrame, bloom: Array[Byte], idCol: String,
+                    textCol: String, numHashes: Int, rowsPerBand: Int,
+                    n: Int): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    val w = split(col(textCol), " ")
+    // byte-identical to Dedup.shingles/minhash/bands, expressed as
+    // array lambdas instead of explode+groupBy
+    val shingleArr = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " "))
+    ).otherwise(array().cast("array<string>"))
+    val mh = (0 until numHashes).map { h =>
+      array_min(transform(col("__sh"),
+        s => md5(concat(lit(h.toString), lit("|"), s))))
+    }
+    val nBands = numHashes / rowsPerBand
+    val bandArr = array((0 until nBands).map { b =>
+      val parts = (0 until rowsPerBand).map(r =>
+        element_at(col("__mh"), b * rowsPerBand + r + 1))
+      concat(lit(s"$b:"), md5(concat_ws(",", parts: _*)))
+    }: _*)
+    docs
+      .withColumn("__sh", shingleArr)
+      .withColumn("__mh", array(mh: _*))
+      .withColumn("maybe_near_dup",
+        size(col("__sh")) > 0 &&
+          exists(bandArr, bk => call_function("bloom_might_contain",
+            lit(bloom), xxhash64(bk))))
+      .drop("__sh", "__mh")
+  }
+
   /** Typed state record for [[runningLast]]. */
   case class LastPoint(metric: String, tsSec: Long, value: Double)
 

@@ -48,7 +48,9 @@ object ScaleSanity {
       "ts_window_suite", "interval_overlap_join",
       // round-5 events-substrate operators:
       "ts_ewma", "events_quantiles_interp", "downsample_lttb",
-      "asof_join_nearest")
+      "asof_join_nearest",
+      // round-6 events-substrate operators:
+      "events_winsorize", "events_heavy_hitters_mg")
     val rows = picks.map { q =>
       val f = graft.SparkEntry.queries(q)
       val t1 = time(f(spark, "/root/testdata/sf0.1").count())
@@ -82,7 +84,11 @@ object ScaleSanity {
       // steps loop over the words TABLE, so corpus cost is the one
       // tokenize+count scan)
       "dedup_span_ngram", "quality_vocab", "dedup_incremental",
-      "bpe_train_merges")
+      "bpe_train_merges",
+      // round-6 linear doc passes (pair-emitting ops excluded — their
+      // OUTPUT is quadratic in duplicate-group size by definition):
+      "decontaminate_overlap_frac", "doc_unigram_logprob",
+      "dedup_incremental_near")
     val docRatios = docPicks.map { q =>
       val f = graft.SparkEntry.queries(q)
       val t1 = time(f(spark, "/root/testdata/sf0.1").count())
@@ -91,6 +97,34 @@ object ScaleSanity {
       t10 / t1
     }
     println(f"[scale] docs 1x=$nd 10x=$bigNd  median_ratio=${docRatios.sorted.apply(docRatios.size / 2)}%5.2f")
+
+    // ---- orders 10×: the round-6 relational/CDC passes stay linear --
+    // Keys AND custkeys are offset per replica so per-customer window
+    // partitions keep their size (the linearity claim is about rows,
+    // not about one customer's history growing 10×).
+    // supplier_name_near_join is excluded like the other pair-emitting
+    // ops: any replication scheme either duplicates names (dist-0
+    // pairs quadratic in replica count) or perturbs them into dist-1
+    // cross-replica pairs — the output itself is the nonlinearity.
+    val ord = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "orders")
+    val no = ord.count()
+    val bigOrd = (0 until 10).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 10000000L))
+    }.reduce(_ union _)
+    val odir = java.nio.file.Files.createTempDirectory("scaleord").toString
+    bigOrd.write.parquet(s"$odir/orders.parquet")
+    val bigNo = spark.read.parquet(s"$odir/orders.parquet").count()
+    val ordPicks = Seq("snapshot_diff_orders", "orders_scd2_intervals",
+      "orders_running_total")
+    val ordRatios = ordPicks.map { q =>
+      val f = graft.SparkEntry.queries(q)
+      val t1 = time(f(spark, "/root/testdata/sf0.1").count())
+      val t10 = time(f(spark, odir).count())
+      println(f"[scale] $q%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ratio=${t10 / t1}%5.2f")
+      t10 / t1
+    }
+    println(f"[scale] orders 1x=$no 10x=$bigNo  median_ratio=${ordRatios.sorted.apply(ordRatios.size / 2)}%5.2f")
 
     // ---- embeddings 10×: exact NN stays linear when cells scale -----
     // The ball-bound-pruned exact NN's per-task work is bounded by cell

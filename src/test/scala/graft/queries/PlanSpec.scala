@@ -115,20 +115,38 @@ class PlanSpec extends SparkSpec {
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
     }.size
 
-  test("token-vocabulary-scale joins carry NO forced broadcast hint") {
+  test("token-vocabulary-scale joins carry no UNCONDITIONAL broadcast hint") {
     // A forced broadcast() on a vocab/candidate-scale table is fine at
-    // sf0.1 and a driver OOM at 100 TB — only provably-bounded tables
-    // (1-row totals, the topK cut, #langs×vocab-free frames) may hint.
-    // lang_id: exactly the 1-row-per-lang totals×vocab hint;
-    // doc_top_tfidf: exactly the 1-row nDocs hint;
-    // quality_vocab: exactly the topK-bounded cut hint;
-    // dedup_ngram_jaccard: no hints anywhere — the shingle-set joins
-    // shuffle on the id keys (AQE broadcasts when runtime size allows).
-    assert(hintCount("lang_id") == 1, "lang_id must hint only totals×vocab")
-    assert(hintCount("doc_top_tfidf") == 1, "tfidf must hint only nDocs")
-    assert(hintCount("quality_vocab") == 1, "vocabStats must hint only topK cut")
+    // sf0.1 and a driver OOM at 100 TB. Bounded tables (1-row totals,
+    // the topK cut, #langs×vocab-free frames) hint unconditionally;
+    // vocabulary-scale tables hint ONLY through the measured size gate
+    // (TextStats.gatedBroadcast) — at this SF the gate passes, so each
+    // key shows its bounded hints + exactly one gated vocab hint.
+    // dedup_ngram_jaccard: no hints at all — the candidate-scale
+    // shingle-set joins shuffle on the id keys.
+    assert(hintCount("lang_id") == 2,
+      "lang_id: totals×vocab + gated counts only")
+    assert(hintCount("doc_top_tfidf") == 2,
+      "tfidf: nDocs + gated dfreq only")
+    // the topK-cut hint sits INSIDE the checkpointed vocab frame (the
+    // checkpoint collapses its subtree to a LogicalRDD), so only the
+    // outer gated hint is visible in the analyzed plan
+    assert(hintCount("quality_vocab") == 1,
+      "vocabStats: the gated vocab hint only")
     assert(hintCount("dedup_ngram_jaccard") == 0,
       "jaccard must not force-broadcast the shingle-set tables")
+  }
+
+  test("gatedBroadcast withholds the hint past the row gate") {
+    import spark.implicits._
+    val big = (1 to 100).toDF("x").localCheckpoint(false)
+    val hinted = graft.ext.TextStats.gatedBroadcast(big, maxRows = 1000)
+    val unhinted = graft.ext.TextStats.gatedBroadcast(big, maxRows = 10)
+    def hints(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    assert(hints(hinted) == 1 && hints(unhinted) == 0)
   }
 
   test("stratified sample is a pure narrow filter — no exchange before sort") {

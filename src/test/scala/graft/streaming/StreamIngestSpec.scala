@@ -141,6 +141,60 @@ class StreamIngestSpec extends SparkSpec {
     assert(n == 2, s"expected 2 unique points, got $n")
   }
 
+  test("streaming near-dup screen: bloom probe flags corpus dups, passes novel docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words about spark execution engines"))
+      .toDF("doc_id", "text")
+    val idx = graft.ext.Dedup.bands(
+        graft.ext.Dedup.minhash(
+          graft.ext.Dedup.shingles(corpus, "doc_id", "text", 3), "doc_id", 8),
+        "doc_id", 8, 1)
+      .select(col("band"), col("band_key"), col("doc_id").as("corpus_id"))
+    val bloom = StreamIngest.bandBloom(idx, expectedItems = 1000L)
+
+    val src = MemoryStream[(Long, String)]
+    val screened = StreamIngest.nearDupScreen(
+      src.toDF().toDF("doc_id", "text"), bloom, "doc_id", "text", 8, 1, 3)
+    val query = screened.writeStream.outputMode("append")
+      .format("memory").queryName("ndout").start()
+    try {
+      src.addData(
+        (10L, "the quick brown fox jumps over the lazy dog today"), // = corpus 1
+        (11L, "a wholly novel sentence sharing no threegram with anything else"),
+        (12L, "xy")) // < 3 words: no bands → new by construction
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val out = spark.sql("SELECT doc_id, maybe_near_dup FROM ndout ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    // no false negative possible: doc 10's band chain is byte-identical
+    // to corpus doc 1's, so every one of its band keys IS in the bloom
+    assert(out(10L), "true corpus dup must be flagged")
+    assert(!out(12L), "sub-shingle doc must pass as new")
+    // doc 11 may only fail via a bloom false positive (3% fpp across 8
+    // probes) — with this fixed seedless construction it does not
+    assert(!out(11L), "novel doc must pass the screen")
+
+    // the narrow array-lambda chain must equal the explode+groupBy
+    // batch chain band for band (else the screen's recall claim is void)
+    val batchBands = graft.ext.Dedup.bands(
+        graft.ext.Dedup.minhash(
+          graft.ext.Dedup.shingles(
+            Seq((10L, "the quick brown fox jumps over the lazy dog today"))
+              .toDF("doc_id", "text"), "doc_id", "text", 3), "doc_id", 8),
+        "doc_id", 8, 1)
+      .select("band", "band_key").collect()
+      .map(r => s"${r.getInt(0)}:${r.getString(1)}").toSet
+    val corpusBands1 = idx.filter(col("corpus_id") === 1L)
+      .select("band", "band_key").collect()
+      .map(r => s"${r.getInt(0)}:${r.getString(1)}").toSet
+    assert(batchBands == corpusBands1)
+  }
+
   test("mapGroupsWithState running-last never regresses on late arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
