@@ -183,6 +183,68 @@ class PropertySpec extends SparkSpec {
     assert(norm(seq2) == norm(once))
   }
 
+  test("deletion-neighborhood near join matches brute-force levenshtein ≤ 1") {
+    import spark.implicits._
+    // short strings over a 3-letter alphabet so distance-1 pairs (and
+    // exact dups → distance 0) actually occur among 60 samples
+    val strs = gen(for {
+      len <- Gen.chooseNum(1, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString, 60)
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+    val got = graft.ext.Strings.nearJoin(df, "id", "s").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      i <- strs.indices; j <- strs.indices if i < j
+      d = lev(strs(i), strs(j)) if d <= 1
+    } yield ((i.toLong, j.toLong), d.toLong)).toMap
+    assert(got == expected,
+      s"missing=${(expected.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- expected.keySet).take(3)}")
+  }
+
+  test("Misra–Gries merge honors its error bar on random Zipf-ish streams") {
+    import spark.implicits._
+    val keys = gen(Gen.frequency(
+      8 -> Gen.const(1L), 5 -> Gen.const(2L), 3 -> Gen.const(3L),
+      2 -> Gen.chooseNum(4L, 8L), 1 -> Gen.chooseNum(9L, 30L)), 400)
+    val rows = keys.zipWithIndex.map { case (k, i) => (i % 5, k) }
+    val df = rows.toDF("grp", "key").withColumn("g", lit("all"))
+    val partials = graft.operators.Sketches.mgPartials(
+      df, Seq("g", "grp"), "key", k = 3)
+    val merged = graft.operators.Sketches.mgMerge(partials, Seq("g"), k = 3)
+      .collect()
+    val trueCounts = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val maxErr = merged.head.getAs[Long]("max_err")
+    val reported = merged.map(r =>
+      r.getAs[Long]("key") -> r.getAs[Long]("count")).toMap
+    // (a) every reported count is an under-count within the error bar
+    reported.foreach { case (k, c) =>
+      assert(c <= trueCounts(k) && trueCounts(k) <= c + maxErr,
+        s"key $k reported $c true ${trueCounts(k)} max_err $maxErr")
+    }
+    // (b) a non-reported key was either dropped in partials (true ≤
+    // max_err) or cut by the final top-k (true ≤ max_err + weakest
+    // reported count) — the derived soundness bound of the merge
+    val weakest = reported.values.min
+    (trueCounts.keySet -- reported.keySet).foreach { k =>
+      assert(trueCounts(k) <= maxErr + weakest,
+        s"key $k true ${trueCounts(k)} exceeds absence bound ${maxErr + weakest}")
+    }
+    // (c) n_rows is the exact stream size
+    assert(merged.head.getAs[Long]("n_rows") == 400L)
+  }
+
   test("exact-NN ball-bound pruning is lossless vs brute force " +
        "(clustered vectors, integer grid → rounding ties)") {
     import spark.implicits._
