@@ -269,6 +269,47 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
       .orderBy("metric", "ts_ms")
   }
 
+  /** Distinct-count dashboard read: per `coarseSec` bucket, the
+    * approximate distinct VALUES per metric over the range. Routes
+    * through the materialized SKETCH rollup when one aligns (rollup
+    * bucket divides the coarse grid, `fromSec` on the rollup grid) —
+    * then the read is a rollup-scale `hll_union_agg` merge and raw
+    * data is never scanned; otherwise falls back to direct sketching
+    * over raw rows. Union at fixed lgK is lossless, so BOTH routes
+    * return identical estimates (GraftClientSpec pins it) — routing
+    * is a cost decision, never a semantics one.
+    */
+  def readDistinct(db: String, sensor: String, fromSec: Long, toSec: Long,
+                   coarseSec: Long, useRollups: Boolean = true): DataFrame = {
+    authRead(db, sensor)
+    val aligned = if (useRollups)
+      store.listSketchRollups(db, sensor)
+        .filter(b => b <= coarseSec && coarseSec % b == 0 && fromSec % b == 0)
+        .lastOption
+    else None
+    aligned match {
+      case Some(b) =>
+        store.readSketchRollup(db, sensor, b, coarseSec,
+          Some(fromSec), Some(toSec))
+      case None =>
+        val metrics = store.config(db, sensor).metricNames
+        val raw = store.read(db, sensor, Some(fromSec), Some(toSec))
+        val aggs = metrics.map(m =>
+          hll_sketch_estimate(hll_sketch_agg(
+            when(!isnan(col(m)), col(m).cast("string")),
+            lit(store.SketchLgK))).as(s"${m}_distinct"))
+        raw
+          .withColumn("cb",
+            Grid.snapSeconds(Grid.tsSeconds(col("ts")), coarseSec))
+          .groupBy("cb")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(timestamp_seconds(col("cb"))
+            .cast(org.apache.spark.sql.types.TimestampType).as("ts") +:
+            metrics.map(m => col(s"${m}_distinct")): _*)
+          .orderBy("ts")
+    }
+  }
+
   /** SHARED-BOUNDARY Grafana downsample — the reference's exact
     * multi-target row-selection semantics (`server.py:444-459`): ONE
     * boundary advances for ALL targets. The server walks grid rows in

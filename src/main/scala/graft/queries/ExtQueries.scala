@@ -217,6 +217,46 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram PMI collocations — the vocabulary-building pass that finds
+    // "tokens that belong together" (phrase mining for tokenizer/vocab
+    // curation): PMI = ln(P(ab)/(P(a)P(b))) over adjacent word pairs,
+    // min count 5, top 20 by (PMI desc, bigram). Two map-side-combinable
+    // count aggregations + a two-key join of the bigram table against
+    // the unigram counts (vocab-scale, size-gated broadcast) + a
+    // TakeOrdered cut. The log ratio is ONE fixed-shape float
+    // expression over exact integer counts — engine-portable.
+    "doc_collocations_pmi" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val uni = tok.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c1"))
+        .localCheckpoint(false)
+      val nTok = tok.select(explode(col("w")).as("t"))
+        .agg(count(lit(1)).as("n_tok"))
+      val bi = tok.filter(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i + 1).as("w1"),
+            element_at(col("w"), i + 2).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+        .localCheckpoint(false)
+      val nBi = bi.agg(sum(col("n_pair")).as("n_bi"))
+      val d = (c: Column) => c.cast("double")
+      bi.filter(col("n_pair") >= 5)
+        .join(TextStats.gatedBroadcast(
+          uni.select(col("t").as("w1"), col("c1").as("c1a"))), Seq("w1"))
+        .join(TextStats.gatedBroadcast(
+          uni.select(col("t").as("w2"), col("c1").as("c1b"))), Seq("w2"))
+        .crossJoin(broadcast(nTok.crossJoin(nBi)))
+        .select(col("w1"), col("w2"), col("n_pair"),
+          TextStats.trunc6(log(
+            (d(col("n_pair")) * d(col("n_tok")) * d(col("n_tok"))) /
+              (d(col("n_bi")) * d(col("c1a")) * d(col("c1b")))))
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // Triangle census of the near-dup candidate graph — the structure
     // audit that separates tight duplicate cliques from chains of
     // borderline pairs. Compact-forward orientation: edges are already
@@ -1009,6 +1049,36 @@ object ExtQueries {
         |  floor((CAST(sum(lp) AS DOUBLE) / count(*)) * 1000000) / 1000000
         |    AS mean_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "doc_collocations_pmi" ->
+      """WITH t0 AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |), uni AS (
+        |  SELECT t, count(*) AS c1
+        |  FROM (SELECT unnest(w) AS t FROM t0) GROUP BY t
+        |), tot AS (
+        |  SELECT CAST(sum(c1) AS BIGINT) AS n_tok FROM uni
+        |), bi AS (
+        |  SELECT w1, w2, count(*) AS n_pair FROM (
+        |    SELECT w[i] AS w1, w[i + 1] AS w2
+        |    FROM t0, unnest(range(1, len(w))) AS u(i)
+        |    WHERE len(w) >= 2)
+        |  GROUP BY w1, w2
+        |), nbi AS (
+        |  SELECT CAST(sum(n_pair) AS BIGINT) AS n_bi FROM bi
+        |)
+        |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+        |  floor(ln(
+        |    ((CAST(n_pair AS DOUBLE) * CAST(n_tok AS DOUBLE))
+        |      * CAST(n_tok AS DOUBLE)) /
+        |    ((CAST(n_bi AS DOUBLE) * CAST(a.c1 AS DOUBLE))
+        |      * CAST(b2.c1 AS DOUBLE))) * 1000000) / 1000000 AS pmi
+        |FROM bi
+        |JOIN uni a ON a.t = bi.w1
+        |JOIN uni b2 ON b2.t = bi.w2
+        |CROSS JOIN tot CROSS JOIN nbi
+        |WHERE n_pair >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "graph_triangles" ->
       s"""$ShingleCtes, tri AS (

@@ -29,6 +29,59 @@ object PipeQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Seasonal PROFILE decomposition: per (event_type, hour-of-day),
+    // the decimal-routed mean and its deviation from the type's
+    // overall mean — the seasonal-index table a forecaster subtracts
+    // before modeling the residual. Two hash aggregations + one tiny
+    // join; both means are exact-decimal sums with ONE fixed-shape
+    // double expression at the end.
+    "ts_seasonal_profile" -> ((s, dir) => {
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select(col("event_type"),
+          expr("(sec % 86400) div 3600").as("hour"), col("value"))
+      val dec = DecimalType(28, 6)
+      val byHour = b.groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(dec)).as("hsum"))
+      val overall = b.groupBy("event_type")
+        .agg(count(lit(1)).as("tn"), sum(col("value").cast(dec)).as("tsum"))
+      byHour.join(overall, Seq("event_type"))
+        .select(col("event_type"), col("hour"), col("n"),
+          graft.ext.TextStats.trunc6(col("hsum").cast("double") / col("n"))
+            .as("hour_mean"),
+          graft.ext.TextStats.trunc6(
+            (col("hsum").cast("double") / col("n")) -
+              (col("tsum").cast("double") / col("tn")))
+            .as("seasonal_index"))
+        .orderBy("event_type", "hour")
+    }),
+
+    // First-order Markov transition table over each user's event
+    // sequence: P(next event type | previous) with exact counts — the
+    // behavioral-model / next-event-prediction staple. ONE lag window
+    // per user key + one hash aggregation; probability is exact
+    // integer division truncated at 6 decimals.
+    "events_markov_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val b = TsQueries.base(s, dir)
+        .select(col("user_id"), col("sec"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val trans = b.groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val fromTotals = trans.groupBy("prev_type")
+        .agg(sum(col("n")).as("n_from"))
+      trans.join(fromTotals, Seq("prev_type"))
+        .select(col("prev_type"), col("event_type").as("next_type"),
+          col("n"), col("n_from"),
+          graft.ext.TextStats.trunc6(col("n") / col("n_from")).as("p"))
+        .orderBy("prev_type", "next_type")
+    }),
+
     // GRADED decontamination: per corpus doc, the FRACTION of its
     // 5-gram positions found in the eval split's gram set; keep at
     // ≤ 10% (incidental collisions survive, wholesale inclusions die —
@@ -392,6 +445,47 @@ object PipeQueries {
          |WHERE doc_id % $BenchMod <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
+
+    "ts_seasonal_profile" ->
+      s"""$BaseCte, b AS (
+         |  SELECT event_type, (sec % 86400) // 3600 AS hour, value
+         |  FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |), byh AS (
+         |  SELECT event_type, hour, count(*) AS n,
+         |    sum(CAST(value AS DECIMAL(28,6))) AS hsum
+         |  FROM b GROUP BY event_type, hour
+         |), ov AS (
+         |  SELECT event_type, count(*) AS tn,
+         |    sum(CAST(value AS DECIMAL(28,6))) AS tsum
+         |  FROM b GROUP BY event_type
+         |)
+         |SELECT byh.event_type, byh.hour, byh.n,
+         |  floor((CAST(hsum AS DOUBLE) / n) * 1000000) / 1000000
+         |    AS hour_mean,
+         |  floor(((CAST(hsum AS DOUBLE) / n) - (CAST(tsum AS DOUBLE) / tn))
+         |        * 1000000) / 1000000 AS seasonal_index
+         |FROM byh JOIN ov USING (event_type)
+         |ORDER BY event_type, hour""".stripMargin,
+
+    "events_markov_transitions" ->
+      s"""$BaseCte, seq AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |                          ORDER BY sec, event_id) AS prev_type
+         |  FROM base
+         |), tr AS (
+         |  SELECT prev_type, event_type AS next_type, count(*) AS n
+         |  FROM seq WHERE prev_type IS NOT NULL
+         |  GROUP BY prev_type, event_type
+         |), ft AS (
+         |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+         |  FROM tr GROUP BY prev_type
+         |)
+         |SELECT tr.prev_type, tr.next_type, CAST(tr.n AS BIGINT) AS n,
+         |  ft.n_from,
+         |  floor((tr.n / ft.n_from) * 1000000) / 1000000 AS p
+         |FROM tr JOIN ft USING (prev_type)
+         |ORDER BY tr.prev_type, tr.next_type""".stripMargin,
 
     "decontaminate_overlap_frac" ->
       s"""WITH w AS (

@@ -142,6 +142,30 @@ class GraftClientSpec extends SparkSpec {
     assert(out.head.getLong(2) == t0 * 1000)
   }
 
+  test("readDistinct: sketch-rollup route equals the raw-sketch fallback") {
+    val c = freshClient()
+    c.createSensor("test", "sd", "1s", Seq(Seq("v")))
+    val lines = (0 until 600).map(i =>
+      s"test,circuit=sd v=${i % 23} ${(t0 + i)}000000000")
+    c.write(lines)
+    c.store.materializeSketchRollup("test", "sd", 60L)
+    // aligned coarse grid → rollup route (raw never scanned); the
+    // fallback sketches raw rows directly. Lossless union at fixed lgK
+    // means IDENTICAL estimates, so routing is purely a cost decision.
+    val viaRollup = c.readDistinct("test", "sd", t0, t0 + 599, 300L)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    val viaRaw = c.readDistinct("test", "sd", t0, t0 + 599, 300L,
+      useRollups = false)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(viaRollup == viaRaw)
+    assert(viaRollup.map(_._2) == Seq(23L, 23L)) // exact at this scale
+    // misaligned coarse grid (not a multiple of 60) must fall back, not
+    // refuse: the client routes, only the store-level reader requires
+    // alignment
+    val misaligned = c.readDistinct("test", "sd", t0, t0 + 599, 90L)
+    assert(misaligned.collect().length > 0)
+  }
+
   test("parity helpers: metrics, lastDate, updateToken, configReload") {
     val c = freshClient()
     c.createSensor("d", "s", "1h", Seq(Seq("p"), Seq("q")))
