@@ -27,6 +27,39 @@ object PipeQueries {
   // of the held-out eval set
   private val BenchMod = 97
 
+  /** Shared end-to-end curation verdict frame: per doc, split label +
+    * quality / canonicality / span / decontamination verdicts + kept.
+    * Backs both the per-doc key and the per-source observability key.
+    */
+  private def curateFrame(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val q = Pipeline.qualityRules(d, "text")
+      .select(col("doc_id"), col("pass").as("q_pass"))
+    val h = d.select(col("doc_id"),
+      md5(lower(trim(col("text")))).as("ch"))
+    val canon = h.groupBy("ch").agg(min(col("doc_id")).as("cid"))
+    val isCanon = h.join(canon, "ch")
+      .select(col("doc_id"), (col("doc_id") === col("cid")).as("is_canonical"))
+    val span = graft.ext.Dedup.spanDupStats(d, "doc_id", "text", n = 8)
+      .select(col("doc_id"), col("keep").as("span_keep"))
+    val bench = d.filter(col("doc_id") % BenchMod === 0)
+    val corpus = d.filter(col("doc_id") % BenchMod =!= 0)
+    val clean = Pipeline
+      .decontaminateNgram(corpus, bench, "doc_id", "text", 5)
+      .select(col("doc_id"), lit(true).as("decont_ok"))
+    d.select(col("doc_id"),
+        when(col("doc_id") % BenchMod === 0, lit("eval"))
+          .otherwise(lit("train")).as("split"))
+      .join(q, "doc_id").join(isCanon, "doc_id").join(span, "doc_id")
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), col("q_pass"),
+        col("is_canonical"), col("span_keep"),
+        coalesce(col("decont_ok"), lit(false)).as("decontaminated"))
+      .withColumn("kept",
+        col("split") === "train" && col("q_pass") &&
+          col("is_canonical") && col("span_keep") && col("decontaminated"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Seasonal PROFILE decomposition: per (event_type, hour-of-day),
@@ -175,35 +208,28 @@ object PipeQueries {
     // and the final `kept` conjunction a curator ships. Every stage is
     // the same operator the standalone keys run; the composition costs
     // three broadcast-ish joins over per-doc verdict tables.
-    "pipeline_curate" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val q = Pipeline.qualityRules(d, "text")
-        .select(col("doc_id"), col("pass").as("q_pass"))
-      val h = d.select(col("doc_id"),
-        md5(lower(trim(col("text")))).as("ch"))
-      val canon = h.groupBy("ch").agg(min(col("doc_id")).as("cid"))
-      val isCanon = h.join(canon, "ch")
-        .select(col("doc_id"), (col("doc_id") === col("cid")).as("is_canonical"))
-      val span = graft.ext.Dedup.spanDupStats(d, "doc_id", "text", n = 8)
-        .select(col("doc_id"), col("keep").as("span_keep"))
-      val bench = d.filter(col("doc_id") % BenchMod === 0)
-      val corpus = d.filter(col("doc_id") % BenchMod =!= 0)
-      val clean = Pipeline
-        .decontaminateNgram(corpus, bench, "doc_id", "text", 5)
-        .select(col("doc_id"), lit(true).as("decont_ok"))
-      d.select(col("doc_id"),
-          when(col("doc_id") % BenchMod === 0, lit("eval"))
-            .otherwise(lit("train")).as("split"))
-        .join(q, "doc_id").join(isCanon, "doc_id").join(span, "doc_id")
-        .join(clean, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("split"), col("q_pass"),
-          col("is_canonical"), col("span_keep"),
-          coalesce(col("decont_ok"), lit(false)).as("decontaminated"))
-        .withColumn("kept",
-          col("split") === "train" && col("q_pass") &&
-            col("is_canonical") && col("span_keep") && col("decontaminated"))
-        .orderBy("doc_id")
-    }),
+    "pipeline_curate" -> ((s, dir) =>
+      curateFrame(s, dir).orderBy("doc_id")),
+
+    // Curation OBSERVABILITY: the per-source dashboard a corpus owner
+    // watches over the end-to-end curate verdicts — how much each
+    // source loses to each filter, and what survives. One doc-scale
+    // join (source label) + one tiny aggregation over the shared
+    // verdict frame.
+    "pipeline_stats_by_source" -> ((s, dir) =>
+      curateFrame(s, dir)
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("split") === "eval", 1)).as("n_eval"),
+          count(when(!col("q_pass"), 1)).as("n_quality_fail"),
+          count(when(!col("is_canonical"), 1)).as("n_noncanonical"),
+          count(when(!col("span_keep"), 1)).as("n_span_fail"),
+          count(when(col("split") === "train" && !col("decontaminated"), 1))
+            .as("n_contaminated"),
+          count(when(col("kept"), 1)).as("n_kept"))
+        .orderBy("source")),
 
     // Corpus-frequency quality scoring (the unigram-LM proxy in exact
     // integer math): per-doc OOV rate against the corpus's top-10
@@ -424,6 +450,87 @@ object PipeQueries {
 
   private val BaseCte = TsQueries.BaseCteSql
 
+  /** End-to-end curation verdict oracle (shared: the per-doc key uses
+    * it whole; the per-source observability key wraps it as a CTE and
+    * aggregates). */
+  private val CurateOracle: String =
+    s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), q AS (
+         |  SELECT doc_id,
+         |    (len(w) >= 50 AND len(w) <= 100000)
+         |    AND (CAST(length(array_to_string(w, '')) AS DOUBLE) / len(w) >= 3.0
+         |         AND CAST(length(array_to_string(w, '')) AS DOUBLE) / len(w) <= 10.0)
+         |    AND (CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.3)
+         |      AS q_pass
+         |  FROM w
+         |), h AS (
+         |  SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents
+         |), canon AS (
+         |  SELECT ch, min(doc_id) AS cid FROM h GROUP BY ch
+         |), sg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w) - 6),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+         |           w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+         |           w[i+6] || ' ' || w[i+7])) AS gram
+         |  FROM w WHERE len(w) >= 8
+         |), pos AS (
+         |  SELECT doc_id, gram, count(*) AS positions
+         |  FROM sg GROUP BY doc_id, gram
+         |), dupg AS (
+         |  SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2
+         |), spa AS (
+         |  SELECT t.doc_id,
+         |    CAST(coalesce(u.n_dup, 0) AS BIGINT) AS n_dup,
+         |    CAST(t.n_grams AS BIGINT) AS n_grams
+         |  FROM (SELECT doc_id, sum(positions) AS n_grams FROM pos
+         |        GROUP BY doc_id) t
+         |  LEFT JOIN (SELECT doc_id, sum(positions) AS n_dup
+         |             FROM pos JOIN dupg USING (gram) GROUP BY doc_id) u
+         |    USING (doc_id)
+         |), span AS (
+         |  SELECT d.doc_id,
+         |    (spa.n_grams IS NULL OR
+         |     floor(spa.n_dup / spa.n_grams * 1000000) / 1000000 <= 0.5)
+         |      AS span_keep
+         |  FROM documents d LEFT JOIN spa USING (doc_id)
+         |), g5 AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(w) - 3),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+         |           w[i+3] || ' ' || w[i+4])) AS shingle
+         |  FROM w WHERE len(w) >= 5
+         |), bench5 AS (
+         |  SELECT DISTINCT shingle FROM g5 WHERE doc_id % $BenchMod = 0
+         |), bad AS (
+         |  SELECT DISTINCT doc_id FROM g5 JOIN bench5 USING (shingle)
+         |  WHERE doc_id % $BenchMod <> 0
+         |)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % $BenchMod = 0 THEN 'eval' ELSE 'train' END
+         |    AS split,
+         |  q.q_pass,
+         |  (d.doc_id = c.cid) AS is_canonical,
+         |  span.span_keep,
+         |  (d.doc_id % $BenchMod <> 0 AND
+         |   d.doc_id NOT IN (SELECT doc_id FROM bad)) AS decontaminated,
+         |  (d.doc_id % $BenchMod <> 0 AND q.q_pass AND (d.doc_id = c.cid)
+         |   AND span.span_keep AND
+         |   d.doc_id NOT IN (SELECT doc_id FROM bad)) AS kept
+         |FROM documents d
+         |JOIN q USING (doc_id)
+         |JOIN h USING (doc_id)
+         |JOIN canon c ON c.ch = h.ch
+         |JOIN span USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+
+  /** [[CurateOracle]] without its final ORDER BY — legal inside a CTE
+    * (DuckDB rejects ORDER BY in a CTE used by an aggregate anyway,
+    * and the wrapper imposes its own total order). */
+  private val CurateOracleBody: String =
+    CurateOracle.stripSuffix("\nORDER BY d.doc_id")
+
   def oracle: Map[String, String] = Map(
 
     "decontaminate_ngram" ->
@@ -622,77 +729,23 @@ object PipeQueries {
         |        * 1000000) / 1000000 <= 0.4 AS r_repetition
         |FROM g ORDER BY doc_id""".stripMargin,
 
-    "pipeline_curate" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-         |), q AS (
-         |  SELECT doc_id,
-         |    (len(w) >= 50 AND len(w) <= 100000)
-         |    AND (CAST(length(array_to_string(w, '')) AS DOUBLE) / len(w) >= 3.0
-         |         AND CAST(length(array_to_string(w, '')) AS DOUBLE) / len(w) <= 10.0)
-         |    AND (CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.3)
-         |      AS q_pass
-         |  FROM w
-         |), h AS (
-         |  SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents
-         |), canon AS (
-         |  SELECT ch, min(doc_id) AS cid FROM h GROUP BY ch
-         |), sg AS (
-         |  SELECT doc_id,
-         |    unnest(list_transform(range(1, len(w) - 6),
-         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-         |           w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
-         |           w[i+6] || ' ' || w[i+7])) AS gram
-         |  FROM w WHERE len(w) >= 8
-         |), pos AS (
-         |  SELECT doc_id, gram, count(*) AS positions
-         |  FROM sg GROUP BY doc_id, gram
-         |), dupg AS (
-         |  SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2
-         |), spa AS (
-         |  SELECT t.doc_id,
-         |    CAST(coalesce(u.n_dup, 0) AS BIGINT) AS n_dup,
-         |    CAST(t.n_grams AS BIGINT) AS n_grams
-         |  FROM (SELECT doc_id, sum(positions) AS n_grams FROM pos
-         |        GROUP BY doc_id) t
-         |  LEFT JOIN (SELECT doc_id, sum(positions) AS n_dup
-         |             FROM pos JOIN dupg USING (gram) GROUP BY doc_id) u
-         |    USING (doc_id)
-         |), span AS (
-         |  SELECT d.doc_id,
-         |    (spa.n_grams IS NULL OR
-         |     floor(spa.n_dup / spa.n_grams * 1000000) / 1000000 <= 0.5)
-         |      AS span_keep
-         |  FROM documents d LEFT JOIN spa USING (doc_id)
-         |), g5 AS (
-         |  SELECT DISTINCT doc_id,
-         |    unnest(list_transform(range(1, len(w) - 3),
-         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-         |           w[i+3] || ' ' || w[i+4])) AS shingle
-         |  FROM w WHERE len(w) >= 5
-         |), bench5 AS (
-         |  SELECT DISTINCT shingle FROM g5 WHERE doc_id % $BenchMod = 0
-         |), bad AS (
-         |  SELECT DISTINCT doc_id FROM g5 JOIN bench5 USING (shingle)
-         |  WHERE doc_id % $BenchMod <> 0
+    "pipeline_curate" -> CurateOracle,
+
+    "pipeline_stats_by_source" ->
+      s"""WITH verdicts AS (
+         |${CurateOracleBody}
          |)
-         |SELECT d.doc_id,
-         |  CASE WHEN d.doc_id % $BenchMod = 0 THEN 'eval' ELSE 'train' END
-         |    AS split,
-         |  q.q_pass,
-         |  (d.doc_id = c.cid) AS is_canonical,
-         |  span.span_keep,
-         |  (d.doc_id % $BenchMod <> 0 AND
-         |   d.doc_id NOT IN (SELECT doc_id FROM bad)) AS decontaminated,
-         |  (d.doc_id % $BenchMod <> 0 AND q.q_pass AND (d.doc_id = c.cid)
-         |   AND span.span_keep AND
-         |   d.doc_id NOT IN (SELECT doc_id FROM bad)) AS kept
-         |FROM documents d
-         |JOIN q USING (doc_id)
-         |JOIN h USING (doc_id)
-         |JOIN canon c ON c.ch = h.ch
-         |JOIN span USING (doc_id)
-         |ORDER BY d.doc_id""".stripMargin,
+         |SELECT d.source, count(*) AS n_docs,
+         |  count(CASE WHEN v.split = 'eval' THEN 1 END) AS n_eval,
+         |  count(CASE WHEN NOT v.q_pass THEN 1 END) AS n_quality_fail,
+         |  count(CASE WHEN NOT v.is_canonical THEN 1 END) AS n_noncanonical,
+         |  count(CASE WHEN NOT v.span_keep THEN 1 END) AS n_span_fail,
+         |  count(CASE WHEN v.split = 'train' AND NOT v.decontaminated
+         |        THEN 1 END) AS n_contaminated,
+         |  count(CASE WHEN v.kept THEN 1 END) AS n_kept
+         |FROM verdicts v JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
 
     "quality_vocab" ->
       """WITH tok AS (
