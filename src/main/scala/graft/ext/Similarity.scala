@@ -381,6 +381,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact top-k by MAXIMUM INNER PRODUCT (not cosine) — the retrieval
+    * objective when embeddings carry learned magnitudes (recommender /
+    * two-tower scores). Same TakeOrdered shape as [[topK]].
+    */
+  def mipsTopK(df: DataFrame, idCol: String, vecCol: String, query: Column,
+               k: Int): DataFrame =
+    df.select(col(idCol), round(dot(col(vecCol), query), 6).as("ip"))
+      .orderBy(col("ip").desc, col(idCol))
+      .limit(k)
+
+  /** MIPS → cosine reduction (Bachrach et al. 2014, public): append
+    * `sqrt(M² − ‖x‖²)` to each corpus vector (M = max corpus norm) and
+    * `0` to the query — every augmented vector has norm M, so cosine
+    * order against the augmented query EQUALS inner-product order on
+    * the originals. This is what makes the whole cosine-ANN toolbox
+    * (LSH buckets, IVF cells, int8-SQ) reusable for MIPS at 100 TB:
+    * augment once at index-build time, then any cosine index answers
+    * MIPS queries. M is a 1-row aggregate broadcast; the augmentation
+    * is one narrow projection. MipsSpec pins rank equality vs
+    * [[mipsTopK]].
+    */
+  def mipsTopKAugmented(df: DataFrame, idCol: String, vecCol: String,
+                        query: Column, k: Int): DataFrame = {
+    val m2 = df.agg(max(dot(col(vecCol), col(vecCol))).as("m2"))
+    val aug = df.crossJoin(broadcast(m2))
+      .withColumn("__aug",
+        concat(col(vecCol).cast("array<double>"),
+          array(sqrt(greatest(col("m2") - dot(col(vecCol), col(vecCol)),
+            lit(0d))))))
+    val qAug = concat(query.cast("array<double>"), array(lit(0d)))
+    aug.select(col(idCol),
+        round(cosine(col("__aug"), qAug), 6).as("sim"),
+        round(dot(col(vecCol), query), 6).as("ip"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** ANN: probe the query's LSH bucket, rank by exact cosine. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String, query: Column,
               planes: Int, dim: Int, k: Int): DataFrame = {

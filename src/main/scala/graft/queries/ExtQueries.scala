@@ -501,6 +501,41 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // MAXIMUM-INNER-PRODUCT top-k — the retrieval objective when
+    // embeddings carry learned magnitudes. Brute exact here; the scale
+    // path is the Bachrach norm-augmentation reduction
+    // (Similarity.mipsTopKAugmented, MipsSpec-pinned rank-equal),
+    // which lets every cosine index (LSH/IVF/SQ) serve MIPS.
+    "similar_mips_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.mipsTopK(
+        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", col("qvec"), 10)
+    }),
+
+    // Deterministic frame sampling over multimodal payloads: 4 evenly
+    // spaced byte offsets per media (the partition/batch shape a video
+    // frame sampler uses) + the stubbed "decoded" first byte at each
+    // offset. Pure narrow explode over integer arithmetic on metadata —
+    // zero shuffles; swap the stub for a real codec and the plumbing
+    // (schema, explode, batching) is unchanged.
+    "multimodal_frame_sample" -> ((s, dir) => {
+      val media = Multimodal.asMedia(docs(s, dir), "doc_id", "text")
+      Multimodal.frameOffsets(media, 4)
+        .select(col("media_id"),
+          posexplode(col("frame_offsets")).as(Seq("frame_idx", "offset")))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("offset"))
+        .join(docs(s, dir).select(col("doc_id").as("media_id"), col("text")),
+          "media_id")
+        .select(col("media_id"), col("frame_idx"), col("offset"),
+          coalesce(ascii(col("text").substr(
+            (col("offset") + 1).cast("int"), lit(1))), lit(0)).cast("long")
+            .as("frame_byte"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     "similar_topk_cosine" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -1227,6 +1262,28 @@ object ExtQueries {
          |FROM embeddings e CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "similar_mips_topk" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  round(${dotSql("e.embedding", "q.qvec")}, 6) AS ip
+         |FROM embeddings e CROSS JOIN q
+         |WHERE e.vec_id <> 0
+         |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin,
+
+    "multimodal_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |    greatest(octet_length(encode(text)), 1) AS len
+        |  FROM documents
+        |)
+        |SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST((i * len) // 4 AS BIGINT) AS offset,
+        |  CAST(coalesce(ascii(substr(text,
+        |    CAST((i * len) // 4 AS INTEGER) + 1, 1)), 0) AS BIGINT)
+        |    AS frame_byte
+        |FROM m, unnest(range(0, 4)) AS u(i)
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "similar_range_search" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)

@@ -90,6 +90,39 @@ object PipeQueries {
         .orderBy("event_type", "hour")
     }),
 
+    // SEASONALLY-ADJUSTED anomaly detection: z-score of each event
+    // against its OWN (event_type, hour-of-day) population — a value
+    // normal at 2 p.m. but wild at 4 a.m. is flagged where the plain
+    // z-score washes it out against the all-day mix. Moments are exact
+    // decimal sums per seasonal cell (squares multiplied IN decimal —
+    // no derived-double cast anywhere); one fixed-shape float pipeline
+    // scores, |z| > 3 flags. Two hash aggregations + one cell-key join.
+    "ts_anomaly_seasonal" -> ((s, dir) => {
+      val dec = DecimalType(18, 6)
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          expr("(sec % 86400) div 3600").as("hour"), col("value"))
+      val guarded = when(abs(col("value")) < lit(1e12), col("value"))
+      val x = guarded.cast(dec)
+      val cells = b.groupBy("event_type", "hour")
+        .agg(count(guarded).as("rn"),
+          sum(x).cast("double").as("sx"),
+          sum(x * x).cast("double").as("sxx"))
+      val n = col("rn").cast("double")
+      val variance = greatest(
+        (col("sxx") - col("sx") * col("sx") / n) / n, lit(0d))
+      b.join(cells, Seq("event_type", "hour"))
+        .withColumn("z",
+          when(col("rn") >= 2 && sqrt(variance) > 0,
+            graft.ext.TextStats.trunc6(
+              (col("value") - col("sx") / n) / sqrt(variance))))
+        .filter(abs(col("z")) > 3)
+        .select(col("event_id"), col("event_type"), col("hour"),
+          col("value"), col("z"))
+        .orderBy("event_id")
+    }),
+
     // First-order Markov transition table over each user's event
     // sequence: P(next event type | previous) with exact counts — the
     // behavioral-model / next-event-prediction staple. ONE lag window
@@ -552,6 +585,35 @@ object PipeQueries {
          |WHERE doc_id % $BenchMod <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM bad)
          |ORDER BY doc_id""".stripMargin,
+
+    "ts_anomaly_seasonal" -> {
+      val n = "CAST(rn AS DOUBLE)"
+      val variance =
+        s"greatest((sxx - sx * sx / $n) / $n, CAST(0.0 AS DOUBLE))"
+      s"""$BaseCte, b AS (
+         |  SELECT event_id, event_type, (sec % 86400) // 3600 AS hour, value
+         |  FROM base WHERE value IS NOT NULL
+         |), cells AS (
+         |  SELECT event_type, hour,
+         |    count(CASE WHEN abs(value) < 1e12 THEN value END) AS rn,
+         |    CAST(sum(CAST(CASE WHEN abs(value) < 1e12 THEN value END
+         |                  AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(CASE WHEN abs(value) < 1e12 THEN value END
+         |                  AS DECIMAL(18,6))
+         |           * CAST(CASE WHEN abs(value) < 1e12 THEN value END
+         |                  AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+         |  FROM b GROUP BY event_type, hour
+         |), scored AS (
+         |  SELECT b.event_id, b.event_type, b.hour, b.value,
+         |    CASE WHEN rn >= 2 AND sqrt($variance) > 0
+         |         THEN floor((value - sx / $n) / sqrt($variance)
+         |                * 1000000) / 1000000 END AS z
+         |  FROM b JOIN cells USING (event_type, hour)
+         |)
+         |SELECT event_id, event_type, hour, value, z
+         |FROM scored WHERE abs(z) > 3
+         |ORDER BY event_id""".stripMargin
+    },
 
     "ts_seasonal_profile" ->
       s"""$BaseCte, b AS (
