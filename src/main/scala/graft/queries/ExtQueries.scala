@@ -514,6 +514,39 @@ object ExtQueries {
         "vec_id", "embedding", col("qvec"), 10)
     }),
 
+    // MIPS recall THROUGH a cosine index — the measured close of the
+    // similar_mips_topk story: norm-augment the corpus (Bachrach
+    // reduction), int8-SQ quantize the AUGMENTED vectors, coarse
+    // top-20 by cosine on the reconstruction, and report how many of
+    // the exact MIPS top-5 survive. Proves the reduction composes with
+    // a real compressed-domain index, with the recall measured rather
+    // than assumed (the MIPS analog of similar_sq_recall).
+    "similar_mips_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val corpus = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+      val m2 = corpus.agg(
+        max(Similarity.dot(col("embedding"), col("embedding"))).as("m2"))
+      val aug = corpus.crossJoin(broadcast(m2))
+        .withColumn("avec", concat(col("embedding").cast("array<double>"),
+          array(sqrt(greatest(col("m2")
+            - Similarity.dot(col("embedding"), col("embedding")), lit(0d))))))
+        .withColumn("aqvec",
+          concat(col("qvec").cast("array<double>"), array(lit(0d))))
+      val coarse = Similarity.sqReconstruct(aug, "vec_id", "avec")
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("rvec"), col("aqvec")), 6).as("sim_sq"))
+        .orderBy(col("sim_sq").desc, col("vec_id")).limit(20)
+      val exact = corpus
+        .select(col("vec_id"),
+          round(Similarity.dot(col("embedding"), col("qvec")), 6).as("ip"))
+        .orderBy(col("ip").desc, col("vec_id")).limit(5)
+      exact.join(coarse, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("k_exact"), count(col("sim_sq")).as("n_in_coarse"))
+        .select(col("k_exact"), col("n_in_coarse"),
+          TextStats.trunc6(col("n_in_coarse") / col("k_exact")).as("recall"))
+    }),
+
     // Deterministic frame sampling over multimodal payloads: 4 evenly
     // spaced byte offsets per media (the partition/batch shape a video
     // frame sampler uses) + the stubbed "decoded" first byte at each
@@ -1270,6 +1303,48 @@ object ExtQueries {
          |FROM embeddings e CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin,
+
+    "similar_mips_recall" ->
+      s"""WITH corp AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+         |), q AS (
+         |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+         |), m AS (
+         |  SELECT max(${dotSql("embedding", "embedding")}) AS m2 FROM corp
+         |), augc AS (
+         |  SELECT vec_id, list_append(
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         |    sqrt(greatest(m2 - (${dotSql("embedding", "embedding")}),
+         |      CAST(0.0 AS DOUBLE)))) AS avec
+         |  FROM corp CROSS JOIN m
+         |), aq AS (
+         |  SELECT list_append(list_transform(qvec, x -> CAST(x AS DOUBLE)),
+         |    CAST(0.0 AS DOUBLE)) AS aqvec FROM q
+         |), ex AS (
+         |  SELECT vec_id, i, CAST(avec[i] AS DOUBLE) AS v
+         |  FROM augc, unnest(range(1, len(avec) + 1)) AS t(i)
+         |), rg AS (
+         |  SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY i
+         |), rec AS (
+         |  SELECT vec_id, list(CASE WHEN mx > mn THEN
+         |      mn + ((least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+         |              floor(((v - mn) / (mx - mn)) * 255))) + 0.5)
+         |            / 256.0) * (mx - mn)
+         |    ELSE mn END ORDER BY i) AS rvec
+         |  FROM ex JOIN rg USING (i) GROUP BY vec_id
+         |), coarse AS (
+         |  SELECT vec_id, round(${cosineSql("rvec", "aqvec")}, 6) AS sim_sq
+         |  FROM rec CROSS JOIN aq
+         |  ORDER BY sim_sq DESC, vec_id LIMIT 20
+         |), exact AS (
+         |  SELECT vec_id, round(${dotSql("embedding", "qvec")}, 6) AS ip
+         |  FROM corp CROSS JOIN q
+         |  ORDER BY ip DESC, vec_id LIMIT 5
+         |)
+         |SELECT count(*) AS k_exact,
+         |  count(c.sim_sq) AS n_in_coarse,
+         |  floor((count(c.sim_sq) / count(*)) * 1000000) / 1000000 AS recall
+         |FROM exact e LEFT JOIN coarse c USING (vec_id)""".stripMargin,
 
     "multimodal_frame_sample" ->
       """WITH m AS (

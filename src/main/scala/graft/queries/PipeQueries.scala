@@ -123,6 +123,116 @@ object PipeQueries {
         .orderBy("event_id")
     }),
 
+    // SEQUENCE PACKING for training batches: docs concatenated in
+    // deterministic (source, doc_id) order and chunked into fixed
+    // 512-token bins — the concat-then-chunk shape an LLM batch
+    // builder uses. Per doc: its token span's start offset and the
+    // bins it lands in. Pure integer prefix sums — one shuffle on
+    // source + a per-partition sort; a skewed mega-source can be
+    // range-subsplit because prefix sums compose (two-pass), but the
+    // per-source window is the right default shape.
+    "text_pack_sequences" -> ((s, dir) => {
+      val B = 512L
+      val t = docs(s, dir).select(col("source"), col("doc_id"),
+        graft.ext.TextStats.wsTokens(col("text")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.withColumn("start_offset",
+          coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("bin_first", expr(s"start_offset div $B"))
+        .withColumn("bin_last",
+          expr(s"(start_offset + n_tokens - 1) div $B"))
+        .withColumn("n_bins", col("bin_last") - col("bin_first") + 1)
+        .orderBy("doc_id")
+    }),
+
+    // KEY-SKEW observability on the events stream: per event type, how
+    // concentrated the per-user key distribution is (max/mean ratio +
+    // the hottest key). This is the diagnostic you run BEFORE choosing
+    // a salting factor for the hot-key aggregation (events_salted_sum
+    // is the remedy; this is the detector). Two map-side-combinable
+    // hash aggregations; the argmax is a struct max — no second pass,
+    // ties broken to the smallest user_id via negated key.
+    "events_key_skew" -> ((s, dir) => {
+      val per = TsQueries.base(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      per.groupBy("event_type")
+        .agg(sum("c").as("n_events"), count(lit(1)).as("n_keys"),
+          max(struct(col("c").as("c"), (-col("user_id")).as("nu"))).as("m"))
+        .select(col("event_type"), col("n_events"), col("n_keys"),
+          col("m.c").as("max_per_key"), (-col("m.nu")).as("hot_user"),
+          graft.ext.TextStats.trunc6(
+            col("n_events").cast("double") / col("n_keys"))
+            .as("avg_per_key"),
+          graft.ext.TextStats.trunc6(
+            (col("m.c") * col("n_keys")).cast("double") / col("n_events"))
+            .as("skew_ratio"))
+        .orderBy("event_type")
+    }),
+
+    // LEVEL-SHIFT (changepoint) detection: at each event, compare the
+    // mean of the 12 rows before against the 12 rows from here on —
+    // the two-window mean-shift test that needs no recursion (CUSUM
+    // does; this is the window-expressible variant). Exact decimal
+    // window sums → one fixed-shape float pipeline; full windows only;
+    // top-50 by |shift|. Per-type windows — distributed by key.
+    "ts_level_shift" -> ((s, dir) => {
+      val k = 12
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && abs(col("value")) < lit(1e12))
+        .select(col("event_id"), col("event_type"), col("sec"),
+          col("value"))
+      val ord = Window.partitionBy("event_type").orderBy("sec", "event_id")
+      val wl = ord.rowsBetween(-k, -1)
+      val wr = ord.rowsBetween(0, k - 1)
+      val x = col("value").cast(Dec)
+      val scored = b
+        .withColumn("cl", count(lit(1)).over(wl))
+        .withColumn("cr", count(lit(1)).over(wr))
+        .withColumn("sl", sum(x).over(wl).cast("double"))
+        .withColumn("sr", sum(x).over(wr).cast("double"))
+        .filter(col("cl") === k && col("cr") === k)
+        .withColumn("shift", graft.ext.TextStats.trunc6(
+          col("sr") / k - col("sl") / k))
+      scored.select(col("event_id"), col("event_type"), col("sec"),
+          col("value"), col("shift"))
+        .orderBy(abs(col("shift")).desc, col("event_id"))
+        .limit(50)
+    }),
+
+    // Lag-1 AUTOCORRELATION per event type — the forecasting primitive
+    // (is the series momentum-y or mean-reverting?) behind model choice
+    // for q6_forecast/ts_seasonal_naive. The estimator is expanded into
+    // pure SUMS (Σx, Σx², Σx·x_next, head/tail sums) so every
+    // accumulation is an exact decimal aggregate; the only float math
+    // is one fixed-shape expression per group at the end. ONE lead
+    // window + ONE hash aggregation, distributed by type.
+    "ts_autocorr" -> ((s, dir) => {
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && abs(col("value")) < lit(1e12))
+        .select(col("event_type"), col("sec"), col("event_id"), col("value"))
+      val ord = Window.partitionBy("event_type").orderBy("sec", "event_id")
+      val p = b.withColumn("xnext", lead(col("value"), 1).over(ord))
+      val x = col("value").cast(Dec)
+      val xn = col("xnext").cast(Dec)
+      val agg = p.groupBy("event_type").agg(
+        count(col("value")).as("n"),
+        sum(x).cast("double").as("s"),
+        sum(x * x).cast("double").as("ss"),
+        count(col("xnext")).as("n1"),
+        sum(when(col("xnext").isNotNull, x * xn)).cast("double").as("c"),
+        sum(when(col("xnext").isNotNull, x)).cast("double").as("sh"),
+        sum(xn).cast("double").as("st"))
+      val mean = col("s") / col("n").cast("double")
+      val den = col("ss") - col("n").cast("double") * mean * mean
+      val num = col("c") - mean * (col("sh") + col("st")) +
+        col("n1").cast("double") * mean * mean
+      agg.select(col("event_type"), col("n"),
+          when(col("n") >= 2 && den > 0,
+            graft.ext.TextStats.trunc6(num / den)).as("r1"))
+        .orderBy("event_type")
+    }),
+
     // First-order Markov transition table over each user's event
     // sequence: P(next event type | previous) with exact counts — the
     // behavioral-model / next-event-prediction staple. ONE lag window
@@ -613,6 +723,107 @@ object PipeQueries {
          |SELECT event_id, event_type, hour, value, z
          |FROM scored WHERE abs(z) > 3
          |ORDER BY event_id""".stripMargin
+    },
+
+    "text_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), s AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_offset
+        |  FROM t
+        |)
+        |SELECT source, doc_id, n_tokens, start_offset,
+        |  start_offset // 512 AS bin_first,
+        |  (start_offset + n_tokens - 1) // 512 AS bin_last,
+        |  (start_offset + n_tokens - 1) // 512
+        |    - start_offset // 512 + 1 AS n_bins
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "events_key_skew" ->
+      """WITH per AS (
+        |  SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+        |    count(*) AS n_keys, max(c) AS max_per_key
+        |  FROM per GROUP BY 1
+        |), hot AS (
+        |  SELECT p.event_type, min(p.user_id) AS hot_user
+        |  FROM per p JOIN agg a
+        |    ON p.event_type = a.event_type AND p.c = a.max_per_key
+        |  GROUP BY 1
+        |)
+        |SELECT a.event_type, n_events, n_keys, max_per_key, hot_user,
+        |  floor(CAST(n_events AS DOUBLE) / n_keys * 1000000)
+        |    / 1000000 AS avg_per_key,
+        |  floor(CAST(max_per_key * n_keys AS DOUBLE) / n_events * 1000000)
+        |    / 1000000 AS skew_ratio
+        |FROM agg a JOIN hot USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    "ts_level_shift" ->
+      s"""$BaseCte, b AS (
+         |  SELECT event_id, event_type, sec, value FROM base
+         |  WHERE value IS NOT NULL AND abs(value) < 1e12
+         |), scored AS (
+         |  SELECT event_id, event_type, sec, value,
+         |    count(*) OVER (PARTITION BY event_type ORDER BY sec, event_id
+         |      ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS cl,
+         |    count(*) OVER (PARTITION BY event_type ORDER BY sec, event_id
+         |      ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS cr,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+         |      PARTITION BY event_type ORDER BY sec, event_id
+         |      ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS sl,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+         |      PARTITION BY event_type ORDER BY sec, event_id
+         |      ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS DOUBLE) AS sr
+         |  FROM b
+         |)
+         |SELECT event_id, event_type, sec, value,
+         |  floor((sr / 12 - sl / 12) * 1000000) / 1000000 AS shift
+         |FROM scored WHERE cl = 12 AND cr = 12
+         |ORDER BY abs(floor((sr / 12 - sl / 12) * 1000000) / 1000000) DESC,
+         |  event_id LIMIT 50""".stripMargin,
+
+    "ts_autocorr" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val mean = s"s / $nD"
+      s"""$BaseCte, b AS (
+         |  SELECT event_type, sec, event_id, value FROM base
+         |  WHERE value IS NOT NULL AND abs(value) < 1e12
+         |), p AS (
+         |  SELECT event_type, value,
+         |    lead(value) OVER (PARTITION BY event_type
+         |      ORDER BY sec, event_id) AS xnext
+         |  FROM b
+         |), agg AS (
+         |  SELECT event_type,
+         |    count(value) AS n,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))
+         |           * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ss,
+         |    count(xnext) AS n1,
+         |    CAST(sum(CASE WHEN xnext IS NOT NULL
+         |      THEN CAST(value AS DECIMAL(18,6))
+         |         * CAST(xnext AS DECIMAL(18,6)) END) AS DOUBLE) AS c,
+         |    CAST(sum(CASE WHEN xnext IS NOT NULL
+         |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sh,
+         |    CAST(sum(CAST(xnext AS DECIMAL(18,6))) AS DOUBLE) AS st
+         |  FROM p GROUP BY 1
+         |)
+         |SELECT event_type, n,
+         |  CASE WHEN n >= 2 AND ss - $nD * ($mean) * ($mean) > 0
+         |    THEN floor((c - ($mean) * (sh + st) + CAST(n1 AS DOUBLE)
+         |           * ($mean) * ($mean))
+         |         / (ss - $nD * ($mean) * ($mean)) * 1000000) / 1000000
+         |  END AS r1
+         |FROM agg ORDER BY event_type""".stripMargin
     },
 
     "ts_seasonal_profile" ->

@@ -346,4 +346,51 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected window+sort exchanges only, got $exchanges:\n$p")
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("sequence packing is one per-source window — no join, two exchanges") {
+    val p = plan("text_pack_sequences")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), s"packing must not join:\n$p")
+    // prefix-sum window exchange (hash on source) + the output sort only
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected window+sort exchanges only, got $exchanges:\n$p")
+  }
+
+  test("key-skew detector is two hash aggregations — the argmax never joins") {
+    val p = plan("events_key_skew")
+    assert(!p.contains("Join"), s"argmax grew a join:\n$p")
+    assert(p.contains("HashAggregate"), p)
+    // (type,user) agg + type agg + output sort
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected two agg exchanges + sort, got $exchanges:\n$p")
+  }
+
+  test("level shift: both window frames share one exchange; top-50 is TakeOrdered") {
+    val p = plan("ts_level_shift")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 cut is a global sort, not TakeOrdered:\n$p")
+    assert(!p.contains("Join"), s"level shift must not join:\n$p")
+    // the four frame aggregates all partition by event_type and order by
+    // (sec, event_id): one hash exchange total
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"window frames split exchanges, got $exchanges:\n$p")
+  }
+
+  test("autocorr reuses the lead-window partitioning for the moment agg") {
+    val p = plan("ts_autocorr")
+    // lead window hash-partitions on event_type; the groupBy(event_type)
+    // satisfies its distribution from the same exchange — one hash
+    // exchange + the output sort only
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 2, s"agg re-shuffled after the window, got $exchanges:\n$p")
+    assert(p.contains("Window") && p.contains("HashAggregate"), p)
+  }
+
+  test("MIPS top-k: native arraydot, TakeOrdered cut, no corpus shuffle") {
+    val p = plan("similar_mips_topk")
+    assert(p.contains("arraydot"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"),
+      s"MIPS scan grew a shuffle:\n$p")
+  }
 }
