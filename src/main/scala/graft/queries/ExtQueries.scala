@@ -514,6 +514,36 @@ object ExtQueries {
         "vec_id", "embedding", col("qvec"), 10)
     }),
 
+    // ZIPF-SLOPE fit over the top-1000 token frequencies — the
+    // vocabulary-curation diagnostic (a healthy natural-language corpus
+    // sits near alpha ~ 1; boilerplate/code-heavy mixes drift). The
+    // corpus-scale work is one hash aggregation + a TakeOrdered
+    // top-1000 cut; the regression itself runs over those 1000 rows.
+    // Float portability: each log is cast to DECIMAL(18,12) so the
+    // cross-row moment sums are exact decimal (the doc_unigram_logprob
+    // recipe); the slope is one fixed-shape float expression at the end.
+    "doc_zipf_alpha" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(18, 12)
+      val tok = docs(s, dir).select(explode(split(col("text"), " ")).as("w"))
+      val top = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(1000)
+      val ranked = top.withColumn("r",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      val agg = ranked
+        .select(log(col("r").cast("double")).cast(dec).as("x"),
+          log(col("c").cast("double")).cast(dec).as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"))
+      val nD = col("n").cast("double")
+      val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+        (nD * col("sxx") - col("sx") * col("sx"))
+      agg.select(col("n"), TextStats.trunc6(-slope).as("alpha"))
+    }),
+
     // MIPS recall THROUGH a cosine index — the measured close of the
     // similar_mips_topk story: norm-augment the corpus (Bachrach
     // reduction), int8-SQ quantize the AUGMENTED vectors, coarse
@@ -1303,6 +1333,32 @@ object ExtQueries {
          |FROM embeddings e CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin,
+
+    "doc_zipf_alpha" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |), cnt AS (
+        |  SELECT w, count(*) AS c FROM tok GROUP BY w
+        |), top AS (
+        |  SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 1000
+        |), rk AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM top
+        |), xy AS (
+        |  SELECT CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+        |         CAST(ln(CAST(c AS DOUBLE)) AS DECIMAL(18,12)) AS y
+        |  FROM rk
+        |), agg AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx
+        |  FROM xy
+        |)
+        |SELECT n,
+        |  floor((-((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n AS DOUBLE) * sxx - sx * sx))) * 1000000)
+        |    / 1000000 AS alpha
+        |FROM agg""".stripMargin,
 
     "similar_mips_recall" ->
       s"""WITH corp AS (
