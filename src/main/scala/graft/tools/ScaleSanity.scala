@@ -50,7 +50,12 @@ object ScaleSanity {
       "ts_ewma", "events_quantiles_interp", "downsample_lttb",
       "asof_join_nearest",
       // round-6 events-substrate operators:
-      "events_winsorize", "events_heavy_hitters_mg")
+      "events_winsorize", "events_heavy_hitters_mg",
+      "events_markov_transitions", "ts_seasonal_profile",
+      // round-6 late additions — seasonal cells, key-skew argmax,
+      // shared-exchange window frames, lead-window moment sums:
+      "ts_anomaly_seasonal", "events_key_skew", "ts_level_shift",
+      "ts_autocorr")
     val rows = picks.map { q =>
       val f = graft.SparkEntry.queries(q)
       val t1 = time(f(spark, "/root/testdata/sf0.1").count())
@@ -88,7 +93,11 @@ object ScaleSanity {
       // round-6 linear doc passes (pair-emitting ops excluded — their
       // OUTPUT is quadratic in duplicate-group size by definition):
       "decontaminate_overlap_frac", "doc_unigram_logprob",
-      "dedup_incremental_near")
+      "dedup_incremental_near",
+      // round-6 late additions — prefix-sum packing, PMI counts,
+      // top-1000 Zipf cut, zero-shuffle frame sampling:
+      "text_pack_sequences", "doc_collocations_pmi", "doc_zipf_alpha",
+      "multimodal_frame_sample")
     val docRatios = docPicks.map { q =>
       val f = graft.SparkEntry.queries(q)
       val t1 = time(f(spark, "/root/testdata/sf0.1").count())
