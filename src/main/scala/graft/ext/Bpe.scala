@@ -94,4 +94,33 @@ object Bpe {
     }
     merges
   }
+
+  /** ENCODE with a learned merge table — the apply half of the
+    * tokenizer lifecycle (fit → encode). The merge table is a bounded
+    * model artifact (`steps` rows, like a centroid set), so collecting
+    * it and fusing the rules into ONE replace-chain projection is the
+    * distributed-correct move: the words side runs a single narrow
+    * codegen'd pass — no join, no shuffle — which is the shape that
+    * encodes 100 TB. Rules apply in training order (step ASC), the
+    * same greedy left-to-right semantics fit() itself used. Output:
+    * the input rows plus `tokens` (unwrapped symbol array) and
+    * `n_tokens`. Same U+00B7 sentinel contract as [[fit]].
+    */
+  def encode(words: DataFrame, wordCol: String,
+             merges: DataFrame): DataFrame = {
+    val nBad = words.filter(col(wordCol).contains("·")).limit(1).count()
+    require(nBad == 0L,
+      "Bpe.encode: input contains the U+00B7 sentinel character; " +
+        "pre-escape it before encoding (see Bpe.fit Scaladoc)")
+    val rules = merges.orderBy(col("step"))
+      .select("left_sym", "right_sym", "merged").collect()
+    val seg = rules.foldLeft(segment0(col(wordCol))) { (acc, r) =>
+      replace(acc, lit(r.getString(0) + " " + r.getString(1)),
+        lit(r.getString(2)))
+    }
+    words.filter(length(col(wordCol)) > 0)
+      .withColumn("tokens",
+        transform(split(seg, " "), t => regexp_replace(t, "·", "")))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
 }

@@ -78,6 +78,51 @@ object Similarity {
       when(s >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
+  /** Plane-index offset for [[rpProject]]: keeps the projection planes
+    * DISJOINT from the LSH planes (0 until planes) so bucketing and
+    * projection stay statistically independent index families.
+    */
+  private val RpPlaneOffset = 100
+
+  /** Johnson–Lindenstrauss-style random projection to `outDim` dims:
+    * y_j = Σ_d w(RpPlaneOffset+j, d) · x_d — the same deterministic
+    * md5-nibble plane construction as [[lshSignature]], kept as the
+    * FULL dot value instead of its sign bit. The scale story: project
+    * once at ingest and every coarse similarity pass scans
+    * outDim/dim of the bytes (64→16 is a 4× cut, composable with the
+    * int8 SQ pass for 16×); the projection is data-independent, so new
+    * batches project without re-fitting anything. Each output dim is
+    * one codegen'd ArrayDot fold; no shuffle, no join.
+    */
+  def rpProject(vec: Column, outDim: Int, dim: Int): Column =
+    array((0 until outDim).map { j =>
+      dot(vec, typedLit(planeWeights(RpPlaneOffset + j, dim)))
+    }: _*)
+
+  /** ANN through the projection: coarse top-(k·rerankFactor) by cosine
+    * in projected space, exact re-rank of the survivors on the true
+    * vectors via a broadcast id semi-join — the identical re-rank
+    * contract as [[sqTopK]], so the two compressed-domain passes are
+    * drop-in alternatives (or compose: project, then SQ-quantize the
+    * projected table). Output keeps both scores so the projection
+    * error is visible in (sim_rp vs sim).
+    */
+  def rpTopK(df: DataFrame, idCol: String, vecCol: String, query: Column,
+             outDim: Int, dim: Int, k: Int,
+             rerankFactor: Int = 4): DataFrame = {
+    val coarse = df
+      .select(col(idCol),
+        round(cosine(rpProject(col(vecCol), outDim, dim),
+          rpProject(query, outDim, dim)), 6).as("sim_rp"))
+      .orderBy(col("sim_rp").desc, col(idCol))
+      .limit(k * rerankFactor)
+    df.join(broadcast(coarse), Seq(idCol))
+      .select(col(idCol), col("sim_rp"),
+        round(cosine(col(vecCol), query), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF-style ANN: assign every vector to its best "cell" (highest
     * cosine against a deterministic centroid set), probe only the
     * `nprobe` cells closest to the query, rank candidates by exact

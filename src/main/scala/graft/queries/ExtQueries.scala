@@ -92,6 +92,7 @@ object ExtQueries {
   val Dim = 64
   val Planes = 8
   val NumHashes = 8
+  val RpDim = 16
 
   // ---- DuckDB oracle building blocks ---------------------------------
 
@@ -106,6 +107,20 @@ object ExtQueries {
 
   private def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Random projection of a list expression to RpDim dims — the same
+    * md5-nibble plane construction as lshSql, full dot value instead of
+    * the sign bit, plane indices offset by 100 (Similarity.RpPlaneOffset).
+    */
+  private def rpSql(v: String): String =
+    s"""list_transform(range(0, $RpDim), j ->
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, len($v) + 1),
+       |      i -> CAST($v[i] AS DOUBLE) *
+       |           (strpos('0123456789abcdef',
+       |              substr(md5((100 + j) || '|' || (i - 1)), 1, 1))
+       |            - 1 - 7.5))),
+       |    (acc, x) -> acc + x))""".stripMargin
 
   /** LSH signature bit-string of a list expression (Planes bits). */
   private def lshSql(v: String): String = {
@@ -399,6 +414,32 @@ object ExtQueries {
       graft.ext.Bpe.fit(words, "w", "c", steps = 3).orderBy("step")
     }),
 
+    // ENCODE with the learned vocab — the apply half of the tokenizer
+    // lifecycle (train → encode): the 3 trained merges are collected
+    // as a bounded model artifact and fused into ONE replace-chain
+    // projection over the DISTINCT-word table, then joined back onto
+    // per-doc word counts for the corpus token budget. The word→tokens
+    // join is vocab-scale, so NO broadcast hint — AQE broadcasts when
+    // it fits (the TextStats lesson from round 5).
+    "bpe_encode_count" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val words = d.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val merges = graft.ext.Bpe.fit(words, "w", "c", steps = 3)
+      val wordTok = graft.ext.Bpe.encode(words, "w", merges)
+        .select(col("w"), col("n_tokens"))
+      val docWords = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      docWords.join(wordTok, Seq("w"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).cast("long").as("n_words"),
+          sum(col("n") * col("n_tokens")).cast("long").as("n_tokens_bpe"))
+        .orderBy("doc_id")
+    }),
+
     // Incremental ingest dedup: a "new batch" (every 7th doc) checked
     // against the persisted content-hash index of the rest of the
     // corpus and against itself — corpus text is never rescanned, the
@@ -573,6 +614,43 @@ object ExtQueries {
         .orderBy(col("ip").desc, col("vec_id")).limit(5)
       exact.join(coarse, Seq("vec_id"), "left")
         .agg(count(lit(1)).as("k_exact"), count(col("sim_sq")).as("n_in_coarse"))
+        .select(col("k_exact"), col("n_in_coarse"),
+          TextStats.trunc6(col("n_in_coarse") / col("k_exact")).as("recall"))
+    }),
+
+    // Random-projection (Johnson–Lindenstrauss) ANN: project 64→16
+    // dims with deterministic md5-nibble planes — the coarse pass scans
+    // 4× fewer bytes at 100 TB and the projection is data-independent
+    // (new batches project without re-fitting). Coarse top-20 in
+    // projected space, exact re-rank top-5 on true vectors; both
+    // scores kept so the projection error is visible.
+    "similar_rp_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.rpTopK(
+        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", col("qvec"), RpDim, Dim, k = 5)
+    }),
+
+    // Measured recall of the projection: how many of the exact
+    // full-dim top-5 survive the projected-space top-20 cut — the
+    // audit that justifies (or vetoes) the 4× scan saving, the RP
+    // analog of similar_sq_recall.
+    "similar_rp_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val corpus = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+      val coarse = corpus.select(col("vec_id"),
+          round(Similarity.cosine(
+            Similarity.rpProject(col("embedding"), RpDim, Dim),
+            Similarity.rpProject(col("qvec"), RpDim, Dim)), 6).as("sim_rp"))
+        .orderBy(col("sim_rp").desc, col("vec_id")).limit(20)
+      val exact = corpus.select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      exact.join(coarse, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("k_exact"),
+          count(col("sim_rp")).as("n_in_coarse"))
         .select(col("k_exact"), col("n_in_coarse"),
           TextStats.trunc6(col("n_in_coarse") / col("k_exact")).as("recall"))
     }),
@@ -949,6 +1027,48 @@ object ExtQueries {
          |ORDER BY step""".stripMargin
     },
 
+    "bpe_encode_count" -> {
+      // the training chain again, but carrying the word through the
+      // segmentation CTEs so the final segmentation encodes the vocab
+      val stepCtes = (1 to 3).map { i =>
+        s"""p$i AS (
+           |  SELECT sy[i] AS s1, sy[i+1] AS s2, CAST(sum(c) AS BIGINT) AS pc
+           |  FROM (SELECT c, string_split(seg, ' ') AS sy FROM seg$i) q,
+           |       unnest(range(1, len(sy))) AS t(i)
+           |  GROUP BY s1, s2
+           |), b$i AS (
+           |  SELECT s1, s2, pc,
+           |    '·' || replace(s1, '·', '') || replace(s2, '·', '') || '·' AS m
+           |  FROM p$i ORDER BY pc DESC, s1, s2 LIMIT 1
+           |), seg${i + 1} AS (
+           |  SELECT w, c, replace(seg, (SELECT s1 || ' ' || s2 FROM b$i),
+           |                       (SELECT m FROM b$i)) AS seg
+           |  FROM seg$i
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY w
+         |), seg1 AS (
+         |  SELECT w, c, array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> '·' || w[i] || '·'), ' ') AS seg
+         |  FROM words
+         |), $stepCtes, wt AS (
+         |  SELECT w, len(string_split(seg, ' ')) AS t FROM seg4
+         |), dw AS (
+         |  SELECT doc_id, w, count(*) AS n FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  WHERE length(w) > 0 GROUP BY doc_id, w
+         |)
+         |SELECT dw.doc_id,
+         |  CAST(sum(dw.n) AS BIGINT) AS n_words,
+         |  CAST(sum(dw.n * wt.t) AS BIGINT) AS n_tokens_bpe
+         |FROM dw JOIN wt USING (w)
+         |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+    },
+
     "dedup_incremental" ->
       """WITH batch AS (
         |  SELECT doc_id, md5(lower(trim(text))) AS content_hash
@@ -1026,6 +1146,48 @@ object ExtQueries {
          |SELECT count(*) AS k_exact,
          |  count(c.sim_sq) AS n_in_coarse,
          |  floor((count(c.sim_sq) / count(*)) * 1000000) / 1000000 AS recall
+         |FROM exact e LEFT JOIN coarse c USING (vec_id)""".stripMargin,
+
+    "similar_rp_topk" ->
+      s"""WITH corp AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+         |), q AS (
+         |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+         |), prj AS (
+         |  SELECT vec_id, ${rpSql("embedding")} AS rvec FROM corp
+         |), qp AS (
+         |  SELECT ${rpSql("qvec")} AS qproj FROM q
+         |), coarse AS (
+         |  SELECT vec_id, round(${cosineSql("rvec", "qproj")}, 6) AS sim_rp
+         |  FROM prj CROSS JOIN qp
+         |  ORDER BY sim_rp DESC, vec_id LIMIT 20
+         |)
+         |SELECT c.vec_id, c.sim_rp,
+         |  round(${cosineSql("embedding", "qvec")}, 6) AS sim
+         |FROM coarse c JOIN corp USING (vec_id) CROSS JOIN q
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+    "similar_rp_recall" ->
+      s"""WITH corp AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+         |), q AS (
+         |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+         |), prj AS (
+         |  SELECT vec_id, ${rpSql("embedding")} AS rvec FROM corp
+         |), qp AS (
+         |  SELECT ${rpSql("qvec")} AS qproj FROM q
+         |), coarse AS (
+         |  SELECT vec_id, round(${cosineSql("rvec", "qproj")}, 6) AS sim_rp
+         |  FROM prj CROSS JOIN qp
+         |  ORDER BY sim_rp DESC, vec_id LIMIT 20
+         |), exact AS (
+         |  SELECT vec_id, round(${cosineSql("embedding", "qvec")}, 6) AS sim
+         |  FROM corp CROSS JOIN q
+         |  ORDER BY sim DESC, vec_id LIMIT 5
+         |)
+         |SELECT count(*) AS k_exact,
+         |  count(c.sim_rp) AS n_in_coarse,
+         |  floor((count(c.sim_rp) / count(*)) * 1000000) / 1000000 AS recall
          |FROM exact e LEFT JOIN coarse c USING (vec_id)""".stripMargin,
 
     "dedup_span_ngram" ->

@@ -77,4 +77,31 @@ class BpeSpec extends SparkSpec {
     // step 2: "xyz"→"·xy· ·z·" (xy,z)=3; "xz"→(x,z)=1 → merge (xy,z)
     assert(m(1).getString(1) == "·xy·" && m(1).getString(3) == "·xyz·")
   }
+
+  test("bpe encode applies trained merges greedily, unseen words fall back to chars") {
+    import spark.implicits._
+    // merges from the hand corpus: ·aa·, ·aaa·, ·aaab· (first test)
+    val words = Seq(("aaab", 2L), ("aab", 1L)).toDF("w", "c")
+    val merges = Bpe.fit(words, "w", "c", steps = 3)
+    // encode the training vocab plus an UNSEEN word — no rule fires on
+    // it, so it falls back to the character segmentation
+    val probe = Seq("aaab", "aab", "ba").toDF("w")
+    val out = Bpe.encode(probe, "w", merges)
+      .select("w", "tokens", "n_tokens").orderBy("w").collect()
+    val byWord = out.map(r => r.getString(0) ->
+      (r.getSeq[String](1), r.getLong(2))).toMap
+    assert(byWord("aaab") == (Seq("aaab"), 1L)) // all 3 merges chain
+    assert(byWord("aab") == (Seq("aa", "b"), 2L)) // only merge 1 fires
+    assert(byWord("ba") == (Seq("b", "a"), 2L)) // unseen → chars
+  }
+
+  test("bpe encode rejects the sentinel like fit does") {
+    import spark.implicits._
+    val words = Seq(("ab", 1L)).toDF("w", "c")
+    val merges = Bpe.fit(words, "w", "c", steps = 1)
+    val e = intercept[IllegalArgumentException] {
+      Bpe.encode(Seq("col·lecció").toDF("w"), "w", merges).collect()
+    }
+    assert(e.getMessage.contains("U+00B7"))
+  }
 }

@@ -257,6 +257,49 @@ class ExtSpec extends SparkSpec {
     assert(out(0).getString(1).matches("[01]{6}"))
   }
 
+  test("random projection is deterministic, linear, and cosine-preserving on scaled vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(2.0f)), // 2× vector 0 — cosine must be exactly preserved
+      (2L, Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = vecs.select(col("vec_id"),
+      Similarity.rpProject(col("embedding"), 4, 8).as("p"))
+      .orderBy("vec_id").collect()
+    val p0 = out(0).getSeq[Double](1)
+    val p1 = out(1).getSeq[Double](1)
+    assert(p0.length == 4)
+    // linearity: rp(2x) = 2·rp(x) exactly (literal planes, double fold)
+    assert(p0.zip(p1).forall { case (a, b) => b == 2.0 * a })
+    // determinism: a second evaluation sees the same literal planes
+    val again = vecs.filter(col("vec_id") === 0)
+      .select(Similarity.rpProject(col("embedding"), 4, 8)).head().getSeq[Double](0)
+    assert(again == p0)
+  }
+
+  test("rpTopK re-ranks on true vectors: k rows, exact-sim descending, both scores present") {
+    import spark.implicits._
+    val vecs = (1 to 20).map { i =>
+      (i.toLong, Array.tabulate(8)(d =>
+        (1.0f / i) + (if (d % 2 == 0) 0f else 0.01f * i)))
+    }.toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array.fill(8)(1.0f))).toDF("qvec")
+    val corpus = vecs.crossJoin(q)
+    val out = Similarity.rpTopK(corpus, "vec_id", "embedding",
+      col("qvec"), outDim = 4, dim = 8, k = 5).collect()
+    assert(out.length == 5)
+    val sims = out.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted.reverse)) // exact-sim DESC
+    // with rerankFactor 4 the coarse cut keeps all 20 — the re-rank
+    // must therefore equal the brute-force exact top-5
+    val brute = corpus.select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      .collect().map(_.getLong(0))
+    assert(out.map(_.getLong(0)).sameElements(brute))
+  }
+
   test("quality/token/fingerprint columns are sane on a known doc") {
     import spark.implicits._
     val d = Seq((1L, "the cat sat")).toDF("doc_id", "text")
