@@ -83,6 +83,35 @@ object Sampling {
       .filter(col("sample_u") < col("rate"))
   }
 
+  /** Temperature-α mixture resampling — the multilingual-LM data-prep
+    * standard (α≈0.3–0.7 in the mBERT/XLM-R lineage): expected kept
+    * counts ∝ n_source^α, realized as a per-source keep rate
+    * (n_min/n_source)^(1−α). The smallest source keeps everything;
+    * larger sources flatten toward it (α=1 → the natural mix, α=0 →
+    * uniform counts, the [[mixToUniform]] target up to the min/mean
+    * anchor). Same monotone hash gate as [[weighted]]: reproducible
+    * under any repartitioning, and raising α only ever ADDS rows from
+    * over-represented sources. For α = 0.5 the rate goes through
+    * `sqrt` — IEEE-exact, hence bit-identical across engines; other α
+    * use `pow`, where a last-ulp libm divergence at the gate boundary
+    * is theoretically possible (noted per the determinism doctrine).
+    */
+  def mixAlpha(df: DataFrame, idCol: String, sourceCol: String,
+               alpha: Double): DataFrame = {
+    val bySource = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_source"))
+    val mins = bySource.agg(min(col("n_source")).as("n_min"))
+    val ratio = col("n_min") / col("n_source")
+    val rateExpr =
+      if (1.0 - alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    val rates = bySource.crossJoin(broadcast(mins))
+      .withColumn("rate", rateExpr)
+      .select(col(sourceCol), col("n_source"), col("rate"))
+    df.join(broadcast(rates), sourceCol)
+      .withColumn("sample_u", hashUniform(col(idCol)))
+      .filter(col("sample_u") < col("rate"))
+  }
+
   /** Exactly-k-per-stratum deterministic sampling: rank rows inside
     * each stratum by their id hash (a reproducible shuffle) and keep
     * the first k. One shuffle on the stratum + a per-partition sort —

@@ -812,6 +812,55 @@ object ExtQueries {
         .select("doc_id", "lang", "n_source", "rate", "sample_u")
         .orderBy("doc_id")),
 
+    // Temperature-α mixture resampling (α=0.5): expected counts
+    // ∝ n_lang^0.5 — the partial flattening multilingual LM training
+    // actually uses (full uniform over-weights tiny languages). Rate
+    // goes through sqrt, so it is bit-identical across engines.
+    "corpus_mix_alpha" -> ((s, dir) =>
+      Sampling.mixAlpha(docs(s, dir), "doc_id", "lang", alpha = 0.5)
+        .select("doc_id", "lang", "n_source", "rate", "sample_u")
+        .orderBy("doc_id")),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup in embedding space.
+    // 16 first-vector cells bound the pairwise stage (Σ cell², never
+    // corpus²); within-cell pairs at cosine ≥ 0.40 collapse to the
+    // lowest id. Per-row verdict so curation joins on it directly.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      Dedup.semantic(e, "vec_id", "embedding", cents, "cent_id", "cvec",
+        tau = 0.40).orderBy("vec_id")
+    }),
+
+    // Embedding-quality audit: label agreement of the top-3 cosine
+    // neighbors for 32 sampled probes — the kNN eval a pipeline runs
+    // before trusting an embedding column for semantic dedup or
+    // retrieval (low agreement on a weakly clustered corpus is itself
+    // the signal). Probes broadcast (bounded sample); corpus scanned
+    // once; no n² stage.
+    "similar_knn_accuracy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+          col("label").cast("long").as("q_label"))
+      val scored = e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"),
+          col("label").cast("long").as("label"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6)
+            .as("sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_top3_same"),
+          max(when(col("rn") === 1,
+            (col("label") === col("q_label")).cast("long"))).as("top1_match"))
+        .orderBy("q_id")
+    }),
+
     "doc_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextStats.rollingFingerprint(col("text"), 64).as("fp"))
@@ -1843,6 +1892,79 @@ object ExtQueries {
          |SELECT doc_id, lang, n_source, rate, sample_u FROM u
          |WHERE sample_u < rate ORDER BY doc_id""".stripMargin
     },
+
+    "corpus_mix_alpha" -> {
+      val nib = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(hb, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+        .mkString(" + ")
+      s"""WITH bysrc AS (
+         |  SELECT lang, count(*) AS n_source FROM documents GROUP BY lang
+         |), mn AS (
+         |  SELECT min(n_source) AS n_min FROM bysrc
+         |), rates AS (
+         |  SELECT lang, n_source, sqrt(n_min / n_source) AS rate
+         |  FROM bysrc CROSS JOIN mn
+         |), h AS (
+         |  SELECT d.doc_id, d.lang, r.n_source, r.rate,
+         |    substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS hb
+         |  FROM documents d JOIN rates r USING (lang)
+         |), u AS (
+         |  SELECT doc_id, lang, n_source, rate,
+         |    CAST(($nib) AS DOUBLE) / CAST(65536.0 AS DOUBLE) AS sample_u
+         |  FROM h
+         |)
+         |SELECT doc_id, lang, n_source, rate, sample_u FROM u
+         |WHERE sample_u < rate ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_semantic" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < 16
+         |), assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC,
+         |                 c.cent_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) t
+         |  WHERE rn = 1
+         |), dups AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS canonical_id
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.40
+         |  GROUP BY b.vec_id
+         |)
+         |SELECT s.vec_id, s.cell,
+         |  CASE WHEN d.canonical_id IS NOT NULL THEN 'dup'
+         |       ELSE 'kept' END AS verdict,
+         |  coalesce(d.canonical_id, s.vec_id) AS canonical_id
+         |FROM assign s LEFT JOIN dups d USING (vec_id)
+         |ORDER BY s.vec_id""".stripMargin,
+
+    "similar_knn_accuracy" ->
+      s"""WITH qs AS (
+         |  SELECT vec_id AS q_id, embedding AS qvec,
+         |    CAST(label AS BIGINT) AS q_label
+         |  FROM embeddings WHERE vec_id < 32
+         |), scored AS (
+         |  SELECT q.q_id, q.q_label, e.vec_id,
+         |    CAST(e.label AS BIGINT) AS label,
+         |    round(${cosineSql("e.embedding", "q.qvec")}, 6) AS sim
+         |  FROM embeddings e JOIN qs q ON e.vec_id <> q.q_id
+         |), ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, vec_id) AS rn
+         |  FROM scored
+         |)
+         |SELECT q_id, q_label,
+         |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_top3_same,
+         |  CAST(max(CASE WHEN rn = 1 AND label = q_label THEN 1
+         |               WHEN rn = 1 THEN 0 END) AS BIGINT) AS top1_match
+         |FROM ranked WHERE rn <= 3
+         |GROUP BY q_id, q_label ORDER BY q_id""".stripMargin,
 
     "sample_topk_per_stratum" ->
       """WITH ranked AS (

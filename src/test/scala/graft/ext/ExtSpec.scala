@@ -257,6 +257,36 @@ class ExtSpec extends SparkSpec {
     assert(out(0).getString(1).matches("[01]{6}"))
   }
 
+  test("semantic dedup collapses within-cell near-identical pairs to the lowest id") {
+    import spark.implicits._
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f))).toDF("cent_id", "cvec")
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f, 0f)),   // cell 0
+      (11L, Array(1f, 0f, 0f, 0f)),   // cell 0, identical → dup of 10
+      (12L, Array(0f, 1f, 0f, 0f)))   // cell 1, alone → kept
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semantic(corpus, "vec_id", "embedding",
+        cents, "cent_id", "cvec", tau = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+      r.getLong(3))).toSeq == Seq(
+      (10L, 0L, "kept", 10L),
+      (11L, 0L, "dup", 10L),
+      (12L, 1L, "kept", 12L)))
+    // cross-cell near-identity is NOT flagged (the SemDeDup trade):
+    // a similar pair split across cells stays kept — that's what the
+    // cell bound buys, and why recall is audited separately
+    val split2 = Seq(
+      (20L, Array(1f, 0.9f, 0f, 0f)),   // cell 0
+      (21L, Array(0.9f, 1f, 0f, 0f)))   // cell 1 — same-ish vector, other cell
+      .toDF("vec_id", "embedding")
+    val v2 = Dedup.semantic(split2, "vec_id", "embedding",
+      cents, "cent_id", "cvec", tau = 0.9).collect()
+    assert(v2.forall(_.getString(2) == "kept"))
+  }
+
   test("random projection is deterministic, linear, and cosine-preserving on scaled vectors") {
     import spark.implicits._
     val vecs = Seq(

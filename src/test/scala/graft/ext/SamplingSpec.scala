@@ -71,4 +71,29 @@ class SamplingSpec extends SparkSpec {
     val out = Sampling.stratified(df, "id", "stratum", Map("known" -> "ffff"))
     assert(out.select("stratum").collect().map(_.getString(0)).toSet == Set("known"))
   }
+
+  test("mixAlpha: smallest source keeps all, rates follow (n_min/n)^(1-alpha), alpha=1 is identity") {
+    import spark.implicits._
+    // 4:1 skew: big has 400 rows, small has 100
+    val df = ((0L until 400L).map(i => (i, "big")) ++
+      (400L until 500L).map(i => (i, "small"))).toDF("id", "src")
+    val half = Sampling.mixAlpha(df, "id", "src", alpha = 0.5)
+    val rates = half.select("src", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("small") == 1.0)
+    assert(rates("big") == math.sqrt(100.0 / 400.0)) // sqrt path, exact
+    // the small source survives entirely
+    assert(half.filter(col("src") === "small").count() == 100)
+    // alpha=1 keeps the natural mix: every row passes (rate 1 for all)
+    assert(Sampling.mixAlpha(df, "id", "src", alpha = 1.0).count() == 500)
+    // flattening is monotone in alpha: lower alpha keeps fewer big rows
+    val flat = Sampling.mixAlpha(df, "id", "src", alpha = 0.0)
+    val nBigFlat = flat.filter(col("src") === "big").count()
+    val nBigHalf = half.filter(col("src") === "big").count()
+    assert(nBigFlat <= nBigHalf && nBigHalf <= 400)
+    // same hash gate as weighted(): the α=0 sample is a subset of α=0.5
+    val flatIds = flat.select("id").collect().map(_.getLong(0)).toSet
+    val halfIds = half.select("id").collect().map(_.getLong(0)).toSet
+    assert(flatIds.subsetOf(halfIds))
+  }
 }
