@@ -457,8 +457,12 @@ object Dedup {
   def semantic(df: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame, centIdCol: String, centVecCol: String,
                tau: Double): DataFrame = {
+    // three consumers below (both pair sides + the verdict frame) —
+    // materialize the assignment ONCE (lazily) instead of re-running
+    // the centroid argmax per consumer; at 100 TB this is the step
+    // that writes the cell-partitioned table
     val cells = Similarity.ivfAssign(df, idCol, vecCol,
-      centroids, centIdCol, centVecCol)
+      centroids, centIdCol, centVecCol).localCheckpoint(false)
     val a = cells.select(col("cell"), col(idCol).as("a_id"),
       col(vecCol).as("avec"))
     val b = cells.select(col("cell"), col(idCol).as("b_id"),

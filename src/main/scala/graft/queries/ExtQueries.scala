@@ -232,6 +232,41 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-LANGUAGE
+    // head/middle/tail split by unigram-LM mean log-probability (head =
+    // the lowest-perplexity 30% of each language). Cuts are exact
+    // rank-interpolated per-language percentiles (integer positions, no
+    // float rank math); assignment is a narrow comparison against the
+    // broadcast lang-dim cut table. The canonical curation stage that
+    // feeds mixture sampling.
+    "quality_ppl_buckets" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("w"))
+      val counts = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val total = tok.agg(count(lit(1)).as("n_total"))
+      val lp = tok.join(TextStats.gatedBroadcast(counts), Seq("w"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("lang"),
+          log(col("c").cast("double") / col("n_total").cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 18)).as("lp"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("lp_sum"))
+        .select(col("doc_id"), col("lang"),
+          TextStats.trunc6(col("lp_sum").cast("double") / col("n_tokens"))
+            .as("mean_logprob"))
+        .localCheckpoint(false) // consumed by the cut fit AND the assign
+      val cuts = graft.operators.Quantiles.interpByRank(
+        lp, Seq("lang"), "mean_logprob", "doc_id", Seq(30, 70))
+      lp.join(broadcast(cuts), Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("mean_logprob"),
+          when(col("mean_logprob") >= col("q70"), lit("head"))
+            .when(col("mean_logprob") < col("q30"), lit("tail"))
+            .otherwise(lit("middle")).as("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // Bigram PMI collocations — the vocabulary-building pass that finds
     // "tokens that belong together" (phrase mining for tokenizer/vocab
     // curation): PMI = ln(P(ab)/(P(a)P(b))) over adjacent word pairs,
@@ -653,6 +688,26 @@ object ExtQueries {
           count(col("sim_rp")).as("n_in_coarse"))
         .select(col("k_exact"), col("n_in_coarse"),
           TextStats.trunc6(col("n_in_coarse") / col("k_exact")).as("recall"))
+    }),
+
+    // The compressed-domain COMPOSITION the RP Scaladoc promises:
+    // project 64→16 (4× fewer bytes), int8-SQ quantize the projected
+    // table (4× again — 16× total vs the raw scan), coarse top-20 in
+    // the doubly-compressed domain, exact re-rank on true vectors.
+    "similar_rp_sq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val corpus = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .withColumn("pvec", Similarity.rpProject(col("embedding"), RpDim, Dim))
+        .withColumn("pq", Similarity.rpProject(col("qvec"), RpDim, Dim))
+      val coarse = Similarity.sqReconstruct(corpus, "vec_id", "pvec")
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("rvec"), col("pq")), 6).as("sim_rpsq"))
+        .orderBy(col("sim_rpsq").desc, col("vec_id")).limit(20)
+      corpus.join(broadcast(coarse), Seq("vec_id"))
+        .select(col("vec_id"), col("sim_rpsq"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
     }),
 
     // Deterministic frame sampling over multimodal payloads: 4 evenly
@@ -1239,6 +1294,37 @@ object ExtQueries {
          |  floor((count(c.sim_rp) / count(*)) * 1000000) / 1000000 AS recall
          |FROM exact e LEFT JOIN coarse c USING (vec_id)""".stripMargin,
 
+    "similar_rp_sq_topk" ->
+      s"""WITH corp AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+         |), q AS (
+         |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+         |), prj AS (
+         |  SELECT vec_id, ${rpSql("embedding")} AS pvec FROM corp
+         |), qp AS (
+         |  SELECT ${rpSql("qvec")} AS pq FROM q
+         |), ex AS (
+         |  SELECT vec_id, i, CAST(pvec[i] AS DOUBLE) AS v
+         |  FROM prj, unnest(range(1, len(pvec) + 1)) AS t(i)
+         |), rg AS (
+         |  SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY i
+         |), rec AS (
+         |  SELECT vec_id, list(CASE WHEN mx > mn THEN
+         |      mn + ((least(CAST(255 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+         |              floor(((v - mn) / (mx - mn)) * 255))) + 0.5)
+         |            / 256.0) * (mx - mn)
+         |    ELSE mn END ORDER BY i) AS rvec
+         |  FROM ex JOIN rg USING (i) GROUP BY vec_id
+         |), coarse AS (
+         |  SELECT vec_id, round(${cosineSql("rvec", "pq")}, 6) AS sim_rpsq
+         |  FROM rec CROSS JOIN qp
+         |  ORDER BY sim_rpsq DESC, vec_id LIMIT 20
+         |)
+         |SELECT c.vec_id, c.sim_rpsq,
+         |  round(${cosineSql("embedding", "qvec")}, 6) AS sim
+         |FROM coarse c JOIN corp USING (vec_id) CROSS JOIN q
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
     "dedup_span_ngram" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -1358,6 +1444,53 @@ object ExtQueries {
         |  floor((CAST(sum(lp) AS DOUBLE) / count(*)) * 1000000) / 1000000
         |    AS mean_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "quality_ppl_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), counts AS (
+        |  SELECT w, count(*) AS c FROM tok GROUP BY w
+        |), total AS (
+        |  SELECT count(*) AS n_total FROM tok
+        |), lp AS (
+        |  SELECT doc_id, lang,
+        |    floor((CAST(sum(CAST(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
+        |                         AS DECIMAL(38,18))) AS DOUBLE)
+        |           / count(*)) * 1000000) / 1000000 AS mean_logprob
+        |  FROM tok JOIN counts USING (w) CROSS JOIN total
+        |  GROUP BY doc_id, lang
+        |), r AS (
+        |  SELECT doc_id, lang, mean_logprob,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY mean_logprob, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM lp
+        |), a AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn = (30 * (n - 1)) // 100 + 1
+        |             THEN mean_logprob END) AS lo30,
+        |    max(CASE WHEN rn = (30 * (n - 1)) // 100 + 2
+        |             THEN mean_logprob END) AS hi30,
+        |    max(((30 * (n - 1)) % 100) / CAST(100 AS DOUBLE)) AS f30,
+        |    max(CASE WHEN rn = (70 * (n - 1)) // 100 + 1
+        |             THEN mean_logprob END) AS lo70,
+        |    max(CASE WHEN rn = (70 * (n - 1)) // 100 + 2
+        |             THEN mean_logprob END) AS hi70,
+        |    max(((70 * (n - 1)) % 100) / CAST(100 AS DOUBLE)) AS f70
+        |  FROM r GROUP BY lang
+        |), cuts AS (
+        |  SELECT lang,
+        |    lo30 + (coalesce(hi30, lo30) - lo30) * f30 AS q30,
+        |    lo70 + (coalesce(hi70, lo70) - lo70) * f70 AS q70
+        |  FROM a
+        |)
+        |SELECT l.doc_id, l.lang, l.mean_logprob,
+        |  CASE WHEN l.mean_logprob >= c.q70 THEN 'head'
+        |       WHEN l.mean_logprob < c.q30 THEN 'tail'
+        |       ELSE 'middle' END AS bucket
+        |FROM lp l JOIN cuts c USING (lang)
+        |ORDER BY l.doc_id""".stripMargin,
 
     "doc_collocations_pmi" ->
       """WITH t0 AS (

@@ -97,7 +97,10 @@ object ScaleSanity {
       // round-6 late additions — prefix-sum packing, PMI counts,
       // top-1000 Zipf cut, zero-shuffle frame sampling:
       "text_pack_sequences", "doc_collocations_pmi", "doc_zipf_alpha",
-      "multimodal_frame_sample")
+      "multimodal_frame_sample",
+      // tokenizer-lifecycle + mixture + bucket keys (linear doc
+      // passes; ppl_buckets adds one per-lang rank sort):
+      "bpe_encode_count", "corpus_mix_alpha", "quality_ppl_buckets")
     val docRatios = docPicks.map { q =>
       val f = graft.SparkEntry.queries(q)
       val t1 = time(f(spark, "/root/testdata/sf0.1").count())
