@@ -57,6 +57,94 @@ object RelQueries {
             .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"),
           count(lit(1)).as("n"))),
 
+    // TPC-H Q3-shaped shipping priority (o_orderpriority stands in for
+    // the schema's absent o_shippriority): the segment-filtered
+    // customer list joins orders on custkey, lineitem joins on the
+    // order key — BOTH joins unhinted (customer and orders are
+    // fact-scale at 100 TB; AQE broadcasts whichever side shrinks
+    // enough after its filter). Revenue products run in double, the
+    // sum through DECIMAL; top 10 is TakeOrdered with a key tiebreak.
+    "q3_shipping" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ords = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderdate < TIMESTAMP '1998-01-01'"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(expr("l_shipdate > TIMESTAMP '1998-01-01'"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ords.join(cust, col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5-shaped local-supplier volume — the classic co-location
+    // query: lineitem→orders→customer shuffle on their keys; supplier
+    // joins on suppkey with the LOCAL condition s_nationkey =
+    // c_nationkey; only the constant-cardinality nation⨝region dim is
+    // hinted broadcast (supplier is unhinted — AQE broadcasts it while
+    // it fits, shuffles when a 100 TB run outgrows it).
+    "q5_local_supplier" -> ((s, dir) => {
+      val reg = Tables.load(s, dir, "region")
+        .filter(col("r_name") === "ASIA")
+      val asiaNations = broadcast(
+        Tables.load(s, dir, "nation")
+          .join(reg, col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name"))
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+      val ords = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01'") &&
+          expr("o_orderdate < TIMESTAMP '1997-01-01'"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sup = Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // TPC-H Q14-shaped promo revenue share: one month of lineitem
+    // joined to part on the part key (unhinted — part grows with SF;
+    // AQE broadcasts while it fits). Both conditional sums are
+    // decimal-exact; the final share is one double ratio, trunc6.
+    "q14_promo" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP '1997-01-01'") &&
+          expr("l_shipdate < TIMESTAMP '1997-02-01'"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val part = Tables.load(s, dir, "part").select("p_partkey", "p_type")
+      val rev = (col("l_extendedprice") * (lit(1d) - col("l_discount")))
+        .cast(DecimalType(18, 6))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 6)))).as("promo_dec"),
+          sum(rev).as("total_dec"),
+          count(lit(1)).as("n_items"))
+        .select(
+          graft.ext.TextStats.trunc6(lit(100d) *
+            col("promo_dec").cast(DoubleType) /
+            col("total_dec").cast(DoubleType)).as("promo_share"),
+          col("promo_dec").cast(DoubleType).as("promo_revenue"),
+          col("total_dec").cast(DoubleType).as("total_revenue"),
+          col("n_items"))
+    }),
+
     // Per-customer running revenue — cumulative window sum routed
     // through DECIMAL (running double sums are accumulation-order
     // dependent; decimal addition is exact, so the prefix sums are
@@ -162,6 +250,62 @@ object RelQueries {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l.l_orderkey,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  o.o_orderdate, o.o_orderpriority
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q14_promo" ->
+      """WITH j AS (
+        |  SELECT p.p_type,
+        |    CAST(l.l_extendedprice * (1 - l.l_discount)
+        |         AS DECIMAL(18,6)) AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l.l_shipdate < TIMESTAMP '1997-02-01'
+        |), a AS (
+        |  SELECT
+        |    sum(CASE WHEN p_type = 'PROMO' THEN rev
+        |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS promo_dec,
+        |    sum(rev) AS total_dec,
+        |    count(*) AS n_items
+        |  FROM j
+        |)
+        |SELECT
+        |  floor((100 * CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE))
+        |        * 1000000) / 1000000 AS promo_share,
+        |  CAST(promo_dec AS DOUBLE) AS promo_revenue,
+        |  CAST(total_dec AS DOUBLE) AS total_revenue,
+        |  n_items
+        |FROM a""".stripMargin,
 
     "orders_running_total" ->
       """SELECT o_orderkey, o_custkey,

@@ -138,6 +138,36 @@ object ScaleSanity {
     }
     println(f"[scale] orders 1x=$no 10x=$bigNo  median_ratio=${ordRatios.sorted.apply(ordRatios.size / 2)}%5.2f")
 
+    // ---- lineitem+orders 10×: the TPC-H join keys stay linear -------
+    // Both fact tables replicate with the SAME order-key offset so the
+    // l↔o join matches per replica; custkeys/partkeys/suppkeys are
+    // unchanged, so the dim joins (customer/part/supplier/nation/
+    // region — copied through verbatim) keep their selectivity and the
+    // output grows exactly 10×.
+    val li0 = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    val nl = li0.count()
+    val tdir = java.nio.file.Files.createTempDirectory("scaletpch").toString
+    (0 until 10).map { i =>
+      li0.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+    }.reduce(_ union _).write.parquet(s"$tdir/lineitem.parquet")
+    (0 until 10).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+    }.reduce(_ union _).write.parquet(s"$tdir/orders.parquet")
+    Seq("customer", "part", "supplier", "nation", "region").foreach { t =>
+      graft.core.Tables.load(spark, "/root/testdata/sf0.1", t)
+        .write.parquet(s"$tdir/$t.parquet")
+    }
+    val bigNl = spark.read.parquet(s"$tdir/lineitem.parquet").count()
+    val tpchPicks = Seq("q3_shipping", "q5_local_supplier", "q14_promo")
+    val tpchRatios = tpchPicks.map { q =>
+      val f = graft.SparkEntry.queries(q)
+      val t1 = time(f(spark, "/root/testdata/sf0.1").count())
+      val t10 = time(f(spark, tdir).count())
+      println(f"[scale] $q%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ratio=${t10 / t1}%5.2f")
+      t10 / t1
+    }
+    println(f"[scale] tpch 1x=$nl 10x=$bigNl  median_ratio=${tpchRatios.sorted.apply(tpchRatios.size / 2)}%5.2f")
+
     // ---- embeddings 10×: exact NN stays linear when cells scale -----
     // The ball-bound-pruned exact NN's per-task work is bounded by cell
     // population, so the cell count k is the scale knob: 10× vectors

@@ -393,4 +393,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"),
       s"MIPS scan grew a shuffle:\n$p")
   }
+
+  test("q3: date predicates pushed to both fact scans; top-10 is TakeOrdered") {
+    val p = plan("q3_shipping")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"order-date filter not pushed:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"ship-date filter not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 degraded to a global sort:\n$p")
+  }
+
+  test("q5: orderdate range pushed; nation-region dim broadcast; no cartesian anywhere") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"order-date range not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"q5 grew a cartesian:\n$p")
+  }
 }
