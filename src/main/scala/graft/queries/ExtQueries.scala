@@ -888,6 +888,40 @@ object ExtQueries {
         tau = 0.40).orderBy("vec_id")
     }),
 
+    // SemDeDup recall audit on a BOUNDED sample (500 vectors): the
+    // fraction of true above-τ pairs the cell split retains — the
+    // measured price of Σ cell² vs corpus². The all-pairs stage is
+    // quadratic in the SAMPLE only (the audit shape you'd run at
+    // 100 TB); the production dedup itself never goes all-pairs.
+    "dedup_semantic_recall" -> ((s, dir) => {
+      val e = emb(s, dir).filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding"))
+      val cents = emb(s, dir).filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val cells = Similarity.ivfAssign(e, "vec_id", "embedding",
+        cents, "cent_id", "cvec").localCheckpoint(false)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("avec"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bvec"))
+      val globalPairs = a.crossJoin(b).filter(col("a_id") < col("b_id"))
+        .filter(round(Similarity.cosine(col("avec"), col("bvec")), 6)
+          >= 0.40)
+        .agg(count(lit(1)).as("n_pairs_exact"))
+      val ca = cells.select(col("cell"), col("vec_id").as("a_id"),
+        col("embedding").as("avec"))
+      val cb = cells.select(col("cell"), col("vec_id").as("b_id"),
+        col("embedding").as("bvec"))
+      val cellPairs = ca.join(cb, Seq("cell"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(round(Similarity.cosine(col("avec"), col("bvec")), 6)
+          >= 0.40)
+        .agg(count(lit(1)).as("n_pairs_cell"))
+      globalPairs.crossJoin(cellPairs)
+        .select(col("n_pairs_exact"), col("n_pairs_cell"),
+          when(col("n_pairs_exact") > 0,
+            TextStats.trunc6(col("n_pairs_cell") / col("n_pairs_exact")))
+            .as("recall"))
+    }),
+
     // Embedding-quality audit: label agreement of the top-3 cosine
     // neighbors for 32 sampled probes — the kNN eval a pipeline runs
     // before trusting an embedding column for semantic dedup or
@@ -2075,6 +2109,36 @@ object ExtQueries {
          |  coalesce(d.canonical_id, s.vec_id) AS canonical_id
          |FROM assign s LEFT JOIN dups d USING (vec_id)
          |ORDER BY s.vec_id""".stripMargin,
+
+    "dedup_semantic_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < 16
+         |), assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC,
+         |                 c.cent_id) AS rn
+         |    FROM e CROSS JOIN cents c) t
+         |  WHERE rn = 1
+         |), gp AS (
+         |  SELECT count(*) AS n_pairs_exact
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.40
+         |), cp AS (
+         |  SELECT count(*) AS n_pairs_cell
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.40
+         |)
+         |SELECT n_pairs_exact, n_pairs_cell,
+         |  CASE WHEN n_pairs_exact > 0 THEN
+         |    floor((n_pairs_cell * 1.0 / n_pairs_exact) * 1000000) / 1000000
+         |  END AS recall
+         |FROM gp CROSS JOIN cp""".stripMargin,
 
     "similar_knn_accuracy" ->
       s"""WITH qs AS (
