@@ -457,6 +457,12 @@ object Dedup {
   def semantic(df: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame, centIdCol: String, centVecCol: String,
                tau: Double): DataFrame = {
+    // an empty centroid set would silently assign NOTHING (the argmax
+    // crossjoin drops every row) — reject it like incremental() rejects
+    // a malformed index, rather than return an empty "all clean" result
+    require(centroids.limit(1).count() == 1L,
+      "Dedup.semantic: centroid set is empty — every row would be " +
+        "silently dropped instead of deduped")
     // three consumers below (both pair sides + the verdict frame) —
     // materialize the assignment ONCE (lazily) instead of re-running
     // the centroid argmax per consumer; at 100 TB this is the step

@@ -285,6 +285,12 @@ class ExtSpec extends SparkSpec {
     val v2 = Dedup.semantic(split2, "vec_id", "embedding",
       cents, "cent_id", "cvec", tau = 0.9).collect()
     assert(v2.forall(_.getString(2) == "kept"))
+    // an empty centroid set is a contract violation, not "no dups"
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semantic(corpus, "vec_id", "embedding",
+        cents.filter(col("cent_id") < 0), "cent_id", "cvec", tau = 0.9)
+    }
+    assert(e.getMessage.contains("centroid set is empty"))
   }
 
   test("random projection is deterministic, linear, and cosine-preserving on scaled vectors") {
