@@ -272,19 +272,25 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
   /** Distinct-count dashboard read: per `coarseSec` bucket, the
     * approximate distinct VALUES per metric over the range. Routes
     * through the materialized SKETCH rollup when one aligns (rollup
-    * bucket divides the coarse grid, `fromSec` on the rollup grid) —
-    * then the read is a rollup-scale `hll_union_agg` merge and raw
-    * data is never scanned; otherwise falls back to direct sketching
-    * over raw rows. Union at fixed lgK is lossless, so BOTH routes
-    * return identical estimates (GraftClientSpec pins it) — routing
-    * is a cost decision, never a semantics one.
+    * bucket divides the coarse grid AND both range ends sit on the
+    * rollup grid: `fromSec % b == 0`, `(toSec + 1) % b == 0`) — then
+    * the read is a rollup-scale `hll_union_agg` merge and raw data is
+    * never scanned; otherwise falls back to direct sketching over raw
+    * rows. The end-alignment check matters: rollup buckets merge
+    * WHOLE, so a query ending mid-bucket would count values observed
+    * after `toSec` that the raw path excludes. With both ends aligned,
+    * union at fixed lgK is lossless and BOTH routes return identical
+    * estimates (GraftClientSpec pins aligned equality and the
+    * unaligned-end fallback) — routing is a cost decision, never a
+    * semantics one.
     */
   def readDistinct(db: String, sensor: String, fromSec: Long, toSec: Long,
                    coarseSec: Long, useRollups: Boolean = true): DataFrame = {
     authRead(db, sensor)
     val aligned = if (useRollups)
       store.listSketchRollups(db, sensor)
-        .filter(b => b <= coarseSec && coarseSec % b == 0 && fromSec % b == 0)
+        .filter(b => b <= coarseSec && coarseSec % b == 0 &&
+          fromSec % b == 0 && (toSec + 1) % b == 0)
         .lastOption
     else None
     aligned match {

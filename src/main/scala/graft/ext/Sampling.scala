@@ -98,6 +98,10 @@ object Sampling {
     */
   def mixAlpha(df: DataFrame, idCol: String, sourceCol: String,
                alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0, 1] (got $alpha): outside it the keep rate " +
+        "(n_min/n_source)^(1-alpha) leaves (0, 1] and the hash gate " +
+        "silently degrades to the natural mix")
     val bySource = df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_source"))
     val mins = bySource.agg(min(col("n_source")).as("n_min"))

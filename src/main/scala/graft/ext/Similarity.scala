@@ -72,11 +72,16 @@ object Similarity {
   /** Random-hyperplane LSH signature: bit p = [sum_d w(p,d)*x_d >= 0].
     * Returns a bit-string column usable as a bucket key.
     */
-  def lshSignature(vec: Column, planes: Int, dim: Int): Column =
+  def lshSignature(vec: Column, planes: Int, dim: Int): Column = {
+    require(planes < RpPlaneOffset,
+      s"planes must stay below $RpPlaneOffset: indices past the offset " +
+        "would reuse the rpProject plane family and break the " +
+        "independence of the two indexes")
     concat((0 until planes).map { p =>
       val s = dot(vec, typedLit(planeWeights(p, dim)))
       when(s >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
+  }
 
   /** Plane-index offset for [[rpProject]]: keeps the projection planes
     * DISJOINT from the LSH planes (0 until planes) so bucketing and

@@ -666,6 +666,17 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     * `hll_union_agg` per metric over partial-scale rows (never the raw
     * rows), one estimate per output cell. Null where a coarse bucket
     * holds no observations.
+    *
+    * Boundary semantics are BUCKET-granular: `fromSec`/`toSec` admit
+    * every rollup bucket that intersects the range, WHOLE (the from
+    * filter rounds down to the bucket grid; the to filter keeps any
+    * bucket starting at or before `toSec`). Merged HLL partials cannot
+    * be trimmed post-hoc, so a range that does not start and end on
+    * the rollup grid over-counts at the edges by up to one bucket each
+    * side. Callers needing exact range semantics must pass
+    * `fromSec % bucketSec == 0` and `(toSec + 1) % bucketSec == 0` —
+    * [[graft.client.GraftClient.readDistinct]]'s routing enforces
+    * exactly this and falls back to raw sketching otherwise.
     */
   def readSketchRollup(db: String, sensor: String, bucketSec: Long,
                        coarseSec: Long,

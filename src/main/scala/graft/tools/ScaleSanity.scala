@@ -21,6 +21,26 @@ object ScaleSanity {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Replicated-parquet staging dirs are multi-GB; delete them when the
+    // JVM exits (shutdown hook rather than a finally so a mid-run crash
+    // still cleans up).
+    val tmps = scala.collection.mutable.Buffer.empty[java.nio.file.Path]
+    def tempDir(prefix: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      tmps += p
+      p.toString
+    }
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import java.nio.file.Files
+      if (Files.exists(p)) {
+        val s = Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally s.close()
+      }
+    }
+    sys.addShutdownHook(tmps.foreach(rmTree))
+
     val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "events")
     val n = ev.count()
     // 10 shifted copies: event_ids and timestamps stay unique
@@ -28,7 +48,7 @@ object ScaleSanity {
       ev.withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
         .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS"))
     }.reduce(_ union _)
-    val dir = java.nio.file.Files.createTempDirectory("scale").toString
+    val dir = tempDir("scale")
     big.write.parquet(s"$dir/events.parquet")
     val bigN = spark.read.parquet(s"$dir/events.parquet").count()
 
@@ -78,7 +98,7 @@ object ScaleSanity {
       docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
         .withColumn("text", concat(col("text"), lit(s" replicamarker$i")))
     }.reduce(_ union _)
-    val ddir = java.nio.file.Files.createTempDirectory("scaledocs").toString
+    val ddir = tempDir("scaledocs")
     bigDocs.write.parquet(s"$ddir/documents.parquet")
     val bigNd = spark.read.parquet(s"$ddir/documents.parquet").count()
     val docPicks = Seq("decontaminate_ngram", "pii_redact",
@@ -124,7 +144,7 @@ object ScaleSanity {
       ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
         .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 10000000L))
     }.reduce(_ union _)
-    val odir = java.nio.file.Files.createTempDirectory("scaleord").toString
+    val odir = tempDir("scaleord")
     bigOrd.write.parquet(s"$odir/orders.parquet")
     val bigNo = spark.read.parquet(s"$odir/orders.parquet").count()
     val ordPicks = Seq("snapshot_diff_orders", "orders_scd2_intervals",
@@ -146,7 +166,7 @@ object ScaleSanity {
     // output grows exactly 10×.
     val li0 = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
     val nl = li0.count()
-    val tdir = java.nio.file.Files.createTempDirectory("scaletpch").toString
+    val tdir = tempDir("scaletpch")
     (0 until 10).map { i =>
       li0.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
     }.reduce(_ union _).write.parquet(s"$tdir/lineitem.parquet")
@@ -183,7 +203,7 @@ object ScaleSanity {
         .withColumn("embedding",
           transform(col("embedding"), x => x + lit(i * 0.05)))
     }.reduce(_ union _)
-    val edir = java.nio.file.Files.createTempDirectory("scaleemb").toString
+    val edir = tempDir("scaleemb")
     bigEmb.write.parquet(s"$edir/embeddings.parquet")
     val bigNe = spark.read.parquet(s"$edir/embeddings.parquet").count()
     def nn(dirPath: String, k: Int): Long =

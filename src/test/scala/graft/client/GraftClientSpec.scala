@@ -166,6 +166,27 @@ class GraftClientSpec extends SparkSpec {
     assert(misaligned.collect().length > 0)
   }
 
+  test("readDistinct: query ending mid-rollup-bucket falls back to raw") {
+    val c = freshClient()
+    c.createSensor("test", "sde", "1s", Seq(Seq("v")))
+    // every value distinct, so a whole-bucket overshoot is visible in
+    // the estimate (i%23 would mask it)
+    c.write((0 until 600).map(i =>
+      s"test,circuit=sde v=$i ${(t0 + i)}000000000"))
+    c.store.materializeSketchRollup("test", "sde", 60L)
+    // range ends at t0+569 — inside the [t0+540, t0+600) rollup bucket.
+    // The rollup route would merge that bucket WHOLE and count the 30
+    // values past the end; routing must reject it (end not on the
+    // rollup grid) and the two routes then agree exactly.
+    val unalignedEnd = c.readDistinct("test", "sde", t0, t0 + 569, 300L)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    val raw = c.readDistinct("test", "sde", t0, t0 + 569, 300L,
+      useRollups = false)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(unalignedEnd == raw)
+    assert(unalignedEnd.map(_._2) == Seq(300L, 270L)) // exact at this scale
+  }
+
   test("parity helpers: metrics, lastDate, updateToken, configReload") {
     val c = freshClient()
     c.createSensor("d", "s", "1h", Seq(Seq("p"), Seq("q")))

@@ -255,6 +255,11 @@ class ExtSpec extends SparkSpec {
     assert(out(0).getString(1) == out(1).getString(1))
     assert(out(0).getString(1) != out(2).getString(1))
     assert(out(0).getString(1).matches("[01]{6}"))
+    // plane indices at/past the rpProject offset would overlap the
+    // projection family — rejected, not silently shared
+    intercept[IllegalArgumentException] {
+      Similarity.lshSignature(col("embedding"), 100, 8)
+    }
   }
 
   test("semantic dedup collapses within-cell near-identical pairs to the lowest id") {

@@ -95,5 +95,13 @@ class SamplingSpec extends SparkSpec {
     val flatIds = flat.select("id").collect().map(_.getLong(0)).toSet
     val halfIds = half.select("id").collect().map(_.getLong(0)).toSet
     assert(flatIds.subsetOf(halfIds))
+    // out-of-range alpha is rejected, not silently degraded to the
+    // natural mix (rate > 1 would pass every row through the gate)
+    intercept[IllegalArgumentException] {
+      Sampling.mixAlpha(df, "id", "src", alpha = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixAlpha(df, "id", "src", alpha = -0.1)
+    }
   }
 }
