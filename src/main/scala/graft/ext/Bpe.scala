@@ -98,29 +98,47 @@ object Bpe {
   /** ENCODE with a learned merge table — the apply half of the
     * tokenizer lifecycle (fit → encode). The merge table is a bounded
     * model artifact (`steps` rows, like a centroid set), so collecting
-    * it and fusing the rules into ONE replace-chain projection is the
-    * distributed-correct move: the words side runs a single narrow
-    * codegen'd pass — no join, no shuffle — which is the shape that
-    * encodes 100 TB. Rules apply in training order (step ASC), the
-    * same greedy left-to-right semantics fit() itself used. Output:
-    * the input rows plus `tokens` (unwrapped symbol array) and
-    * `n_tokens`. Same U+00B7 sentinel contract as [[fit]].
+    * it and fusing rules into replace-chain projections is the
+    * distributed-correct move: the words side runs narrow codegen'd
+    * passes — no join, no shuffle — which is the shape that encodes
+    * 100 TB. Rules apply in training order (step ASC), the same greedy
+    * left-to-right semantics fit() itself used.
+    *
+    * Rules are fused `rulesPerPass` at a time with a LAZY
+    * `localCheckpoint` between passes: a production 30k-merge vocab as
+    * one fused expression would blow past codegen's method-size limits
+    * (interpreted fallback at best, analysis blow-up at worst), while
+    * bounded batches keep every pass inside whole-stage codegen at the
+    * cost of one intermediate materialization per batch. A vocab that
+    * fits in one batch (the common oracled case) pays NO checkpoint —
+    * the plan is the single fused pass it always was. Output: the
+    * input rows plus `tokens` (unwrapped symbol array) and `n_tokens`.
+    * Same U+00B7 sentinel contract as [[fit]].
     */
-  def encode(words: DataFrame, wordCol: String,
-             merges: DataFrame): DataFrame = {
+  def encode(words: DataFrame, wordCol: String, merges: DataFrame,
+             rulesPerPass: Int = 100): DataFrame = {
+    require(rulesPerPass >= 1,
+      s"rulesPerPass must be >= 1, got $rulesPerPass")
     val nBad = words.filter(col(wordCol).contains("·")).limit(1).count()
     require(nBad == 0L,
       "Bpe.encode: input contains the U+00B7 sentinel character; " +
         "pre-escape it before encoding (see Bpe.fit Scaladoc)")
     val rules = merges.orderBy(col("step"))
       .select("left_sym", "right_sym", "merged").collect()
-    val seg = rules.foldLeft(segment0(col(wordCol))) { (acc, r) =>
-      replace(acc, lit(r.getString(0) + " " + r.getString(1)),
-        lit(r.getString(2)))
+    val batches = rules.grouped(rulesPerPass).toSeq
+    var df = words.filter(length(col(wordCol)) > 0)
+      .withColumn("__seg", segment0(col(wordCol)))
+    for ((batch, i) <- batches.zipWithIndex) {
+      if (i > 0) df = df.localCheckpoint(false) // truncate the prior chain
+      val seg = batch.foldLeft(col("__seg")) { (acc, r) =>
+        replace(acc, lit(r.getString(0) + " " + r.getString(1)),
+          lit(r.getString(2)))
+      }
+      df = df.withColumn("__seg", seg)
     }
-    words.filter(length(col(wordCol)) > 0)
-      .withColumn("tokens",
-        transform(split(seg, " "), t => regexp_replace(t, "·", "")))
+    df.withColumn("tokens",
+        transform(split(col("__seg"), " "), t => regexp_replace(t, "·", "")))
       .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      .drop("__seg")
   }
 }

@@ -417,6 +417,73 @@ object Dedup {
         col("dup_frac").isNull || col("dup_frac") <= dupFracMax)
   }
 
+  /** Exact duplicated-SUBSTRING runs — the Lee et al. 2022 /
+    * RefinedWeb "remove exact substrings ≥ N tokens" pass, distributed
+    * as sorted-shingle-run merging instead of a suffix array (ref
+    * motif: dedup_span_ngram's gram machinery, extended from a
+    * fraction to RANGES):
+    *  1. per doc, word positions with their CHARACTER offsets (one
+    *     window cumsum per doc);
+    *  2. word n-grams at every position via `lead` (one window pass —
+    *     no array blow-up, the gram stream stays one row per word);
+    *  3. grams occurring ≥ 2 times anywhere in the corpus (same doc
+    *     counts — self-repetition is duplication too) mark their
+    *     positions as duplicated;
+    *  4. per doc, consecutive duplicated positions merge into maximal
+    *     runs (lag-gap + running sum — the classic islands trick);
+    *     a run covering i..j spans j − i + n words.
+    * Output: one row per maximal run of ≥ `minRunWords` words —
+    * (id, start_word, run_words, start_char, end_char) with end_char
+    * exclusive, i.e. `substr(text, start_char+1, end_char−start_char)`
+    * IS the duplicated substring a curation pass would cut.
+    *
+    * Scale shape: shuffles only on (id) for the windows and on the
+    * gram key for the occurrence count — never a doc-pair stage
+    * (PlanSpec pins it). The dup-gram list routes through
+    * [[TextStats.gatedBroadcast]]: corpus-scale gram joins degrade to
+    * a shuffle instead of a driver OOM when real duplication volume
+    * outgrows the gate.
+    */
+  def substringRuns(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8, minRunWords: Int = 50): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minRunWords >= n,
+      s"minRunWords ($minRunWords) must be >= the gram width ($n)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("i"))
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val pos = df
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("i", "word")))
+      .withColumn("start_char",
+        coalesce(sum(length(col("word")) + 1).over(wCum), lit(0L)))
+    val grams = pos.select(col(idCol), col("i"), col("start_char"),
+        concat_ws(" ",
+          col("word") +: (1 until n).map(j => lead(col("word"), j).over(w)): _*)
+          .as("gram"),
+        (lead(col("start_char"), n - 1).over(w) +
+          length(lead(col("word"), n - 1).over(w))).as("end_char"))
+      .filter(col("end_char").isNotNull) // i > size-n has no full gram
+      .localCheckpoint(false) // feeds the count and the probe below
+    val dupGrams = TextStats.gatedBroadcast(
+      grams.groupBy(col("gram")).agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2).select("gram"))
+    val dupPos = grams.join(dupGrams, Seq("gram"))
+      .withColumn("newrun",
+        when(col("i") - lag(col("i"), 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("run_id", sum(col("newrun")).over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    dupPos.groupBy(col(idCol), col("run_id"))
+      .agg(min(col("i")).as("start_word"),
+        (max(col("i")) - min(col("i")) + n).as("run_words"),
+        min(col("start_char")).as("start_char"),
+        max(col("end_char")).as("end_char"))
+      .filter(col("run_words") >= minRunWords)
+      .select(col(idCol), col("start_word"), col("run_words"),
+        col("start_char"), col("end_char"))
+  }
+
   /** 16-bit SimHash over whitespace tokens. Bit `i` of a token is the
     * top bit of nibble `i` of `md5(token)` (hex char in [89abcdef]);
     * the document bit is the exact-integer majority vote
@@ -463,17 +530,127 @@ object Dedup {
     require(centroids.limit(1).count() == 1L,
       "Dedup.semantic: centroid set is empty — every row would be " +
         "silently dropped instead of deduped")
-    // three consumers below (both pair sides + the verdict frame) —
-    // materialize the assignment ONCE (lazily) instead of re-running
-    // the centroid argmax per consumer; at 100 TB this is the step
-    // that writes the cell-partitioned table
+    // the collapse tail materializes the assignment ONCE (lazily) for
+    // its three consumers; at 100 TB this is the step that writes the
+    // cell-partitioned table. cap <= 0: the caller owns the cell-size
+    // story for an explicit centroid set.
     val cells = Similarity.ivfAssign(df, idCol, vecCol,
-      centroids, centIdCol, centVecCol).localCheckpoint(false)
-    val a = cells.select(col("cell"), col(idCol).as("a_id"),
+      centroids, centIdCol, centVecCol)
+    collapseCells(cells.select(col(idCol), col(vecCol), col("cell")),
+      idCol, vecCol, tau, cap = 0)
+  }
+
+  /** Sample size per coarse centroid for [[semanticFitted]]'s k-means
+    * fit — the FAISS-style "train on a bounded sample" practice that
+    * keeps the Lloyd update O(sample · dim) instead of O(n · dim).
+    */
+  val SemanticFitSamplePerCell = 50
+
+  /** [[semantic]] over FITTED structure with a corpus-scaled cell
+    * count — the published SemDeDup parameterization: the caller names
+    * a target cell SIZE and the cell count k = ⌈n / target⌉ grows with
+    * the corpus, so the within-cell pair stage stays Σ cell² ≈
+    * n · target (LINEAR in n at fixed target), never quadratic. A
+    * fixed k would silently turn the pair join quadratic at 100× the
+    * data; this is the shape that survives the scale-up.
+    *
+    * A flat k-cell argmax would cost n·k cosines per assignment pass —
+    * with k ∝ n that is n²/target, the quadratic reappearing one stage
+    * earlier. The index here is TWO-LEVEL (the IVF/IMI recipe):
+    *  - coarse: kc = ⌈√k⌉ k-means centroids, Lloyd-fitted on a bounded
+    *    deterministic sample (first `SemanticFitSamplePerCell · kc`
+    *    ids) so the fit bill never scales with n;
+    *  - fine: the k smallest-id vectors act as anchor quantizers, each
+    *    tagged with its coarse cell; a vector resolves its coarse cell
+    *    (n · kc cosines) then argmaxes only the anchors CO-RESIDENT in
+    *    that coarse cell (n · k/kc expected). Total assignment cost
+    *    n · O(√k), and every step is a deterministic argmax with
+    *    (sim DESC, id ASC) ties — exactly mirrorable in the oracle.
+    *    A coarse cell with no anchors falls back to its own cell id
+    *    (cell = −coarse − 1), never drops rows.
+    *  - skew cap: k-means cells follow data density, so one dense
+    *    mode can still produce a mega-cell whose pair join is
+    *    quadratic in ITS size. Cells are chunked in id order into subs
+    *    of ≤ `maxCellSize` (default 4 · target), bounding the pair
+    *    stage at n · maxCellSize pairs REGARDLESS of skew. Pairs split
+    *    across subs are the measured price — the recall audit key
+    *    prices exactly this split.
+    *
+    * The two `count()`s are bounded driver scalars to size the index,
+    * the same justified pattern as the union-find probe.
+    */
+  def semanticFitted(df: DataFrame, idCol: String, vecCol: String,
+                     targetCellSize: Int, tau: Double, iters: Int = 1,
+                     maxCellSize: Int = 0): DataFrame = {
+    require(targetCellSize >= 2,
+      s"targetCellSize must be >= 2 (got $targetCellSize): cells of one " +
+        "row have no pairs to dedup")
+    val cap = if (maxCellSize > 0) maxCellSize else 4 * targetCellSize
+    val cells = fittedCells(df, idCol, vecCol, targetCellSize, iters)
+    collapseCells(cells, idCol, vecCol, tau, cap)
+  }
+
+  /** The two-level cell assignment of [[semanticFitted]]: returns
+    * (idCol, vecCol, cell). Shared with the recall-audit query so the
+    * audited split IS the shipped split.
+    */
+  def fittedCells(df: DataFrame, idCol: String, vecCol: String,
+                  targetCellSize: Int, iters: Int): DataFrame = {
+    val n = df.count()
+    val k = math.max(1L, math.ceil(n.toDouble / targetCellSize).toLong).toInt
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val sample = df.orderBy(col(idCol))
+      .limit(math.min(n, SemanticFitSamplePerCell.toLong * kc).toInt)
+    val coarse = Similarity.kmeansCentroids(sample, idCol, vecCol, kc, iters)
+    val anchors = Similarity.assignToCentroids(
+        df.orderBy(col(idCol)).limit(k)
+          .select(col(idCol).as("anchor_id"), col(vecCol).as("avec")),
+        "anchor_id", "avec", coarse)
+      .select(col("cluster"), col("anchor_id"), col("avec"))
+      .localCheckpoint(false) // k rows; three consumers via broadcast
+    val vcoarse = Similarity.assignToCentroids(df, idCol, vecCol, coarse)
+    vcoarse.join(broadcast(anchors), Seq("cluster"), "left")
+      .withColumn("a_sim",
+        coalesce(Similarity.cosine(col(vecCol), col("avec")), lit(-2.0)))
+      .groupBy(col(idCol))
+      .agg(
+        coalesce(
+          max_by(col("anchor_id"),
+            struct(col("a_sim"), (-col("anchor_id")).as("nid"))),
+          (-first(col("cluster")) - 1).cast("long")).as("cell"),
+        first(col(vecCol)).as(vecCol))
+      .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** The skew cap of [[semanticFitted]] as its own step: chunk each
+    * cell in id order into `sub`s of ≤ cap rows (`cap <= 0` → one sub
+    * per cell). Exposed so the recall audit can price the exact
+    * (cell, sub) split the dedup ships.
+    */
+  def capCells(cells: DataFrame, idCol: String, cap: Int): DataFrame =
+    if (cap > 0) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cell")).orderBy(col(idCol))
+      cells.withColumn("sub",
+        floor((row_number().over(w) - 1) / cap).cast("int"))
+    } else cells.withColumn("sub", lit(0))
+
+  /** Within-cell collapse shared by [[semantic]] and [[semanticFitted]]:
+    * pairs at cosine ≥ tau collapse to the lowest id. `cap > 0` chunks
+    * each cell in id order into subs of ≤ cap first (the skew bound);
+    * `cap <= 0` compares whole cells (the explicit-centroid path,
+    * where the caller owns the cell-size story).
+    */
+  private def collapseCells(cells0: DataFrame, idCol: String,
+                            vecCol: String, tau: Double,
+                            cap: Int): DataFrame = {
+    val cells = capCells(cells0, idCol, cap).localCheckpoint(false)
+    val keys = Seq("cell", "sub")
+    val a = cells.select(col("cell"), col("sub"), col(idCol).as("a_id"),
       col(vecCol).as("avec"))
-    val b = cells.select(col("cell"), col(idCol).as("b_id"),
+    val b = cells.select(col("cell"), col("sub"), col(idCol).as("b_id"),
       col(vecCol).as("bvec"))
-    val dups = a.join(b, Seq("cell"))
+    val dups = a.join(b, keys)
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim",
         round(Similarity.cosine(col("avec"), col("bvec")), 6))

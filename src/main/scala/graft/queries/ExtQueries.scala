@@ -876,17 +876,18 @@ object ExtQueries {
         .select("doc_id", "lang", "n_source", "rate", "sample_u")
         .orderBy("doc_id")),
 
-    // SemDeDup (Abbas et al. 2023): semantic dedup in embedding space.
-    // 16 first-vector cells bound the pairwise stage (Σ cell², never
-    // corpus²); within-cell pairs at cosine ≥ 0.40 collapse to the
-    // lowest id. Per-row verdict so curation joins on it directly.
-    "dedup_semantic" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-      Dedup.semantic(e, "vec_id", "embedding", cents, "cent_id", "cvec",
-        tau = 0.40).orderBy("vec_id")
-    }),
+    // SemDeDup (Abbas et al. 2023): semantic dedup in embedding space
+    // over a FITTED two-level index with a corpus-scaled cell count —
+    // target cell size 32, so k = ⌈n/32⌉ anchor cells grow with the
+    // corpus and the pair stage stays ≈ 32·n (linear), never
+    // quadratic; assignment is coarse ⌈√k⌉ sample-fit k-means then an
+    // anchor argmax within the coarse cell (n·O(√k), not n·k); id-order
+    // sub cap 128 bounds the pair join under any k-means skew. Pairs
+    // at cosine ≥ 0.40 collapse to the lowest id; per-row verdict so
+    // curation joins on it directly.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticFitted(emb(s, dir), "vec_id", "embedding",
+        targetCellSize = 32, tau = 0.40, iters = 1).orderBy("vec_id")),
 
     // SemDeDup recall audit on a BOUNDED sample (500 vectors): the
     // fraction of true above-τ pairs the cell split retains — the
@@ -896,21 +897,26 @@ object ExtQueries {
     "dedup_semantic_recall" -> ((s, dir) => {
       val e = emb(s, dir).filter(col("vec_id") < 500)
         .select(col("vec_id"), col("embedding"))
-      val cents = emb(s, dir).filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-      val cells = Similarity.ivfAssign(e, "vec_id", "embedding",
-        cents, "cent_id", "cvec").localCheckpoint(false)
+      // the EXACT split dedup_semantic ships (two-level fitted cells,
+      // target 32, 1 Lloyd iteration, sub cap 128), applied to the
+      // bounded audit sample — the recall measured is the price of
+      // the shipped partition, cap included
+      val cells = Dedup.capCells(
+          Dedup.fittedCells(e, "vec_id", "embedding",
+            targetCellSize = 32, iters = 1),
+          "vec_id", cap = 128)
+        .localCheckpoint(false)
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("avec"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bvec"))
       val globalPairs = a.crossJoin(b).filter(col("a_id") < col("b_id"))
         .filter(round(Similarity.cosine(col("avec"), col("bvec")), 6)
           >= 0.40)
         .agg(count(lit(1)).as("n_pairs_exact"))
-      val ca = cells.select(col("cell"), col("vec_id").as("a_id"),
-        col("embedding").as("avec"))
-      val cb = cells.select(col("cell"), col("vec_id").as("b_id"),
-        col("embedding").as("bvec"))
-      val cellPairs = ca.join(cb, Seq("cell"))
+      val ca = cells.select(col("cell"), col("sub"),
+        col("vec_id").as("a_id"), col("embedding").as("avec"))
+      val cb = cells.select(col("cell"), col("sub"),
+        col("vec_id").as("b_id"), col("embedding").as("bvec"))
+      val cellPairs = ca.join(cb, Seq("cell", "sub"))
         .filter(col("a_id") < col("b_id"))
         .filter(round(Similarity.cosine(col("avec"), col("bvec")), 6)
           >= 0.40)
@@ -2085,21 +2091,10 @@ object ExtQueries {
     },
 
     "dedup_semantic" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
-         |  WHERE vec_id < 16
-         |), assign AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC,
-         |                 c.cent_id) AS rn
-         |    FROM embeddings e CROSS JOIN cents c) t
-         |  WHERE rn = 1
-         |), dups AS (
+      s"""WITH ${semanticFittedCtes("embeddings", 32, 128)}, dups AS (
          |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS canonical_id
-         |  FROM assign a JOIN assign b
-         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  FROM cl a JOIN cl b
+         |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
          |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.40
          |  GROUP BY b.vec_id
          |)
@@ -2107,31 +2102,20 @@ object ExtQueries {
          |  CASE WHEN d.canonical_id IS NOT NULL THEN 'dup'
          |       ELSE 'kept' END AS verdict,
          |  coalesce(d.canonical_id, s.vec_id) AS canonical_id
-         |FROM assign s LEFT JOIN dups d USING (vec_id)
+         |FROM cl s LEFT JOIN dups d USING (vec_id)
          |ORDER BY s.vec_id""".stripMargin,
 
     "dedup_semantic_recall" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
-         |), cents AS (
-         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
-         |  WHERE vec_id < 16
-         |), assign AS (
-         |  SELECT vec_id, embedding, cell FROM (
-         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC,
-         |                 c.cent_id) AS rn
-         |    FROM e CROSS JOIN cents c) t
-         |  WHERE rn = 1
-         |), gp AS (
+         |), ${semanticFittedCtes("e", 32, 128)}, gp AS (
          |  SELECT count(*) AS n_pairs_exact
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id
          |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.40
          |), cp AS (
          |  SELECT count(*) AS n_pairs_cell
-         |  FROM assign a JOIN assign b
-         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  FROM cl a JOIN cl b
+         |    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
          |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.40
          |)
          |SELECT n_pairs_exact, n_pairs_cell,
@@ -2254,12 +2238,70 @@ object ExtQueries {
     * (ties → lowest cluster id) — mirrors Similarity.assignToCentroids.
     */
   private def kmeansAssignSql(centsCte: String): String =
+    kmeansAssignFromSql("embeddings", centsCte)
+
+  /** Assignment round over an arbitrary (vec_id, embedding) source —
+    * the fitted-SemDeDup oracles fit on a sample CTE, not the table.
+    */
+  private def kmeansAssignFromSql(src: String, centsCte: String): String =
     s"""
        |  SELECT vec_id, embedding, cluster FROM (
        |    SELECT e.vec_id, e.embedding, c.cluster,
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC, c.cluster) AS rn
-       |    FROM embeddings e CROSS JOIN $centsCte c) WHERE rn = 1""".stripMargin
+       |    FROM $src e CROSS JOIN $centsCte c) WHERE rn = 1""".stripMargin
+
+  /** CTE chain mirroring Dedup.fittedCells + capCells over `src`
+    * (a table or prior CTE with dense 0-based vec_id): two-level
+    * fitted cells — coarse ⌈√k⌉ k-means Lloyd-fit on the first
+    * 50·kc ids, anchor argmax within the coarse cell, id-order sub
+    * cap — ending in `cl(vec_id, embedding, cell, sub)`. Byte-exact
+    * with the Scala (argmax ties → lowest id at every level, −2.0
+    * sentinel for anchor-less coarse cells, cell = −cluster−1
+    * fallback).
+    */
+  private def semanticFittedCtes(src: String, target: Int,
+                                 cap: Int): String =
+    s"""prm AS (
+       |  SELECT count(*) AS n,
+       |    CAST(ceil(count(*) / $target.0) AS BIGINT) AS k,
+       |    CAST(ceil(sqrt(ceil(count(*) / $target.0))) AS BIGINT) AS kc
+       |  FROM $src
+       |), smp AS (
+       |  SELECT vec_id, embedding FROM $src
+       |  WHERE vec_id < (SELECT least(n, 50 * kc) FROM prm)
+       |), c0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cluster,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM smp WHERE vec_id < (SELECT kc FROM prm)
+       |), a0 AS (${kmeansAssignFromSql("smp", "c0")}
+       |), c1 AS (${kmeansUpdateSql("a0", "c0")}
+       |), anch AS (
+       |  SELECT vec_id AS anchor_id, embedding AS avec FROM $src
+       |  WHERE vec_id < (SELECT k FROM prm)
+       |), ana AS (
+       |  SELECT anchor_id, avec, cluster FROM (
+       |    SELECT n0.anchor_id, n0.avec, c.cluster,
+       |      row_number() OVER (PARTITION BY n0.anchor_id
+       |        ORDER BY ${cosineSql("n0.avec", "c.cvec")} DESC,
+       |                 c.cluster) AS rn
+       |    FROM anch n0 CROSS JOIN c1 c) WHERE rn = 1
+       |), va AS (${kmeansAssignFromSql(src, "c1")}
+       |), fine AS (
+       |  SELECT vec_id, embedding,
+       |    coalesce(anchor_id, -cluster - 1) AS cell FROM (
+       |    SELECT v.vec_id, v.embedding, v.cluster, a.anchor_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY coalesce(${cosineSql("v.embedding", "a.avec")},
+       |                   -2.0) DESC,
+       |                 a.anchor_id) AS rn
+       |    FROM va v LEFT JOIN ana a ON v.cluster = a.cluster) WHERE rn = 1
+       |), cl AS (
+       |  SELECT vec_id, embedding, cell,
+       |    CAST(floor((row_number() OVER (PARTITION BY cell
+       |      ORDER BY vec_id) - 1) / $cap.0) AS INTEGER) AS sub
+       |  FROM fine
+       |)""".stripMargin
 
   /** One centroid update: per-(cluster, dim) mean with the sum routed
     * through DECIMAL (order-independent, exact — mirrors

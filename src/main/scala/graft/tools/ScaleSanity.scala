@@ -214,6 +214,16 @@ object ScaleSanity {
     val e10 = time(nn(edir, 160))
     println(f"[scale] exactNN(k scales with n)  1x(k=16)=${e1}%6.2fs " +
       f"10x(k=160)=${e10}%6.2fs ratio=${e10 / e1}%5.2f vecs 1x=$ne 10x=$bigNe")
+
+    // fitted SemDeDup: k = ⌈n/32⌉ grows with the corpus, so the
+    // within-cell pair stage stays n·32 (linear) and the fit/assign
+    // bill is the published (iters+1)·n·k — the quadratic that a FIXED
+    // k would reintroduce shows up here as a ratio, not a claim.
+    val fsem = graft.SparkEntry.queries("dedup_semantic")
+    val s1 = time(fsem(spark, "/root/testdata/sf0.1").count())
+    val s10 = time(fsem(spark, edir).count())
+    println(f"[scale] dedup_semantic(fitted)   1x=${s1}%6.2fs " +
+      f"10x=${s10}%6.2fs ratio=${s10 / s1}%5.2f")
     spark.stop()
   }
 }

@@ -95,6 +95,33 @@ class BpeSpec extends SparkSpec {
     assert(byWord("ba") == (Seq("b", "a"), 2L)) // unseen → chars
   }
 
+  test("bpe encode at 64 merges: batched rule application matches one fused pass") {
+    import spark.implicits._
+    // 64 words over an 8-char alphabet, every ordered pair distinct and
+    // counts strictly decreasing → fit learns exactly one whole-word
+    // merge per step, 64 rules total. Encoding with rulesPerPass=7
+    // (10 batches, lazy checkpoint between) must equal the single
+    // fused pass — batching bounds expression depth, never semantics.
+    val pairs = for (a <- 'a' to 'h'; b <- 'a' to 'h') yield s"$a$b"
+    val words = pairs.zipWithIndex
+      .map { case (w, i) => (w, (1000 - i).toLong) }.toDF("w", "c")
+    val merges = Bpe.fit(words, "w", "c", steps = 64)
+    assert(merges.count() == 64L)
+    val probe = (pairs :+ "zz").toDF("w")
+    val batched = Bpe.encode(probe, "w", merges, rulesPerPass = 7)
+      .select("w", "tokens", "n_tokens").orderBy("w").collect()
+    val fused = Bpe.encode(probe, "w", merges, rulesPerPass = 10000)
+      .select("w", "tokens", "n_tokens").orderBy("w").collect()
+    assert(batched.map(_.toSeq).toSeq == fused.map(_.toSeq).toSeq)
+    val byWord = batched.map(r => r.getString(0) ->
+      (r.getSeq[String](1), r.getLong(2))).toMap
+    assert(pairs.forall(w => byWord(w) == (Seq(w), 1L))) // every rule fired
+    assert(byWord("zz") == (Seq("z", "z"), 2L)) // unseen → chars
+    intercept[IllegalArgumentException] {
+      Bpe.encode(probe, "w", merges, rulesPerPass = 0)
+    }
+  }
+
   test("bpe encode rejects the sentinel like fit does") {
     import spark.implicits._
     val words = Seq(("ab", 1L)).toDF("w", "c")

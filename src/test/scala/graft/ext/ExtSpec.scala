@@ -298,6 +298,52 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("centroid set is empty"))
   }
 
+  test("semanticFitted scales the cell count with the corpus and dedups within fitted cells") {
+    import spark.implicits._
+    // two tight bundles far apart, one anchor per bundle (ids 0, 1);
+    // target cell size 2 over 4 vectors → k = 2 anchors, kc = 2
+    // coarse centroids — one Lloyd step pulls each coarse centroid to
+    // its bundle, and each near-dup resolves to its bundle's anchor
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 0f, 1f, 0f)),
+      (2L, Array(1f, 0.01f, 0f, 0f)),   // near-identical to 0 → dup
+      (3L, Array(0f, 0.01f, 1f, 0f)))   // near-identical to 1 → dup
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticFitted(corpus, "vec_id", "embedding",
+        targetCellSize = 2, tau = 0.99, iters = 1)
+      .orderBy("vec_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      .toSeq == Seq(
+        (0L, "kept", 0L), (1L, "kept", 1L),
+        (2L, "dup", 0L), (3L, "dup", 1L)))
+    // k grows with n: the two bundles land in DIFFERENT anchor cells
+    assert(out.map(_.getLong(1)).distinct.length == 2)
+    intercept[IllegalArgumentException] {
+      Dedup.semanticFitted(corpus, "vec_id", "embedding",
+        targetCellSize = 1, tau = 0.9)
+    }
+  }
+
+  test("semanticFitted sub-split caps a skewed cell's pair join in id order") {
+    import spark.implicits._
+    // six identical vectors all collapse to anchor cell 0 — a worst-
+    // case mega-cell. maxCellSize = 2 chunks it into 3 subs; dedup
+    // fires only within a sub (the documented price of the bound), so
+    // each even id survives as its chunk's canonical row.
+    val corpus = (0L until 6L).map(i => (i, Array(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticFitted(corpus, "vec_id", "embedding",
+        targetCellSize = 2, tau = 0.99, iters = 1, maxCellSize = 2)
+      .orderBy("vec_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      .toSeq == Seq(
+        (0L, "kept", 0L), (1L, "dup", 0L),
+        (2L, "kept", 2L), (3L, "dup", 2L),
+        (4L, "kept", 4L), (5L, "dup", 4L)))
+    assert(out.map(_.getLong(1)).distinct.toSeq == Seq(0L)) // one cell
+  }
+
   test("random projection is deterministic, linear, and cosine-preserving on scaled vectors") {
     import spark.implicits._
     val vecs = Seq(
