@@ -475,8 +475,8 @@ object Dedup {
         w.rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
     dupPos.groupBy(col(idCol), col("run_id"))
-      .agg(min(col("i")).as("start_word"),
-        (max(col("i")) - min(col("i")) + n).as("run_words"),
+      .agg(min(col("i")).cast("long").as("start_word"),
+        (max(col("i")) - min(col("i")) + n).cast("long").as("run_words"),
         min(col("start_char")).as("start_char"),
         max(col("end_char")).as("end_char"))
       .filter(col("run_words") >= minRunWords)

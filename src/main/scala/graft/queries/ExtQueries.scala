@@ -538,6 +538,17 @@ object ExtQueries {
       Dedup.spanDupStats(docs(s, dir), "doc_id", "text", n = 8)
         .orderBy("doc_id")),
 
+    // Exact duplicated-SUBSTRING runs (Lee et al. 2022 / RefinedWeb:
+    // remove exact substrings ≥ N tokens): maximal runs of duplicated
+    // word-8-gram positions with their CHARACTER ranges — the rows a
+    // substring-cut pass consumes directly. Sorted-shingle-run merging,
+    // no suffix array, no doc-pair stage (PlanSpec-pinned); threshold
+    // 20 words on this corpus (Lee's 50-token cut at production).
+    "dedup_substring_runs" -> ((s, dir) =>
+      Dedup.substringRuns(docs(s, dir), "doc_id", "text", n = 8,
+          minRunWords = 20)
+        .orderBy("doc_id", "start_word")),
+
     // Compressed-domain ANN: coarse top-20 by cosine against int8
     // scalar-quantized RECONSTRUCTED vectors (the pass that scans 4×
     // fewer bytes at 100 TB), exact re-rank of the survivors on the
@@ -1400,6 +1411,52 @@ object ExtQueries {
         |LEFT JOIN tot t USING (doc_id)
         |LEFT JOIN dup u USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_substring_runs" -> {
+      val leads = (1 until 8).map(j => s"lead(word, $j) OVER win").mkString(",\n        |      ")
+      s"""WITH pos0 AS (
+         |  SELECT doc_id, u['i'] - 1 AS i, u['word'] AS word
+         |  FROM (SELECT doc_id,
+         |      unnest(list_transform(range(1, len(ws) + 1),
+         |        i -> {'i': i, 'word': ws[i]})) AS u
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |          FROM documents))
+         |), pos AS (
+         |  SELECT doc_id, i, word,
+         |    CAST(coalesce(sum(len(word) + 1) OVER (PARTITION BY doc_id
+         |      ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING), 0) AS BIGINT) AS start_char
+         |  FROM pos0
+         |), g AS (
+         |  SELECT doc_id, i, start_char,
+         |    concat_ws(' ', word,
+         |      $leads) AS gram,
+         |    lead(start_char, 7) OVER win
+         |      + len(lead(word, 7) OVER win) AS end_char
+         |  FROM pos WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+         |), gg AS (
+         |  SELECT doc_id, i, start_char, end_char, gram
+         |  FROM g WHERE end_char IS NOT NULL
+         |), dupg AS (
+         |  SELECT gram FROM gg GROUP BY gram HAVING count(*) >= 2
+         |), dpos AS (
+         |  SELECT doc_id, i, start_char, end_char,
+         |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) = 1
+         |         THEN 0 ELSE 1 END AS newrun
+         |  FROM gg JOIN dupg USING (gram)
+         |), runs AS (
+         |  SELECT doc_id, i, start_char, end_char,
+         |    sum(newrun) OVER (PARTITION BY doc_id ORDER BY i) AS run_id
+         |  FROM dpos
+         |)
+         |SELECT doc_id, CAST(min(i) AS BIGINT) AS start_word,
+         |  CAST(max(i) - min(i) + 8 AS BIGINT) AS run_words,
+         |  CAST(min(start_char) AS BIGINT) AS start_char,
+         |  CAST(max(end_char) AS BIGINT) AS end_char
+         |FROM runs GROUP BY doc_id, run_id
+         |HAVING max(i) - min(i) + 8 >= 20
+         |ORDER BY doc_id, start_word""".stripMargin
+    },
 
     "similar_sq_int8" ->
       s"""WITH corp AS (

@@ -120,7 +120,10 @@ object ScaleSanity {
       "multimodal_frame_sample",
       // tokenizer-lifecycle + mixture + bucket keys (linear doc
       // passes; ppl_buckets adds one per-lang rank sort):
-      "bpe_encode_count", "corpus_mix_alpha", "quality_ppl_buckets")
+      "bpe_encode_count", "corpus_mix_alpha", "quality_ppl_buckets",
+      // round-7: substring-run dedup — windows shuffle on doc_id, the
+      // gram count on the gram key; output rows track real duplication
+      "dedup_substring_runs")
     val docRatios = docPicks.map { q =>
       val f = graft.SparkEntry.queries(q)
       val t1 = time(f(spark, "/root/testdata/sf0.1").count())

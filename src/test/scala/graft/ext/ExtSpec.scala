@@ -325,6 +325,41 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("substringRuns finds maximal duplicated runs with exact character ranges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),            // shares an 8-gram with 2
+      (2L, "x y a b c d e f g h z"),
+      (5L, "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringRuns(docs, "doc_id", "text",
+        n = 8, minRunWords = 8)
+      .orderBy("doc_id", "start_word").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == Seq(
+        (1L, 0L, 8L, 0L, 15L),
+        (2L, 2L, 8L, 4L, 19L),
+        (5L, 0L, 8L, 0L, 23L),   // self-repetition IS duplication:
+        (5L, 8L, 8L, 24L, 47L))) // both copies reported, runs split
+    // the character range IS the substring a cut pass would remove
+    val byDoc = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val cut = byDoc(r.getLong(0))
+        .substring(r.getLong(3).toInt, r.getLong(4).toInt)
+      assert(cut.split(" ").length == r.getLong(2))
+    }
+    // overlapping duplicated grams merge into ONE maximal run
+    val merged = Seq(
+      (7L, "p q r s t u v w k l"),
+      (8L, "p q r s t u v w k l"))
+      .toDF("doc_id", "text")
+    val m = Dedup.substringRuns(merged, "doc_id", "text",
+        n = 8, minRunWords = 8).orderBy("doc_id").collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == Seq(
+        (7L, 0L, 10L, 0L, 19L), (8L, 0L, 10L, 0L, 19L)))
+  }
+
   test("semanticFitted sub-split caps a skewed cell's pair join in id order") {
     import spark.implicits._
     // six identical vectors all collapse to anchor cell 0 — a worst-

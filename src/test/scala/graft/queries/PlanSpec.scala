@@ -13,9 +13,14 @@ class PlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // pins assert the COLD plan shape; a memo populated by an earlier
+    // suite in the same JVM would splice InMemoryRelations (and their
+    // exchanges) into it
+    ExtQueries.clearMemo()
     graft.SparkEntry.queries(name)(spark, dir)
       .queryExecution.explainString(FormattedMode)
+  }
 
   test("scan_time_range pushes the time bounds into the parquet scan") {
     val p = plan("scan_time_range")
@@ -172,6 +177,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"corpus-side shuffle for the gram join:\n$p")
+  }
+
+  test("substring-run dedup has no doc-pair stage (gram-key joins only)") {
+    val p = plan("dedup_substring_runs")
+    assert(!p.contains("CartesianProduct"), s"doc-pair cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"doc-pair loop join:\n$p")
   }
 
   test("interval overlap join is a hash equi-join on the bucket") {
