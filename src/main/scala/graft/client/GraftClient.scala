@@ -316,6 +316,51 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
     }
   }
 
+  /** Percentile dashboard read: per `coarseSec` bucket, the
+    * bin-resolution type-1 quantile of each metric's values on the
+    * fixed `binWidth` grid. Routes through a materialized QUANTILE
+    * rollup when one matches (same binWidth, rollup bucket divides the
+    * coarse grid, both range ends on the rollup grid) — then the read
+    * merges integer histogram partials and raw data is never scanned;
+    * otherwise it histograms the raw rows directly ON THE SAME GRID.
+    * Counts are exact integers and the rank math is shared
+    * ([[graft.operators.Quantiles.gridHistQuantile]]), so BOTH routes
+    * return identical values — quantization to binWidth is the
+    * operator's semantic, never a route artifact (GraftClientSpec pins
+    * aligned equality and the unaligned-end fallback).
+    */
+  def readQuantile(db: String, sensor: String, fromSec: Long, toSec: Long,
+                   coarseSec: Long, pct: Int, binWidth: Double,
+                   useRollups: Boolean = true): DataFrame = {
+    authRead(db, sensor)
+    val aligned = if (useRollups)
+      store.listQuantileRollups(db, sensor)
+        .filter { case (b, bw) =>
+          bw == binWidth && b <= coarseSec && coarseSec % b == 0 &&
+            fromSec % b == 0 && (toSec + 1) % b == 0
+        }.lastOption
+    else None
+    aligned match {
+      case Some((b, bw)) =>
+        store.readQuantileRollup(db, sensor, b, bw, coarseSec, pct,
+          Some(fromSec), Some(toSec))
+      case None =>
+        val metrics = store.config(db, sensor).metricNames
+        val raw = store.read(db, sensor, Some(fromSec), Some(toSec))
+        val long = Pivot.wideToLong(
+          raw.withColumn("cbucket",
+              Grid.snapSeconds(Grid.tsSeconds(col("ts")), coarseSec))
+            .select(col("cbucket") +: metrics.map(col): _*),
+          Seq("cbucket"), metrics)
+        val hist = long.filter(!isnan(col("value")))
+          .withColumn("bin", floor(col("value") / binWidth).cast("long"))
+          .groupBy(col("cbucket"), col("metric"), col("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.operators.Quantiles.gridHistQuantile(hist, metrics, pct,
+          binWidth)
+    }
+  }
+
   /** SHARED-BOUNDARY Grafana downsample — the reference's exact
     * multi-target row-selection semantics (`server.py:444-459`): ONE
     * boundary advances for ALL targets. The server walks grid rows in

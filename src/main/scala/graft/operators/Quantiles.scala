@@ -96,4 +96,42 @@ object Quantiles {
     }
     agged.select(groupCols.map(col) ++ outs: _*)
   }
+
+  /** Quantile over MERGED fixed-grid histogram partials — the
+    * dashboard companion to the store's quantile rollups. Input is the
+    * long-format histogram `(cbucket, metric, bin, cnt)` (bin =
+    * ⌊value / binWidth⌋); output is one wide row per bucket with
+    * `<metric>_p<pct>` = the lower edge of the first bin whose
+    * cumulative count reaches rank ⌈pct·total/100⌉ — the type-1
+    * quantile at bin resolution. The rank uses the same integer
+    * arithmetic as [[exactByRank]] (`(pct·n + 99) div 100`), so merged
+    * partials and a direct histogram over raw rows give IDENTICAL
+    * answers: histogram counts are exact integers and addition is
+    * associative — the same merge-anywhere algebra as the (sum, count)
+    * mean partials, at bin-width resolution instead of exactness.
+    */
+  def gridHistQuantile(hist: DataFrame, metrics: Seq[String], pct: Int,
+                       binWidth: Double): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"percent out of range: $pct")
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cbucket"), col("metric")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cbucket"), col("metric"))
+    val qbins = hist
+      .withColumn("__cum", sum(col("cnt")).over(wCum))
+      .withColumn("__tot", sum(col("cnt")).over(wTot))
+      .filter(col("__cum") >= expr(s"($pct * __tot + 99) div 100"))
+      .groupBy(col("cbucket"), col("metric"))
+      .agg(min(col("bin")).as("qbin"))
+    val aggs = metrics.map(m =>
+      min(when(col("metric") === m, col("qbin"))).as(s"__b_$m"))
+    qbins.groupBy(col("cbucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(timestamp_seconds(col("cbucket"))
+        .cast(org.apache.spark.sql.types.TimestampType).as("ts") +:
+        metrics.map(m =>
+          (col(s"__b_$m") * binWidth).as(s"${m}_p$pct")): _*)
+      .orderBy("ts")
+  }
 }

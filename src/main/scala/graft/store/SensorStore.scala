@@ -585,6 +585,13 @@ class SensorStore(spark: SparkSession, baseDir: String) {
         .write.mode("overwrite").partitionBy("chunk_start")
         .parquet(s"${sensorDir(db, sensor)}/sketchrollup_$b")
     }
+    listQuantileRollups(db, sensor).foreach { case (b, bw) =>
+      if (fullRebuild) materializeQuantileRollup(db, sensor, b, bw)
+      else quantRollupFrame(db, sensor, b, bw, Some(touched))
+        .repartition(col("chunk_start"))
+        .write.mode("overwrite").partitionBy("chunk_start")
+        .parquet(s"${sensorDir(db, sensor)}/quantrollup_${b}_$bw")
+    }
   }
 
   /** Read means from a materialized mean rollup, RE-AGGREGATED to any
@@ -647,6 +654,90 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     * lgK between materialize and refresh).
     */
   val SketchLgK = 12
+
+  /** Materialize a MERGEABLE quantile rollup: per (chunk, bucket,
+    * metric, bin) the COUNT of non-NaN values whose
+    * ⌊value / binWidth⌋ lands in `bin` — fixed-grid histogram
+    * partials. Counts are exact integers, so merging to any coarser
+    * grid / any aligned range is lossless and "p95 over an arbitrary
+    * range" becomes a rollup-sized scan returning bin-resolution
+    * quantiles — the same materialize-once/merge-anywhere contract as
+    * the HLL sketch rollups, with binWidth as the precision knob.
+    * The grid (binWidth) is part of the rollup's identity: it is
+    * encoded in the directory name so refresh partials always count on
+    * the grid the materialized ones used.
+    */
+  def materializeQuantileRollup(db: String, sensor: String,
+                                bucketSec: Long, binWidth: Double): String = {
+    require(binWidth > 0.0, s"binWidth must be > 0, got $binWidth")
+    val out = s"${sensorDir(db, sensor)}/quantrollup_${bucketSec}_$binWidth"
+    quantRollupFrame(db, sensor, bucketSec, binWidth, None)
+      .repartition(col("chunk_start"))
+      .write.mode("overwrite").partitionBy("chunk_start").parquet(out)
+    out
+  }
+
+  private def quantRollupFrame(db: String, sensor: String, bucketSec: Long,
+                               binWidth: Double,
+                               chunks: Option[Seq[Long]]): DataFrame = {
+    val metrics = config(db, sensor).metricNames
+    var raw = readRaw(db, sensor, metrics)
+    chunks.foreach(c => raw = raw.filter(col("chunk_start").isin(c: _*)))
+    val long = Pivot.wideToLong(
+      raw.withColumn("bucket", Grid.snapSeconds(col("slot"), bucketSec))
+        .select(col("chunk_start") +: col("bucket") +: metrics.map(col): _*),
+      Seq("chunk_start", "bucket"), metrics)
+    long.filter(!isnan(col("value")))
+      .withColumn("bin", floor(col("value") / binWidth).cast("long"))
+      .groupBy(col("chunk_start"), col("bucket"), col("metric"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Read bin-resolution quantiles from a materialized quantile
+    * rollup, merged to any grid at least as coarse as the rollup's:
+    * integer count sums per (coarse bucket, metric, bin), then the
+    * shared [[graft.operators.Quantiles.gridHistQuantile]] rank
+    * selection. Boundary semantics are bucket-granular like the other
+    * rollup readers — callers needing exact range ends must align
+    * them, as [[graft.client.GraftClient.readQuantile]]'s routing
+    * does.
+    */
+  def readQuantileRollup(db: String, sensor: String, bucketSec: Long,
+                         binWidth: Double, coarseSec: Long, pct: Int,
+                         fromSec: Option[Long] = None,
+                         toSec: Option[Long] = None): DataFrame = {
+    require(coarseSec % bucketSec == 0,
+      s"coarse grid $coarseSec must be a multiple of the rollup grid $bucketSec")
+    val metrics = config(db, sensor).metricNames
+    var df = spark.read.parquet(
+      s"${sensorDir(db, sensor)}/quantrollup_${bucketSec}_$binWidth")
+    fromSec.foreach(f => df = df.filter(col("bucket") >= f - f % bucketSec))
+    toSec.foreach(t => df = df.filter(col("bucket") <= t))
+    val hist = df
+      .withColumn("cbucket", Grid.snapSeconds(col("bucket"), coarseSec))
+      .groupBy(col("cbucket"), col("metric"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+    graft.operators.Quantiles.gridHistQuantile(hist, metrics, pct, binWidth)
+  }
+
+  /** Materialized QUANTILE-rollup (bucketSec, binWidth) pairs present
+    * for a sensor.
+    */
+  def listQuantileRollups(db: String, sensor: String): Seq[(Long, Double)] = {
+    val p = Paths.get(sensorDir(db, sensor))
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("quantrollup_"))
+        .map { d =>
+          val parts = d.stripPrefix("quantrollup_").split("_", 2)
+          (parts(0).toLong, parts(1).toDouble)
+        }.toSeq.sorted
+      finally s.close()
+    }
+  }
 
   private def sketchRollupFrame(db: String, sensor: String, bucketSec: Long,
                                 chunks: Option[Seq[Long]]): DataFrame = {

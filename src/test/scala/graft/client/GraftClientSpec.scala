@@ -187,6 +187,39 @@ class GraftClientSpec extends SparkSpec {
     assert(unalignedEnd.map(_._2) == Seq(300L, 270L)) // exact at this scale
   }
 
+  test("readQuantile: rollup route equals the raw-histogram fallback") {
+    val c = freshClient()
+    c.createSensor("test", "qt", "1s", Seq(Seq("v")))
+    c.write((0 until 600).map(i =>
+      s"test,circuit=qt v=${i % 100} ${(t0 + i)}000000000"))
+    c.store.materializeQuantileRollup("test", "qt", 60L, binWidth = 1.0)
+    // aligned range + matching binWidth → rollup partial merge; the
+    // fallback histograms raw rows on the SAME grid with the SAME rank
+    // math → identical values by construction
+    val viaRollup = c.readQuantile("test", "qt", t0, t0 + 599, 300L,
+        pct = 95, binWidth = 1.0)
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq
+    val viaRaw = c.readQuantile("test", "qt", t0, t0 + 599, 300L,
+        pct = 95, binWidth = 1.0, useRollups = false)
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq
+    assert(viaRollup == viaRaw)
+    assert(viaRollup.map(_._2) == Seq(94.0, 94.0)) // rank 285 → bin 94
+    // a range ending mid-rollup-bucket must fall back (whole-bucket
+    // partials can't be trimmed), and then the two routes still agree
+    val unaligned = c.readQuantile("test", "qt", t0, t0 + 569, 300L,
+        pct = 95, binWidth = 1.0)
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq
+    val unalignedRaw = c.readQuantile("test", "qt", t0, t0 + 569, 300L,
+        pct = 95, binWidth = 1.0, useRollups = false)
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq
+    assert(unaligned == unalignedRaw)
+    // a DIFFERENT binWidth must not hit the 1.0 rollup: bins of 10 →
+    // p95 lands on the bin lower edge 90
+    val other = c.readQuantile("test", "qt", t0, t0 + 599, 300L,
+      pct = 95, binWidth = 10.0)
+    assert(other.collect().map(_.getDouble(1)).toSeq == Seq(90.0, 90.0))
+  }
+
   test("parity helpers: metrics, lastDate, updateToken, configReload") {
     val c = freshClient()
     c.createSensor("d", "s", "1h", Seq(Seq("p"), Seq("q")))

@@ -366,6 +366,56 @@ class SensorStoreSpec extends SparkSpec {
     }
   }
 
+  test("quantile rollup: merged histogram partials equal the direct grid quantile") {
+    import spark.implicits._
+    val st = freshStore()
+    val t0 = 1704067200L
+    st.createSensor(SensorConfig("qr", "s", "1s", Seq(MetricDef(Seq("v")))))
+    // 600 seconds, value i%100 → per-300s-bucket p50 over 0..99 cycles
+    val pts = (0 until 600).map(i => (t0 + i, "v", (i % 100).toDouble))
+      .toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("metric"),
+        col("value"))
+    st.write("qr", "s", pts)
+    st.materializeQuantileRollup("qr", "s", 60L, binWidth = 1.0)
+    st.materializeQuantileRollup("qr", "s", 300L, binWidth = 1.0)
+    assert(st.listQuantileRollups("qr", "s") ==
+      Seq((60L, 1.0), (300L, 1.0)))
+
+    // fine partials merged to 300s must EQUAL the 300s-native rollup:
+    // integer counts sum losslessly (merge-equals-direct)
+    val merged = st.readQuantileRollup("qr", "s", 60L, 1.0, 300L, 50)
+      .collect()
+    val direct = st.readQuantileRollup("qr", "s", 300L, 1.0, 300L, 50)
+      .collect()
+    assert(merged.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq ==
+      direct.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq)
+    // hand value: each 300s bucket holds 0..99 ×3 → rank ceil(150)=150
+    // → cum reaches 150 at bin 49 → p50 = 49.0
+    assert(merged.map(_.getDouble(1)).toSeq == Seq(49.0, 49.0))
+    // p95: rank ceil(0.95·300)=285 → bin 94
+    val p95 = st.readQuantileRollup("qr", "s", 60L, 1.0, 300L, 95)
+      .collect()
+    assert(p95.map(_.getDouble(1)).toSeq == Seq(94.0, 94.0))
+
+    // upsert refresh: overwrite one second with a huge value — the
+    // materialized partials must re-aggregate (no stale rollup serve)
+    val up = Seq((t0 + 1, "v", 1000.0)).toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("metric"),
+        col("value"))
+    st.write("qr", "s", up)
+    val after = st.readQuantileRollup("qr", "s", 60L, 1.0, 600L, 100)
+      .collect()
+    assert(after.head.getDouble(1) == 1000.0) // p100 sees the upsert
+
+    intercept[IllegalArgumentException] {
+      st.readQuantileRollup("qr", "s", 60L, 1.0, 90L, 50)
+    }
+    intercept[IllegalArgumentException] {
+      st.materializeQuantileRollup("qr", "s", 60L, binWidth = 0.0)
+    }
+  }
+
   test("writeLocked serializes concurrent writers to ONE sensor — no lost updates") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
