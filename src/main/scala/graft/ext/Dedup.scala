@@ -590,12 +590,15 @@ object Dedup {
     collapseCells(cells, idCol, vecCol, tau, cap)
   }
 
-  /** The two-level cell assignment of [[semanticFitted]]: returns
-    * (idCol, vecCol, cell). Shared with the recall-audit query so the
-    * audited split IS the shipped split.
+  /** The fitted two-level index of [[semanticFitted]] as a standalone
+    * artifact: (coarse centroids, coarse-tagged anchors). Persist both
+    * tiny tables beside the cell-assigned corpus and any future batch
+    * assigns cells IDENTICALLY without touching corpus data — the
+    * contract [[incrementalSemantic]] builds on.
     */
-  def fittedCells(df: DataFrame, idCol: String, vecCol: String,
-                  targetCellSize: Int, iters: Int): DataFrame = {
+  def fittedIndex(df: DataFrame, idCol: String, vecCol: String,
+                  targetCellSize: Int,
+                  iters: Int): (DataFrame, DataFrame) = {
     val n = df.count()
     val k = math.max(1L, math.ceil(n.toDouble / targetCellSize).toLong).toInt
     val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
@@ -607,7 +610,16 @@ object Dedup {
           .select(col(idCol).as("anchor_id"), col(vecCol).as("avec")),
         "anchor_id", "avec", coarse)
       .select(col("cluster"), col("anchor_id"), col("avec"))
-      .localCheckpoint(false) // k rows; three consumers via broadcast
+      .localCheckpoint(false) // k rows; consumed repeatedly via broadcast
+    (coarse, anchors)
+  }
+
+  /** Two-level cell assignment against a [[fittedIndex]]: coarse
+    * argmax, then an anchor argmax restricted to the coarse cell's
+    * co-resident anchors. Returns (idCol, vecCol, cell).
+    */
+  def assignCells(df: DataFrame, idCol: String, vecCol: String,
+                  coarse: DataFrame, anchors: DataFrame): DataFrame = {
     val vcoarse = Similarity.assignToCentroids(df, idCol, vecCol, coarse)
     vcoarse.join(broadcast(anchors), Seq("cluster"), "left")
       .withColumn("a_sim",
@@ -620,6 +632,74 @@ object Dedup {
           (-first(col("cluster")) - 1).cast("long")).as("cell"),
         first(col(vecCol)).as(vecCol))
       .select(col(idCol), col(vecCol), col("cell"))
+  }
+
+  /** The two-level cell assignment of [[semanticFitted]]: returns
+    * (idCol, vecCol, cell). Shared with the recall-audit query so the
+    * audited split IS the shipped split.
+    */
+  def fittedCells(df: DataFrame, idCol: String, vecCol: String,
+                  targetCellSize: Int, iters: Int): DataFrame = {
+    val (coarse, anchors) = fittedIndex(df, idCol, vecCol,
+      targetCellSize, iters)
+    assignCells(df, idCol, vecCol, coarse, anchors)
+  }
+
+  /** Incremental SEMANTIC dedup — the embedding analog of
+    * [[incrementalNear]]: a new batch is checked against the PERSISTED
+    * cell-assigned corpus without re-clustering or rescanning anything
+    * corpus-scale. The batch assigns cells through the SAME
+    * [[fittedIndex]] the corpus was assigned with, then probes only
+    * the corpus rows co-resident in its (batch-bounded) cell list.
+    * Verdicts: `dup_of_corpus` (some same-cell corpus vector at cosine
+    * ≥ tau — canonical is the min matching corpus id), `dup_in_batch`
+    * (an earlier batch vector in the same cell matches — first batch
+    * occurrence wins), `new`. Corpus hits take precedence.
+    *
+    * Scale shape: the batch chain is batch-scale; the ONLY touch of
+    * the corpus-scale cell table is an inner join against the
+    * BROADCAST batch cell list — a broadcast-hash probe, so the index
+    * (written partitioned by `cell` at rest) never shuffles
+    * (PlanSpec-pinned). Like SemDeDup itself, a true near-dup split
+    * across cells is invisible — the recall audit prices the split.
+    *
+    * @param corpusCells (cell, corpus_id, corpus_vec) — the persisted
+    *                    assignment, e.g. `assignCells(corpus, …)` with
+    *                    columns renamed.
+    */
+  def incrementalSemantic(batch: DataFrame, corpusCells: DataFrame,
+                          coarse: DataFrame, anchors: DataFrame,
+                          idCol: String, vecCol: String,
+                          tau: Double): DataFrame = {
+    val bCells = assignCells(batch, idCol, vecCol, coarse, anchors)
+      .localCheckpoint(false) // batch-scale; feeds both probes + output
+    val probe = bCells.select(col("cell"), col(idCol).as("__b_id"),
+      col(vecCol).as("__bvec"))
+    val corpusHits = corpusCells.join(broadcast(probe), Seq("cell"))
+      .filter(round(Similarity.cosine(col("corpus_vec"), col("__bvec")), 6)
+        >= tau)
+      .groupBy(col("__b_id")).agg(min(col("corpus_id")).as("corpus_nn"))
+    val earlier = probe
+      .join(broadcast(probe.select(col("cell"), col("__b_id").as("__a_id"),
+          col("__bvec").as("__avec"))),
+        Seq("cell"))
+      .filter(col("__a_id") < col("__b_id"))
+      .filter(round(Similarity.cosine(col("__avec"), col("__bvec")), 6)
+        >= tau)
+      .groupBy(col("__b_id")).agg(min(col("__a_id")).as("batch_nn"))
+    // both hit lists are bounded by the batch size — broadcast is the
+    // contract, same as incrementalNear's re-join
+    bCells.select(col(idCol), col("cell"))
+      .join(broadcast(corpusHits.withColumnRenamed("__b_id", idCol)),
+        Seq(idCol), "left")
+      .join(broadcast(earlier.withColumnRenamed("__b_id", idCol)),
+        Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        when(col("corpus_nn").isNotNull, lit("dup_of_corpus"))
+          .when(col("batch_nn").isNotNull, lit("dup_in_batch"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("corpus_nn"), col("batch_nn"), col(idCol))
+          .as("canonical_id"))
   }
 
   /** The skew cap of [[semanticFitted]] as its own step: chunk each

@@ -507,6 +507,28 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental SEMANTIC dedup: a batch (doc_id % 7 == 3) probes the
+    // PERSISTED cell-assigned corpus through the SAME fitted two-level
+    // index the corpus was assigned with — corpus never re-clustered
+    // or rescanned; its only touch is a broadcast-hash probe against
+    // the batch cell list (PlanSpec-pinned). First-wins inside the
+    // batch; corpus hits take precedence.
+    "dedup_incremental_semantic" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") % 7 =!= 3)
+      val batch = e.filter(col("vec_id") % 7 === 3)
+      val (coarse, anchors) = Dedup.fittedIndex(corpus, "vec_id",
+        "embedding", targetCellSize = 32, iters = 1)
+      // "persisted" assignment: checkpointed like the table at rest
+      val corpusCells = Dedup.assignCells(corpus, "vec_id", "embedding",
+          coarse, anchors)
+        .select(col("cell"), col("vec_id").as("corpus_id"),
+          col("embedding").as("corpus_vec"))
+        .localCheckpoint(false)
+      Dedup.incrementalSemantic(batch, corpusCells, coarse, anchors,
+        "vec_id", "embedding", tau = 0.40).orderBy("vec_id")
+    }),
+
     // Recall audit of the int8-SQ coarse pass: how many of the exact
     // top-k survive into the coarse top-(k·rerankFactor) — so the
     // rerank factor is MEASURED, not assumed (mirrors
@@ -2181,6 +2203,35 @@ object ExtQueries {
          |  END AS recall
          |FROM gp CROSS JOIN cp""".stripMargin,
 
+    "dedup_incremental_semantic" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 <> 3
+         |), batch AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 7 = 3
+         |), ${fittedIndexCtes("corpus", 32)},
+         |${fittedAssignCtes("corpus", "c")},
+         |${fittedAssignCtes("batch", "b")}, chit AS (
+         |  SELECT b.vec_id AS vec_id, min(c.vec_id) AS corpus_nn
+         |  FROM fineb b JOIN finec c ON b.cell = c.cell
+         |  WHERE round(${cosineSql("c.embedding", "b.embedding")}, 6) >= 0.40
+         |  GROUP BY b.vec_id
+         |), bhit AS (
+         |  SELECT b.vec_id AS vec_id, min(a.vec_id) AS batch_nn
+         |  FROM fineb b JOIN fineb a
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.40
+         |  GROUP BY b.vec_id
+         |)
+         |SELECT b.vec_id, b.cell,
+         |  CASE WHEN ch.corpus_nn IS NOT NULL THEN 'dup_of_corpus'
+         |       WHEN bh.batch_nn IS NOT NULL THEN 'dup_in_batch'
+         |       ELSE 'new' END AS verdict,
+         |  coalesce(ch.corpus_nn, bh.batch_nn, b.vec_id) AS canonical_id
+         |FROM fineb b
+         |LEFT JOIN chit ch USING (vec_id)
+         |LEFT JOIN bhit bh USING (vec_id)
+         |ORDER BY b.vec_id""".stripMargin,
+
     "similar_knn_accuracy" ->
       s"""WITH qs AS (
          |  SELECT vec_id AS q_id, embedding AS qvec,
@@ -2317,25 +2368,34 @@ object ExtQueries {
     * sentinel for anchor-less coarse cells, cell = −cluster−1
     * fallback).
     */
-  private def semanticFittedCtes(src: String, target: Int,
-                                 cap: Int): String =
+  /** Index half of the fitted chain: coarse sample-fit k-means + the
+    * coarse-tagged anchor table, mirroring Dedup.fittedIndex over
+    * `src`. First-N selections are RANK-based (`row_number` over id
+    * order), matching the Scala orderBy-limit for ANY id space — for
+    * the dense 0-based tables this equals the old `vec_id < N` form.
+    */
+  private def fittedIndexCtes(src: String, target: Int): String =
     s"""prm AS (
        |  SELECT count(*) AS n,
        |    CAST(ceil(count(*) / $target.0) AS BIGINT) AS k,
        |    CAST(ceil(sqrt(ceil(count(*) / $target.0))) AS BIGINT) AS kc
        |  FROM $src
+       |), rnk AS (
+       |  SELECT vec_id, embedding,
+       |    row_number() OVER (ORDER BY vec_id) AS rn
+       |  FROM $src
        |), smp AS (
-       |  SELECT vec_id, embedding FROM $src
-       |  WHERE vec_id < (SELECT least(n, 50 * kc) FROM prm)
+       |  SELECT vec_id, embedding FROM rnk
+       |  WHERE rn <= (SELECT least(n, 50 * kc) FROM prm)
        |), c0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cluster,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-       |  FROM smp WHERE vec_id < (SELECT kc FROM prm)
+       |  FROM rnk WHERE rn <= (SELECT kc FROM prm)
        |), a0 AS (${kmeansAssignFromSql("smp", "c0")}
        |), c1 AS (${kmeansUpdateSql("a0", "c0")}
        |), anch AS (
-       |  SELECT vec_id AS anchor_id, embedding AS avec FROM $src
-       |  WHERE vec_id < (SELECT k FROM prm)
+       |  SELECT vec_id AS anchor_id, embedding AS avec FROM rnk
+       |  WHERE rn <= (SELECT k FROM prm)
        |), ana AS (
        |  SELECT anchor_id, avec, cluster FROM (
        |    SELECT n0.anchor_id, n0.avec, c.cluster,
@@ -2343,8 +2403,15 @@ object ExtQueries {
        |        ORDER BY ${cosineSql("n0.avec", "c.cvec")} DESC,
        |                 c.cluster) AS rn
        |    FROM anch n0 CROSS JOIN c1 c) WHERE rn = 1
-       |), va AS (${kmeansAssignFromSql(src, "c1")}
-       |), fine AS (
+       |)""".stripMargin
+
+  /** Assignment half: coarse argmax then anchor argmax within the
+    * coarse cell, producing `fine$sfx(vec_id, embedding, cell)` for
+    * `src` against the c1/ana index CTEs.
+    */
+  private def fittedAssignCtes(src: String, sfx: String): String =
+    s"""va$sfx AS (${kmeansAssignFromSql(src, "c1")}
+       |), fine$sfx AS (
        |  SELECT vec_id, embedding,
        |    coalesce(anchor_id, -cluster - 1) AS cell FROM (
        |    SELECT v.vec_id, v.embedding, v.cluster, a.anchor_id,
@@ -2352,8 +2419,13 @@ object ExtQueries {
        |        ORDER BY coalesce(${cosineSql("v.embedding", "a.avec")},
        |                   -2.0) DESC,
        |                 a.anchor_id) AS rn
-       |    FROM va v LEFT JOIN ana a ON v.cluster = a.cluster) WHERE rn = 1
-       |), cl AS (
+       |    FROM va$sfx v LEFT JOIN ana a ON v.cluster = a.cluster)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  private def semanticFittedCtes(src: String, target: Int,
+                                 cap: Int): String =
+    s"""${fittedIndexCtes(src, target)}, ${fittedAssignCtes(src, "")}, cl AS (
        |  SELECT vec_id, embedding, cell,
        |    CAST(floor((row_number() OVER (PARTITION BY cell
        |      ORDER BY vec_id) - 1) / $cap.0) AS INTEGER) AS sub

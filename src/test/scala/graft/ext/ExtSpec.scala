@@ -325,6 +325,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("incrementalSemantic: batch probes the persisted cell index, first-wins in batch") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 0f, 1f, 0f)),
+      (2L, Array(1f, 0.01f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val (coarse, anchors) = Dedup.fittedIndex(corpus, "vec_id", "embedding",
+      targetCellSize = 2, iters = 1)
+    val corpusCells = Dedup.assignCells(corpus, "vec_id", "embedding",
+        coarse, anchors)
+      .select(col("cell"), col("vec_id").as("corpus_id"),
+        col("embedding").as("corpus_vec"))
+    val batch = Seq(
+      (10L, Array(1f, 0.005f, 0f, 0f)),  // near corpus 0 and 2 → min id 0
+      (12L, Array(0f, 1f, 0f, 0f)),      // nothing like it anywhere → new
+      (13L, Array(0f, 1f, 0f, 0f)),      // identical to 12 → dup_in_batch
+      (14L, Array(0f, 0f, 0f, 1f)))      // orthogonal to everything → new
+      .toDF("vec_id", "embedding")
+    val out = Dedup.incrementalSemantic(batch, corpusCells, coarse, anchors,
+        "vec_id", "embedding", tau = 0.99)
+      .orderBy("vec_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+      .toSeq == Seq(
+        (10L, "dup_of_corpus", 0L),
+        (12L, "new", 12L),
+        (13L, "dup_in_batch", 12L),
+        (14L, "new", 14L)))
+  }
+
   test("substringRuns finds maximal duplicated runs with exact character ranges") {
     import spark.implicits._
     val docs = Seq(

@@ -179,6 +179,19 @@ class PlanSpec extends SparkSpec {
       s"corpus-side shuffle for the gram join:\n$p")
   }
 
+  test("incremental semantic dedup: corpus cell table never shuffles") {
+    val p = plan("dedup_incremental_semantic")
+    // the persisted corpus cells stream straight into a broadcast-hash
+    // probe against the batch cell list; shuffles are the two
+    // batch-scale hit aggregations and the output sort only
+    assert(!p.contains("SortMergeJoin"), s"probe degraded to SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 4,
+      s"expected hit aggs + sort exchanges only, got $exchanges:\n$p")
+  }
+
   test("substring-run dedup has no doc-pair stage (gram-key joins only)") {
     val p = plan("dedup_substring_runs")
     assert(!p.contains("CartesianProduct"), s"doc-pair cartesian:\n$p")
