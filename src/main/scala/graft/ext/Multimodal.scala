@@ -61,6 +61,88 @@ object Multimodal {
       transform(sequence(lit(0), lit(n - 1)),
         i => (i * greatest(length(col("payload")), lit(1)) / n).cast(LongType)))
 
+  /** Big-endian unsigned integer from `n` bytes at 1-indexed `pos`
+    * (null when the payload is too short). `conv(hex(substr))` keeps
+    * the whole parse in codegen'd built-ins — no UDF.
+    */
+  private def beInt(payload: Column, pos: Column, n: Int): Column =
+    when(length(payload) >= pos + lit(n - 1),
+      conv(hex(payload.substr(pos, lit(n))), 16, 10).cast(LongType))
+
+  private def byteAt(payload: Column, pos: Column): Column =
+    beInt(payload, pos, 1)
+
+  private val NullL = lit(null).cast(LongType)
+
+  /** Image dimensions from raw header bytes — the honest core of
+    * "decode" that needs NO codec library, as pure byte expressions:
+    *
+    *  - PNG: 8-byte signature, then the IHDR chunk is mandatory-first,
+    *    so width/height are the big-endian u32s at fixed offsets 17/21
+    *    (PNG spec §5.2/§11.2.2).
+    *  - JPEG: markers are not at fixed offsets, so this walks the
+    *    segment chain from SOI — skipping each variable-length segment
+    *    by its OWN declared length — until a SOF marker (C0-C3, C5-C7,
+    *    C9-CB, CD-CF), whose payload carries height/width at +5/+7.
+    *    The walk (a fold over a bounded step sequence) is immune to
+    *    decoy marker BYTES inside APPn payloads (e.g. Exif), which a
+    *    substring scan would misread, and stops at SOS/EOI. FF fill
+    *    bytes before a marker are skipped per the spec.
+    *
+    * Returns struct(format, width, height) with nulls for truncated or
+    * unrecognized payloads. Everything stays inside whole-stage codegen
+    * (conv/hex/substr/aggregate over a 32-element sequence); per-row
+    * cost is bounded by `maxSegments`, independent of payload size —
+    * exactly what a 100 TB media scan wants from a metadata pass.
+    */
+  def imageDims(payload: Column, maxSegments: Int = 32): Column = {
+    val isPng = hex(payload.substr(lit(1), lit(8))) === lit("89504E470D0A1A0A") &&
+      hex(payload.substr(lit(13), lit(4))) === lit("49484452")
+    val isJpeg = hex(payload.substr(lit(1), lit(2))) === lit("FFD8")
+
+    // JPEG marker walk: state = (pos, h, w, done); pos is 1-indexed at
+    // the FF of the next marker. SOF variants per ITU T.81 Table B.1.
+    val sofMarkers = Seq(0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF).map(_.toLong)
+    val walk = aggregate(
+      sequence(lit(1), lit(maxSegments)),
+      struct(lit(3L).as("pos"), NullL.as("h"), NullL.as("w"),
+        lit(false).as("done")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val m1 = byteAt(payload, pos)
+        val m2 = byteAt(payload, pos + 1)
+        val segLen = beInt(payload, pos + 2, 2)
+        def halt(h: Column, w: Column) =
+          struct(pos.as("pos"), h.as("h"), w.as("w"), lit(true).as("done"))
+        def advance(next: Column) =
+          struct(next.as("pos"), NullL.as("h"), NullL.as("w"),
+            lit(false).as("done"))
+        when(st.getField("done"), st)
+          // truncated / desynced: not at a marker — stop, no dims
+          .when(m1.isNull || m1 =!= lit(0xFFL), halt(NullL, NullL))
+          // FF fill byte before the marker proper: slide by one
+          .when(m2 <=> lit(0xFFL), advance(pos + 1))
+          .when(m2.isin(sofMarkers: _*),
+            halt(beInt(payload, pos + 5, 2), beInt(payload, pos + 7, 2)))
+          // SOS (entropy data follows — no SOF seen) or EOI: stop
+          .when(m2 <=> lit(0xDAL) || m2 <=> lit(0xD9L), halt(NullL, NullL))
+          // standalone markers (TEM, RST0-7): no length field
+          .when(m2 <=> lit(0x01L) ||
+            (m2 >= lit(0xD0L) && m2 <= lit(0xD7L)), advance(pos + 2))
+          // variable-length segment: skip by its declared length
+          .otherwise(advance(pos + 2 + coalesce(segLen, lit(1L << 40))))
+      })
+
+    when(isPng, struct(lit("png").as("format"),
+      beInt(payload, lit(17), 4).as("width"),
+      beInt(payload, lit(21), 4).as("height")))
+      .when(isJpeg, struct(lit("jpeg").as("format"),
+        walk.getField("w").as("width"), walk.getField("h").as("height")))
+      .otherwise(struct(lit("unknown").as("format"),
+        NullL.as("width"), NullL.as("height")))
+  }
+
   /** Typed record for the partition-batch decode path. */
   case class MediaRecord(media_id: Long, payload: Array[Byte], mime: String)
 

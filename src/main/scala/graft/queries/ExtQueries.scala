@@ -765,6 +765,49 @@ object ExtQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // Header-level image "decode" with no codec: synthesize
+    // deterministic PNG / JPEG / garbage payloads from doc fields (the
+    // container ships no image fixtures — the byte LAYOUT is the real
+    // formats'), then parse width/height back out with
+    // `Multimodal.imageDims`' byte expressions. The oracle recomputes
+    // the injected dims directly, so the key verifies the synthesize→
+    // parse round trip end-to-end; MultimodalSpec pins the parser
+    // against REAL fixture bytes (valid-CRC PNG, Exif JPEG with decoy
+    // SOF bytes inside the APP1 payload).
+    "multimodal_dims" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = (lit(16) + pmod(col("n_chars"), lit(2032))).cast("long")
+      val h = (lit(16) + pmod(col("doc_id") * 7, lit(1512))).cast("long")
+      def be(c: Column, n: Int) = unhex(lpad(hex(c), 2 * n, "0"))
+      val png = concat(
+        unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + len + IHDR
+        be(w, 4), be(h, 4),
+        unhex(lit("0806000000")), // depth 8, RGBA, deflate/adaptive/none
+        unhex(lit("DEADBEEF")),   // CRC placeholder (parser ignores it)
+        encode(substring(col("text"), 1, 32), "UTF-8"))
+      // APP0 length varies per doc so the SOF offset is NOT fixed —
+      // the parser must actually walk the segment chain.
+      val app0Len = (lit(16) + pmod(col("doc_id"), lit(8))).cast("int")
+      val sof = when(pmod(col("doc_id"), lit(2)) === 0, lit("FFC0"))
+        .otherwise(lit("FFC2"))
+      val jpeg = concat(
+        unhex(lit("FFD8FFE0")), be(app0Len, 2),
+        encode(repeat(lit("J"), app0Len - 2), "UTF-8"),
+        unhex(sof), unhex(lit("001108")), be(h, 2), be(w, 2),
+        unhex(lit("03010011000211010311")), // 3 components
+        unhex(lit("FFDA")), encode(substring(col("text"), 1, 32), "UTF-8"),
+        unhex(lit("FFD9")))
+      val payload = when(pmod(col("doc_id"), lit(3)) === 0, png)
+        .when(pmod(col("doc_id"), lit(3)) === 1, jpeg)
+        .otherwise(encode(col("text"), "UTF-8")) // ASCII: no magic match
+      val dims = Multimodal.imageDims(col("payload"))
+      d.select(col("doc_id").as("media_id"), payload.as("payload"))
+        .select(col("media_id"), dims.getField("format").as("format"),
+          dims.getField("width").as("width"),
+          dims.getField("height").as("height"))
+        .orderBy("media_id")
+    }),
+
     "similar_topk_cosine" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -1878,6 +1921,18 @@ object ExtQueries {
         |    AS frame_byte
         |FROM m, unnest(range(0, 4)) AS u(i)
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // The oracle recomputes the dims INJECTED into the synthetic
+    // headers; a parse bug on the Spark side breaks the round trip.
+    "multimodal_dims" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+        |    WHEN 1 THEN 'jpeg' ELSE 'unknown' END AS format,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL
+        |    ELSE CAST(16 + n_chars % 2032 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 3 = 2 THEN NULL
+        |    ELSE CAST(16 + (doc_id * 7) % 1512 AS BIGINT) END AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "similar_range_search" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)

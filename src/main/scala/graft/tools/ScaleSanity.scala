@@ -41,21 +41,18 @@ object ScaleSanity {
     }
     sys.addShutdownHook(tmps.foreach(rmTree))
 
-    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "events")
-    val n = ev.count()
-    // 10 shifted copies: event_ids and timestamps stay unique
-    val big = (0 until 10).map { i =>
-      ev.withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
-        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS"))
-    }.reduce(_ union _)
-    val dir = tempDir("scale")
-    big.write.parquet(s"$dir/events.parquet")
-    val bigN = spark.read.parquet(s"$dir/events.parquet").count()
+    // Optional args restrict the sweep to the named keys (sections
+    // whose picks all filter out skip their multi-GB staging write).
+    val only = args.toSet
+    def sel(xs: Seq[String]): Seq[String] =
+      if (only.isEmpty) xs else xs.filter(only)
 
     def time(f: => Long): Double = {
       val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9
     }
-    val picks = Seq("pivot_long_to_wide", "upsert_last_write_wins",
+
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "events")
+    val allPicks = Seq("pivot_long_to_wide", "upsert_last_write_wins",
       "events_sessionize", "downsample_first_per_bucket", "verify_stats",
       "influx_parse", "row_nansum",
       // round-2 operators — all must stay ~linear:
@@ -76,14 +73,26 @@ object ScaleSanity {
       // shared-exchange window frames, lead-window moment sums:
       "ts_anomaly_seasonal", "events_key_skew", "ts_level_shift",
       "ts_autocorr")
-    val rows = picks.map { q =>
-      val f = graft.SparkEntry.queries(q)
-      val t1 = time(f(spark, "/root/testdata/sf0.1").count())
-      val t10 = time(f(spark, dir).count())
-      println(f"[scale] $q%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ratio=${t10 / t1}%5.2f")
-      t10 / t1
+    val picks = sel(allPicks)
+    if (picks.nonEmpty) {
+      val n = ev.count()
+      // 10 shifted copies: event_ids and timestamps stay unique
+      val big = (0 until 10).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS"))
+      }.reduce(_ union _)
+      val dir = tempDir("scale")
+      big.write.parquet(s"$dir/events.parquet")
+      val bigN = spark.read.parquet(s"$dir/events.parquet").count()
+      val rows = picks.map { q =>
+        val f = graft.SparkEntry.queries(q)
+        val t1 = time(f(spark, "/root/testdata/sf0.1").count())
+        val t10 = time(f(spark, dir).count())
+        println(f"[scale] $q%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ratio=${t10 / t1}%5.2f")
+        t10 / t1
+      }
+      println(f"[scale] rows 1x=$n 10x=$bigN  median_ratio=${rows.sorted.apply(rows.size / 2)}%5.2f")
     }
-    println(f"[scale] rows 1x=$n 10x=$bigN  median_ratio=${rows.sorted.apply(rows.size / 2)}%5.2f")
 
     // ---- documents corpus 10×: the text-pipeline operators ----------
     // Each replica appends a unique marker token so replicas do not
@@ -93,15 +102,7 @@ object ScaleSanity {
     // pair-emitting dedup ops are excluded: their OUTPUT grows
     // quadratically in duplicate-group size by definition.)
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "documents")
-    val nd = docs.count()
-    val bigDocs = (0 until 10).map { i =>
-      docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
-        .withColumn("text", concat(col("text"), lit(s" replicamarker$i")))
-    }.reduce(_ union _)
-    val ddir = tempDir("scaledocs")
-    bigDocs.write.parquet(s"$ddir/documents.parquet")
-    val bigNd = spark.read.parquet(s"$ddir/documents.parquet").count()
-    val docPicks = Seq("decontaminate_ngram", "pii_redact",
+    val allDocPicks = Seq("decontaminate_ngram", "pii_redact",
       "quality_rules", "quality_repetition", "doc_inverted_index",
       "token_count", "lang_id", "doc_fingerprint",
       // round-5 linear doc passes: span audit (gram-key join),
@@ -124,14 +125,25 @@ object ScaleSanity {
       // round-7: substring-run dedup — windows shuffle on doc_id, the
       // gram count on the gram key; output rows track real duplication
       "dedup_substring_runs")
-    val docRatios = docPicks.map { q =>
-      val f = graft.SparkEntry.queries(q)
-      val t1 = time(f(spark, "/root/testdata/sf0.1").count())
-      val t10 = time(f(spark, ddir).count())
-      println(f"[scale] $q%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ratio=${t10 / t1}%5.2f")
-      t10 / t1
+    val docPicks = sel(allDocPicks)
+    if (docPicks.nonEmpty) {
+      val nd = docs.count()
+      val bigDocs = (0 until 10).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text", concat(col("text"), lit(s" replicamarker$i")))
+      }.reduce(_ union _)
+      val ddir = tempDir("scaledocs")
+      bigDocs.write.parquet(s"$ddir/documents.parquet")
+      val bigNd = spark.read.parquet(s"$ddir/documents.parquet").count()
+      val docRatios = docPicks.map { q =>
+        val f = graft.SparkEntry.queries(q)
+        val t1 = time(f(spark, "/root/testdata/sf0.1").count())
+        val t10 = time(f(spark, ddir).count())
+        println(f"[scale] $q%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ratio=${t10 / t1}%5.2f")
+        t10 / t1
+      }
+      println(f"[scale] docs 1x=$nd 10x=$bigNd  median_ratio=${docRatios.sorted.apply(docRatios.size / 2)}%5.2f")
     }
-    println(f"[scale] docs 1x=$nd 10x=$bigNd  median_ratio=${docRatios.sorted.apply(docRatios.size / 2)}%5.2f")
 
     // ---- orders 10×: the round-6 relational/CDC passes stay linear --
     // Keys AND custkeys are offset per replica so per-customer window
@@ -142,24 +154,26 @@ object ScaleSanity {
     // pairs quadratic in replica count) or perturbs them into dist-1
     // cross-replica pairs — the output itself is the nonlinearity.
     val ord = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "orders")
-    val no = ord.count()
-    val bigOrd = (0 until 10).map { i =>
-      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
-        .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 10000000L))
-    }.reduce(_ union _)
-    val odir = tempDir("scaleord")
-    bigOrd.write.parquet(s"$odir/orders.parquet")
-    val bigNo = spark.read.parquet(s"$odir/orders.parquet").count()
-    val ordPicks = Seq("snapshot_diff_orders", "orders_scd2_intervals",
-      "orders_running_total")
-    val ordRatios = ordPicks.map { q =>
-      val f = graft.SparkEntry.queries(q)
-      val t1 = time(f(spark, "/root/testdata/sf0.1").count())
-      val t10 = time(f(spark, odir).count())
-      println(f"[scale] $q%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ratio=${t10 / t1}%5.2f")
-      t10 / t1
+    val ordPicks = sel(Seq("snapshot_diff_orders", "orders_scd2_intervals",
+      "orders_running_total"))
+    if (ordPicks.nonEmpty) {
+      val no = ord.count()
+      val bigOrd = (0 until 10).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 10000000L))
+      }.reduce(_ union _)
+      val odir = tempDir("scaleord")
+      bigOrd.write.parquet(s"$odir/orders.parquet")
+      val bigNo = spark.read.parquet(s"$odir/orders.parquet").count()
+      val ordRatios = ordPicks.map { q =>
+        val f = graft.SparkEntry.queries(q)
+        val t1 = time(f(spark, "/root/testdata/sf0.1").count())
+        val t10 = time(f(spark, odir).count())
+        println(f"[scale] $q%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ratio=${t10 / t1}%5.2f")
+        t10 / t1
+      }
+      println(f"[scale] orders 1x=$no 10x=$bigNo  median_ratio=${ordRatios.sorted.apply(ordRatios.size / 2)}%5.2f")
     }
-    println(f"[scale] orders 1x=$no 10x=$bigNo  median_ratio=${ordRatios.sorted.apply(ordRatios.size / 2)}%5.2f")
 
     // ---- lineitem+orders 10×: the TPC-H join keys stay linear -------
     // Both fact tables replicate with the SAME order-key offset so the
@@ -167,29 +181,31 @@ object ScaleSanity {
     // unchanged, so the dim joins (customer/part/supplier/nation/
     // region — copied through verbatim) keep their selectivity and the
     // output grows exactly 10×.
-    val li0 = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
-    val nl = li0.count()
-    val tdir = tempDir("scaletpch")
-    (0 until 10).map { i =>
-      li0.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
-    }.reduce(_ union _).write.parquet(s"$tdir/lineitem.parquet")
-    (0 until 10).map { i =>
-      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
-    }.reduce(_ union _).write.parquet(s"$tdir/orders.parquet")
-    Seq("customer", "part", "supplier", "nation", "region").foreach { t =>
-      graft.core.Tables.load(spark, "/root/testdata/sf0.1", t)
-        .write.parquet(s"$tdir/$t.parquet")
+    val tpchPicks = sel(Seq("q3_shipping", "q5_local_supplier", "q14_promo"))
+    if (tpchPicks.nonEmpty) {
+      val li0 = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+      val nl = li0.count()
+      val tdir = tempDir("scaletpch")
+      (0 until 10).map { i =>
+        li0.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+      }.reduce(_ union _).write.parquet(s"$tdir/lineitem.parquet")
+      (0 until 10).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+      }.reduce(_ union _).write.parquet(s"$tdir/orders.parquet")
+      Seq("customer", "part", "supplier", "nation", "region").foreach { t =>
+        graft.core.Tables.load(spark, "/root/testdata/sf0.1", t)
+          .write.parquet(s"$tdir/$t.parquet")
+      }
+      val bigNl = spark.read.parquet(s"$tdir/lineitem.parquet").count()
+      val tpchRatios = tpchPicks.map { q =>
+        val f = graft.SparkEntry.queries(q)
+        val t1 = time(f(spark, "/root/testdata/sf0.1").count())
+        val t10 = time(f(spark, tdir).count())
+        println(f"[scale] $q%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ratio=${t10 / t1}%5.2f")
+        t10 / t1
+      }
+      println(f"[scale] tpch 1x=$nl 10x=$bigNl  median_ratio=${tpchRatios.sorted.apply(tpchRatios.size / 2)}%5.2f")
     }
-    val bigNl = spark.read.parquet(s"$tdir/lineitem.parquet").count()
-    val tpchPicks = Seq("q3_shipping", "q5_local_supplier", "q14_promo")
-    val tpchRatios = tpchPicks.map { q =>
-      val f = graft.SparkEntry.queries(q)
-      val t1 = time(f(spark, "/root/testdata/sf0.1").count())
-      val t10 = time(f(spark, tdir).count())
-      println(f"[scale] $q%-28s 1x=${t1}%6.2fs 10x=${t10}%6.2fs ratio=${t10 / t1}%5.2f")
-      t10 / t1
-    }
-    println(f"[scale] tpch 1x=$nl 10x=$bigNl  median_ratio=${tpchRatios.sorted.apply(tpchRatios.size / 2)}%5.2f")
 
     // ---- embeddings 10×: exact NN stays linear when cells scale -----
     // The ball-bound-pruned exact NN's per-task work is bounded by cell
@@ -199,34 +215,40 @@ object ScaleSanity {
     // precisely to prevent that). Replicas are angularly perturbed so
     // they don't manufacture sim=1.0 own-cell bests that would prune
     // unrealistically well.
-    val embT = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
-    val ne = embT.count()
-    val bigEmb = (0 until 10).map { i =>
-      embT.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
-        .withColumn("embedding",
-          transform(col("embedding"), x => x + lit(i * 0.05)))
-    }.reduce(_ union _)
-    val edir = tempDir("scaleemb")
-    bigEmb.write.parquet(s"$edir/embeddings.parquet")
-    val bigNe = spark.read.parquet(s"$edir/embeddings.parquet").count()
-    def nn(dirPath: String, k: Int): Long =
-      graft.ext.Similarity.exactNNWithinGroup(
-        graft.core.Tables.load(spark, dirPath, "embeddings"),
-        "vec_id", "embedding", "label", k = k, iters = 0).count()
-    val e1 = time(nn("/root/testdata/sf0.1", 16))
-    val e10 = time(nn(edir, 160))
-    println(f"[scale] exactNN(k scales with n)  1x(k=16)=${e1}%6.2fs " +
-      f"10x(k=160)=${e10}%6.2fs ratio=${e10 / e1}%5.2f vecs 1x=$ne 10x=$bigNe")
-
-    // fitted SemDeDup: k = ⌈n/32⌉ grows with the corpus, so the
-    // within-cell pair stage stays n·32 (linear) and the fit/assign
-    // bill is the published (iters+1)·n·k — the quadratic that a FIXED
-    // k would reintroduce shows up here as a ratio, not a claim.
-    val fsem = graft.SparkEntry.queries("dedup_semantic")
-    val s1 = time(fsem(spark, "/root/testdata/sf0.1").count())
-    val s10 = time(fsem(spark, edir).count())
-    println(f"[scale] dedup_semantic(fitted)   1x=${s1}%6.2fs " +
-      f"10x=${s10}%6.2fs ratio=${s10 / s1}%5.2f")
+    val embPicks = sel(Seq("exactNN", "dedup_semantic"))
+    if (embPicks.nonEmpty) {
+      val embT = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      val ne = embT.count()
+      val bigEmb = (0 until 10).map { i =>
+        embT.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+          .withColumn("embedding",
+            transform(col("embedding"), x => x + lit(i * 0.05)))
+      }.reduce(_ union _)
+      val edir = tempDir("scaleemb")
+      bigEmb.write.parquet(s"$edir/embeddings.parquet")
+      val bigNe = spark.read.parquet(s"$edir/embeddings.parquet").count()
+      def nn(dirPath: String, k: Int): Long =
+        graft.ext.Similarity.exactNNWithinGroup(
+          graft.core.Tables.load(spark, dirPath, "embeddings"),
+          "vec_id", "embedding", "label", k = k, iters = 0).count()
+      if (embPicks.contains("exactNN")) {
+        val e1 = time(nn("/root/testdata/sf0.1", 16))
+        val e10 = time(nn(edir, 160))
+        println(f"[scale] exactNN(k scales with n)  1x(k=16)=${e1}%6.2fs " +
+          f"10x(k=160)=${e10}%6.2fs ratio=${e10 / e1}%5.2f vecs 1x=$ne 10x=$bigNe")
+      }
+      // fitted SemDeDup: k = ⌈n/32⌉ grows with the corpus, so the
+      // within-cell pair stage stays n·32 (linear) and the fit/assign
+      // bill is the published (iters+1)·n·k — the quadratic that a FIXED
+      // k would reintroduce shows up here as a ratio, not a claim.
+      if (embPicks.contains("dedup_semantic")) {
+        val fsem = graft.SparkEntry.queries("dedup_semantic")
+        val s1 = time(fsem(spark, "/root/testdata/sf0.1").count())
+        val s10 = time(fsem(spark, edir).count())
+        println(f"[scale] dedup_semantic(fitted)   1x=${s1}%6.2fs " +
+          f"10x=${s10}%6.2fs ratio=${s10 / s1}%5.2f")
+      }
+    }
     spark.stop()
   }
 }
