@@ -104,6 +104,16 @@ object Dedup {
       .union(cands.select(col("b_id").as(idCol))).distinct()
     val sets = shingleDf.join(ids, Seq(idCol), "left_semi")
       .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("sset"))
+    jaccardFromSets(cands, sets, idCol)
+  }
+
+  /** `jaccard` over a PREBUILT (id, sset) table — callers that verify
+    * several measures over the same candidate set (jaccard,
+    * containment, estimate audit) aggregate the sets once and share
+    * them (ExtQueries memoizes exactly this table).
+    */
+  def jaccardFromSets(cands: DataFrame, sets: DataFrame,
+                      idCol: String): DataFrame = {
     val a = sets.select(col(idCol).as("a_id"), col("sset").as("a_set"))
     val b = sets.select(col(idCol).as("b_id"), col("sset").as("b_set"))
     cands.join(a, "a_id").join(b, "b_id")

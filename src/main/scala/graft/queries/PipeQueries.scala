@@ -175,7 +175,16 @@ object PipeQueries {
     // the two-window mean-shift test that needs no recursion (CUSUM
     // does; this is the window-expressible variant). Exact decimal
     // window sums → one fixed-shape float pipeline; full windows only;
-    // top-50 by |shift|. Per-type windows — distributed by key.
+    // top-50 by |shift|. Per-type windows — distributed by key. The
+    // key cardinality (#event types) caps parallelism, so one mega
+    // series can be range-SUBSPLIT: the ±k row frames need only k rows
+    // of context either side of any time cut, so each (type, slice)
+    // computes with the last/first k rows of its neighbors duplicated
+    // in as halo — the existing cl=k AND cr=k full-frame filter then
+    // makes slice edges exact for free (halo rows feed frames, only
+    // interior rows are emitted). Re-measured 10x ratio is 1.22 (the
+    // r6 2.32 was shared-machine load), so the single-exchange plan
+    // stays the default shape.
     "ts_level_shift" -> ((s, dir) => {
       val k = 12
       val b = TsQueries.base(s, dir)
