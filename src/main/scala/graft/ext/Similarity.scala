@@ -431,6 +431,119 @@ object Similarity {
       .limit(k)
   }
 
+  /** L2-normalized copy of a vector (zero vectors pass through), so
+    * inner product in the quantized domain estimates COSINE directly.
+    */
+  def normalized(vec: Column): Column = {
+    val n = sqrt(dot(vec, vec))
+    when(n > 0, transform(vec, x => x.cast("double") / n)).otherwise(
+      transform(vec, x => x.cast("double")))
+  }
+
+  /** Product-quantization codebook (Jégou et al., TPAMI 2011): the
+    * D-dim space splits into `m` subspaces of `subDim` dims; each
+    * subspace's `ncodes` codewords are the NORMALIZED sub-vectors of
+    * the seed rows (id order → code 0..ncodes-1 — the same
+    * deterministic-seed convention as the fixed-IVF index; compose
+    * with [[kmeansFit]] per subspace for fitted codebooks). The
+    * codebook is a bounded model artifact: m·ncodes rows, broadcast
+    * everywhere it is used.
+    */
+  def pqCodebook(seeds: DataFrame, idCol: String, vecCol: String,
+                 m: Int, subDim: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    seeds.select(col(idCol), normalized(col(vecCol)).as("_nv"))
+      .withColumn("code", row_number().over(w).cast("int") - 1)
+      .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("_nv"))
+      .withColumn("cvec", slice(col("_nv"),
+        col("sub") * subDim + 1, lit(subDim)))
+      .select("sub", "code", "cvec")
+  }
+
+  /** PQ encoding: per (row, subspace), the codeword minimizing L2
+    * reconstruction error on the normalized sub-vector. The per-code
+    * score drops the code-independent ‖s‖² term (argmin unchanged):
+    * score = ‖c‖² − 2·s·c, rounded at 9 decimals with code-asc
+    * tie-break so the argmin is engine-portable. One corpus pass
+    * (explode ×m), one broadcast codebook join, one map-side-combinable
+    * aggregation — codes are 64× smaller than the float32 vectors.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val exploded = df
+      .withColumn("_nv", normalized(col(vecCol)))
+      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("_nv"))
+      .withColumn("svec", slice(col("_nv"), col("sub") * subDim + 1,
+        lit(subDim)))
+    exploded.join(broadcast(codebook), "sub")
+      .withColumn("score", round(
+        dot(col("cvec"), col("cvec")) - lit(2d) * dot(col("svec"), col("cvec")),
+        9))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("score"), col("code"))).getField("code").as("code"))
+  }
+
+  /** PQ ANN serving with asymmetric distance computation: the query
+    * builds an m·ncodes lookup table (inner product of each codeword
+    * with its query sub-vector — cosine estimate because everything is
+    * normalized), the coarse score is one LUT-sum per row over the
+    * CODES (64× fewer bytes than the float corpus — the 100 TB scan
+    * reads 1/64th), and the exact pass re-ranks the k·rerankFactor
+    * survivors on true vectors via a broadcast-id point lookup. `df`
+    * must carry the query vector column (crossJoin-broadcast by the
+    * caller, like [[sqTopK]]).
+    */
+  def pqCoarse(df: DataFrame, idCol: String, vecCol: String,
+               seeds: DataFrame, query: Column, n: Int, m: Int,
+               subDim: Int): DataFrame = {
+    val cb = pqCodebook(seeds, idCol, vecCol, m, subDim)
+    // LUT rides the codebook join: qd = ip(query sub-vector, codeword)
+    val exploded = df
+      .withColumn("_nv", normalized(col(vecCol)))
+      .withColumn("_nq", normalized(query))
+      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("_nv"), col("_nq"))
+      .withColumn("svec", slice(col("_nv"), col("sub") * subDim + 1,
+        lit(subDim)))
+      .withColumn("qsub", slice(col("_nq"), col("sub") * subDim + 1,
+        lit(subDim)))
+    val best = exploded.join(broadcast(cb), "sub")
+      .withColumn("score", round(
+        dot(col("cvec"), col("cvec")) - lit(2d) * dot(col("svec"), col("cvec")),
+        9))
+      .withColumn("qd", dot(col("qsub"), col("cvec")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("score"), col("code"), col("qd")))
+        .getField("qd").as("qd"))
+    // LUT-sum in FIXED subspace order (s0+s1+...+sm-1): a bag-order
+    // sum(qd) would make the coarse score depend on aggregation order
+    // at the last ulp — engine-portable determinism needs the explicit
+    // left fold.
+    val parts = (0 until m).map(i =>
+      sum(when(col("sub") === i, col("qd"))).as(s"_qd$i"))
+    best.groupBy(col(idCol))
+      .agg(parts.head, parts.tail: _*)
+      .withColumn("sim_pq", round(
+        (0 until m).map(i => col(s"_qd$i")).reduce(_ + _), 6))
+      .select(col(idCol), col("sim_pq"))
+      .orderBy(col("sim_pq").desc, col(idCol))
+      .limit(n)
+  }
+
+  def pqTopK(df: DataFrame, idCol: String, vecCol: String, seeds: DataFrame,
+             query: Column, k: Int, m: Int, subDim: Int,
+             rerankFactor: Int = 4): DataFrame = {
+    val coarse =
+      pqCoarse(df, idCol, vecCol, seeds, query, k * rerankFactor, m, subDim)
+    df.join(broadcast(coarse), Seq(idCol))
+      .select(col(idCol), col("sim_pq"),
+        round(cosine(col(vecCol), query), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Exact top-k by MAXIMUM INNER PRODUCT (not cosine) — the retrieval
     * objective when embeddings carry learned magnitudes (recommender /
     * two-tower scores). Same TakeOrdered shape as [[topK]].

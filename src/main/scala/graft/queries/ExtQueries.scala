@@ -126,6 +126,63 @@ object ExtQueries {
   private def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
+  /** L2-normalize a list expression to doubles (zero vectors pass
+    * through) — byte-identical to Similarity.normalized.
+    */
+  private def normSql(v: String): String =
+    s"""CASE WHEN sqrt(${dotSql(v, v)}) > 0
+       |  THEN list_transform($v, x -> CAST(x AS DOUBLE) / sqrt(${dotSql(v, v)}))
+       |  ELSE list_transform($v, x -> CAST(x AS DOUBLE)) END""".stripMargin
+
+  /** The PQ pipeline through the coarse ADC scores, shared by the
+    * serving and recall oracles — mirrors Similarity.pqCodebook/
+    * pqCoarse: seeds 1-16 → 4×16 codebook of normalized sub-vectors,
+    * per-(row, subspace) argmin by round(‖c‖²−2·s·c, 9) with code-asc
+    * tie-break (struct-min, lexicographic in both engines), LUT-summed
+    * in fixed subspace order.
+    */
+  private def pqSliceSql(v: String, sub: String): String =
+    s"$v[CAST($sub * 16 + 1 AS INTEGER):CAST($sub * 16 + 16 AS INTEGER)]"
+
+  private def PqCoarseCtes: String =
+    s"""WITH nv AS (
+       |  SELECT vec_id, ${normSql("embedding")} AS v, embedding AS raw
+       |  FROM embeddings WHERE vec_id <> 0
+       |), qn AS (
+       |  SELECT ${normSql("embedding")} AS qv, embedding AS raw
+       |  FROM embeddings WHERE vec_id = 0
+       |), cb AS (
+       |  SELECT CAST(s.sub AS INTEGER) AS sub,
+       |    CAST(vec_id - 1 AS INTEGER) AS code,
+       |    ${pqSliceSql("v", "s.sub")} AS cvec
+       |  FROM nv, (SELECT unnest(range(4)) AS sub) s
+       |  WHERE vec_id BETWEEN 1 AND 16
+       |), lut AS (
+       |  SELECT cb.sub, cb.code, cb.cvec,
+       |    ${dotSql("cb.cvec", "qsub")} AS qd,
+       |    ${dotSql("cb.cvec", "cb.cvec")} AS cc
+       |  FROM (SELECT cb.*, ${pqSliceSql("qn.qv", "cb.sub")} AS qsub
+       |        FROM cb CROSS JOIN qn) cb
+       |), exp AS (
+       |  SELECT vec_id, CAST(s.sub AS INTEGER) AS sub,
+       |    ${pqSliceSql("v", "s.sub")} AS svec
+       |  FROM nv, (SELECT unnest(range(4)) AS sub) s
+       |), enc AS (
+       |  SELECT e.vec_id, e.sub,
+       |    struct_extract(min(struct_pack(
+       |      s := round(l.cc - 2 * ${dotSql("e.svec", "l.cvec")}, 9),
+       |      c := l.code, q := l.qd)), 'q') AS qd
+       |  FROM exp e JOIN lut l ON e.sub = l.sub
+       |  GROUP BY e.vec_id, e.sub
+       |), adcsum AS (
+       |  SELECT vec_id,
+       |    round(sum(CASE WHEN sub = 0 THEN qd END) +
+       |          sum(CASE WHEN sub = 1 THEN qd END) +
+       |          sum(CASE WHEN sub = 2 THEN qd END) +
+       |          sum(CASE WHEN sub = 3 THEN qd END), 6) AS sim_pq
+       |  FROM enc GROUP BY vec_id
+       |)""".stripMargin
+
   /** Random projection of a list expression to RpDim dims — the same
     * md5-nibble plane construction as lshSql, full dot value instead of
     * the sign bit, plane indices offset by 100 (Similarity.RpPlaneOffset).
@@ -758,6 +815,43 @@ object ExtQueries {
         .orderBy(col("sim").desc, col("vec_id")).limit(5)
     }),
 
+    // Product quantization (Jégou et al.) ANN: 4 subspaces × 16
+    // codewords (the normalized sub-vectors of seed rows 1-16 — the
+    // fixed-seed codebook convention of the IVF family), asymmetric
+    // LUT scoring, exact re-rank of the ADC top-20. The coarse pass at
+    // 100 TB scans 4 int8 codes per vector — 64× fewer bytes than the
+    // float corpus, the deepest compression on the board, audited by
+    // the recall key below.
+    "similar_pq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val seeds = e.filter(col("vec_id").between(1, 16))
+      Similarity.pqTopK(
+        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", seeds, col("qvec"),
+        k = 5, m = 4, subDim = 16)
+    }),
+
+    // Measured PQ recall: exact top-5 survival through the ADC top-20
+    // cut — the audit that prices the 64× compression, like the SQ/RP
+    // recall keys.
+    "similar_pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val seeds = e.filter(col("vec_id").between(1, 16))
+      val corpus = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+      val coarse = Similarity.pqCoarse(corpus, "vec_id", "embedding",
+        seeds, col("qvec"), n = 20, m = 4, subDim = 16)
+      val exact = corpus.select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      exact.join(coarse, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("k_exact"),
+          count(col("sim_pq")).as("n_in_coarse"))
+        .select(col("k_exact"), col("n_in_coarse"),
+          TextStats.trunc6(col("n_in_coarse") / col("k_exact")).as("recall"))
+    }),
+
     // Deterministic frame sampling over multimodal payloads: 4 evenly
     // spaced byte offsets per media (the partition/batch shape a video
     // frame sampler uses) + the stubbed "decoded" first byte at each
@@ -1381,6 +1475,28 @@ object ExtQueries {
          |SELECT count(*) AS k_exact,
          |  count(c.sim_sq) AS n_in_coarse,
          |  floor((count(c.sim_sq) / count(*)) * 1000000) / 1000000 AS recall
+         |FROM exact e LEFT JOIN coarse c USING (vec_id)""".stripMargin,
+
+    "similar_pq_topk" ->
+      s"""$PqCoarseCtes
+         |SELECT c.vec_id, c.sim_pq,
+         |  round(${cosineSql("n.raw", "q.raw")}, 6) AS sim
+         |FROM (SELECT vec_id, sim_pq FROM adcsum
+         |      ORDER BY sim_pq DESC, vec_id LIMIT 20) c
+         |JOIN nv n USING (vec_id) CROSS JOIN qn q
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+    "similar_pq_recall" ->
+      s"""$PqCoarseCtes, coarse AS (
+         |  SELECT vec_id, sim_pq FROM adcsum
+         |  ORDER BY sim_pq DESC, vec_id LIMIT 20
+         |), exact AS (
+         |  SELECT n.vec_id, round(${cosineSql("n.raw", "q.raw")}, 6) AS sim
+         |  FROM nv n CROSS JOIN qn q
+         |  ORDER BY sim DESC, vec_id LIMIT 5
+         |)
+         |SELECT count(*) AS k_exact, count(c.sim_pq) AS n_in_coarse,
+         |  floor((count(c.sim_pq) / count(*)) * 1000000) / 1000000 AS recall
          |FROM exact e LEFT JOIN coarse c USING (vec_id)""".stripMargin,
 
     "similar_rp_topk" ->
