@@ -95,4 +95,53 @@ object Sketches {
       .drop("__r")
       .join(bounds, groupCols)
   }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan) PARTIALS: a d×w
+    * integer counter matrix per group. Where Misra–Gries under-counts
+    * with a bounded error, CMS OVER-counts: est(key) = min over the d
+    * rows of its counter ≥ true count, with overshoot ≤ εN (ε = e/w)
+    * at probability 1−(1/2)^d. The matrix is the mergeable partial —
+    * entrywise SUM of two matrices is the matrix of the concatenated
+    * streams (exactly, not approximately), so partials materialize per
+    * chunk/day and any span merges at d·w cost regardless of data
+    * size. Row hashes are md5-derived (`row:key` → first 4 hex chars),
+    * engine-portable and stable across sessions.
+    */
+  def cmsPartials(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                  d: Int = 4, w: Int = 4096): DataFrame = {
+    require(w <= 65536 && Integer.bitCount(w) == 1,
+      s"w must be a power of two <= 65536 (two md5 bytes), got $w")
+    df.select((groupCols.map(col) :+
+        explode(sequence(lit(0), lit(d - 1))).as("r") :+ col(keyCol)): _*)
+      .withColumn("bucket", cmsBucket(col("r"), col(keyCol), w))
+      .groupBy((groupCols :+ "r" :+ "bucket").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The row-r bucket of a key: first two md5 bytes of "r:key", masked
+    * to w buckets. Codegen'd built-ins, identical arithmetic in DuckDB.
+    */
+  def cmsBucket(r: Column, key: Column, w: Int): Column =
+    pmod(conv(substring(md5(concat(r.cast("string"), lit(":"),
+      key.cast("string"))), 1, 4), 16, 10).cast("int"), lit(w))
+
+  /** Point-query candidates against merged CMS partials: for each
+    * (group, candidate key), est = min over rows of the summed
+    * counter. The matrix side is (groups·d·w) rows — broadcast-scale
+    * at any corpus size; candidates join on (group, r, bucket).
+    */
+  def cmsEstimate(partials: DataFrame, groupCols: Seq[String],
+                  candidates: DataFrame, keyCol: String,
+                  d: Int = 4, w: Int = 4096): DataFrame = {
+    val matrix = partials
+      .groupBy((groupCols :+ "r" :+ "bucket").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val probes = candidates
+      .select((groupCols.map(col) :+ col(keyCol) :+
+        explode(sequence(lit(0), lit(d - 1))).as("r")): _*)
+      .withColumn("bucket", cmsBucket(col("r"), col(keyCol), w))
+    probes.join(matrix, groupCols ++ Seq("r", "bucket"))
+      .groupBy((groupCols :+ keyCol).map(col): _*)
+      .agg(min(col("cnt")).as("est"))
+  }
 }

@@ -322,6 +322,27 @@ object PipeQueries {
         .orderBy(col("event_type"), col("count").desc, col("user_id"))
     }),
 
+    // COUNT-MIN heavy hitters — the over-counting complement of the
+    // Misra–Gries key: 4×4096 counter-matrix partials per day (fixed
+    // size regardless of data; entrywise sum IS the merge, exactly),
+    // global candidate point-queries against the broadcast-scale
+    // merged matrix, est ≥ exact by construction with the overshoot
+    // reported per key. Top-10 users by estimate.
+    "events_cms_heavy_hitters" -> ((s, dir) => {
+      val b = TsQueries.base(s, dir)
+        .select(expr("sec div 86400").as("day"), col("user_id"))
+      val partials = graft.operators.Sketches.cmsPartials(
+        b, Seq("day"), "user_id")
+      val est = graft.operators.Sketches.cmsEstimate(
+        partials, Seq.empty, b.select("user_id").distinct(), "user_id")
+      val exact = b.groupBy("user_id").agg(count(lit(1)).as("exact"))
+      est.join(exact, "user_id")
+        .select(col("user_id"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("overest"))
+        .orderBy(col("est").desc, col("user_id"))
+        .limit(10)
+    }),
+
     // Benchmark decontamination: drop training docs sharing a 5-gram
     // with the "eval" split (broadcast semi-join on benchmark grams).
     "decontaminate_ngram" -> ((s, dir) => {
@@ -960,6 +981,37 @@ object PipeQueries {
          |FROM rk k JOIN bounds b USING (event_type)
          |WHERE k.rr <= 8
          |ORDER BY k.event_type, k.count DESC, k.user_id""".stripMargin,
+
+    "events_cms_heavy_hitters" -> {
+      // first two md5 bytes of "r:user_id" → bucket 0..4095 (matches
+      // Sketches.cmsBucket's conv(hex,16,10) % 4096)
+      val byte = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(hb, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+        .mkString("(", " + ", ") % 4096")
+      s"""$BaseCte, e AS (
+         |  SELECT user_id FROM base
+         |), h AS (
+         |  SELECT user_id, CAST(s.r AS INTEGER) AS r,
+         |    substr(md5(CAST(s.r AS VARCHAR) || ':' ||
+         |               CAST(user_id AS VARCHAR)), 1, 4) AS hb
+         |  FROM e, (SELECT unnest(range(4)) AS r) s
+         |), m AS (
+         |  SELECT r, $byte AS bucket, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM h GROUP BY r, bucket
+         |), cand AS (
+         |  SELECT DISTINCT user_id, r, $byte AS bucket FROM h
+         |), est AS (
+         |  SELECT c.user_id, min(m.cnt) AS est
+         |  FROM cand c JOIN m USING (r, bucket)
+         |  GROUP BY c.user_id
+         |), exact AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS exact
+         |  FROM e GROUP BY user_id
+         |)
+         |SELECT user_id, est, exact, est - exact AS overest
+         |FROM est JOIN exact USING (user_id)
+         |ORDER BY est DESC, user_id LIMIT 10""".stripMargin
+    },
 
     "pii_redact" ->
       s"""SELECT doc_id,

@@ -84,4 +84,32 @@ class SketchesSpec extends SparkSpec {
     assert(p.getAs[Long]("n_rows") == 6L)
     assert(p.getAs[Long]("dropped_mass") == 1L)
   }
+
+  test("count-min: per-chunk partials merge to the whole-stream matrix, " +
+    "est >= exact always") {
+    import spark.implicits._
+    val rows = (0 until 3).flatMap { chunk =>
+      Seq.fill(40)((chunk.toLong, 7L)) ++
+        (0 until 30).map(i => (chunk.toLong, (chunk * 100 + i).toLong))
+    }
+    val df = rows.toDF("chunk", "key")
+    // merge-equals-direct: summed per-chunk matrices == one global matrix
+    val merged = Sketches.cmsPartials(df, Seq("chunk"), "key", d = 2, w = 64)
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+    val direct = Sketches.cmsPartials(df.withColumn("g", lit(1)),
+        Seq("g"), "key", d = 2, w = 64).drop("g")
+    assert(merged.except(direct).isEmpty && direct.except(merged).isEmpty)
+    // point queries: over-count only, and the heavy key's estimate holds
+    val cands = df.select("key").distinct()
+    val est = Sketches.cmsEstimate(
+      Sketches.cmsPartials(df, Seq("chunk"), "key", d = 2, w = 64),
+      Seq.empty, cands, "key", d = 2, w = 64)
+    val exact = df.groupBy("key").agg(count(lit(1)).as("exact"))
+    val joined = est.join(exact, "key")
+      .select(col("key"), col("est"), col("exact")).collect()
+    assert(joined.forall(r => r.getLong(1) >= r.getLong(2)),
+      "CMS must never under-count")
+    val hot = joined.find(_.getLong(0) == 7L).get
+    assert(hot.getLong(1) >= 120L)
+  }
 }
