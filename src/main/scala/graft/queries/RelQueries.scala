@@ -145,6 +145,65 @@ object RelQueries {
           col("n_items"))
     }),
 
+    // TPC-H Q4-shaped order-priority census: orders in one quarter with
+    // at least one late-shipped line (shipdate > orderdate + 90 days —
+    // the substrate's analog of commit<receipt, which these tables
+    // don't carry). The EXISTS is a LEFT SEMI join on the order key
+    // with the range predicate as join condition — the fact side is
+    // probed once, never multiplied, and the date window pushes into
+    // the orders scan.
+    "q4_order_priority" -> ((s, dir) => {
+      val ords = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP '1997-07-01' AND " +
+          "o_orderdate < TIMESTAMP '1997-10-01'"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+      ords.join(li,
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > expr("o_orderdate + INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q7-shaped volume shipping between two nations: the
+    // four-fact join chain shuffles on its keys; both nation lookups
+    // ride ONE broadcast dim; the pair filter keeps either direction
+    // and the rollup is (supp_nation, cust_nation, year). Decimal
+    // revenue sums like q3/q5.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val nat = broadcast(Tables.load(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_2", "NATION_3"))
+        .select("n_nationkey", "n_name"))
+      val sup = Tables.load(s, dir, "supplier")
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.load(s, dir, "customer")
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ords = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01' AND " +
+          "l_shipdate < TIMESTAMP '1998-01-01'"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+          "l_extendedprice", "l_discount")
+      li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_3") ||
+          (col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_2"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // Per-customer running revenue — cumulative window sum routed
     // through DECIMAL (running double sums are accumulation-order
     // dependent; decimal addition is exact, so the prefix sums are
@@ -306,6 +365,35 @@ object RelQueries {
         |  CAST(total_dec AS DOUBLE) AS total_revenue,
         |  n_items
         |FROM a""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_3') OR
+        |       (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_2'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "orders_running_total" ->
       """SELECT o_orderkey, o_custkey,

@@ -446,4 +446,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), s"q5 grew a cartesian:\n$p")
   }
+
+  test("q4: EXISTS is a LEFT SEMI probe (fact rows never multiplied); " +
+    "quarter pushed to the orders scan") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), s"EXISTS must lower to a semi join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"quarter window not pushed:\n$p")
+  }
+
+  test("q7: shipdate window pushed; the pair-filtered nation dim broadcasts; " +
+    "no cartesian") {
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"shipdate window not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"q7 grew a cartesian:\n$p")
+  }
 }
