@@ -476,6 +476,46 @@ object PipeQueries {
         .orderBy("event_type")
     }),
 
+    // HOLT double-exponential smoothing per (user, type) series — the
+    // level+trend forecaster between seasonal-naive and a real model.
+    // Each series' ordered values fold once through the coupled
+    // (level, trend) recurrence as a STRUCT-state `aggregate` — a
+    // sequential model fit, so the right distribution is one series
+    // per task: collect the series (sort_array of (sec, id, value)
+    // structs — deterministic), fold in order, emit one row. One
+    // key-shuffle; state per task is the series, like exact quantiles.
+    // α=0.5 (exact power of two), β=0.3 — identical literals and
+    // operand order in both engines.
+    "ts_holt_forecast" -> ((s, dir) => {
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+      val g = b.groupBy("user_id", "event_type")
+        .agg(sort_array(collect_list(struct(col("sec"), col("event_id"),
+          col("value")))).as("pts"))
+      val vals = transform(col("pts"), p =>
+        p.getField("value").cast("double"))
+      val init = struct(element_at(vals, 1).as("l"), lit(0d).as("b"))
+      val rest = when(size(vals) > 1,
+        slice(vals, lit(2), size(vals) - 1)).otherwise(
+        array().cast("array<double>"))
+      def step(acc: org.apache.spark.sql.Column,
+               x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val l1 = lit(0.5) * x + lit(0.5) *
+          (acc.getField("l") + acc.getField("b"))
+        struct(l1.as("l"),
+          (lit(0.3) * (l1 - acc.getField("l")) +
+            lit(0.7) * acc.getField("b")).as("b"))
+      }
+      val fit = aggregate(rest, init, step)
+      g.select(col("user_id"), col("event_type"),
+          size(col("pts")).cast("long").as("n"), fit.as("fit"))
+        .select(col("user_id"), col("event_type"), col("n"),
+          round(col("fit.l"), 6).as("level"),
+          round(col("fit.b"), 6).as("trend"),
+          round(col("fit.l") + col("fit.b"), 6).as("forecast"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // SRE multi-window burn-rate alert: error fraction over trailing
     // 30-min AND 4-h windows per user; alert when both exceed their
     // thresholds.
@@ -1178,6 +1218,35 @@ object PipeQueries {
          |  floor(CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*)
          |        * 1000000) / 1000000 AS mae
          |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The fold state is a LIST [level, trend], not a struct: DuckDB's
+    // list_reduce evaluates struct_pack fields non-atomically (a later
+    // field's acc references can see the earlier field's already-
+    // updated value), so a struct-state Holt recurrence silently
+    // diverges; list construction is atomic in both engines.
+    "ts_holt_forecast" ->
+      s"""$BaseCte, clean AS (
+         |  SELECT user_id, event_type, sec, event_id, value FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |), g AS (
+         |  SELECT user_id, event_type,
+         |    list(CAST(value AS DOUBLE) ORDER BY sec, event_id) AS vals
+         |  FROM clean GROUP BY user_id, event_type
+         |), f AS (
+         |  SELECT user_id, event_type, len(vals) AS n,
+         |    list_reduce(
+         |      list_prepend([vals[1], CAST(0.0 AS DOUBLE)],
+         |        list_transform(vals[2:], x -> [x, CAST(0.0 AS DOUBLE)])),
+         |      (acc, x) -> [
+         |        0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+         |        0.3 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+         |          + 0.7 * acc[2]]) AS fit
+         |  FROM g
+         |)
+         |SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+         |  round(fit[1], 6) AS level, round(fit[2], 6) AS trend,
+         |  round(fit[1] + fit[2], 6) AS forecast
+         |FROM f ORDER BY user_id, event_type""".stripMargin,
 
     "tz_daily_local" ->
       s"""$BaseCte

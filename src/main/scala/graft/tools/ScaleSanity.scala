@@ -72,7 +72,9 @@ object ScaleSanity {
       // round-6 late additions — seasonal cells, key-skew argmax,
       // shared-exchange window frames, lead-window moment sums:
       "ts_anomaly_seasonal", "events_key_skew", "ts_level_shift",
-      "ts_autocorr")
+      "ts_autocorr",
+      // round-7: CMS matrix partials (fixed-size agg, candidate probe)
+      "events_cms_heavy_hitters")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -124,7 +126,9 @@ object ScaleSanity {
       "bpe_encode_count", "corpus_mix_alpha", "quality_ppl_buckets",
       // round-7: substring-run dedup — windows shuffle on doc_id, the
       // gram count on the gram key; output rows track real duplication
-      "dedup_substring_runs")
+      "dedup_substring_runs",
+      // round-7: bounded byte-expression header parse — pure narrow pass
+      "multimodal_dims")
     val docPicks = sel(allDocPicks)
     if (docPicks.nonEmpty) {
       val nd = docs.count()
@@ -181,7 +185,8 @@ object ScaleSanity {
     // unchanged, so the dim joins (customer/part/supplier/nation/
     // region — copied through verbatim) keep their selectivity and the
     // output grows exactly 10×.
-    val tpchPicks = sel(Seq("q3_shipping", "q5_local_supplier", "q14_promo"))
+    val tpchPicks = sel(Seq("q3_shipping", "q5_local_supplier", "q14_promo",
+      "q4_order_priority", "q7_volume_shipping"))
     if (tpchPicks.nonEmpty) {
       val li0 = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
       val nl = li0.count()
