@@ -144,10 +144,21 @@ object ExtQueries {
   private def pqSliceSql(v: String, sub: String): String =
     s"$v[CAST($sub * 16 + 1 AS INTEGER):CAST($sub * 16 + 16 AS INTEGER)]"
 
-  private def PqCoarseCtes: String =
-    s"""WITH nv AS (
+  private def PqCoarseCtes: String = pqCoarseCtes("",
+    "SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0")
+
+  /** Same pipeline over an arbitrary (vec_id, embedding) corpus source
+    * (e.g. the IVF-probed subset), with optional prior CTEs prepended.
+    * The codebook always comes from the FULL table's seed rows — a
+    * probe-restricted corpus must not lose codewords.
+    */
+  private def pqCoarseCtes(prior: String, corpusSrc: String): String =
+    s"""WITH ${if (prior.nonEmpty) prior + ", " else ""}seednv AS (
+       |  SELECT vec_id, ${normSql("embedding")} AS v
+       |  FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+       |), nv AS (
        |  SELECT vec_id, ${normSql("embedding")} AS v, embedding AS raw
-       |  FROM embeddings WHERE vec_id <> 0
+       |  FROM ($corpusSrc)
        |), qn AS (
        |  SELECT ${normSql("embedding")} AS qv, embedding AS raw
        |  FROM embeddings WHERE vec_id = 0
@@ -155,8 +166,7 @@ object ExtQueries {
        |  SELECT CAST(s.sub AS INTEGER) AS sub,
        |    CAST(vec_id - 1 AS INTEGER) AS code,
        |    ${pqSliceSql("v", "s.sub")} AS cvec
-       |  FROM nv, (SELECT unnest(range(4)) AS sub) s
-       |  WHERE vec_id BETWEEN 1 AND 16
+       |  FROM seednv, (SELECT unnest(range(4)) AS sub) s
        |), lut AS (
        |  SELECT cb.sub, cb.code, cb.cvec,
        |    ${dotSql("cb.cvec", "qsub")} AS qd,
@@ -832,6 +842,34 @@ object ExtQueries {
         k = 5, m = 4, subDim = 16)
     }),
 
+    // IVF∘PQ — the FAISS-style IVFADC serving pipeline from the two
+    // pieces already on the board: IVF cell probe bounds WHICH vectors
+    // are scored (top-2 cells of 8), PQ ADC bounds the BYTES each
+    // scoring touches (4 int8 codes), exact re-rank on the survivors.
+    // At 100 TB: cells partition the index at rest, the probe reads
+    // ~2/8 of it, and the coarse pass reads 1/64th of those bytes.
+    // Non-residual PQ (codewords quantize the vectors, not the
+    // cell-centroid residuals) — the cosine/IP formulation the
+    // normalized ADC supports.
+    "similar_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding",
+        cents, "cent_id", "cvec")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val qcells = cents.crossJoin(broadcast(q))
+        .withColumn("qsim", Similarity.cosine(col("cvec"), col("qvec")))
+        .orderBy(col("qsim").desc, col("cent_id"))
+        .limit(2).select(col("cent_id").as("cell"))
+      val probed = assigned.join(broadcast(qcells), "cell")
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+      val seeds = e.filter(col("vec_id").between(1, 16))
+      Similarity.pqTopK(probed, "vec_id", "embedding", seeds, col("qvec"),
+        k = 5, m = 4, subDim = 16)
+    }),
+
     // Measured PQ recall: exact top-5 survival through the ADC top-20
     // cut — the audit that prices the 64× compression, like the SQ/RP
     // recall keys.
@@ -1485,6 +1523,34 @@ object ExtQueries {
          |      ORDER BY sim_pq DESC, vec_id LIMIT 20) c
          |JOIN nv n USING (vec_id) CROSS JOIN qn q
          |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+    "similar_ivfpq_topk" -> {
+      val prior =
+        s"""cents AS (
+           |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+           |  WHERE vec_id < 8
+           |), q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+           |assign AS (
+           |  SELECT vec_id, embedding, cell FROM (
+           |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC, c.cent_id) AS rn
+           |    FROM embeddings e CROSS JOIN cents c) t
+           |  WHERE rn = 1
+           |), qcells AS (
+           |  SELECT cent_id AS cell FROM cents CROSS JOIN q
+           |  ORDER BY ${cosineSql("cvec", "qvec")} DESC, cent_id LIMIT 2
+           |)""".stripMargin
+      val probedSrc = "SELECT a.vec_id, a.embedding FROM assign a " +
+        "JOIN qcells ON a.cell = qcells.cell WHERE a.vec_id <> 0"
+      s"""${pqCoarseCtes(prior, probedSrc)}
+         |SELECT c.vec_id, c.sim_pq,
+         |  round(${cosineSql("n.raw", "qn.raw")}, 6) AS sim
+         |FROM (SELECT vec_id, sim_pq FROM adcsum
+         |      ORDER BY sim_pq DESC, vec_id LIMIT 20) c
+         |JOIN nv n USING (vec_id) CROSS JOIN qn
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
+    },
 
     "similar_pq_recall" ->
       s"""$PqCoarseCtes, coarse AS (
