@@ -476,6 +476,53 @@ object PipeQueries {
         .orderBy("event_type")
     }),
 
+    // Tabular CUSUM per event-type series — the RECURSIVE changepoint
+    // detector ts_level_shift's window test explicitly is not: s⁺/s⁻
+    // accumulate standardized drift (k=0.5σ slack, h=4σ alarm) through
+    // one ordered fold per series; the state [s⁺, s⁻, n_alarms, max]
+    // is a LIST both engines fold atomically (DETERMINISM.md). μ and σ
+    // come from decimal-routed moment sums — identical inputs to the
+    // fold everywhere. Per (user, type) like ts_holt_forecast: one key
+    // shuffle, task state bounded by one user's series (a recursive
+    // stat cannot range-subsplit — bounded series ARE the scale story).
+    "ts_cusum" -> ((s, dir) => {
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+      val g = b.groupBy("user_id", "event_type").agg(
+        sort_array(collect_list(struct(col("sec"), col("event_id"),
+          col("value")))).as("pts"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast(Dec)).cast("double").as("sv"),
+        sum((col("value").cast(Dec)) * (col("value").cast(Dec)))
+          .cast("double").as("ss"))
+      val nD = col("n").cast("double")
+      val mu = col("sv") / nD
+      val sigma = sqrt(greatest(lit(0d), col("ss") / nD - mu * mu))
+      val vals = transform(col("pts"), p =>
+        p.getField("value").cast("double"))
+      val zero = array(lit(0d), lit(0d), lit(0d), lit(0d))
+      def step(acc: org.apache.spark.sql.Column,
+               x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val sp = greatest(lit(0d),
+          element_at(acc, 1) + (x - col("_mu") - lit(0.5) * col("_sigma")))
+        val sn = greatest(lit(0d),
+          element_at(acc, 2) + (col("_mu") - lit(0.5) * col("_sigma") - x))
+        val alarm = when(sp > lit(4d) * col("_sigma") ||
+          sn > lit(4d) * col("_sigma"), lit(1d)).otherwise(lit(0d))
+        array(sp, sn, element_at(acc, 3) + alarm,
+          greatest(element_at(acc, 4), sp, sn))
+      }
+      g.withColumn("_mu", mu).withColumn("_sigma", sigma)
+        .withColumn("fit", aggregate(vals, zero, step))
+        .select(col("user_id"), col("event_type"), col("n"),
+          round(col("_mu"), 6).as("mean"),
+          round(col("_sigma"), 6).as("sigma"),
+          round(element_at(col("fit"), 4), 6).as("max_stat"),
+          element_at(col("fit"), 3).cast("long").as("n_alarms"))
+        .orderBy("user_id", "event_type")
+    }),
+
     // HOLT double-exponential smoothing per (user, type) series — the
     // level+trend forecaster between seasonal-naive and a real model.
     // Each series' ordered values fold once through the coupled
@@ -1218,6 +1265,55 @@ object PipeQueries {
          |  floor(CAST(sum(CAST(e AS DECIMAL(18,6))) AS DOUBLE) / count(*)
          |        * 1000000) / 1000000 AS mae
          |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_cusum" ->
+      s"""$BaseCte, clean AS (
+         |  SELECT user_id, event_type, sec, event_id, value FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |), g AS (
+         |  SELECT user_id, event_type,
+         |    list(CAST(value AS DOUBLE) ORDER BY sec, event_id) AS vals,
+         |    count(*) AS n,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6)) *
+         |             CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ss
+         |  FROM clean GROUP BY user_id, event_type
+         |), m AS (
+         |  SELECT *, sv / CAST(n AS DOUBLE) AS mu,
+         |    sqrt(greatest(CAST(0.0 AS DOUBLE),
+         |      ss / CAST(n AS DOUBLE)
+         |        - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE))))
+         |      AS sigma
+         |  FROM g
+         |), f AS (
+         |  SELECT user_id, event_type, n, mu, sigma,
+         |    list_reduce(
+         |      list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0],
+         |        list_transform(vals, x -> [x, 0.0, 0.0, 0.0])),
+         |      (acc, e) -> [
+         |        greatest(CAST(0.0 AS DOUBLE),
+         |          acc[1] + (e[1] - mu - 0.5 * sigma)),
+         |        greatest(CAST(0.0 AS DOUBLE),
+         |          acc[2] + (mu - 0.5 * sigma - e[1])),
+         |        acc[3] + (CASE WHEN
+         |          greatest(CAST(0.0 AS DOUBLE),
+         |            acc[1] + (e[1] - mu - 0.5 * sigma)) > 4 * sigma
+         |          OR greatest(CAST(0.0 AS DOUBLE),
+         |            acc[2] + (mu - 0.5 * sigma - e[1])) > 4 * sigma
+         |          THEN 1.0 ELSE 0.0 END),
+         |        greatest(acc[4],
+         |          greatest(CAST(0.0 AS DOUBLE),
+         |            acc[1] + (e[1] - mu - 0.5 * sigma)),
+         |          greatest(CAST(0.0 AS DOUBLE),
+         |            acc[2] + (mu - 0.5 * sigma - e[1])))]) AS fit
+         |  FROM m
+         |)
+         |SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+         |  round(mu, 6) AS mean, round(sigma, 6) AS sigma,
+         |  round(fit[4], 6) AS max_stat,
+         |  CAST(fit[3] AS BIGINT) AS n_alarms
+         |FROM f ORDER BY user_id, event_type""".stripMargin,
 
     // The fold state is a LIST [level, trend], not a struct: DuckDB's
     // list_reduce evaluates struct_pack fields non-atomically (a later
