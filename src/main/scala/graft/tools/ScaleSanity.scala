@@ -73,8 +73,9 @@ object ScaleSanity {
       // shared-exchange window frames, lead-window moment sums:
       "ts_anomaly_seasonal", "events_key_skew", "ts_level_shift",
       "ts_autocorr",
-      // round-7: CMS matrix partials (fixed-size agg, candidate probe)
-      "events_cms_heavy_hitters")
+      // round-7: CMS matrix partials (fixed-size agg, candidate probe),
+      // per-series sequential folds (collect + fold per user series)
+      "events_cms_heavy_hitters", "ts_holt_forecast", "ts_cusum")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
