@@ -447,6 +447,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q5 grew a cartesian:\n$p")
   }
 
+  test("PQ serving: codebook/LUT broadcast, no SMJ, coarse cut TakeOrdered") {
+    val p = plan("similar_pq_topk")
+    assert(!p.contains("SortMergeJoin"), s"PQ grew a sort-merge join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 3, s"PQ exchange budget exceeded: $exchanges:\n$p")
+  }
+
+  test("IVFPQ: everything index-side broadcasts; full vectors never shuffle") {
+    val p = plan("similar_ivfpq_topk")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 3, s"IVFPQ exchange budget exceeded: $exchanges:\n$p")
+  }
+
+  test("CMS heavy hitters: fixed-size matrix partials, no raw-row re-scan join") {
+    val p = plan("events_cms_heavy_hitters")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sequential fits (holt, cusum): one series-collect exchange + " +
+    "output sort, no join") {
+    for (k <- Seq("ts_holt_forecast", "ts_cusum")) {
+      val p = plan(k)
+      assert(!p.contains("Join"), s"$k grew a join:\n$p")
+      val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+      assert(exchanges <= 2, s"$k exchange budget exceeded: $exchanges:\n$p")
+    }
+  }
+
   test("q4: EXISTS is a LEFT SEMI probe (fact rows never multiplied); " +
     "quarter pushed to the orders scan") {
     val p = plan("q4_order_priority")
