@@ -1053,6 +1053,26 @@ object ExtQueries {
       TextStats.langId(docs(s, dir), "doc_id", "text", "lang")
         .orderBy("doc_id")),
 
+    // Confusion matrix of the n-gram language classifier against the
+    // labeled lang column — the measured-accuracy audit every
+    // production classifier ships with (the langId analog of the ANN
+    // recall keys): per (true, predicted) counts plus the per-cell
+    // share of the true language's documents.
+    "lang_id_confusion" -> ((s, dir) => {
+      val pred = TextStats.langId(docs(s, dir), "doc_id", "text", "lang")
+        .select(col("doc_id"), col("pred_lang"))
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lang_total",
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          TextStats.trunc6(col("n") / col("lang_total")).as("share"))
+        .orderBy("lang", "pred_lang")
+    }),
+
     // TF-IDF keyword per document (smoothed idf, sort-free argmax).
     "doc_top_tfidf" -> ((s, dir) =>
       TextStats.topTfidfTerm(docs(s, dir), "doc_id", "text")
@@ -2258,6 +2278,39 @@ object ExtQueries {
         |  FROM scores)
         |SELECT doc_id, model_lang AS pred_lang, score FROM ranked
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "lang_id_confusion" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), counts AS (
+        |  SELECT lang AS model_lang, w, count(*) AS c FROM tok GROUP BY 1, 2
+        |), totals AS (
+        |  SELECT lang AS model_lang, count(*) AS tot FROM tok GROUP BY 1
+        |), vocab AS (SELECT count(DISTINCT w) AS v FROM tok
+        |), scores AS (
+        |  SELECT t.doc_id, m.model_lang,
+        |    round(sum(ln((coalesce(c.c, 0) + 1.0) / (m.tot + m.v))), 6) AS score
+        |  FROM (SELECT doc_id, w FROM tok) t
+        |  CROSS JOIN (SELECT model_lang, tot, v FROM totals CROSS JOIN vocab) m
+        |  LEFT JOIN counts c ON c.model_lang = m.model_lang AND c.w = t.w
+        |  GROUP BY t.doc_id, m.model_lang
+        |), ranked AS (
+        |  SELECT doc_id, model_lang, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, model_lang) AS rn
+        |  FROM scores
+        |), pred AS (
+        |  SELECT doc_id, model_lang AS pred_lang FROM ranked WHERE rn = 1
+        |), cells AS (
+        |  SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents d JOIN pred p USING (doc_id)
+        |  GROUP BY d.lang, p.pred_lang
+        |)
+        |SELECT lang, pred_lang, n,
+        |  floor((CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang))
+        |        * 1000000) / 1000000 AS share
+        |FROM cells ORDER BY lang, pred_lang""".stripMargin,
 
     "doc_fingerprint" ->
       """SELECT doc_id,
