@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.types.TimestampType
 
 import graft.ingest.Influx
+import graft.operators.Sketches
 import graft.store.SensorStore
 
 /** Streaming ingest: the Spark-native analog of the reference's
@@ -88,6 +89,32 @@ object StreamIngest {
     points
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("metric", "ts")
+
+  /** Incrementally maintain Count-Min sketch partials over a streaming
+    * event feed: per (event-time window, hash row, bucket), the counter
+    * value. Because the CMS merge is an entrywise SUM (exact, not
+    * approximate — see [[graft.operators.Sketches.cmsPartials]]), the
+    * counter matrix IS a streaming aggregation: Spark's incremental
+    * state update per micro-batch computes exactly the matrix a batch
+    * pass over the full history would, and the watermark bounds state
+    * to open windows. Emitted rows merge with at-rest batch partials
+    * (same schema) by the same sum, so a streaming head and a batch
+    * tail of one corpus compose into one queryable sketch —
+    * [[graft.operators.Sketches.cmsEstimate]] serves point queries
+    * over the union. d·w counters per window regardless of rate.
+    */
+  def cmsMaintain(events: DataFrame, tsCol: String, keyCol: String,
+                  windowDur: String, watermark: String,
+                  d: Int = 4, w: Int = 4096): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(keyCol),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("bucket", Sketches.cmsBucket(col("r"), col(keyCol), w))
+      .groupBy(window(col(tsCol), windowDur), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("r"),
+        col("bucket"), col("cnt"))
 
   /** Build the Bloom screen artifact for [[nearDupScreen]] from a
     * persisted MinHash band index (`(band, band_key, corpus_id)` —

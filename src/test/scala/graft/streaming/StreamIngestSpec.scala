@@ -415,4 +415,56 @@ class StreamIngestSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
     assert(rows == Seq(("v", 1.0, 10.0))) // only the in-window same-metric row
   }
+
+  test("streaming CMS maintenance equals the batch partials exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    // two micro-batches of (ts, user) events spanning two 5-min windows
+    val batch1 = Seq((t0, "alice"), (t0 + 10, "bob"), (t0 + 20, "alice"))
+    val batch2 = Seq((t0 + 40, "alice"), (t0 + 301, "carol"),
+      (t0 + 310, "bob"), (t0 + 320, "carol"))
+
+    val src = MemoryStream[(Long, String)]
+    val events = src.toDF().toDF("sec", "user")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("user"))
+    val sketch = StreamIngest.cmsMaintain(events, "ts", "user",
+      windowDur = "5 minutes", watermark = "10 minutes", d = 3, w = 64)
+    val query = sketch.writeStream.outputMode("complete")
+      .format("memory").queryName("cmsout").start()
+    try {
+      src.addData(batch1: _*)
+      query.processAllAvailable() // state update mid-stream
+      src.addData(batch2: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // the incremental counters must EQUAL a batch pass over the union —
+    // the CMS merge is an entrywise sum, so streaming state update is
+    // exact, not approximate
+    val all = (batch1 ++ batch2).toDF("sec", "user")
+      .select((floor(col("sec") / 300) * 300).as("window_sec"), col("user"))
+    val expected = graft.operators.Sketches
+      .cmsPartials(all, Seq("window_sec"), "user", d = 3, w = 64)
+      .select(col("window_sec"), col("r"), col("bucket"), col("cnt"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val streamed = spark.sql(
+      "SELECT unix_timestamp(window_start), r, bucket, cnt FROM cmsout")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(streamed == expected)
+
+    // point queries over the streamed matrix dominate exact counts
+    val matrix = spark.table("cmsout")
+      .select(unix_timestamp(col("window_start")).as("window_sec"),
+        col("r"), col("bucket"), col("cnt"))
+    val cands = Seq((t0 / 300 * 300, "alice"), (t0 / 300 * 300, "bob"),
+      ((t0 + 301) / 300 * 300, "carol")).toDF("window_sec", "user")
+    val est = graft.operators.Sketches
+      .cmsEstimate(matrix, Seq("window_sec"), cands, "user", d = 3, w = 64)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(est("alice") >= 2L && est("bob") >= 1L && est("carol") >= 2L)
+  }
 }
