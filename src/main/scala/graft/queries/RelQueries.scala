@@ -204,6 +204,90 @@ object RelQueries {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // TPC-H Q10-shaped returned-item report: which customers returned
+    // the most revenue in one quarter. lineitem filters to
+    // l_returnflag='R' BEFORE the join (the filter pushes to the scan,
+    // so only ~25% of the fact shuffles); orders' date window also
+    // pushes down. customer⨝nation rides one broadcast dim; the
+    // customer join itself is unhinted (fact-scale at 100 TB — AQE
+    // decides). Top-20 is TakeOrdered with a key tiebreak, never a
+    // global sort.
+    "q10_returned_revenue" -> ((s, dir) => {
+      val ords = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP '1997-01-01' AND " +
+          "o_orderdate < TIMESTAMP '1997-04-01'"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val nat = broadcast(Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name"))
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q18-shaped large-order census: orders whose total quantity
+    // exceeds 250 (top ~1%). The HAVING aggregate runs FIRST on
+    // lineitem alone — map-side combinable on l_orderkey, emitting a
+    // tiny key list — and orders/customer join against that list, so
+    // the wide fact never joins anything at full width. At 100 TB the
+    // qualifying set is small enough that AQE broadcasts it into both
+    // probe joins.
+    "q18_large_orders" -> ((s, dir) => {
+      val bigOrders = Tables.load(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(dec("l_quantity")).as("qty_dec"))
+        .filter(col("qty_dec") > 250)
+        .select(col("l_orderkey").as("big_okey"),
+          col("qty_dec").cast(DoubleType).as("total_qty"))
+      val ords = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name")
+      ords.join(bigOrders, col("o_orderkey") === col("big_okey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q19-shaped disjunctive-predicate revenue: three (brand,
+    // size-range, quantity-range) clauses OR'd together across the
+    // part join. The quantity bounds live on lineitem and the
+    // brand/size bounds on part, so each side's scan prunes with the
+    // UNION of its own clauses (l_quantity <= 30, p_size <= 35 —
+    // derivable supersets push down) while the exact disjunction
+    // evaluates on the joined row. One aggregate row out.
+    "q19_disjunctive" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val part = Tables.load(s, dir, "part")
+        .filter(col("p_size") >= 1 && col("p_size") <= 35)
+        .select("p_partkey", "p_brand", "p_size")
+      val clause =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#9" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .filter(clause)
+        .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // Per-customer running revenue — cumulative window sum routed
     // through DECIMAL (running double sums are accumulation-order
     // dependent; decimal addition is exact, so the prefix sums are
@@ -394,6 +478,47 @@ object RelQueries {
         |       (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_2'))
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-04-01'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey AS big_okey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+        |)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  o.o_totalprice, CAST(b.qty_dec AS DOUBLE) AS total_qty
+        |FROM orders o
+        |JOIN big b ON o.o_orderkey = b.big_okey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |                AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 1 AND 35
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "orders_running_total" ->
       """SELECT o_orderkey, o_custkey,
