@@ -497,4 +497,39 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), s"q7 grew a cartesian:\n$p")
   }
+
+  test("q10: returnflag and quarter window pushed to their scans; " +
+    "top-20 is TakeOrdered, never a global sort") {
+    val p = plan("q10_returned_revenue")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag not pushed to the lineitem scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"order-date quarter not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q10 global-sorts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q10 grew a cartesian:\n$p")
+  }
+
+  test("q18: the HAVING aggregate runs on lineitem alone BEFORE any join; " +
+    "top-100 is TakeOrdered") {
+    val p = plan("q18_large_orders")
+    assert(p.contains("Keys [1]: [l_orderkey#"),
+      s"lineitem not pre-aggregated on l_orderkey:\n$p")
+    // the qty filter applies to the aggregate's output, not a joined row
+    assert("""qty_dec.* > 250""".r.findFirstIn(p).isDefined,
+      s"HAVING threshold missing from the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q18 global-sorts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q18 grew a cartesian:\n$p")
+  }
+
+  test("q19: each side's superset range pushes to its own scan; " +
+    "the disjunction never becomes a cartesian") {
+    val p = plan("q19_disjunctive")
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1") &&
+      p.contains("LessThanOrEqual(l_quantity,30"),
+      s"lineitem quantity superset not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(p_size,1") &&
+      p.contains("LessThanOrEqual(p_size,35"),
+      s"part size superset not pushed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q19 grew a cartesian:\n$p")
+  }
 }
