@@ -104,26 +104,36 @@ object Sketches {
     * entrywise SUM of two matrices is the matrix of the concatenated
     * streams (exactly, not approximately), so partials materialize per
     * chunk/day and any span merges at d·w cost regardless of data
-    * size. Row hashes are md5-derived (`row:key` → first 4 hex chars),
-    * engine-portable and stable across sessions.
+    * size. The d row hashes are SLICES of ONE md5 of the key (row r →
+    * hex chars 4r+1..4r+4): the key is hashed once per event, not once
+    * per (event, row) — at 100 TB that is the difference between N and
+    * d·N hash evaluations on the ingest pass. md5's bytes are
+    * independent, engine-portable, and stable across sessions; d ≤ 8
+    * rows fit the 32 hex chars.
     */
   def cmsPartials(df: DataFrame, groupCols: Seq[String], keyCol: String,
                   d: Int = 4, w: Int = 4096): DataFrame = {
-    require(w <= 65536 && Integer.bitCount(w) == 1,
-      s"w must be a power of two <= 65536 (two md5 bytes), got $w")
-    df.select((groupCols.map(col) :+
-        explode(sequence(lit(0), lit(d - 1))).as("r") :+ col(keyCol)): _*)
-      .withColumn("bucket", cmsBucket(col("r"), col(keyCol), w))
+    requireCmsShape(d, w)
+    df.select((groupCols.map(col) :+ md5(col(keyCol).cast("string")).as("hx") :+
+        explode(sequence(lit(0), lit(d - 1))).as("r")): _*)
+      .withColumn("bucket", cmsBucket(col("r"), col("hx"), w))
       .groupBy((groupCols :+ "r" :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** The row-r bucket of a key: first two md5 bytes of "r:key", masked
-    * to w buckets. Codegen'd built-ins, identical arithmetic in DuckDB.
+  private def requireCmsShape(d: Int, w: Int): Unit = {
+    require(w <= 65536 && Integer.bitCount(w) == 1,
+      s"w must be a power of two <= 65536 (two md5 bytes), got $w")
+    require(d >= 1 && d <= 8, s"d must be 1..8 (4 hex chars per row), got $d")
+  }
+
+  /** The row-r bucket given the key's md5 hex string: chars 4r+1..4r+4
+    * as an int, masked to w buckets. Codegen'd built-ins, identical
+    * arithmetic in DuckDB.
     */
-  def cmsBucket(r: Column, key: Column, w: Int): Column =
-    pmod(conv(substring(md5(concat(r.cast("string"), lit(":"),
-      key.cast("string"))), 1, 4), 16, 10).cast("int"), lit(w))
+  def cmsBucket(r: Column, md5Hex: Column, w: Int): Column =
+    pmod(conv(md5Hex.substr(r * lit(4) + lit(1), lit(4)),
+      16, 10).cast("int"), lit(w))
 
   /** Point-query candidates against merged CMS partials: for each
     * (group, candidate key), est = min over rows of the summed
@@ -133,13 +143,15 @@ object Sketches {
   def cmsEstimate(partials: DataFrame, groupCols: Seq[String],
                   candidates: DataFrame, keyCol: String,
                   d: Int = 4, w: Int = 4096): DataFrame = {
+    requireCmsShape(d, w)
     val matrix = partials
       .groupBy((groupCols :+ "r" :+ "bucket").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
     val probes = candidates
       .select((groupCols.map(col) :+ col(keyCol) :+
+        md5(col(keyCol).cast("string")).as("hx") :+
         explode(sequence(lit(0), lit(d - 1))).as("r")): _*)
-      .withColumn("bucket", cmsBucket(col("r"), col(keyCol), w))
+      .withColumn("bucket", cmsBucket(col("r"), col("hx"), w))
     probes.join(matrix, groupCols ++ Seq("r", "bucket"))
       .groupBy((groupCols :+ keyCol).map(col): _*)
       .agg(min(col("cnt")).as("est"))

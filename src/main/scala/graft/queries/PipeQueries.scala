@@ -1070,8 +1070,8 @@ object PipeQueries {
          |ORDER BY k.event_type, k.count DESC, k.user_id""".stripMargin,
 
     "events_cms_heavy_hitters" -> {
-      // first two md5 bytes of "r:user_id" → bucket 0..4095 (matches
-      // Sketches.cmsBucket's conv(hex,16,10) % 4096)
+      // row r's bucket = md5(user_id) hex chars 4r+1..4r+4 → 0..4095
+      // (matches Sketches.cmsBucket's conv(hex,16,10) % 4096)
       val byte = (1 to 4).map(i =>
         s"(strpos('0123456789abcdef', substr(hb, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
         .mkString("(", " + ", ") % 4096")
@@ -1079,8 +1079,8 @@ object PipeQueries {
          |  SELECT user_id FROM base
          |), h AS (
          |  SELECT user_id, CAST(s.r AS INTEGER) AS r,
-         |    substr(md5(CAST(s.r AS VARCHAR) || ':' ||
-         |               CAST(user_id AS VARCHAR)), 1, 4) AS hb
+         |    substr(md5(CAST(user_id AS VARCHAR)),
+         |           CAST(s.r * 4 + 1 AS INTEGER), 4) AS hb
          |  FROM e, (SELECT unnest(range(4)) AS r) s
          |), m AS (
          |  SELECT r, $byte AS bucket, CAST(count(*) AS BIGINT) AS cnt

@@ -108,9 +108,9 @@ object StreamIngest {
                   d: Int = 4, w: Int = 4096): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .select(col(tsCol), col(keyCol),
+      .select(col(tsCol), md5(col(keyCol).cast("string")).as("hx"),
         explode(sequence(lit(0), lit(d - 1))).as("r"))
-      .withColumn("bucket", Sketches.cmsBucket(col("r"), col(keyCol), w))
+      .withColumn("bucket", Sketches.cmsBucket(col("r"), col("hx"), w))
       .groupBy(window(col(tsCol), windowDur), col("r"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("window_start"), col("r"),
