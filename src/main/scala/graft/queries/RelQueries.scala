@@ -364,6 +364,95 @@ object RelQueries {
         .groupBy("verdict").agg(count(lit(1)).as("n"))
         .orderBy("verdict")
     }),
+
+    // TPC-H Q13-shaped order-count distribution: how many customers
+    // placed 0, 1, 2, … qualifying orders. The scale-critical move is
+    // aggregating ORDERS FIRST (map-side-combinable count per custkey,
+    // one row per customer out) and LEFT-joining customer against that
+    // count table — never customer ⟕ raw-orders, which would multiply
+    // fact rows only to collapse them again. The second aggregation
+    // runs on one row per customer; the priority-class filter stands
+    // in for the reference schema's absent comment column.
+    "q13_customer_distribution" -> ((s, dir) => {
+      val ocnt = Tables.load(s, dir, "orders")
+        .filter(!col("o_orderpriority").startsWith("4"))
+        .groupBy("o_custkey").agg(count(lit(1)).as("c_count"))
+      Tables.load(s, dir, "customer").select("c_custkey")
+        .join(ocnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q16-shaped supplier census: distinct suppliers offering
+    // qualifying parts by (brand, type, size), excluding negative-
+    // balance suppliers via NOT IN → a BROADCAST anti join (the
+    // excluded list is bounded). part's selective filter broadcasts
+    // into the lineitem bridge so the fact prunes before anything
+    // shuffles; COUNT(DISTINCT) is Spark's two-level expand aggregate,
+    // both levels map-side combinable on (brand,type,size,suppkey).
+    "q16_supplier_census" -> ((s, dir) => {
+      val badSupp = Tables.load(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val parts = Tables.load(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#9" &&
+          !col("p_type").startsWith("MEDIUM") &&
+          col("p_size").isin(1, 4, 7, 10, 15, 23))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      Tables.load(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc,
+          col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // TPC-H Q17-shaped small-quantity revenue: lineitems under 20% of
+    // their part's average quantity, one brand. The correlated scalar
+    // subquery decorrelates into a per-part pre-aggregation — computed
+    // AFTER the brand filter prunes the fact (the average is only
+    // consulted for brand parts), so the heavy agg runs on ~1/25 of
+    // lineitem. The threshold compare runs entirely in decimal/int
+    // (qty·n·5 < Σqty ⟺ qty < 0.2·avg) — exact on every engine, no
+    // float-boundary flips.
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val brandParts = Tables.load(s, dir, "part")
+        .filter(col("p_brand") === "Brand#9").select("p_partkey")
+      val liB = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(brandParts, col("l_partkey") === col("p_partkey"))
+      val plim = liB.groupBy(col("l_partkey").as("ap"))
+        .agg(sum(dec("l_quantity")).as("sum_qty"), count(lit(1)).as("n_li"))
+      liB.join(plim, col("l_partkey") === col("ap"))
+        .filter(dec("l_quantity") * col("n_li") * lit(5) < col("sum_qty"))
+        .agg((sum(dec("l_extendedprice")).cast(DoubleType) / lit(7.0d))
+          .as("avg_yearly"), count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q22-shaped dormant-customer census: above-average-balance
+    // customers with NO orders since 2000, rolled up by nation. The
+    // global scalar (avg positive balance) is a one-row broadcast; the
+    // threshold compare is decimal-exact (bal·n > Σbal ⟺ bal > avg).
+    // NOT EXISTS is a LEFT ANTI join against the date-pruned order
+    // custkeys — the date bound pushes to the scan, and the only fact
+    // columns read are the key + date.
+    "q22_dormant_customers" -> ((s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+      val bal = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(dec("c_acctbal")).as("sum_pos"), count(lit(1)).as("n_pos"))
+      cust.crossJoin(broadcast(bal))
+        .filter(dec("c_acctbal") * col("n_pos") > col("sum_pos"))
+        .join(Tables.load(s, dir, "orders")
+            .filter(expr("o_orderdate >= TIMESTAMP '2000-01-01'"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec("c_acctbal")).cast(DoubleType).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -583,5 +672,62 @@ object RelQueries {
         |            ELSE 'unchanged' END AS verdict,
         |  count(*) AS n
         |FROM merged GROUP BY 1 ORDER BY verdict""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """WITH ocnt AS (
+        |  SELECT o_custkey, count(*) AS c_count FROM orders
+        |  WHERE o_orderpriority NOT LIKE '4%' GROUP BY o_custkey
+        |)
+        |SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT coalesce(ocnt.c_count, 0) AS c_count
+        |  FROM customer LEFT JOIN ocnt ON c_custkey = o_custkey
+        |)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q16_supplier_census" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#9' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 4, 7, 10, 15, 23)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#9'),
+        |lb AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN bp ON p_partkey = l_partkey
+        |), plim AS (
+        |  SELECT l_partkey AS ap,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    count(*) AS n_li
+        |  FROM lb GROUP BY 1
+        |)
+        |SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(7.0 AS DOUBLE) AS avg_yearly,
+        |  count(*) AS n_items
+        |FROM lb JOIN plim ON l_partkey = ap
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * n_li * 5 < sum_qty""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """WITH bal AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos,
+        |    count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0
+        |), rich AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+        |  FROM customer c, bal
+        |  WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * bal.n_pos > bal.sum_pos
+        |    AND NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |       AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM rich GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
   )
 }

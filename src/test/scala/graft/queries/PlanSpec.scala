@@ -521,6 +521,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q18 grew a cartesian:\n$p")
   }
 
+  test("q13: orders aggregate to per-customer counts BEFORE the outer " +
+    "join (customer never multiplies against raw orders)") {
+    val p = plan("q13_customer_distribution")
+    assert(p.contains("Keys [1]: [o_custkey#"),
+      s"orders not pre-aggregated on o_custkey:\n$p")
+    val outerIdx = p.indexOf("LeftOuter")
+    assert(outerIdx >= 0, s"q13 lost its outer join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q13 grew a cartesian:\n$p")
+  }
+
+  test("q16: the complaint-supplier exclusion is a BROADCAST anti join; " +
+    "part's filters prune before the bridge join") {
+    val p = plan("q16_supplier_census")
+    assert(p.contains("LeftAnti"), s"NOT IN must lower to an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"anti side not broadcast:\n$p")
+    assert(p.contains("Not(EqualTo(p_brand,Brand#9))"),
+      s"brand exclusion not pushed to the part scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q16 grew a cartesian:\n$p")
+  }
+
+  test("q17: the per-part average aggregates the BRAND-PRUNED fact, " +
+    "never full lineitem") {
+    val p = plan("q17_small_qty_revenue")
+    assert(p.contains("EqualTo(p_brand,Brand#9)"),
+      s"brand filter not pushed to the part scan:\n$p")
+    // the pre-aggregation keys on l_partkey over the pruned bridge
+    assert(p.contains("Keys [1]: [l_partkey#"),
+      s"per-part quantity aggregate missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q17 grew a cartesian:\n$p")
+  }
+
+  test("q22: NOT EXISTS is a LEFT ANTI probe; the dormancy window is " +
+    "pushed to the orders scan; the global scalar broadcasts") {
+    val p = plan("q22_dormant_customers")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must lower to an anti join:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"dormancy window not pushed:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"scalar aggregate not broadcast:\n$p")
+  }
+
   test("q19: each side's superset range pushes to its own scan; " +
     "the disjunction never becomes a cartesian") {
     val p = plan("q19_disjunctive")
