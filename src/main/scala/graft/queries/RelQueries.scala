@@ -453,6 +453,215 @@ object RelQueries {
           sum(dec("c_acctbal")).cast(DoubleType).as("totacctbal"))
         .orderBy("c_nationkey")
     }),
+
+    // TPC-H Q12-shaped late-shipment census (the schema has no
+    // l_shipmode/commit/receipt dates, so the group key is a derived
+    // lateness band on l_shipdate − o_orderdate and "late" means
+    // shipped >30/>90 days after ordering). Scale shape: the ship-year
+    // bound pushes to the lineitem scan; ONE unhinted fact⨝fact join
+    // on the order key; the high/low priority split is a conditional
+    // aggregation in the same pass — never two joins or two scans.
+    "q12_late_shipping" -> ((s, dir) => {
+      val ords = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01'") &&
+          expr("l_shipdate < TIMESTAMP '1997-01-01'"))
+        .select("l_orderkey", "l_shipdate")
+      li.join(ords, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(datediff(col("l_shipdate"), col("o_orderdate")) > 90,
+            lit("very_late"))
+            .when(datediff(col("l_shipdate"), col("o_orderdate")) > 30,
+              lit("late"))
+            .otherwise(lit("on_time")).as("lateness"),
+          col("o_orderpriority"))
+        .groupBy("lateness")
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit(1))).as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            lit(1))).as("low_line_count"))
+        .orderBy("lateness")
+    }),
+
+    // TPC-H Q15-shaped top-revenue supplier: quarterly revenue per
+    // supplier, keep the max. The revenue view aggregates the
+    // date-pruned fact ONCE (map-side combinable on suppkey); the
+    // global max is a one-row broadcast probed with a decimal-exact
+    // equality — never a rank-over-everything window (which would
+    // single-partition the revenue table) and never a second scan of
+    // lineitem. Supplier name attaches AFTER the max cut, so the dim
+    // join touches ~1 row.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.load(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01'") &&
+          expr("l_shipdate < TIMESTAMP '1996-04-01'"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .cast(DecimalType(18, 6))).as("total_rev"))
+      val mx = rev.agg(max(col("total_rev")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev") === col("mx"))
+        .join(Tables.load(s, dir, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast(DoubleType).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q8-shaped market share: of all ECONOMY-part volume sold to
+    // AMERICA-region customers in 1996–1997, what fraction shipped
+    // from NATION_6's suppliers, per order year. The two dim chains
+    // (region→nation→ broadcast into customer; selective part filter
+    // into the fact) prune BEFORE the fact⨝fact joins; the share is a
+    // conditional sum over one grouped pass — numerator and
+    // denominator never scan separately. Decimal sums; the final
+    // ratio is double division of two exact decimals.
+    "q8_market_share" -> ((s, dir) => {
+      val amerNations = broadcast(Tables.load(s, dir, "nation")
+        .join(Tables.load(s, dir, "region")
+            .filter(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key")))
+      val cust = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(amerNations, col("c_nationkey") === col("cn_key"))
+        .select("c_custkey")
+      val ords = Tables.load(s, dir, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01'") &&
+          expr("o_orderdate < TIMESTAMP '1998-01-01'"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val parts = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val sup = Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      val target = Tables.load(s, dir, "nation")
+        .filter(col("n_name") === "NATION_6")
+        .select(col("n_nationkey").as("tn_key"))
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(target),
+          col("s_nationkey") === col("tn_key"), "left")
+        .select(col("o_year"),
+          (col("l_extendedprice") * (lit(1d) - col("l_discount")))
+            .cast(DecimalType(18, 6)).as("volume"),
+          col("tn_key").isNotNull.as("is_target"))
+        .groupBy("o_year")
+        .agg(
+          (sum(when(col("is_target"), col("volume")).otherwise(lit(0)
+            .cast(DecimalType(18, 6)))).cast(DoubleType) /
+            sum(col("volume")).cast(DoubleType)).as("mkt_share"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q9-shaped profit by supplier nation and order year, for
+    // parts whose name contains 'rod'. The schema has no partsupp /
+    // ps_supplycost, so cost is modeled as 10% of p_retailprice per
+    // unit (documented divergence — same join tree as Q9). The name
+    // filter prunes part FIRST and carries retailprice into the fact
+    // join; profit is one decimal expression per row, summed in one
+    // grouped pass. Supplier⨝nation is dim-scale; orders joins on the
+    // key only for the year.
+    "q9_profit_by_nation" -> ((s, dir) => {
+      val parts = Tables.load(s, dir, "part")
+        .filter(col("p_name").contains("rod"))
+        .select("p_partkey", "p_retailprice")
+      val sup = Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      val nat = broadcast(Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name"))
+      val ords = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("o_year"),
+          ((col("l_extendedprice") * (lit(1d) - col("l_discount")))
+            .cast(DecimalType(18, 6)) -
+            (col("p_retailprice") * col("l_quantity") * lit(0.1d))
+              .cast(DecimalType(18, 6))).as("amount"))
+        .groupBy("nation", "o_year")
+        .agg(sum(col("amount")).cast(DoubleType).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q20-shaped dominant-supplier census: suppliers who shipped
+    // MORE THAN HALF of some cold-part's 1996 volume (the schema has
+    // no partsupp, so Q20's availqty-vs-half-of-shipped threshold
+    // becomes share-of-shipped — same nested-aggregate-then-probe
+    // shape). Scale: name filter prunes part into the date-pruned
+    // fact; per-(part,supplier) quantities aggregate the fact ONCE,
+    // and the per-part total is a WINDOW sum over that aggregated
+    // (part-bounded) output — referencing the aggregate twice as a
+    // self-join would make Spark scan the fact twice; the window
+    // re-exchanges only aggregated rows. The half compare is
+    // decimal-exact (2·supp > part). The supplier dim joins only the
+    // surviving keys.
+    "q20_dominant_supplier" -> ((s, dir) => {
+      val parts = Tables.load(s, dir, "part")
+        .filter(col("p_name").startsWith("cold")).select("p_partkey")
+      val perSupp = Tables.load(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01'") &&
+          expr("l_shipdate < TIMESTAMP '1997-01-01'"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(dec("l_quantity")).as("supp_qty"))
+      perSupp
+        .withColumn("part_qty",
+          sum(col("supp_qty")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l_partkey"))))
+        .filter(col("supp_qty") * lit(2) > col("part_qty"))
+        .select("l_suppkey").distinct()
+        .join(Tables.load(s, dir, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q21-shaped sole-late-supplier census: suppliers whose
+    // shipment was the ONLY late one (>90 days after ordering) on a
+    // multi-supplier order. Q21's double-correlated EXISTS / NOT
+    // EXISTS lowers to ONE grouped pass over the fact: per
+    // (order, supplier) keep the late flag, per order count suppliers
+    // and late suppliers and remember the single late key — the two
+    // correlated subqueries become three aggregates on data already
+    // grouped, with no self-join of lineitem at all. Top-20 is
+    // TakeOrdered with a name tiebreak.
+    "q21_sole_late_supplier" -> ((s, dir) => {
+      val ords = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+      val perOrderSupp = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(
+          datediff(col("l_shipdate"), col("o_orderdate")) > 90, 1L)
+          .otherwise(0L)).as("late"))
+      val perOrder = perOrderSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"),
+          max(when(col("late") === 1L, col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1L)
+      perOrder.groupBy(col("late_supp"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(Tables.load(s, dir, "supplier").select("s_suppkey", "s_name"),
+          col("late_supp") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -729,5 +938,114 @@ object RelQueries {
         |SELECT c_nationkey, count(*) AS numcust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
         |FROM rich GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "q12_late_shipping" ->
+      """SELECT
+        |  CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+        |         THEN 'very_late'
+        |       WHEN datediff('day', o_orderdate, l_shipdate) > 30
+        |         THEN 'late'
+        |       ELSE 'on_time' END AS lateness,
+        |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |             THEN 1 END) AS high_line_count,
+        |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |             THEN 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY lateness""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name,
+        |  CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |      AS volume,
+        |    (SELECT n2.n_name FROM nation n2
+        |     WHERE n2.n_nationkey = s.s_nationkey) = 'NATION_6'
+        |      AS is_target
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier s ON l_suppkey = s.s_suppkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'
+        |)
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN is_target THEN volume
+        |                ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE) AS mkt_share,
+        |  count(*) AS n_items
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) -
+        |    CAST(p_retailprice * l_quantity * 0.1 AS DECIMAL(18,6))
+        |  ) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%rod%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q20_dominant_supplier" ->
+      """WITH per_supp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'cold%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2
+        |), shares AS (
+        |  SELECT l_suppkey, supp_qty,
+        |    sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        |  FROM per_supp
+        |)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM shares JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE supp_qty * 2 > part_qty
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_sole_late_supplier" ->
+      """WITH per_order_supp AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+        |             THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), per_order AS (
+        |  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+        |    max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+        |  FROM per_order_supp GROUP BY 1
+        |)
+        |SELECT s_name, count(*) AS numwait
+        |FROM per_order JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
   )
 }

@@ -574,4 +574,73 @@ class PlanSpec extends SparkSpec {
       s"part size superset not pushed:\n$p")
     assert(!p.contains("CartesianProduct"), s"q19 grew a cartesian:\n$p")
   }
+
+  test("q12: ship-year pushed to the lineitem scan; the priority split " +
+    "is one conditional aggregation, not two joins") {
+    val p = plan("q12_late_shipping")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"ship-year window not pushed:\n$p")
+    // one fact⨝fact join, one agg pass — never a per-priority-class scan
+    assert("""\(\d+\) [A-Za-z]*HashJoin""".r.findAllIn(p).size == 1,
+      s"q12 needs exactly one join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q12 grew a cartesian:\n$p")
+  }
+
+  test("q15: revenue aggregates the date-pruned fact once; the max is a " +
+    "broadcast probe, not a rank window over everything") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"quarter bound not pushed:\n$p")
+    assert(p.contains("Keys [1]: [l_suppkey#"),
+      s"per-supplier revenue aggregate missing:\n$p")
+    assert(!p.contains("Window"), s"q15 must not rank with a window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"max scalar not broadcast:\n$p")
+  }
+
+  test("q8: region chain and part filter prune before the fact joins; " +
+    "numerator and denominator share one grouped pass") {
+    val p = plan("q8_market_share")
+    assert(p.contains("EqualTo(p_type,ECONOMY)"),
+      s"part-type filter not pushed:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"order-date window not pushed:\n$p")
+    // share = conditional sum in ONE aggregate — a second scan of
+    // lineitem would show as two parquet reads of it
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("lineitem.parquet")) == 1,
+      s"q8 scans lineitem more than once:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q8 grew a cartesian:\n$p")
+  }
+
+  test("q9: the name-filtered part dim prunes the fact; one grouped " +
+    "pass computes profit") {
+    val p = plan("q9_profit_by_nation")
+    assert(p.contains("StringContains(p_name,rod)"),
+      s"name filter not pushed to the part scan:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("lineitem.parquet")) == 1,
+      s"q9 scans lineitem more than once:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q9 grew a cartesian:\n$p")
+  }
+
+  test("q20: per-part totals are a WINDOW over the per-(part,supplier) " +
+    "aggregate — one fact scan, no self-join") {
+    val p = plan("q20_dominant_supplier")
+    assert(p.contains("StringStartsWith(p_name,cold)"),
+      s"name prefix not pushed to the part scan:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("lineitem.parquet")) == 1,
+      s"q20 scans lineitem more than once — the per-part total must " +
+        s"reuse the per-supplier aggregate:\n$p")
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1,
+      s"per-part share must be one window pass:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q20 grew a cartesian:\n$p")
+  }
+
+  test("q21: the double-correlated EXISTS lowers to grouped aggregates " +
+    "— lineitem never self-joins; top-20 is TakeOrdered") {
+    val p = plan("q21_sole_late_supplier")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("lineitem.parquet")) == 1,
+      s"q21 scans lineitem more than once (self-join crept in):\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q21 global-sorts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q21 grew a cartesian:\n$p")
+  }
 }
