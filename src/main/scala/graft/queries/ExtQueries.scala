@@ -1003,6 +1003,82 @@ object ExtQueries {
         "vec_id", "embedding", col("qvec"), Planes, Dim, 5)
     }),
 
+    // Interpolated bigram-LM scoring (Jelinek–Mercer λ=0.8): per doc,
+    // total and mean ln(0.8·P(w₂|w₁) + 0.2·P(w₂)) over its bigram
+    // positions — the next-step-up perplexity proxy after
+    // doc_unigram_logprob (unseen-bigram docs stay finite through the
+    // unigram back-off term; here every corpus bigram is in-vocabulary
+    // by construction). Three count aggregations (bigram, unigram,
+    // total) feed vocabulary-scale size-gated joins; each log is one
+    // fixed-shape float expression and the cross-row sum routes
+    // through DECIMAL(38,18) so accumulation order can't move it.
+    "doc_bigram_logprob" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val uni = toks.select(explode(col("w")).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val nTok = toks.select(explode(col("w")).as("t"))
+        .agg(count(lit(1)).as("n_tok"))
+      val bigrams = toks.filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("w")) - 2),
+            i => struct(element_at(col("w"), i + 1).as("w1"),
+              element_at(col("w"), i + 2).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bcount = bigrams.groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c12"))
+        .localCheckpoint(false)
+      bigrams
+        .join(TextStats.gatedBroadcast(bcount), Seq("w1", "w2"))
+        .join(TextStats.gatedBroadcast(
+          uni.select(col("t").as("w1"), col("c").as("c1"))), Seq("w1"))
+        .join(TextStats.gatedBroadcast(
+          uni.select(col("t").as("w2"), col("c").as("c2"))), Seq("w2"))
+        .crossJoin(broadcast(nTok))
+        .select(col("doc_id"),
+          log(lit(0.8d) * col("c12").cast("double") / col("c1").cast("double")
+            + lit(0.2d) * col("c2").cast("double") / col("n_tok").cast("double"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 18)).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lps"))
+        .select(col("doc_id"), col("n_bigrams"),
+          TextStats.trunc6(col("lps").cast("double")).as("sum_logprob"),
+          TextStats.trunc6(col("lps").cast("double") / col("n_bigrams"))
+            .as("mean_logprob"))
+        .orderBy("doc_id")
+    }),
+
+    // Metadata-FILTERED ANN — the vector-DB serving pattern (filtered
+    // search): top-k cosine among vectors satisfying a structured
+    // predicate (label ≡ 0 mod 2), through the IVF cell probe. The
+    // filter applies BEFORE any distance math (pre-filter: cell
+    // assignment is per-vector, so filtering commutes with it — the
+    // probe never scores a vector the predicate would discard, where
+    // post-filtering k results after the cut can return < k). One
+    // extra probed cell (3 vs the unfiltered key's 2) compensates the
+    // thinner cells.
+    "similar_filtered_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val filt = e.filter(col("label") % 2 === 0)
+      val assigned = Similarity.ivfAssign(filt, "vec_id", "embedding",
+        cents, "cent_id", "cvec")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val qcells = cents.crossJoin(broadcast(q))
+        .withColumn("qsim", Similarity.cosine(col("cvec"), col("qvec")))
+        .orderBy(col("qsim").desc, col("cent_id"))
+        .limit(3).select(col("cent_id").as("cell"))
+      assigned.join(broadcast(qcells), "cell")
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+
     "similar_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id") < 8)
@@ -2202,6 +2278,62 @@ object ExtQueries {
          |FROM sigs WHERE ($hamming) <= 1
          |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
     },
+
+    "doc_bigram_logprob" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(w) AS t FROM w
+        |), uni AS (
+        |  SELECT t, count(*) AS c FROM tok GROUP BY t
+        |), total AS (
+        |  SELECT count(*) AS n_tok FROM tok
+        |), bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+        |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+        |  FROM w WHERE len(w) >= 2
+        |), bc AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+        |), lp AS (
+        |  SELECT bg.doc_id,
+        |    CAST(ln(0.8 * CAST(c12 AS DOUBLE) / CAST(u1.c AS DOUBLE)
+        |          + 0.2 * CAST(u2.c AS DOUBLE) / CAST(n_tok AS DOUBLE))
+        |         AS DECIMAL(38,18)) AS lp
+        |  FROM bg
+        |  JOIN bc USING (w1, w2)
+        |  JOIN uni u1 ON bg.w1 = u1.t
+        |  JOIN uni u2 ON bg.w2 = u2.t
+        |  CROSS JOIN total
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(CAST(sum(lp) AS DOUBLE) * 1000000) / 1000000
+        |    AS sum_logprob,
+        |  floor((CAST(sum(lp) AS DOUBLE) / count(*)) * 1000000) / 1000000
+        |    AS mean_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "similar_filtered_topk" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+         |  WHERE vec_id < 8
+         |), q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosineSql("e.embedding", "c.cvec")} DESC, c.cent_id) AS rn
+         |    FROM embeddings e CROSS JOIN cents c
+         |    WHERE e.label % 2 = 0) t
+         |  WHERE rn = 1
+         |), qcells AS (
+         |  SELECT cent_id AS cell FROM cents CROSS JOIN q
+         |  ORDER BY ${cosineSql("cvec", "qvec")} DESC, cent_id LIMIT 3
+         |)
+         |SELECT a.vec_id, round(${cosineSql("a.embedding", "q.qvec")}, 6) AS sim
+         |FROM assign a JOIN qcells ON a.cell = qcells.cell CROSS JOIN q
+         |WHERE a.vec_id <> 0
+         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
 
     "similar_ivf_topk" ->
       s"""WITH cents AS (

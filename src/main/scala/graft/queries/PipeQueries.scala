@@ -704,6 +704,139 @@ object PipeQueries {
         .select("user_id", "session_id", "w_id")
         .orderBy("user_id", "session_id", "w_id")
     }),
+
+    // STL-style additive decomposition summary per event_type series
+    // (trend by centered moving average, seasonal by hour-of-day mean
+    // of the detrended values, residual = rest), reported as Hyndman's
+    // seasonal-strength statistic 1 − Var(R)/Var(detrended). Scale
+    // shape: the raw stream collapses to the 5-min slot grid FIRST
+    // (map-side combinable, series-scale thereafter); the 13-slot MA
+    // is ONE rows-frame window whose frame sums run in DECIMAL — frame
+    // aggregation order differs across engines, so float frame sums
+    // would be non-deterministic; decimal sums are exact. Every
+    // variance moment routes double→DECIMAL(38,12) before summing.
+    "ts_stl_decompose" -> ((s, dir) => {
+      val dec = DecimalType(28, 6)
+      val d6 = DecimalType(18, 6)
+      val d12 = DecimalType(38, 12)
+      val t6 = graft.ext.TextStats.trunc6 _
+      val ser = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+        .groupBy("event_type", "slot")
+        .agg(sum(col("value").cast(dec)).as("vsum"), count(lit(1)).as("vn"))
+        .select(col("event_type"), col("slot"),
+          t6(col("vsum").cast("double") / col("vn")).as("v"))
+      val frame = Window.partitionBy("event_type").orderBy("slot")
+        .rowsBetween(-6, 6)
+      val det = ser
+        .withColumn("trend", t6(
+          sum(col("v").cast(d6)).over(frame).cast("double") /
+            count(lit(1)).over(frame)))
+        .withColumn("hour", expr("(slot % 86400) div 3600"))
+        .withColumn("d", col("v") - col("trend"))
+        // consumed by the seasonal fit AND the residual join — without
+        // the plan cut Spark would inline (and re-scan) the whole
+        // series+window pipeline into both consumers
+        .localCheckpoint(false)
+      val seas = det.groupBy("event_type", "hour")
+        .agg((sum(col("d").cast(d12)).cast("double") / count(lit(1)))
+          .as("seasonal"))
+      det.join(seas, Seq("event_type", "hour"))
+        .withColumn("r", col("d") - col("seasonal"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_slots"),
+          sum(col("d").cast(d12)).cast("double").as("sd"),
+          sum((col("d") * col("d")).cast(d12)).cast("double").as("sdd"),
+          sum(col("r").cast(d12)).cast("double").as("sr"),
+          sum((col("r") * col("r")).cast(d12)).cast("double").as("srr"))
+        .select(col("event_type"), col("n_slots"),
+          t6((col("sdd") - col("sd") * col("sd") / col("n_slots")) /
+            col("n_slots")).as("var_detrended"),
+          t6((col("srr") - col("sr") * col("sr") / col("n_slots")) /
+            col("n_slots")).as("var_resid"),
+          t6(greatest(lit(0d), lit(1d) -
+            ((col("srr") - col("sr") * col("sr") / col("n_slots")) /
+              (col("sdd") - col("sd") * col("sd") / col("n_slots")))))
+            .as("seasonal_strength"))
+        .orderBy("event_type")
+    }),
+
+    // SAX symbolic discretization (Lin et al.): each event_type's
+    // slot-mean series → 12-slot PAA segments → z-normalized segment
+    // means → 4-symbol Gaussian-breakpoint alphabet (±0.6745, 0) →
+    // one word per series. The pattern-mining/indexing front door for
+    // time series. Scale: slot collapse first; segment means and the
+    // per-type moments are decimal-exact sums (the only doubles are
+    // fixed-shape per-row expressions); the word assembles from an
+    // array_sort over (segment, symbol) structs — no single-partition
+    // global window anywhere.
+    "ts_sax_symbols" -> ((s, dir) => {
+      val dec = DecimalType(28, 6)
+      val d6 = DecimalType(18, 6)
+      val d12 = DecimalType(38, 12)
+      val t6 = graft.ext.TextStats.trunc6 _
+      val ser = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+        .groupBy("event_type", "slot")
+        .agg(sum(col("value").cast(dec)).as("vsum"), count(lit(1)).as("vn"))
+        .select(col("event_type"), col("slot"),
+          t6(col("vsum").cast("double") / col("vn")).as("v"))
+      val rn = row_number().over(
+        Window.partitionBy("event_type").orderBy("slot"))
+      val paa = ser.withColumn("seg", ((rn - 1) / lit(12)).cast("long"))
+        .groupBy("event_type", "seg")
+        .agg(sum(col("v").cast(d6)).as("segsum"), count(lit(1)).as("segn"))
+        .select(col("event_type"), col("seg"),
+          t6(col("segsum").cast("double") / col("segn")).as("paa"))
+        // consumed by the moment fit AND the symbol assignment
+        .localCheckpoint(false)
+      val stats = paa.groupBy("event_type")
+        .agg(count(lit(1)).as("np"),
+          sum(col("paa").cast(d6)).cast("double").as("sp"),
+          sum((col("paa") * col("paa")).cast(d12)).cast("double").as("spp"))
+        .select(col("event_type"), col("np"),
+          (col("sp") / col("np")).as("mu"),
+          sqrt((col("spp") - col("sp") * col("sp") / col("np")) /
+            col("np")).as("sigma"))
+      paa.join(broadcast(stats), Seq("event_type"))
+        .withColumn("sym",
+          when(col("sigma") <= 0, lit("b")).otherwise(
+            when((col("paa") - col("mu")) / col("sigma") < -0.6745, "a")
+              .when((col("paa") - col("mu")) / col("sigma") < 0, "b")
+              .when((col("paa") - col("mu")) / col("sigma") < 0.6745, "c")
+              .otherwise("d")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_segments"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("seg"), col("sym")))),
+            x => x.getField("sym")), "").as("sax_word"))
+        .orderBy("event_type")
+    }),
+
+    // Decile table per order-priority class: NTILE(10) within each
+    // class ordered by (totalprice, orderkey), then per-decile count /
+    // bounds / decimal-exact mean — the analytic-window surface
+    // (§2.E) on the orders fact. Scale note: the partition key is the
+    // 5-value priority class, so this shape is for CLASS-local
+    // analytics; GLOBAL decile cuts at 100 TB route through the
+    // rank-interpolated quantile aggregate (events_quantiles_interp /
+    // Quantiles.interpByRank) instead of any single-partition window.
+    "orders_ntile_deciles" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("o_orderpriority", "decile")
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"),
+          graft.ext.TextStats.trunc6(
+            sum(col("o_totalprice").cast(Dec)).cast("double") /
+              count(lit(1))).as("mean_price"))
+        .orderBy("o_orderpriority", "decile")
+    }),
   )
 
   // ---- oracles --------------------------------------------------------
@@ -1519,5 +1652,104 @@ object PipeQueries {
          |FROM iv JOIN mw
          |  ON iv.s_start <= mw.w_end AND mw.w_start <= iv.s_end
          |ORDER BY user_id, session_id, w_id""".stripMargin,
+
+    "ts_stl_decompose" ->
+      s"""$BaseCte, ser AS (
+         |  SELECT event_type, slot,
+         |    floor(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+         |          / count(*) * 1000000) / 1000000 AS v
+         |  FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |  GROUP BY event_type, slot
+         |), det AS (
+         |  SELECT event_type, slot, v,
+         |    floor(CAST(sum(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         |          / count(*) OVER w * 1000000) / 1000000 AS trend,
+         |    (slot % 86400) // 3600 AS hour
+         |  FROM ser
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY slot
+         |               ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+         |), dd AS (
+         |  SELECT event_type, slot, hour, v - trend AS d FROM det
+         |), seas AS (
+         |  SELECT event_type, hour,
+         |    CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+         |      AS seasonal
+         |  FROM dd GROUP BY event_type, hour
+         |), rr AS (
+         |  SELECT dd.event_type, dd.d, dd.d - seas.seasonal AS r
+         |  FROM dd JOIN seas USING (event_type, hour)
+         |), m AS (
+         |  SELECT event_type, count(*) AS n_slots,
+         |    CAST(sum(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS sd,
+         |    CAST(sum(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS sdd,
+         |    CAST(sum(CAST(r AS DECIMAL(38,12))) AS DOUBLE) AS sr,
+         |    CAST(sum(CAST(r * r AS DECIMAL(38,12))) AS DOUBLE) AS srr
+         |  FROM rr GROUP BY event_type
+         |)
+         |SELECT event_type, n_slots,
+         |  floor((sdd - sd * sd / n_slots) / n_slots * 1000000) / 1000000
+         |    AS var_detrended,
+         |  floor((srr - sr * sr / n_slots) / n_slots * 1000000) / 1000000
+         |    AS var_resid,
+         |  floor(greatest(CAST(0 AS DOUBLE), 1 -
+         |    ((srr - sr * sr / n_slots) / (sdd - sd * sd / n_slots)))
+         |    * 1000000) / 1000000 AS seasonal_strength
+         |FROM m ORDER BY event_type""".stripMargin,
+
+    "ts_sax_symbols" ->
+      s"""$BaseCte, ser AS (
+         |  SELECT event_type, slot,
+         |    floor(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+         |          / count(*) * 1000000) / 1000000 AS v
+         |  FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |  GROUP BY event_type, slot
+         |), segd AS (
+         |  SELECT event_type, v,
+         |    (row_number() OVER (PARTITION BY event_type ORDER BY slot)
+         |     - 1) // 12 AS seg
+         |  FROM ser
+         |), paa AS (
+         |  SELECT event_type, seg,
+         |    floor(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+         |          / count(*) * 1000000) / 1000000 AS paa
+         |  FROM segd GROUP BY event_type, seg
+         |), st AS (
+         |  SELECT event_type, count(*) AS np,
+         |    CAST(sum(CAST(paa AS DECIMAL(18,6))) AS DOUBLE) AS sp,
+         |    CAST(sum(CAST(paa * paa AS DECIMAL(38,12))) AS DOUBLE) AS spp
+         |  FROM paa GROUP BY event_type
+         |), z AS (
+         |  SELECT paa.event_type, paa.seg,
+         |    CASE WHEN sqrt((spp - sp * sp / np) / np) <= 0 THEN 'b'
+         |         WHEN (paa - sp / np) / sqrt((spp - sp * sp / np) / np)
+         |              < -0.6745 THEN 'a'
+         |         WHEN (paa - sp / np) / sqrt((spp - sp * sp / np) / np)
+         |              < 0 THEN 'b'
+         |         WHEN (paa - sp / np) / sqrt((spp - sp * sp / np) / np)
+         |              < 0.6745 THEN 'c'
+         |         ELSE 'd' END AS sym
+         |  FROM paa JOIN st USING (event_type)
+         |)
+         |SELECT event_type, count(*) AS n_segments,
+         |  string_agg(sym, '' ORDER BY seg) AS sax_word
+         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "orders_ntile_deciles" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(10) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority, decile, count(*) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*) * 1000000) / 1000000 AS mean_price
+        |FROM d GROUP BY o_orderpriority, decile
+        |ORDER BY o_orderpriority, decile""".stripMargin,
   )
 }

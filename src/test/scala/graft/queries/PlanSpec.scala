@@ -635,6 +635,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q20 grew a cartesian:\n$p")
   }
 
+  test("ts_stl_decompose: the detrended frame materializes ONCE (both " +
+    "consumers read the checkpointed RDD — no re-scan of events)") {
+    val p = plan("ts_stl_decompose")
+    // the series+window pipeline lives behind the lazy checkpoint; the
+    // outer plan must show its two consumers reading that ONE frame,
+    // never a second events scan or a re-run window
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the checkpoint (pipeline re-inlined):\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"both consumers must read the one materialized frame:\n$p")
+    assert(!p.contains("Window"), s"the MA window re-ran downstream:\n$p")
+    assert(!p.contains("CartesianProduct"), s"stl grew a cartesian:\n$p")
+  }
+
+  test("ts_sax_symbols: the PAA table materializes once; the per-type " +
+    "stats broadcast back") {
+    val p = plan("ts_sax_symbols")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the checkpoint (pipeline re-inlined):\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"both consumers must read the one materialized PAA table:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stats join degraded to SMJ:\n$p")
+  }
+
+  test("orders_ntile_deciles: one partitioned window + one aggregation " +
+    "— no join, no extra exchange") {
+    val p = plan("orders_ntile_deciles")
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), s"deciles grew a join:\n$p")
+    // window exchange + agg exchange + output sort only
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 3,
+      s"unexpected exchanges:\n$p")
+  }
+
+  test("doc_bigram_logprob: count tables join through the size gate " +
+    "(no unconditional vocab-scale broadcast)") {
+    // 1 bounded one-row total + 3 vocabulary-scale gated hints pass the
+    // gate at sf0.001; an UNgated vocab hint would survive the gate's
+    // withhold path and show up in ExtSpec's cache hygiene instead
+    assert(hintCount("doc_bigram_logprob") == 4,
+      "bigram LM: the one-row total + three gated count tables only")
+  }
+
   test("q21: the double-correlated EXISTS lowers to grouped aggregates " +
     "— lineitem never self-joins; top-20 is TakeOrdered") {
     val p = plan("q21_sole_late_supplier")
