@@ -75,7 +75,10 @@ object ScaleSanity {
       "ts_autocorr",
       // round-7: CMS matrix partials (fixed-size agg, candidate probe),
       // per-series sequential folds (collect + fold per user series)
-      "events_cms_heavy_hitters", "ts_holt_forecast", "ts_cusum")
+      "events_cms_heavy_hitters", "ts_holt_forecast", "ts_cusum",
+      // round-8: slot-collapse-first series passes (MA frame window;
+      // PAA segmentation) — series-scale after the first aggregate
+      "ts_stl_decompose", "ts_sax_symbols")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -129,7 +132,10 @@ object ScaleSanity {
       // gram count on the gram key; output rows track real duplication
       "dedup_substring_runs",
       // round-7: bounded byte-expression header parse — pure narrow pass
-      "multimodal_dims")
+      "multimodal_dims",
+      // round-8: bigram-LM scoring — three count aggs + gated joins,
+      // all linear in corpus tokens
+      "doc_bigram_logprob")
     val docPicks = sel(allDocPicks)
     if (docPicks.nonEmpty) {
       val nd = docs.count()
@@ -160,7 +166,10 @@ object ScaleSanity {
     // cross-replica pairs — the output itself is the nonlinearity.
     val ord = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "orders")
     val ordPicks = sel(Seq("snapshot_diff_orders", "orders_scd2_intervals",
-      "orders_running_total"))
+      "orders_running_total",
+      // round-8: per-priority NTILE — partitions grow 10× in rows
+      // (sort-based within class), count stays 5; must track n·log n
+      "orders_ntile_deciles"))
     if (ordPicks.nonEmpty) {
       val no = ord.count()
       val bigOrd = (0 until 10).map { i =>
@@ -187,7 +196,17 @@ object ScaleSanity {
     // region — copied through verbatim) keep their selectivity and the
     // output grows exactly 10×.
     val tpchPicks = sel(Seq("q3_shipping", "q5_local_supplier", "q14_promo",
-      "q4_order_priority", "q7_volume_shipping"))
+      "q4_order_priority", "q7_volume_shipping",
+      // round-7 late + round-8 relational shapes: dim selectivities are
+      // preserved by the replication (cust/part/supp keys unchanged),
+      // so every pre-aggregation, anti probe, window share, and
+      // grouped-EXISTS lowering must stay linear in the fact
+      "q10_returned_revenue", "q18_large_orders", "q19_disjunctive",
+      "q13_customer_distribution", "q16_supplier_census",
+      "q17_small_qty_revenue", "q22_dormant_customers",
+      "q12_late_shipping", "q15_top_supplier", "q8_market_share",
+      "q9_profit_by_nation", "q20_dominant_supplier",
+      "q21_sole_late_supplier"))
     if (tpchPicks.nonEmpty) {
       val li0 = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
       val nl = li0.count()
@@ -221,7 +240,8 @@ object ScaleSanity {
     // precisely to prevent that). Replicas are angularly perturbed so
     // they don't manufacture sim=1.0 own-cell bests that would prune
     // unrealistically well.
-    val embPicks = sel(Seq("exactNN", "dedup_semantic"))
+    val embPicks = sel(Seq("exactNN", "dedup_semantic",
+      "similar_filtered_topk"))
     if (embPicks.nonEmpty) {
       val embT = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
       val ne = embT.count()
@@ -253,6 +273,16 @@ object ScaleSanity {
         val s10 = time(fsem(spark, edir).count())
         println(f"[scale] dedup_semantic(fitted)   1x=${s1}%6.2fs " +
           f"10x=${s10}%6.2fs ratio=${s10 / s1}%5.2f")
+      }
+      // round-8: filtered IVF probe — the predicate thins every cell,
+      // the probe still touches a FIXED fraction of cells; cost must
+      // track corpus size, never cells²
+      if (embPicks.contains("similar_filtered_topk")) {
+        val ffil = graft.SparkEntry.queries("similar_filtered_topk")
+        val f1 = time(ffil(spark, "/root/testdata/sf0.1").count())
+        val f10 = time(ffil(spark, edir).count())
+        println(f"[scale] similar_filtered_topk    1x=${f1}%6.2fs " +
+          f"10x=${f10}%6.2fs ratio=${f10 / f1}%5.2f")
       }
     }
     spark.stop()
