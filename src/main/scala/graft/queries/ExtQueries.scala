@@ -1003,6 +1003,42 @@ object ExtQueries {
         "vec_id", "embedding", col("qvec"), Planes, Dim, 5)
     }),
 
+    // SOFT dedup — per-doc loss weight 1/cluster_size over the exact
+    // content-hash clusters (train on everything, downweight repeats:
+    // the data-weighting alternative to dropping duplicates, so one
+    // viral doc pasted 10k times contributes ~one doc of gradient).
+    // ONE hash-partitioned window computes size and canonical together
+    // — no self-join of the hash table, one shuffle total.
+    "dedup_loss_weights" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("ch")
+      docs(s, dir)
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("ch"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("canonical_id"), col("cluster_size"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"),
+          TextStats.trunc6(lit(1d) / col("cluster_size")).as("loss_weight"))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding OOD score — distance-to-fitted-centroid outlier audit
+    // (the curation pass that catches garbage/off-distribution vectors
+    // before they seed dedup cells or ANN probes): 1 − best cosine
+    // against the k-means centroids, top-20 outliers. Rides the
+    // memoized fitted-centroid table; the only distance math is one
+    // broadcast-centroid argmax pass; top-20 is TakeOrdered.
+    "similar_ood_score" -> ((s, dir) => {
+      val cents = kmeansCentsOf(s, dir)
+      emb(s, dir).crossJoin(broadcast(cents))
+        .groupBy("vec_id")
+        .agg(max(Similarity.cosine(col("embedding"), col("cvec")))
+          .as("best"))
+        .select(col("vec_id"),
+          round(lit(1d) - col("best"), 6).as("ood"))
+        .orderBy(col("ood").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     // Interpolated bigram-LM scoring (Jelinek–Mercer λ=0.8): per doc,
     // total and mean ln(0.8·P(w₂|w₁) + 0.2·P(w₂)) over its bigram
     // positions — the next-step-up perplexity proxy after
@@ -2278,6 +2314,27 @@ object ExtQueries {
          |FROM sigs WHERE ($hamming) <= 1
          |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin
     },
+
+    "dedup_loss_weights" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS ch FROM documents
+        |)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY ch) AS canonical_id,
+        |  count(*) OVER (PARTITION BY ch) AS cluster_size,
+        |  doc_id = min(doc_id) OVER (PARTITION BY ch) AS is_canonical,
+        |  floor(CAST(1 AS DOUBLE) / count(*) OVER (PARTITION BY ch)
+        |        * 1000000) / 1000000 AS loss_weight
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "similar_ood_score" ->
+      s"""$KmeansCtes
+         |SELECT e.vec_id,
+         |  round(1 - ${cosineSql("e.embedding", "c2.cvec")}, 6) AS ood
+         |FROM embeddings e
+         |JOIN a2 ON e.vec_id = a2.vec_id
+         |JOIN c2 ON a2.cluster = c2.cluster
+         |ORDER BY ood DESC, e.vec_id LIMIT 20""".stripMargin,
 
     "doc_bigram_logprob" ->
       """WITH w AS (

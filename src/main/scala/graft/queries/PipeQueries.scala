@@ -815,6 +815,74 @@ object PipeQueries {
         .orderBy("event_type")
     }),
 
+    // Two-arm experiment readout per event_type (user_id parity splits
+    // the arms): counts, decimal-exact means, lift, and the Welch
+    // t-statistic — the analytics pass every A/B platform runs. ONE
+    // grouped pass with conditional aggregates (never a per-arm scan
+    // or a self-join); moments route double→DECIMAL before summing,
+    // the t formula is one fixed-shape float expression at the end.
+    "events_ab_lift" -> ((s, dir) => {
+      val dec = DecimalType(28, 6)
+      val d12 = DecimalType(38, 12)
+      val t6 = graft.ext.TextStats.trunc6 _
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+        .select(col("event_type"), col("value"),
+          (col("user_id") % 2 === 0).as("arm_a"))
+      val g = b.groupBy("event_type").agg(
+        count(when(col("arm_a"), lit(1))).as("n_a"),
+        sum(when(col("arm_a"), col("value").cast(dec)))
+          .cast("double").as("s_a"),
+        sum(when(col("arm_a"), (col("value") * col("value")).cast(d12)))
+          .cast("double").as("ss_a"),
+        count(when(!col("arm_a"), lit(1))).as("n_b"),
+        sum(when(!col("arm_a"), col("value").cast(dec)))
+          .cast("double").as("s_b"),
+        sum(when(!col("arm_a"), (col("value") * col("value")).cast(d12)))
+          .cast("double").as("ss_b"))
+      val ma = col("s_a") / col("n_a")
+      val mb = col("s_b") / col("n_b")
+      val va = (col("ss_a") - col("s_a") * col("s_a") / col("n_a")) /
+        (col("n_a") - 1)
+      val vb = (col("ss_b") - col("s_b") * col("s_b") / col("n_b")) /
+        (col("n_b") - 1)
+      val se2 = va / col("n_a") + vb / col("n_b")
+      g.select(col("event_type"), col("n_a"), col("n_b"),
+          t6(ma).as("mean_a"), t6(mb).as("mean_b"),
+          t6(mb - ma).as("lift"),
+          when(col("n_a") > 1 && col("n_b") > 1 && se2 > 0,
+            t6((mb - ma) / sqrt(se2))).as("t_welch"))
+        .orderBy("event_type")
+    }),
+
+    // Pareto revenue-concentration curve per priority class: customers
+    // ranked by revenue, cumulative share at each rank-decile boundary
+    // ("the top 10% of customers carry X% of revenue"). The fact
+    // collapses to customer-level revenue FIRST; the ntile + running
+    // sum + class total are three aggregates over ONE window
+    // partitioning (same exchange, decimal-exact sums); the share
+    // division is one double expression after the final aggregate.
+    "orders_pareto_share" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("o_orderpriority")
+        .orderBy(col("crev").desc, col("o_custkey"))
+      val rev = Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority", "o_custkey")
+        .agg(sum(col("o_totalprice").cast(Dec)).as("crev"))
+      rev
+        .withColumn("decile", ntile(10).over(wOrd))
+        .withColumn("cum", sum(col("crev")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("trev", sum(col("crev")).over(
+          Window.partitionBy("o_orderpriority")))
+        .groupBy("o_orderpriority", "decile")
+        .agg(count(lit(1)).as("n_cust"),
+          graft.ext.TextStats.trunc6(
+            max(col("cum")).cast("double") / max(col("trev")).cast("double"))
+            .as("cum_share"))
+        .orderBy("o_orderpriority", "decile")
+    }),
+
     // Decile table per order-priority class: NTILE(10) within each
     // class ordered by (totalprice, orderkey), then per-decile count /
     // bounds / decimal-exact mean — the analytic-window surface
@@ -1737,6 +1805,62 @@ object PipeQueries {
          |SELECT event_type, count(*) AS n_segments,
          |  string_agg(sym, '' ORDER BY seg) AS sax_word
          |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_ab_lift" ->
+      s"""$BaseCte, b AS (
+         |  SELECT event_type, value, user_id % 2 = 0 AS arm_a
+         |  FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |), g AS (
+         |  SELECT event_type,
+         |    count(CASE WHEN arm_a THEN 1 END) AS n_a,
+         |    CAST(sum(CASE WHEN arm_a
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_a,
+         |    CAST(sum(CASE WHEN arm_a
+         |      THEN CAST(value * value AS DECIMAL(38,12)) END) AS DOUBLE)
+         |      AS ss_a,
+         |    count(CASE WHEN NOT arm_a THEN 1 END) AS n_b,
+         |    CAST(sum(CASE WHEN NOT arm_a
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_b,
+         |    CAST(sum(CASE WHEN NOT arm_a
+         |      THEN CAST(value * value AS DECIMAL(38,12)) END) AS DOUBLE)
+         |      AS ss_b
+         |  FROM b GROUP BY event_type
+         |)
+         |SELECT event_type, n_a, n_b,
+         |  floor(s_a / n_a * 1000000) / 1000000 AS mean_a,
+         |  floor(s_b / n_b * 1000000) / 1000000 AS mean_b,
+         |  floor((s_b / n_b - s_a / n_a) * 1000000) / 1000000 AS lift,
+         |  CASE WHEN n_a > 1 AND n_b > 1 AND
+         |    ((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a +
+         |     (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b) > 0
+         |  THEN floor((s_b / n_b - s_a / n_a) /
+         |    sqrt((ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a +
+         |         (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b)
+         |    * 1000000) / 1000000 END AS t_welch
+         |FROM g ORDER BY event_type""".stripMargin,
+
+    "orders_pareto_share" ->
+      """WITH rev AS (
+        |  SELECT o_orderpriority, o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS crev
+        |  FROM orders GROUP BY 1, 2
+        |), wnd AS (
+        |  SELECT o_orderpriority,
+        |    ntile(10) OVER w AS decile,
+        |    sum(crev) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |                    AND CURRENT ROW) AS cum,
+        |    sum(crev) OVER (PARTITION BY o_orderpriority) AS trev
+        |  FROM rev
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY crev DESC, o_custkey)
+        |)
+        |SELECT o_orderpriority, decile, count(*) AS n_cust,
+        |  floor(CAST(max(cum) AS DOUBLE) / CAST(max(trev) AS DOUBLE)
+        |        * 1000000) / 1000000 AS cum_share
+        |FROM wnd GROUP BY 1, 2
+        |ORDER BY o_orderpriority, decile""".stripMargin,
 
     "orders_ntile_deciles" ->
       """WITH d AS (

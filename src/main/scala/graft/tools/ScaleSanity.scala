@@ -77,8 +77,9 @@ object ScaleSanity {
       // per-series sequential folds (collect + fold per user series)
       "events_cms_heavy_hitters", "ts_holt_forecast", "ts_cusum",
       // round-8: slot-collapse-first series passes (MA frame window;
-      // PAA segmentation) — series-scale after the first aggregate
-      "ts_stl_decompose", "ts_sax_symbols")
+      // PAA segmentation) — series-scale after the first aggregate —
+      // and the one-pass two-arm experiment readout
+      "ts_stl_decompose", "ts_sax_symbols", "events_ab_lift")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -134,8 +135,8 @@ object ScaleSanity {
       // round-7: bounded byte-expression header parse — pure narrow pass
       "multimodal_dims",
       // round-8: bigram-LM scoring — three count aggs + gated joins,
-      // all linear in corpus tokens
-      "doc_bigram_logprob")
+      // all linear in corpus tokens — and the one-window loss weights
+      "doc_bigram_logprob", "dedup_loss_weights")
     val docPicks = sel(allDocPicks)
     if (docPicks.nonEmpty) {
       val nd = docs.count()
@@ -167,9 +168,10 @@ object ScaleSanity {
     val ord = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "orders")
     val ordPicks = sel(Seq("snapshot_diff_orders", "orders_scd2_intervals",
       "orders_running_total",
-      // round-8: per-priority NTILE — partitions grow 10× in rows
-      // (sort-based within class), count stays 5; must track n·log n
-      "orders_ntile_deciles"))
+      // round-8: per-priority NTILE and the Pareto curve — partitions
+      // grow 10× in rows (sort-based within class), count stays 5;
+      // must track n·log n
+      "orders_ntile_deciles", "orders_pareto_share"))
     if (ordPicks.nonEmpty) {
       val no = ord.count()
       val bigOrd = (0 until 10).map { i =>

@@ -679,6 +679,46 @@ class PlanSpec extends SparkSpec {
       "bigram LM: the one-row total + three gated count tables only")
   }
 
+  test("dedup_loss_weights: ONE hash-partitioned window computes size " +
+    "and canonical — no self-join of the hash table") {
+    val p = plan("dedup_loss_weights")
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1,
+      s"weights must be one window pass:\n$p")
+    assert(!p.contains("Join"), s"loss weights grew a join:\n$p")
+    // window exchange + output sort only
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2,
+      s"unexpected exchanges:\n$p")
+  }
+
+  test("events_ab_lift: both arms aggregate in ONE grouped pass — " +
+    "no per-arm scan, no join") {
+    val p = plan("events_ab_lift")
+    assert(!p.contains("Join"), s"ab lift grew a join:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"ab lift scans events more than once:\n$p")
+  }
+
+  test("orders_pareto_share: ntile, running sum, and class total ride " +
+    "ONE window partitioning — a single exchange feeds all three") {
+    val p = plan("orders_pareto_share")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("orders.parquet")) == 1,
+      s"pareto scans orders more than once:\n$p")
+    val winExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(o_orderpriority"))
+    assert(winExchanges <= 1, s"window passes re-shuffled:\n$p")
+    assert(!p.contains("Join"), s"pareto grew a join (the class total " +
+      s"must be a window, not an aggregate join):\n$p")
+  }
+
+  test("similar_ood_score: one broadcast-centroid argmax pass + " +
+    "TakeOrdered — no window, no shuffle of the vectors for the join") {
+    val p = plan("similar_ood_score")
+    assert(p.contains("TakeOrderedAndProject"), s"ood global-sorts:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"centroid join degraded to SMJ:\n$p")
+    assert(p.contains("arraydot"), s"cosine not codegen'd:\n$p")
+  }
+
   test("q21: the double-correlated EXISTS lowers to grouped aggregates " +
     "— lineitem never self-joins; top-20 is TakeOrdered") {
     val p = plan("q21_sole_late_supplier")
