@@ -79,6 +79,77 @@ object StreamIngest {
         col("session_window.end").as("session_end"),
         col(keyCol), col("n"), col("min_value"), col("max_value"))
 
+  /** Typed records for [[sessionizeTimeout]]. */
+  case class SessionState(startSec: Long, lastSec: Long, n: Long)
+  case class ClosedSession(metric: String, startSec: Long, endSec: Long,
+                           n: Long)
+
+  /** Gap-based sessionization as CUSTOM state with an EVENT-TIME
+    * TIMEOUT — the mechanics `session_window` hides: state per key is
+    * one (start, last, n) record, each batch folds its in-order
+    * events (extending the session or closing it when the in-batch
+    * gap exceeds `gapSec`), and the session's END is detected by the
+    * WATERMARK crossing `last + gap` — `state.hasTimedOut` fires with
+    * no new data for the key, which is exactly what "the session
+    * ended" means in event time. Append-mode emission: a session row
+    * appears exactly once, when it provably cannot grow. Late points
+    * inside an open session raise its count; points before the
+    * session start are dropped (the watermark already passed them).
+    * Use [[sessionStats]] when the built-in fits; this is the shape
+    * custom session logic (per-session caps, inactivity kicks,
+    * session-scoped aggregates the built-in can't express) builds on.
+    */
+  def sessionizeTimeout(points: DataFrame, gapSec: Long,
+                        watermark: String): Dataset[ClosedSession] = {
+    import points.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    points
+      .withWatermark("ts", watermark)
+      // the watermarked ts column must survive projection as a
+      // TIMESTAMP — casting it away strips the event-time marker the
+      // timeout needs; seconds derive inside the fold
+      .select(col("metric"), col("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (metric: String, tsRows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          val rows = tsRows.map(r => (r._1, r._2.getTime / 1000L))
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(metric, s.startSec, s.lastSec, s.n))
+          } else {
+            val closed =
+              scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+              cur match {
+                case Some(s) if ts > s.lastSec && ts - s.lastSec <= gapSec =>
+                  cur = Some(SessionState(s.startSec, ts, s.n + 1))
+                case Some(s) if ts > s.lastSec => // in-batch gap exceeded
+                  closed += ClosedSession(metric, s.startSec, s.lastSec, s.n)
+                  cur = Some(SessionState(ts, ts, 1))
+                case Some(s) if ts >= s.startSec => // late, inside session
+                  cur = Some(SessionState(s.startSec, s.lastSec, s.n + 1))
+                case Some(_) => () // before session start: watermark-dead
+                case None => cur = Some(SessionState(ts, ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark proves no event can extend it;
+              // the +1 guard keeps the timestamp strictly ahead of the
+              // current watermark as the API requires
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs + 1, (s.lastSec + gapSec) * 1000L))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Exactly-once-per-point ingest over an at-least-once source:
     * duplicate (metric, ts) deliveries inside the watermark horizon are
     * dropped with bounded state (`dropDuplicatesWithinWatermark` —

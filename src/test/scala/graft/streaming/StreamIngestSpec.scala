@@ -115,6 +115,47 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows(1).getLong(3) == 1L)
   }
 
+  test("timeout sessionizer closes sessions when the watermark passes " +
+    "last+gap, and splits on in-batch gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    val src = MemoryStream[String]
+    val points = StreamIngest.parse(src.toDF().withColumnRenamed("value", "line"),
+      "line", "test", "sessto")
+    val sessions = StreamIngest.sessionizeTimeout(points, gapSec = 600L,
+      watermark = "30 minutes")
+    val query = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessto").start()
+    try {
+      src.addData(
+        s"test,circuit=sessto v=1 ${t0}000000000",
+        s"test,circuit=sessto v=5 ${(t0 + 300)}000000000",  // extends
+        s"test,circuit=sessto v=9 ${(t0 + 2000)}000000000") // in-batch split
+      query.processAllAvailable()
+      // the split emits the first session immediately; the second stays
+      // open until the watermark passes (t0+2000)+gap — drive it there
+      // with a distant event on the same stream
+      src.addData(s"test,circuit=sessto v=0 ${(t0 + 10000)}000000000")
+      query.processAllAvailable()
+      // one more batch so the timeout (armed when the watermark moved)
+      // actually fires
+      src.addData(s"test,circuit=sessto v=0 ${(t0 + 10001)}000000000")
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.sql(
+      "SELECT metric, startSec, endSec, n FROM sessto ORDER BY startSec")
+      .collect()
+    assert(rows.length >= 2, s"expected both sessions closed, got " +
+      s"${rows.map(_.toString).mkString(";")}")
+    assert(rows(0).getLong(1) == t0 && rows(0).getLong(2) == t0 + 300 &&
+      rows(0).getLong(3) == 2L)
+    assert(rows(1).getLong(1) == t0 + 2000 &&
+      rows(1).getLong(2) == t0 + 2000 && rows(1).getLong(3) == 1L)
+  }
+
   test("streaming dedup drops duplicate (metric, ts) within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
