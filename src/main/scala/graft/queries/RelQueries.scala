@@ -631,6 +631,75 @@ object RelQueries {
         .orderBy("s_suppkey")
     }),
 
+    // TPC-H Q2-shaped min-price supplier per part (the schema has no
+    // partsupp/ps_supplycost, so "minimum cost" becomes minimum
+    // average sale price from lineitem). The correlated MIN subquery
+    // decorrelates into a per-(part,supplier) aggregation + a per-part
+    // struct-MIN — min_by over (price, suppkey) picks the cheapest
+    // supplier with a deterministic key tiebreak in the SAME hash
+    // aggregation, never a rank window over the price table. Dims
+    // (supplier name, part name) join AFTER the min cut, touching one
+    // row per part; top-100 is TakeOrdered.
+    "q2_min_price_supplier" -> ((s, dir) => {
+      val parts = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "STANDARD")
+        .select("p_partkey", "p_name")
+      val perPS = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(parts.select("p_partkey"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(dec("l_extendedprice")).as("sp"), count(lit(1)).as("np"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          graft.ext.TextStats.trunc6(col("sp").cast(DoubleType) / col("np"))
+            .as("avg_price"))
+      perPS.groupBy(col("l_partkey"))
+        .agg(min_by(struct(col("l_suppkey"), col("avg_price")),
+          struct(col("avg_price"), col("l_suppkey"))).as("b"))
+        .select(col("l_partkey"), col("b.l_suppkey").as("l_suppkey"),
+          col("b.avg_price").as("min_avg_price"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(Tables.load(s, dir, "supplier").select("s_suppkey", "s_name"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("min_avg_price"))
+        .orderBy(col("min_avg_price").desc, col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11-shaped important-stock census: parts whose inventory
+    // value (Σ qty·retailprice over one nation's suppliers; the schema
+    // has no ps_availqty — shipped quantity stands in) exceeds 0.01%
+    // of the nation's total. The HAVING-against-a-global-scalar shape:
+    // the per-part value aggregates ONCE behind a lazy checkpoint
+    // (referenced by the total AND the filter — without the cut Spark
+    // re-inlines the whole join tree into both), the total is a
+    // one-row broadcast, and the threshold compare is decimal-exact
+    // (val·10000 > total).
+    "q11_important_stock" -> ((s, dir) => {
+      val natSupp = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val perPart = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.load(s, dir, "part")
+            .select("p_partkey", "p_retailprice"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_quantity") * col("p_retailprice"))
+          .cast(DecimalType(28, 6))).as("stock_value"))
+        .localCheckpoint(false)
+      val tot = perPart.agg(sum(col("stock_value")).as("tot"))
+      perPart.crossJoin(broadcast(tot))
+        .filter(col("stock_value") * lit(10000) > col("tot"))
+        .select(col("l_partkey"),
+          col("stock_value").cast(DoubleType).as("stock_value"))
+        .orderBy(col("stock_value").desc, col("l_partkey"))
+    }),
+
     // TPC-H Q21-shaped sole-late-supplier census: suppliers whose
     // shipment was the ONLY late one (>90 days after ordering) on a
     // multi-supplier order. Q21's double-correlated EXISTS / NOT
@@ -1029,6 +1098,50 @@ object RelQueries {
         |FROM shares JOIN supplier ON l_suppkey = s_suppkey
         |WHERE supp_qty * 2 > part_qty
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q2_min_price_supplier" ->
+      """WITH parts AS (
+        |  SELECT p_partkey, p_name FROM part WHERE p_type = 'STANDARD'
+        |), per_ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |               AS DOUBLE) / count(*) * 1000000) / 1000000
+        |      AS avg_price
+        |  FROM lineitem JOIN parts ON l_partkey = p_partkey
+        |  GROUP BY 1, 2
+        |), best AS (
+        |  SELECT l_partkey, l_suppkey, avg_price FROM (
+        |    SELECT l_partkey, l_suppkey, avg_price,
+        |      row_number() OVER (PARTITION BY l_partkey
+        |        ORDER BY avg_price, l_suppkey) AS rn
+        |    FROM per_ps) t
+        |  WHERE rn = 1
+        |)
+        |SELECT p_partkey, p_name, s_suppkey, s_name,
+        |  avg_price AS min_avg_price
+        |FROM best
+        |JOIN parts ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY min_avg_price DESC, p_partkey LIMIT 100""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH nat_supp AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |), per_part AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_quantity * p_retailprice AS DECIMAL(28,6)))
+        |      AS stock_value
+        |  FROM lineitem
+        |  JOIN nat_supp ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1
+        |)
+        |SELECT l_partkey, CAST(stock_value AS DOUBLE) AS stock_value
+        |FROM per_part
+        |WHERE stock_value * 10000 > (SELECT sum(stock_value) FROM per_part)
+        |ORDER BY stock_value DESC, l_partkey""".stripMargin,
 
     "q21_sole_late_supplier" ->
       """WITH per_order_supp AS (

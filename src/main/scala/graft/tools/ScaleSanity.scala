@@ -208,7 +208,8 @@ object ScaleSanity {
       "q17_small_qty_revenue", "q22_dormant_customers",
       "q12_late_shipping", "q15_top_supplier", "q8_market_share",
       "q9_profit_by_nation", "q20_dominant_supplier",
-      "q21_sole_late_supplier"))
+      "q21_sole_late_supplier", "q2_min_price_supplier",
+      "q11_important_stock"))
     if (tpchPicks.nonEmpty) {
       val li0 = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
       val nl = li0.count()

@@ -679,6 +679,27 @@ class PlanSpec extends SparkSpec {
       "bigram LM: the one-row total + three gated count tables only")
   }
 
+  test("q2: the cheapest supplier is a struct-MIN aggregation, not a " +
+    "rank window; dims join after the cut; top-100 is TakeOrdered") {
+    val p = plan("q2_min_price_supplier")
+    assert(!p.contains("Window"), s"q2 ranks with a window:\n$p")
+    assert(p.contains("min_by") || p.contains("minby"),
+      s"q2 lost the struct-min argmax:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q2 global-sorts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q2 grew a cartesian:\n$p")
+  }
+
+  test("q11: the per-part value materializes ONCE; the global total " +
+    "broadcasts back — no second scan of the join tree") {
+    val p = plan("q11_important_stock")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("lineitem.parquet")) == 0,
+      s"lineitem leaked past the checkpoint (tree re-inlined):\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"both consumers must read the one materialized value table:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"total scalar not broadcast:\n$p")
+  }
+
   test("dedup_loss_weights: ONE hash-partitioned window computes size " +
     "and canonical — no self-join of the hash table") {
     val p = plan("dedup_loss_weights")
