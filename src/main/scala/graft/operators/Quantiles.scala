@@ -97,6 +97,102 @@ object Quantiles {
     agged.select(groupCols.map(col) ++ outs: _*)
   }
 
+  /** Distributed per-group dense ranking WITHOUT a per-group window
+    * over the raw rows — the scale-safe replacement for
+    * `row_number().over(Window.partitionBy(lowCardKey).orderBy(...))`,
+    * whose partition count equals the (tiny) group-key cardinality and
+    * therefore sorts billions of rows on a handful of tasks at 100 TB.
+    *
+    * Classic two-pass range-partitioned rank:
+    *   1. bucket each row onto a fixed value grid (one tiny min/max
+    *      aggregate broadcast back as a 1-row scalar);
+    *   2. count rows per (group, bucket) — a map-side-combinable hash
+    *      aggregate whose result is ≤ |groups|·nBuckets rows — and turn
+    *      the counts into per-group prefix OFFSETS with one window over
+    *      that bounded table;
+    *   3. broadcast the offset table back and rank within each
+    *      (group, bucket) — a well-distributed window whose partition
+    *      count is |groups|·nBuckets — adding the bucket's offset.
+    *
+    * The result column `__rank` equals exactly
+    * `row_number() OVER (PARTITION BY groupCols ORDER BY valueCol,
+    * tieCol)` (tieCol must be unique within a group for a total
+    * order), and `__n` the group size — so any rank-derived statistic
+    * (ntile, percentile position, top-k cut) is reproduced
+    * bit-identically with no low-cardinality window anywhere near the
+    * fact. Both helper windows run over provably bounded inputs: the
+    * offset window over the ≤ |groups|·nBuckets count table, nothing
+    * else.
+    */
+  def bucketedRank(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   tieCol: String, nBuckets: Int = 4096,
+                   range: Option[(Double, Double)] = None): DataFrame = {
+    val v = col(valueCol).cast("double")
+    // Bucketing only needs MONOTONICITY, not containment: values
+    // outside [lo, hi) clamp to the edge buckets and stay correctly
+    // ordered within them — so a caller-supplied fixed range (domain
+    // knowledge, e.g. "prices are positive and under 600k") skips the
+    // min/max pass entirely and the fact is scanned exactly twice
+    // (bucket counts + rank join), both column-pruned. Without a fixed
+    // range the min/max scalar is computed from the input and broadcast
+    // back; callers passing a non-trivial subtree should cut it with
+    // localCheckpoint(false) first so the stats pass doesn't duplicate
+    // the whole upstream plan (verify-skill gotcha).
+    val b = range match {
+      case Some((lo, hi)) =>
+        val width = math.max((hi - lo) / nBuckets, 1e-9)
+        df.withColumn("__bucket",
+          least(greatest(floor((v - lo) / width), lit(0)),
+            lit(nBuckets - 1)).cast("int"))
+      case None =>
+        val stats = df.agg(min(v).as("__vmin"), max(v).as("__vmax"))
+        val width = greatest((col("__vmax") - col("__vmin")) / nBuckets,
+          lit(1e-9))
+        df.crossJoin(broadcast(stats))
+          .withColumn("__bucket",
+            least(greatest(floor((v - col("__vmin")) / width), lit(0)),
+              lit(nBuckets - 1)).cast("int"))
+          .drop("__vmin", "__vmax")
+    }
+    val bcols = groupCols :+ "__bucket"
+    val counts = b.groupBy(bcols.map(col): _*).agg(count(lit(1)).as("__bc"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wN = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__bc")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__bc")).over(wN))
+      .drop("__bc")
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(bcols.map(col): _*)
+      .orderBy(col(valueCol), col(tieCol))
+    b.join(broadcast(offsets), bcols)
+      .withColumn("__rank", col("__off") + row_number().over(wIn))
+      .drop("__bucket", "__off")
+  }
+
+  /** `ntile(tiles)` reproduced in closed form from a row's rank and its
+    * group size — SQL-standard semantics: the first `n mod tiles` tiles
+    * get `⌊n/tiles⌋+1` rows, the rest `⌊n/tiles⌋`. Pure integer
+    * arithmetic on the [[bucketedRank]] outputs, so the decile of every
+    * row matches `ntile(t).over(...)` bit-for-bit without the
+    * single-task-per-group window. (The `greatest(q,1)` guard keeps the
+    * untaken CASE branch division legal when n < tiles.)
+    */
+  def ntileFromRank(rank: Column, n: Column, tiles: Int): Column = {
+    // all operands are non-negative, so floor(a/b) == a div b
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val nq = idiv(n.cast("long"), lit(tiles.toLong))
+    val r = n.cast("long") % tiles
+    val bigCut = r * (nq + 1)
+    when(rank <= bigCut, idiv(rank + nq, nq + 1))
+      .otherwise(r + idiv(rank - bigCut + greatest(nq, lit(1L)) - 1,
+        greatest(nq, lit(1L))))
+      .cast("int")
+  }
+
   /** Quantile over MERGED fixed-grid histogram partials — the
     * dashboard companion to the store's quantile rollups. Input is the
     * long-format histogram `(cbucket, metric, bin, cnt)` (bin =

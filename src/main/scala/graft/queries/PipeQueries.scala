@@ -859,43 +859,61 @@ object PipeQueries {
     // Pareto revenue-concentration curve per priority class: customers
     // ranked by revenue, cumulative share at each rank-decile boundary
     // ("the top 10% of customers carry X% of revenue"). The fact
-    // collapses to customer-level revenue FIRST; the ntile + running
-    // sum + class total are three aggregates over ONE window
-    // partitioning (same exchange, decimal-exact sums); the share
-    // division is one double expression after the final aggregate.
+    // collapses to customer-level revenue FIRST (one hash aggregate,
+    // cut with a lazy checkpoint so the two-pass rank doesn't inline
+    // it twice); the per-class customer rank comes from the
+    // range-partitioned Quantiles.bucketedRank — NO window partitioned
+    // on the 5-value priority class ever touches customer-level rows,
+    // so no task sorts a whole class at 100 TB. Deciles are the
+    // closed-form ntile arithmetic on (rank, n); the cumulative and
+    // total revenue then need only ONE tiny window over the ≤ 50
+    // (class, decile) aggregate rows.
     "orders_pareto_share" -> ((s, dir) => {
-      val wOrd = Window.partitionBy("o_orderpriority")
-        .orderBy(col("crev").desc, col("o_custkey"))
       val rev = Tables.load(s, dir, "orders")
         .groupBy("o_orderpriority", "o_custkey")
         .agg(sum(col("o_totalprice").cast(Dec)).as("crev"))
-      rev
-        .withColumn("decile", ntile(10).over(wOrd))
-        .withColumn("cum", sum(col("crev")).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("trev", sum(col("crev")).over(
-          Window.partitionBy("o_orderpriority")))
+        .withColumn("__negrev", negate(col("crev")))
+        .localCheckpoint(false)
+      val ranked = graft.operators.Quantiles.bucketedRank(
+        rev, Seq("o_orderpriority"), "__negrev", "o_custkey")
+      val byDecile = ranked
+        .withColumn("decile", graft.operators.Quantiles
+          .ntileFromRank(col("__rank"), col("__n"), 10))
         .groupBy("o_orderpriority", "decile")
         .agg(count(lit(1)).as("n_cust"),
+          sum(col("crev")).as("__dsum"))
+      val wCum = Window.partitionBy("o_orderpriority").orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.partitionBy("o_orderpriority")
+      byDecile
+        .withColumn("__cum", sum(col("__dsum")).over(wCum))
+        .withColumn("__trev", sum(col("__dsum")).over(wTot))
+        .select(col("o_orderpriority"), col("decile"), col("n_cust"),
           graft.ext.TextStats.trunc6(
-            max(col("cum")).cast("double") / max(col("trev")).cast("double"))
+            col("__cum").cast("double") / col("__trev").cast("double"))
             .as("cum_share"))
         .orderBy("o_orderpriority", "decile")
     }),
 
-    // Decile table per order-priority class: NTILE(10) within each
-    // class ordered by (totalprice, orderkey), then per-decile count /
-    // bounds / decimal-exact mean — the analytic-window surface
-    // (§2.E) on the orders fact. Scale note: the partition key is the
-    // 5-value priority class, so this shape is for CLASS-local
-    // analytics; GLOBAL decile cuts at 100 TB route through the
-    // rank-interpolated quantile aggregate (events_quantiles_interp /
-    // Quantiles.interpByRank) instead of any single-partition window.
+    // Decile table per order-priority class: per-class deciles ordered
+    // by (totalprice, orderkey), then per-decile count / bounds /
+    // decimal-exact mean — the analytic-window surface (§2.E) on the
+    // orders fact, computed WITHOUT `ntile(10) OVER (PARTITION BY
+    // o_orderpriority ...)`: that window has 5 partitions, i.e. each
+    // task sorts billions of rows at 100 TB. Instead the per-class
+    // rank comes from Quantiles.bucketedRank (fixed price grid — no
+    // extra stats scan; windows partitioned by (class, bucket), 20k+
+    // partitions) and the decile is the closed-form ntile arithmetic
+    // on (rank, n) — bit-identical to NTILE, then ONE hash aggregate.
     "orders_ntile_deciles" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice"), col("o_orderkey"))
-      Tables.load(s, dir, "orders")
-        .withColumn("decile", ntile(10).over(w))
+      val ranked = graft.operators.Quantiles.bucketedRank(
+        Tables.load(s, dir, "orders")
+          .select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        Seq("o_orderpriority"), "o_totalprice", "o_orderkey",
+        range = Some((0.0, 600000.0)))
+      ranked
+        .withColumn("decile", graft.operators.Quantiles
+          .ntileFromRank(col("__rank"), col("__n"), 10))
         .groupBy("o_orderpriority", "decile")
         .agg(count(lit(1)).as("n"),
           min(col("o_totalprice")).as("lo"),

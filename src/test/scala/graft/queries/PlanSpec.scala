@@ -660,14 +660,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"stats join degraded to SMJ:\n$p")
   }
 
-  test("orders_ntile_deciles: one partitioned window + one aggregation " +
-    "— no join, no extra exchange") {
+  test("orders_ntile_deciles: NO per-class ntile window — ranks come " +
+    "from the (class, bucket)-partitioned two-pass rank; offsets broadcast") {
     val p = plan("orders_ntile_deciles")
-    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1, p)
-    assert(!p.contains("Join"), s"deciles grew a join:\n$p")
-    // window exchange + agg exchange + output sort only
-    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 3,
-      s"unexpected exchanges:\n$p")
+    assert(!p.contains("ntile("), s"the 5-partition NTILE window is back:\n$p")
+    // the only window over fact-scale rows must be partitioned by
+    // (class, __bucket) — 20k+ partitions, never 5
+    val rnLine = p.linesIterator.find(_.contains("row_number()"))
+    assert(rnLine.exists(_.contains("__bucket")),
+      s"row_number window not bucket-partitioned:\n$p")
+    // bucket-count pass + rank pass: exactly two pruned scans
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("orders.parquet")) == 2,
+      s"expected exactly the two rank passes over orders:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-offset table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"offset join degraded to SMJ:\n$p")
   }
 
   test("doc_bigram_logprob: count tables join through the size gate " +
@@ -719,16 +726,25 @@ class PlanSpec extends SparkSpec {
       s"ab lift scans events more than once:\n$p")
   }
 
-  test("orders_pareto_share: ntile, running sum, and class total ride " +
-    "ONE window partitioning — a single exchange feeds all three") {
+  test("orders_pareto_share: NO per-class ntile window — the customer " +
+    "revenue table materializes once; ranks are bucket-partitioned; the " +
+    "only class-partitioned windows run over the ≤50 decile rows") {
     val p = plan("orders_pareto_share")
-    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("orders.parquet")) == 1,
-      s"pareto scans orders more than once:\n$p")
-    val winExchanges = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning(o_orderpriority"))
-    assert(winExchanges <= 1, s"window passes re-shuffled:\n$p")
-    assert(!p.contains("Join"), s"pareto grew a join (the class total " +
-      s"must be a window, not an aggregate join):\n$p")
+    assert(!p.contains("ntile("), s"the 5-partition NTILE window is back:\n$p")
+    // the rev aggregate is cut by the lazy checkpoint: orders never
+    // leaks into the outer plan, and the three consumers (min/max
+    // stats, bucket counts, rank join) read the ONE materialized frame
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("orders.parquet")) == 0,
+      s"orders leaked past the checkpoint (rev agg re-inlined):\n$p")
+    // counts pass + rank pass, each carrying its own inlined copy of
+    // the one-row min/max scalar aggregate (cheap: it reads the
+    // materialized frame, not the orders fact) = 4 ExistingRDD reads
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 4,
+      s"the rank passes must read the one materialized rev table:\n$p")
+    val rnLine = p.linesIterator.find(_.contains("row_number()"))
+    assert(rnLine.exists(_.contains("__bucket")),
+      s"row_number window not bucket-partitioned:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"offset join degraded to SMJ:\n$p")
   }
 
   test("similar_ood_score: one broadcast-centroid argmax pass + " +
