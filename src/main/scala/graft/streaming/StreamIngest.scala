@@ -81,22 +81,30 @@ object StreamIngest {
 
   /** Typed records for [[sessionizeTimeout]]. */
   case class SessionState(startSec: Long, lastSec: Long, n: Long)
+  case class SessionList(sessions: Seq[SessionState])
   case class ClosedSession(metric: String, startSec: Long, endSec: Long,
                            n: Long)
 
   /** Gap-based sessionization as CUSTOM state with an EVENT-TIME
-    * TIMEOUT — the mechanics `session_window` hides: state per key is
-    * one (start, last, n) record, each batch folds its in-order
-    * events (extending the session or closing it when the in-batch
-    * gap exceeds `gapSec`), and the session's END is detected by the
-    * WATERMARK crossing `last + gap` — `state.hasTimedOut` fires with
-    * no new data for the key, which is exactly what "the session
-    * ended" means in event time. Append-mode emission: a session row
-    * appears exactly once, when it provably cannot grow. Late points
-    * inside an open session raise its count; points before the
-    * session start are dropped (the watermark already passed them).
-    * Use [[sessionStats]] when the built-in fits; this is the shape
-    * custom session logic (per-session caps, inactivity kicks,
+    * TIMEOUT — the mechanics `session_window` hides. State per key is
+    * the LIST of not-yet-closable sessions (gap-separated, sorted):
+    * each batch inserts its events as unit sessions and merges
+    * gap-adjacent neighbours, which uniformly handles extend,
+    * count-inside, and the out-of-order point that BRIDGES two
+    * sessions into one. A session is emitted only when the WATERMARK
+    * proves it can no longer grow — arriving rows satisfy
+    * `ts ≥ watermark` and touching a session requires
+    * `ts ≤ last + gap`, so `watermark > last + gap` is the exact
+    * "cannot grow" certificate; an in-batch gap alone parks the closed
+    * session in state instead of emitting it, because a late row in a
+    * later batch (still above the watermark) may yet land inside or
+    * bridge it — emit-on-split would silently mis-bin that row (the
+    * built-in `session_window` holds such sessions the same way).
+    * Emission happens in the data path when a batch's watermark has
+    * already passed, or via `state.hasTimedOut` armed at the earliest
+    * session's deadline. Append-mode: each session appears exactly
+    * once. Use [[sessionStats]] when the built-in fits; this is the
+    * shape custom session logic (per-session caps, inactivity kicks,
     * session-scoped aggregates the built-in can't express) builds on.
     */
   def sessionizeTimeout(points: DataFrame, gapSec: Long,
@@ -114,39 +122,41 @@ object StreamIngest {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout) {
         (metric: String, tsRows: Iterator[(String, java.sql.Timestamp)],
-         state: GroupState[SessionState]) =>
-          val rows = tsRows.map(r => (r._1, r._2.getTime / 1000L))
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(metric, s.startSec, s.lastSec, s.n))
-          } else {
-            val closed =
-              scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var cur = state.getOption
-            rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
-              cur match {
-                case Some(s) if ts > s.lastSec && ts - s.lastSec <= gapSec =>
-                  cur = Some(SessionState(s.startSec, ts, s.n + 1))
-                case Some(s) if ts > s.lastSec => // in-batch gap exceeded
-                  closed += ClosedSession(metric, s.startSec, s.lastSec, s.n)
-                  cur = Some(SessionState(ts, ts, 1))
-                case Some(s) if ts >= s.startSec => // late, inside session
-                  cur = Some(SessionState(s.startSec, s.lastSec, s.n + 1))
-                case Some(_) => () // before session start: watermark-dead
-                case None => cur = Some(SessionState(ts, ts, 1))
+         state: GroupState[SessionList]) =>
+          // insert a point as a unit session, then merge gap-adjacent
+          // neighbours (containment gives a negative delta, also ≤ gap)
+          def insert(ss: Vector[SessionState], ts: Long): Vector[SessionState] =
+            (ss :+ SessionState(ts, ts, 1L))
+              .sortBy(s => (s.startSec, s.lastSec))
+              .foldLeft(Vector.empty[SessionState]) { (acc, s) =>
+                acc.lastOption match {
+                  case Some(p) if s.startSec - p.lastSec <= gapSec =>
+                    acc.init :+ SessionState(p.startSec,
+                      math.max(p.lastSec, s.lastSec), p.n + s.n)
+                  case _ => acc :+ s
+                }
               }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // close when the watermark proves no event can extend it;
-              // the +1 guard keeps the timestamp strictly ahead of the
-              // current watermark as the API requires
-              state.setTimeoutTimestamp(math.max(
-                state.getCurrentWatermarkMs + 1, (s.lastSec + gapSec) * 1000L))
-            }
-            closed.iterator
+          val wmMs = state.getCurrentWatermarkMs
+          var sessions = state.getOption.map(_.sessions.toVector)
+            .getOrElse(Vector.empty)
+          if (!state.hasTimedOut)
+            tsRows.map(_._2.getTime / 1000L).toSeq.sorted
+              .foreach(ts => sessions = insert(sessions, ts))
+          // conservative whole-second deadline: dead once the watermark
+          // clears the second after last+gap
+          val (dead, live) = sessions.partition(s =>
+            (s.lastSec + gapSec + 1) * 1000L <= wmMs)
+          if (live.isEmpty) { if (state.exists) state.remove() }
+          else {
+            state.update(SessionList(live))
+            // arm at the earliest live session's deadline; the wm+1
+            // floor keeps the timestamp strictly ahead of the current
+            // watermark as the API requires
+            state.setTimeoutTimestamp(math.max(wmMs + 1,
+              live.map(s => (s.lastSec + gapSec + 1) * 1000L).min))
           }
+          dead.sortBy(_.startSec).iterator
+            .map(s => ClosedSession(metric, s.startSec, s.lastSec, s.n))
       }
   }
 

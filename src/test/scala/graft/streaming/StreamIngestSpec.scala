@@ -134,13 +134,13 @@ class StreamIngestSpec extends SparkSpec {
         s"test,circuit=sessto v=5 ${(t0 + 300)}000000000",  // extends
         s"test,circuit=sessto v=9 ${(t0 + 2000)}000000000") // in-batch split
       query.processAllAvailable()
-      // the split emits the first session immediately; the second stays
-      // open until the watermark passes (t0+2000)+gap — drive it there
-      // with a distant event on the same stream
+      // the split parks the first session in state (a late row could
+      // still land inside it until the watermark passes its end+gap);
+      // drive the watermark past both deadlines with a distant event
       src.addData(s"test,circuit=sessto v=0 ${(t0 + 10000)}000000000")
       query.processAllAvailable()
-      // one more batch so the timeout (armed when the watermark moved)
-      // actually fires
+      // one more batch so the emission (watermark moved at the END of
+      // the previous batch) actually happens
       src.addData(s"test,circuit=sessto v=0 ${(t0 + 10001)}000000000")
       query.processAllAvailable()
     } finally query.stop()
@@ -152,6 +152,51 @@ class StreamIngestSpec extends SparkSpec {
       s"${rows.map(_.toString).mkString(";")}")
     assert(rows(0).getLong(1) == t0 && rows(0).getLong(2) == t0 + 300 &&
       rows(0).getLong(3) == 2L)
+    assert(rows(1).getLong(1) == t0 + 2000 &&
+      rows(1).getLong(2) == t0 + 2000 && rows(1).getLong(3) == 1L)
+  }
+
+  test("timeout sessionizer merges a late cross-batch point into a " +
+    "gap-closed pending session instead of dropping it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    val src = MemoryStream[String]
+    val points = StreamIngest.parse(src.toDF().withColumnRenamed("value", "line"),
+      "line", "test", "sesslate")
+    val sessions = StreamIngest.sessionizeTimeout(points, gapSec = 600L,
+      watermark = "30 minutes")
+    val query = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sesslate").start()
+    try {
+      // batch 1: in-batch split parks [t0, t0] and opens [t0+2000]
+      src.addData(
+        s"test,circuit=sesslate v=1 ${t0}000000000",
+        s"test,circuit=sesslate v=9 ${(t0 + 2000)}000000000")
+      query.processAllAvailable()
+      // batch 2: OUT-OF-ORDER point above the watermark (wm = t0+200)
+      // that belongs to the first, already-gap-closed session — the
+      // old emit-on-split behavior would have silently dropped it
+      src.addData(s"test,circuit=sesslate v=2 ${(t0 + 300)}000000000")
+      query.processAllAvailable()
+      // advance the watermark past both deadlines, then one more batch
+      // so the emission happens
+      src.addData(s"test,circuit=sesslate v=0 ${(t0 + 10000)}000000000")
+      query.processAllAvailable()
+      src.addData(s"test,circuit=sesslate v=0 ${(t0 + 10001)}000000000")
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.sql(
+      "SELECT metric, startSec, endSec, n FROM sesslate ORDER BY startSec")
+      .collect()
+    assert(rows.length >= 2, s"expected both sessions closed, got " +
+      s"${rows.map(_.toString).mkString(";")}")
+    // the late t0+300 point EXTENDED the pending session
+    assert(rows(0).getLong(1) == t0 && rows(0).getLong(2) == t0 + 300 &&
+      rows(0).getLong(3) == 2L,
+      s"late point not merged into pending session: ${rows(0)}")
     assert(rows(1).getLong(1) == t0 + 2000 &&
       rows(1).getLong(2) == t0 + 2000 && rows(1).getLong(3) == 1L)
   }
