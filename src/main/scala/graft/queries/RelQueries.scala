@@ -494,12 +494,15 @@ object RelQueries {
     // lineitem. Supplier name attaches AFTER the max cut, so the dim
     // join touches ~1 row.
     "q15_top_supplier" -> ((s, dir) => {
+      // the total+probe double reference would re-inline the whole
+      // aggregate subtree (two fact scans) — cut it, as q11 does
       val rev = Tables.load(s, dir, "lineitem")
         .filter(expr("l_shipdate >= TIMESTAMP '1996-01-01'") &&
           expr("l_shipdate < TIMESTAMP '1996-04-01'"))
         .groupBy(col("l_suppkey"))
         .agg(sum((col("l_extendedprice") * (lit(1d) - col("l_discount")))
           .cast(DecimalType(18, 6))).as("total_rev"))
+        .localCheckpoint(false)
       val mx = rev.agg(max(col("total_rev")).as("mx"))
       rev.crossJoin(broadcast(mx))
         .filter(col("total_rev") === col("mx"))
@@ -723,13 +726,16 @@ object RelQueries {
         .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"),
           max(when(col("late") === 1L, col("l_suppkey"))).as("late_supp"))
         .filter(col("n_supp") >= 2 && col("n_late") === 1L)
+      // group on the supplier KEY (both engines; names need not be
+      // unique) and keep s_suppkey in the ORDER BY so the limit-20
+      // boundary is a total order even under duplicate names
       perOrder.groupBy(col("late_supp"))
         .agg(count(lit(1)).as("numwait"))
         .join(Tables.load(s, dir, "supplier").select("s_suppkey", "s_name"),
           col("late_supp") === col("s_suppkey"))
-        .select(col("s_name"), col("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
+        .orderBy(col("numwait").desc, col("s_name"), col("s_suppkey"))
         .limit(20)
+        .select(col("s_name"), col("numwait"))
     }),
   )
 
@@ -1155,10 +1161,12 @@ object RelQueries {
         |    max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
         |  FROM per_order_supp GROUP BY 1
         |)
-        |SELECT s_name, count(*) AS numwait
-        |FROM per_order JOIN supplier ON late_supp = s_suppkey
-        |WHERE n_supp >= 2 AND n_late = 1
-        |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+        |SELECT s_name, numwait FROM (
+        |  SELECT s_suppkey, s_name, count(*) AS numwait
+        |  FROM per_order JOIN supplier ON late_supp = s_suppkey
+        |  WHERE n_supp >= 2 AND n_late = 1
+        |  GROUP BY s_suppkey, s_name
+        |  ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20
+        |)""".stripMargin,
   )
 }

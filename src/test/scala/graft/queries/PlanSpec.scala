@@ -586,16 +586,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"q12 grew a cartesian:\n$p")
   }
 
-  test("q15: revenue aggregates the date-pruned fact once; the max is a " +
-    "broadcast probe, not a rank window over everything") {
+  test("q15: the per-supplier revenue materializes ONCE (the max probe " +
+    "never re-scans lineitem); the max is a broadcast probe, not a rank " +
+    "window over everything") {
     val p = plan("q15_top_supplier")
-    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
-      s"quarter bound not pushed:\n$p")
-    assert(p.contains("Keys [1]: [l_suppkey#"),
-      s"per-supplier revenue aggregate missing:\n$p")
+    // the total+probe double reference of the rev aggregate is the
+    // exact shape that re-inlines a whole subtree — the lazy checkpoint
+    // cut ENFORCES the single scan instead of hoping for exchange reuse
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("lineitem.parquet")) == 0,
+      s"lineitem leaked past the checkpoint (rev agg re-inlined):\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"max scalar + probe must read the one materialized rev table:\n$p")
     assert(!p.contains("Window"), s"q15 must not rank with a window:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"max scalar not broadcast:\n$p")
+  }
+
+  test("similar_filtered_topk: the label predicate prunes at the " +
+    "embeddings SCAN (pre-filter, before IVF assignment); 3 cells probed; " +
+    "top-5 is TakeOrdered") {
+    val p = plan("similar_filtered_topk")
+    // pre-filter: the predicate reaches the scan feeding the cell
+    // assignment — a post-filter (above the top-k limit) could never
+    // push there, so this line IS the pre/post distinction
+    assert(p.contains("PushedFilters: [IsNotNull(label)"),
+      s"label predicate not pushed to the embeddings scan:\n$p")
+    assert(p.contains("% 2) = 0"), s"label mod-2 pre-filter missing:\n$p")
+    // one extra probed cell vs the unfiltered key (3 vs 2)
+    assert(p.contains("Arguments: 3, [qsim"),
+      s"probed cell list must be the 3-cell TakeOrdered:\n$p")
+    assert(p.contains("Arguments: 5, [sim"),
+      s"final top-5 must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"cell-probe join degraded to SMJ:\n$p")
   }
 
   test("q8: region chain and part filter prune before the fact joins; " +
