@@ -215,6 +215,54 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
     store.lastTimestamp(db, sensor)
   }
 
+  /** Tuple metrics exactly as the reference's `get_metrics` returns
+    * them for a MultiIndex sensor — a list of level tuples
+    * (`test_client.py:180-182`). Flat sensors return 1-element tuples.
+    */
+  def metricTuples(db: String, sensor: String): Seq[Seq[String]] = {
+    authRead(db, sensor)
+    store.config(db, sensor).metrics.map(_.levels)
+  }
+
+  /** The TRUE MultiIndex read (reference `client.py:545-547`): the
+    * wide frame whose every metric column carries its LEVEL TUPLE and
+    * the sensor's CURRENT level names as Spark column metadata — the
+    * columnar analog of `pd.MultiIndex.from_tuples(metrics,
+    * names=level_names)`. Level tuples are immutable and persisted in
+    * the parquet footers at write (self-describing files); level NAMES
+    * are mutable sensor metadata (`set_level_names`) and attach here
+    * from CONFIG, so a rename is visible on the very next read without
+    * touching a single data file — the reference's exact behavior
+    * (`test_client.py:203-205`). [[multiIndex]] reconstructs
+    * `(tuples, names)` from such a frame the way a pandas consumer
+    * would.
+    */
+  def readMultiIndex(db: String, sensor: String,
+                     fromSec: Option[Long] = None,
+                     toSec: Option[Long] = None): DataFrame = {
+    val cfg = store.config(db, sensor)
+    val names = levelNames(db, sensor)
+    read(db, sensor, fromSec, toSec).select(
+      col("ts") +: cfg.metrics.map { m =>
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .putStringArray("levels", m.levels.toArray)
+        if (names.nonEmpty) b.putStringArray("level_names", names.toArray)
+        graft.core.Cols.q(m.name).as(m.name, b.build())
+      }: _*)
+  }
+
+  /** Reconstruct `(metric tuples, level names)` from a
+    * [[readMultiIndex]] frame's column metadata — names + order, the
+    * pandas-compatible MultiIndex identity.
+    */
+  def multiIndex(df: DataFrame): (Seq[Seq[String]], Seq[String]) = {
+    val fs = df.schema.fields.filter(_.metadata.contains("levels"))
+    (fs.map(_.metadata.getStringArray("levels").toSeq).toSeq,
+      fs.headOption.filter(_.metadata.contains("level_names"))
+        .map(_.metadata.getStringArray("level_names").toSeq)
+        .getOrElse(Nil))
+  }
+
   /** Grafana-style downsampled read (reference `/query`,
     * `server.py:412-475` + `client.read_grafana`): per metric, first
     * value at/after each of `maxDataPoints` boundaries, long format
@@ -255,7 +303,7 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
     val wide = rollup match {
       case Some(b) =>
         store.readRollup(db, sensor, b, Some(fromSec), Some(toSec))
-          .select((col("ts") +: wanted.map(col)): _*)
+          .select((col("ts") +: wanted.map(graft.core.Cols.q)): _*)
       case None =>
         store.read(db, sensor, Some(fromSec), Some(toSec), Some(wanted))
     }
@@ -300,10 +348,12 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
       case None =>
         val metrics = store.config(db, sensor).metricNames
         val raw = store.read(db, sensor, Some(fromSec), Some(toSec))
-        val aggs = metrics.map(m =>
+        val aggs = metrics.map { m =>
+          val c = graft.core.Cols.q(m)
           hll_sketch_estimate(hll_sketch_agg(
-            when(!isnan(col(m)), col(m).cast("string")),
-            lit(store.SketchLgK))).as(s"${m}_distinct"))
+            when(!isnan(c), c.cast("string")),
+            lit(store.SketchLgK))).as(s"${m}_distinct")
+        }
         raw
           .withColumn("cb",
             Grid.snapSeconds(Grid.tsSeconds(col("ts")), coarseSec))
@@ -311,7 +361,7 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
           .agg(aggs.head, aggs.tail: _*)
           .select(timestamp_seconds(col("cb"))
             .cast(org.apache.spark.sql.types.TimestampType).as("ts") +:
-            metrics.map(m => col(s"${m}_distinct")): _*)
+            metrics.map(m => graft.core.Cols.q(s"${m}_distinct")): _*)
           .orderBy("ts")
     }
   }
@@ -350,7 +400,7 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
         val long = Pivot.wideToLong(
           raw.withColumn("cbucket",
               Grid.snapSeconds(Grid.tsSeconds(col("ts")), coarseSec))
-            .select(col("cbucket") +: metrics.map(col): _*),
+            .select(col("cbucket") +: metrics.map(graft.core.Cols.q): _*),
           Seq("cbucket"), metrics)
         val hist = long.filter(!isnan(col("value")))
           .withColumn("bin", floor(col("value") / binWidth).cast("long"))
@@ -391,13 +441,47 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
     val firstRow = wide.withColumn("sec", Grid.tsSeconds(col("ts")))
       .withColumn("bucket", Downsample.bucket(col("sec"), fromSec, spread))
       .groupBy(col("bucket"))
-      .agg(min_by(struct(col("sec") +: wanted.map(col): _*), col("sec"))
-        .as("r"))
-      .select(col("r.sec").as("sec") +: wanted.map(m => col(s"r.$m").as(m)): _*)
+      .agg(min_by(struct(col("sec") +: wanted.map(graft.core.Cols.q): _*),
+        col("sec")).as("r"))
+      .select(col("r.sec").as("sec") +:
+        wanted.map(m => col("r").getField(m).as(m)): _*)
     Pivot.wideToLong(firstRow, Seq("sec"), wanted)
       .filter(!isnan(col("value")))
       .select(col("metric"), col("value"), (col("sec") * 1000).as("ts_ms"))
       .orderBy("metric", "ts_ms")
+  }
+
+  /** The reference's exact Grafana wire JSON (`server.py:461-475`):
+    * `[{"target":T,"datapoints":[[value,ts_ms],…]},…]` — one object
+    * per REQUESTED target in request order (a data-less target emits
+    * an empty list), datapoints in time order, NaN cells dropped
+    * (`server.py:453-455`), numbers printed as C "%f" exactly like
+    * the reference's `"[%f,%f]" % (value, dt*1000)`. Row selection is
+    * the shared-boundary downsample ([[readGrafanaShared]] — the
+    * server's one-boundary-for-all-targets loop). The per-target
+    * datapoint strings are built and joined IN the engine (codegen'd
+    * format_string + struct sort + array_join); the driver folds one
+    * bounded string per target — ≤ maxDataPoints points each, the
+    * Grafana panel-width contract, so the collect is safe by
+    * construction.
+    */
+  def readGrafanaJson(db: String, sensor: String, fromSec: Long,
+                      toSec: Long, maxDataPoints: Int,
+                      targets: Option[Seq[String]] = None): String = {
+    val wanted = targets.getOrElse(store.config(db, sensor).metricNames)
+    val long = readGrafanaShared(db, sensor, fromSec, toSec, maxDataPoints,
+      Some(wanted))
+    val per = long
+      .withColumn("dp", format_string("[%f,%f]",
+        col("value").cast("double"), col("ts_ms").cast("double")))
+      .groupBy(col("metric"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts_ms"), col("dp")))),
+        x => x.getField("dp")), ",").as("dps"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    wanted.map(t =>
+        s"""{"target":"$t","datapoints":[${per.getOrElse(t, "")}]}""")
+      .mkString("[", ",", "]")
   }
 
   /** Grafana-style MEAN downsample: wide `(ts, <metrics...>)` rows, one
@@ -433,7 +517,7 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
       case Some(b) =>
         store.readMeanRollup(db, sensor, b, aligned.get,
             Some(fromSec), Some(toSec))
-          .select((col("ts") +: wanted.map(col)): _*)
+          .select((col("ts") +: wanted.map(graft.core.Cols.q)): _*)
       case None =>
         val dec = org.apache.spark.sql.types.DecimalType(28, 6)
         val wide = store.read(db, sensor, Some(fromSec), Some(toSec),
@@ -448,9 +532,11 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
         // alignment is proven before routing — there the two grids
         // coincide, so the paths stay bitwise-equal.
         val spread = Downsample.spreadOf(fromSec, toSec, maxDataPoints)
-        val aggs = wanted.flatMap(m => Seq(
-          sum(when(!isnan(col(m)), col(m)).cast(dec)).as(s"${m}__sum"),
-          count(when(!isnan(col(m)), col(m))).as(s"${m}__n")))
+        val aggs = wanted.flatMap { m =>
+          val c = graft.core.Cols.q(m)
+          Seq(sum(when(!isnan(c), c).cast(dec)).as(s"${m}__sum"),
+            count(when(!isnan(c), c)).as(s"${m}__n"))
+        }
         wide.withColumn("sec", Grid.tsSeconds(col("ts")))
           .withColumn("cbucket",
             Downsample.bucket(col("sec"), fromSec, spread))
@@ -459,8 +545,9 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
           .select(timestamp_seconds(lit(fromSec) +
               floor(col("cbucket") * lit(spread)).cast("long")).as("ts") +:
             wanted.map(m =>
-              when(col(s"${m}__n") > 0,
-                col(s"${m}__sum").cast("double") / col(s"${m}__n"))
+              when(graft.core.Cols.q(s"${m}__n") > 0,
+                graft.core.Cols.q(s"${m}__sum").cast("double") /
+                  graft.core.Cols.q(s"${m}__n"))
                 .as(m)): _*)
           .orderBy("ts")
     }

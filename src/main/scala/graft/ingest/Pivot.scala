@@ -47,7 +47,8 @@ object Pivot {
   def wideToLong(df: DataFrame, keys: Seq[String], metrics: Seq[String],
                  metricName: String = "metric",
                  valueName: String = "value"): DataFrame =
-    df.unpivot(keys.map(col).toArray, metrics.map(col).toArray,
+    df.unpivot(keys.map(col).toArray,
+        metrics.map(graft.core.Cols.q).toArray,
         metricName, valueName)
       .filter(col(valueName).isNotNull)
 }

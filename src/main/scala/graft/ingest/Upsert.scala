@@ -29,13 +29,14 @@ object Upsert {
             metrics: Seq[String]): DataFrame = {
     // prefix-rename both sides' metric columns so the full-outer join is
     // unambiguous even when the two frames share lineage (self-merge)
+    import graft.core.Cols.q
     val e = existing.select(
-      keys.map(col) ++ metrics.map(m => col(m).as(s"__old_$m")): _*)
+      keys.map(col) ++ metrics.map(m => q(m).as(s"__old_$m")): _*)
     val n = incoming.select(
-      keys.map(col) ++ metrics.map(m => col(m).as(s"__new_$m")): _*)
+      keys.map(col) ++ metrics.map(m => q(m).as(s"__new_$m")): _*)
     val joined = e.join(n, keys, "full_outer")
     val merged = metrics.map { m =>
-      coalesce(denan(col(s"__new_$m")), col(s"__old_$m")).as(m)
+      coalesce(denan(q(s"__new_$m")), q(s"__old_$m")).as(m)
     }
     joined.select(keys.map(col) ++ merged: _*)
   }

@@ -156,6 +156,47 @@ object TsQueries {
           maxDataPoints = 100)
         .orderBy("event_type", "bucket")),
 
+    // The reference's Grafana wire format end-to-end (`server.py:
+    // 461-475`): per target, `{"target":T,"datapoints":[[v,ts_ms]…]}`
+    // with the server's one-boundary-for-all-targets row selection
+    // (the bucket's first grid row, `server.py:444-459`), NaN/absent
+    // cells dropped (`server.py:453-455`), values printed as C "%f"
+    // exactly like the reference's `"[%f,%f]" % (v, dt*1000)`. The
+    // JSON is built IN the engine — format_string + struct-sort +
+    // array_join, all codegen'd string ops, one output row per target
+    // — so a serving tier streams the strings without ever touching
+    // individual datapoints. (Values pass through trunc6 before
+    // formatting so the fixed 6-decimal print is engine-portable.)
+    "grafana_long_json" -> ((s, dir) => {
+      val start = 1704067200L
+      val end = start + 2678400L - 1
+      val t6 = graft.ext.TextStats.trunc6 _
+      val b = base(s, dir)
+        .filter(col("sec").between(start, end))
+        .withColumn("bucket",
+          floor((col("sec") - start) / lit(26784.0)).cast("long"))
+      // the bucket's first grid row — ALL rows advance the boundary,
+      // value-less ones included, exactly like the server loop
+      val fsec = b.groupBy("bucket").agg(min(col("sec")).as("fsec"))
+      b.join(broadcast(fsec), "bucket")
+        .filter(col("sec") === col("fsec") &&
+          col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(min_by(col("value"), col("event_id")).as("v"),
+          min(col("fsec")).as("fs"))
+        .withColumn("dp", format_string("[%f,%f]",
+          t6(col("v")), (col("fs") * 1000).cast("double")))
+        .groupBy(col("event_type"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("fs"), col("dp")))),
+          x => x.getField("dp")), ",").as("dps"))
+        .select(col("event_type").as("target"),
+          concat(lit("{\"target\":\""), col("event_type"),
+            lit("\",\"datapoints\":["), col("dps"), lit("]}"))
+            .as("grafana_json"))
+        .orderBy("target")
+    }),
+
     "long_format_dropna" -> ((s, dir) =>
       Downsample.longFormat(wide(s, dir), Seq("slot", "user_id"), Metrics, "slot")
         .orderBy("metric", "slot", "user_id")),
@@ -493,6 +534,27 @@ object TsQueries {
          |WHERE sec >= 1704067200 AND sec <= ${1704067200L + 2678400L - 1}
          |  AND value IS NOT NULL
          |GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
+
+    "grafana_long_json" ->
+      s"""$BaseCte, rng AS (
+         |  SELECT *, CAST(floor((sec - 1704067200) / 26784.0) AS BIGINT) AS bucket
+         |  FROM base WHERE sec >= 1704067200 AND sec <= ${1704067200L + 2678400L - 1}
+         |), fs AS (
+         |  SELECT bucket, min(sec) AS fsec FROM rng GROUP BY bucket
+         |), v AS (
+         |  SELECT r.event_type, r.bucket, f.fsec,
+         |    min_by(r.value, r.event_id) AS v
+         |  FROM rng r JOIN fs f ON r.bucket = f.bucket AND r.sec = f.fsec
+         |  WHERE r.value IS NOT NULL AND NOT isnan(r.value)
+         |  GROUP BY r.event_type, r.bucket, f.fsec
+         |)
+         |SELECT event_type AS target,
+         |  '{"target":"' || event_type || '","datapoints":[' ||
+         |  coalesce(string_agg(printf('[%f,%f]',
+         |    floor(v * 1000000) / 1000000,
+         |    CAST(fsec * 1000 AS DOUBLE)), ',' ORDER BY fsec), '')
+         |  || ']}' AS grafana_json
+         |FROM v GROUP BY event_type ORDER BY target""".stripMargin,
 
     "downsample_lttb" ->
       s"""$BaseCte, pts AS (

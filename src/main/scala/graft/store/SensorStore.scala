@@ -175,14 +175,26 @@ class SensorStore(spark: SparkSession, baseDir: String) {
       .collect().map(_.getLong(0))
     val existing = readRaw(db, sensor, metrics)
       .filter(col("chunk_start").isin(touched: _*))
-      .select((Seq("chunk_start", "slot") ++ metrics).map(col): _*)
+      .select(Seq("chunk_start", "slot").map(col) ++
+        metrics.map(graft.core.Cols.q): _*)
 
     val merged = Upsert.merge(existing, incoming,
       Seq("chunk_start", "slot"), metrics)
       .withColumn("checksum",
-        RowChecksum.nansum(metrics.map(col)).cast(FloatType))
+        RowChecksum.nansum(metrics.map(graft.core.Cols.q)).cast(FloatType))
       .select(col("chunk_start") +: col("slot") +:
-        metrics.map(m => col(m).cast(FloatType).as(m)) :+ col("checksum"): _*)
+        cfg.metrics.map(m =>
+          // persist the metric's LEVEL TUPLE into the parquet footer
+          // (Spark stores field metadata in the schema key-value) so
+          // the files are self-describing MultiIndex columns for any
+          // external reader. Levels are immutable per metric, so the
+          // metadata is identical across files and mergeSchema-safe;
+          // the MUTABLE level NAMES (set_level_names) deliberately stay
+          // out of the files and attach at read from CONFIG.
+          graft.core.Cols.q(m.name).cast(FloatType).as(m.name,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putStringArray("levels", m.levels.toArray).build()))
+        :+ col("checksum"): _*)
 
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -370,7 +382,8 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     val present = df.columns.toSet
     val cols = metrics.map { m =>
       val md = cfg.metrics.find(_.name == m)
-      val raw = if (present(m)) col(m) else lit(null).cast(FloatType)
+      val raw = if (present(m)) graft.core.Cols.q(m)
+        else lit(null).cast(FloatType)
       (md.flatMap(_.fill), md.flatMap(_.since)) match {
         case (Some(f), Some(since)) =>
           when(col("chunk_start") < since && raw.isNull, lit(f).cast(FloatType))
@@ -411,15 +424,16 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     }
     if (validateChecksums) {
       df = df.filter(RowChecksum.isClose(
-        RowChecksum.nansum(all.map(col)), col("checksum"),
+        RowChecksum.nansum(all.map(graft.core.Cols.q)), col("checksum"),
         rtol = 1e-5, atol = atol))
     }
     // nanForMissing: reference float32 parity — unwritten cells read as
     // NaN instead of null (`database.py:456-461`); storage keeps nulls
     // (parquet RLE compresses them, NaN floats it cannot)
     val outCols = wanted.map { m =>
-      if (nanForMissing) coalesce(col(m), lit(Float.NaN).cast(FloatType)).as(m)
-      else col(m)
+      if (nanForMissing)
+        coalesce(graft.core.Cols.q(m), lit(Float.NaN).cast(FloatType)).as(m)
+      else graft.core.Cols.q(m)
     }
     df.select(timestamp_seconds(col("slot")).cast(TimestampType).as("ts") +:
         outCols: _*)
@@ -511,7 +525,8 @@ class SensorStore(spark: SparkSession, baseDir: String) {
                           chunks: Option[Seq[Long]]): DataFrame = {
     val metrics = config(db, sensor).metricNames
     val aggs = metrics.map(m =>
-      min_by(col(m), when(col(m).isNotNull, col("slot"))).as(m))
+      min_by(graft.core.Cols.q(m),
+        when(graft.core.Cols.q(m).isNotNull, col("slot"))).as(m))
     var raw = readRaw(db, sensor, metrics)
     chunks.foreach(c => raw = raw.filter(col("chunk_start").isin(c: _*)))
     raw.withColumn("bucket", Grid.snapSeconds(col("slot"), bucketSec))
@@ -543,9 +558,11 @@ class SensorStore(spark: SparkSession, baseDir: String) {
                               chunks: Option[Seq[Long]]): DataFrame = {
     val metrics = config(db, sensor).metricNames
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
-    val aggs = metrics.flatMap(m => Seq(
-      sum(when(!isnan(col(m)), col(m)).cast(dec)).as(s"${m}__sum"),
-      count(when(!isnan(col(m)), col(m))).as(s"${m}__n")))
+    val aggs = metrics.flatMap { m =>
+      val c = graft.core.Cols.q(m)
+      Seq(sum(when(!isnan(c), c).cast(dec)).as(s"${m}__sum"),
+        count(when(!isnan(c), c)).as(s"${m}__n"))
+    }
     var raw = readRaw(db, sensor, metrics)
     chunks.foreach(c => raw = raw.filter(col("chunk_start").isin(c: _*)))
     raw.withColumn("bucket", Grid.snapSeconds(col("slot"), bucketSec))
@@ -616,16 +633,17 @@ class SensorStore(spark: SparkSession, baseDir: String) {
       .groupBy(col("cbucket"))
       .agg(
         metrics.flatMap(m => Seq(
-          sum(col(s"${m}__sum")).as(s"${m}__sum"),
-          sum(col(s"${m}__n")).as(s"${m}__n"))).head,
+          sum(graft.core.Cols.q(s"${m}__sum")).as(s"${m}__sum"),
+          sum(graft.core.Cols.q(s"${m}__n")).as(s"${m}__n"))).head,
         metrics.flatMap(m => Seq(
-          sum(col(s"${m}__sum")).as(s"${m}__sum"),
-          sum(col(s"${m}__n")).as(s"${m}__n"))).tail: _*)
+          sum(graft.core.Cols.q(s"${m}__sum")).as(s"${m}__sum"),
+          sum(graft.core.Cols.q(s"${m}__n")).as(s"${m}__n"))).tail: _*)
     merged.select(
       timestamp_seconds(col("cbucket")).cast(TimestampType).as("ts") +:
         metrics.map(m =>
-          when(col(s"${m}__n") > 0,
-            col(s"${m}__sum").cast("double") / col(s"${m}__n")).as(m)): _*)
+          when(graft.core.Cols.q(s"${m}__n") > 0,
+            graft.core.Cols.q(s"${m}__sum").cast("double") /
+              graft.core.Cols.q(s"${m}__n")).as(m)): _*)
       .orderBy("ts")
   }
 
@@ -685,7 +703,8 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     chunks.foreach(c => raw = raw.filter(col("chunk_start").isin(c: _*)))
     val long = Pivot.wideToLong(
       raw.withColumn("bucket", Grid.snapSeconds(col("slot"), bucketSec))
-        .select(col("chunk_start") +: col("bucket") +: metrics.map(col): _*),
+        .select(col("chunk_start") +: col("bucket") +:
+          metrics.map(graft.core.Cols.q): _*),
       Seq("chunk_start", "bucket"), metrics)
     long.filter(!isnan(col("value")))
       .withColumn("bin", floor(col("value") / binWidth).cast("long"))
@@ -742,9 +761,11 @@ class SensorStore(spark: SparkSession, baseDir: String) {
   private def sketchRollupFrame(db: String, sensor: String, bucketSec: Long,
                                 chunks: Option[Seq[Long]]): DataFrame = {
     val metrics = config(db, sensor).metricNames
-    val aggs = metrics.map(m =>
-      hll_sketch_agg(when(!isnan(col(m)), col(m).cast("string")), SketchLgK)
-        .as(s"${m}__hll"))
+    val aggs = metrics.map { m =>
+      val c = graft.core.Cols.q(m)
+      hll_sketch_agg(when(!isnan(c), c.cast("string")), SketchLgK)
+        .as(s"${m}__hll")
+    }
     var raw = readRaw(db, sensor, metrics)
     chunks.foreach(c => raw = raw.filter(col("chunk_start").isin(c: _*)))
     raw.withColumn("bucket", Grid.snapSeconds(col("slot"), bucketSec))
@@ -785,14 +806,16 @@ class SensorStore(spark: SparkSession, baseDir: String) {
       .groupBy(col("cbucket"))
       .agg(
         metrics.map(m =>
-          hll_sketch_estimate(hll_union_agg(col(s"${m}__hll"), false))
+          hll_sketch_estimate(
+            hll_union_agg(graft.core.Cols.q(s"${m}__hll"), false))
             .as(s"${m}_distinct")).head,
         metrics.map(m =>
-          hll_sketch_estimate(hll_union_agg(col(s"${m}__hll"), false))
+          hll_sketch_estimate(
+            hll_union_agg(graft.core.Cols.q(s"${m}__hll"), false))
             .as(s"${m}_distinct")).tail: _*)
     merged.select(
       timestamp_seconds(col("cbucket")).cast(TimestampType).as("ts") +:
-        metrics.map(m => col(s"${m}_distinct")): _*)
+        metrics.map(m => graft.core.Cols.q(s"${m}_distinct")): _*)
       .orderBy("ts")
   }
 
@@ -848,7 +871,7 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     fromSec.foreach(f => df = df.filter(col("bucket") >= f - f % bucketSec))
     toSec.foreach(t => df = df.filter(col("bucket") <= t))
     df.select(timestamp_seconds(col("bucket")).cast(TimestampType).as("ts") +:
-        config(db, sensor).metricNames.map(col): _*)
+        config(db, sensor).metricNames.map(graft.core.Cols.q): _*)
       .orderBy("ts")
   }
 
@@ -857,8 +880,10 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     val cfg = config(db, sensor)
     val tick = cfg.tickSeconds
     val metrics = cfg.metricNames
-    val used = metrics.map(m => col(m).isNotNull && !isnan(col(m)))
-      .reduce(_ || _)
+    val used = metrics.map { m =>
+      val c = graft.core.Cols.q(m)
+      c.isNotNull && !isnan(c)
+    }.reduce(_ || _)
     graft.maint.VerifyStats.stats(
       readRaw(db, sensor, metrics),
       Seq.empty, col("chunk_start"),

@@ -130,6 +130,39 @@ class GraftClientSpec extends SparkSpec {
     assert(c.store.config("test", "mi").metricNames == Seq("A.B.C", "D.E.F"))
   }
 
+  test("TRUE MultiIndex round-trip (test_client.py:172-206): tuples + " +
+       "names survive write→parquet→read; renames apply on the next read") {
+    val dir = Files.createTempDirectory("graft-mi").toString
+    val c = new GraftClient(spark, dir)
+    val metrics = Seq(Seq("A", "B", "C"), Seq("D", "E", "F"))
+    c.createSensor("test", "mi2", "1D", metrics)
+    c.setLevelNames("test", "mi2", Seq("one", "two", "three"))
+    // get_metrics parity: list-of-tuples, not flattened names
+    assert(c.metricTuples("test", "mi2") == metrics)
+    // write through the influx path (dotted field keys are the tuple
+    // columns), read back the dotted-name wide frame
+    c.write(Seq(s"test,circuit=mi2 A.B.C=1,D.E.F=2 ${t0}000000000"))
+    val df = c.readMultiIndex("test", "mi2")
+    val (tuples, names) = c.multiIndex(df)
+    assert(tuples == metrics, s"level tuples lost: $tuples")
+    assert(names == Seq("one", "two", "three"), s"level names lost: $names")
+    assert(df.columns.toSeq == Seq("ts", "A.B.C", "D.E.F"))
+    val row = df.collect().head
+    assert(row.getFloat(1) == 1f && row.getFloat(2) == 2f)
+    // the level tuples are persisted in the parquet FOOTERS themselves
+    // — the files are self-describing without CONFIG.JSON
+    val raw = spark.read.parquet(s"$dir/test/mi2/data")
+    val fABC = raw.schema.fields.find(_.name == "A.B.C").get
+    assert(fABC.metadata.contains("levels") &&
+      fABC.metadata.getStringArray("levels").toSeq == Seq("A", "B", "C"),
+      s"parquet field metadata missing levels: ${fABC.metadata}")
+    // set_level_names touches no data; the NEXT read reports new names
+    // (test_client.py:203-205)
+    c.setLevelNames("test", "mi2", Seq("X", "Y", "Z"))
+    val (_, renamed) = c.multiIndex(c.readMultiIndex("test", "mi2"))
+    assert(renamed == Seq("X", "Y", "Z"))
+  }
+
   test("grafana downsampled read: first value per bucket, long format") {
     val c = freshClient()
     c.createSensor("test", "g", "1s", Seq(Seq("v")))
@@ -408,6 +441,33 @@ class GraftClientSpec extends SparkSpec {
     assert(perTarget.toSeq == Seq(
       ("a", 1f, t0 * 1000), ("a", 3f, (t0 + 5) * 1000),
       ("b", 2f, (t0 + 1) * 1000), ("b", 4f, (t0 + 5) * 1000)))
+  }
+
+  test("grafana wire JSON matches the reference byte format " +
+       "(server.py:461-475): request order, empty target, NaN dropped") {
+    val c = freshClient()
+    c.createSensor("test", "gw", "1s", Seq(Seq("a"), Seq("b"), Seq("c")))
+    // same shared-boundary fixture as above; c is declared but never
+    // written → all-NaN → empty datapoints list, still emitted
+    c.write(Seq(
+      s"test,circuit=gw a=1 ${t0}000000000",
+      s"test,circuit=gw b=2 ${(t0 + 1)}000000000",
+      s"test,circuit=gw a=3,b=4 ${(t0 + 5)}000000000"))
+    val json = c.readGrafanaJson("test", "gw", t0, t0 + 9, 2)
+    val ms0 = s"${t0}000.000000"
+    val ms5 = s"${t0 + 5}000.000000"
+    assert(json ==
+      s"""[{"target":"a","datapoints":[[1.000000,$ms0],[3.000000,$ms5]]},""" +
+      s"""{"target":"b","datapoints":[[4.000000,$ms5]]},""" +
+      s"""{"target":"c","datapoints":[]}]""")
+    // round-trip: the wire string parses back to the shared-boundary rows
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(json).toDS)
+    assert(parsed.count() == 3)
+    val aPts = parsed.filter(col("target") === "a")
+      .select(explode(col("datapoints")).as("dp")).collect()
+      .map(r => (r.getSeq[Double](0)(0), r.getSeq[Double](0)(1).toLong))
+    assert(aPts.toSeq == Seq((1.0, t0 * 1000), (3.0, (t0 + 5) * 1000)))
   }
 
   test("update_metadata replaces the dict; mergeMetadata patches it " +
