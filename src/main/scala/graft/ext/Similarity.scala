@@ -451,11 +451,22 @@ object Similarity {
     */
   def pqCodebook(seeds: DataFrame, idCol: String, vecCol: String,
                  m: Int, subDim: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    // code = position in id order. The codebook is a bounded MODEL
+    // ARTIFACT (ncodes rows), so the id→code map is assigned from a
+    // driver-side sort of the seed ids and broadcast-joined back —
+    // not via an unpartitioned row_number window, whose "No Partition
+    // Defined" warning would cry wolf in every log despite the
+    // provably bounded input.
+    val sp = seeds.sparkSession
+    val ids = seeds.select(col(idCol).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val codes = sp.createDataFrame(
+      ids.toSeq.zipWithIndex.map { case (id, i) => (id, i) })
+      .toDF("__cid", "code")
     seeds.select(col(idCol), normalized(col(vecCol)).as("_nv"))
-      .withColumn("code", row_number().over(w).cast("int") - 1)
-      .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        col("_nv"))
+      .join(broadcast(codes), col(idCol).cast("long") === col("__cid"))
+      .select(col("code").cast("int").as("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("_nv"))
       .withColumn("cvec", slice(col("_nv"),
         col("sub") * subDim + 1, lit(subDim)))
       .select("sub", "code", "cvec")

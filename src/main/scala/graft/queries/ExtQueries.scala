@@ -714,13 +714,20 @@ object ExtQueries {
     // cross-row moment sums are exact decimal (the doc_unigram_logprob
     // recipe); the slope is one fixed-shape float expression at the end.
     "doc_zipf_alpha" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val dec = org.apache.spark.sql.types.DecimalType(18, 12)
       val tok = docs(s, dir).select(explode(split(col("text"), " ")).as("w"))
+      // the top-1000 materializes once (cut: the rank self-join below
+      // references it twice); ranks come from a broadcast ≤1000×1000
+      // before-or-equal count, NOT an unpartitioned row_number window
+      // — same values, no "No Partition Defined" warning in every log
       val top = tok.groupBy("w").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("w")).limit(1000)
-      val ranked = top.withColumn("r",
-        row_number().over(Window.orderBy(col("c").desc, col("w"))))
+        .localCheckpoint(false)
+      val ranked = top.join(
+          broadcast(top.select(col("c").as("bc"), col("w").as("bw"))),
+          col("bc") > col("c") ||
+            (col("bc") === col("c") && col("bw") <= col("w")))
+        .groupBy("w", "c").agg(count(lit(1)).as("r"))
       val agg = ranked
         .select(log(col("r").cast("double")).cast(dec).as("x"),
           log(col("c").cast("double")).cast(dec).as("y"))
