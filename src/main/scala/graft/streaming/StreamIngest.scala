@@ -425,4 +425,48 @@ object StreamIngest {
         }
         ()
       }
+
+  /** The ASSEMBLED streaming write path — the reference's whole ingest
+    * loop (`server.py:214-293`: HTTP influx line → parse → per-sensor
+    * locked write → derived-data refresh) as ONE structured-streaming
+    * entry over any streaming Dataset of raw lines:
+    *
+    *   lines → [[parse]] (malformed lines dropped, missing timestamps
+    *   stamped at batch time) → optional [[dedupPoints]] (bounded-state
+    *   at-least-once dedup) → foreachBatch upsert under the sensor
+    *   WRITER LOCK → incremental rollup refresh.
+    *
+    * Per-batch invariants, each carried by a part this composes:
+    *  - ATOMIC: the micro-batch lands via parquet job commit — a reader
+    *    sees all of a batch's cells or none (`SensorStore.write`);
+    *  - SERIALIZED: `writeLocked` holds the per-sensor lock, so this
+    *    stream, a second stream, and ad-hoc batch writers to the same
+    *    sensor cannot interleave their read-modify-write merges;
+    *  - DERIVED DATA STAYS DERIVED: `write` re-aggregates the touched
+    *    chunk partitions of every materialized rollup inside the same
+    *    call, so after EVERY batch a rollup read equals re-aggregating
+    *    the raw cells — late points included (no pre-upsert value is
+    *    ever served);
+    *  - EFFECTIVELY-ONCE: cell upsert is idempotent (same (slot,
+    *    metric) → same value), so duplicate deliveries from an
+    *    at-least-once source leave the store byte-identical even
+    *    without the dedup stage; `dedupWatermark` additionally spares
+    *    the redundant write work inside the watermark horizon.
+    */
+  def toStore(lines: DataFrame, lineCol: String, store: SensorStore,
+              db: String, sensor: String, fillValue: Double = 0.0,
+              dedupWatermark: Option[String] = None)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val pts = parse(lines, lineCol, db, sensor)
+    val deduped = dedupWatermark.fold(pts)(w => dedupPoints(pts, w))
+    deduped.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          store.writeLocked(db, sensor, batch.toDF(), fillValue)
+        }
+        ()
+      }
+  }
 }

@@ -553,4 +553,76 @@ class StreamIngestSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getLong(2))).toMap
     assert(est("alice") >= 2L && est("bob") >= 1L && est("carol") >= 2L)
   }
+
+  test("toStore assembles parse → locked upsert → rollup refresh: " +
+    "rollups stay consistent after every batch; redelivery is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = Files.createTempDirectory("graft-tostore").toString
+    val store = new SensorStore(spark, dir)
+    store.createSensor(SensorConfig("test", "e2e", "1s",
+      Seq(MetricDef(Seq("active")), MetricDef(Seq("reactive")))))
+    val t0 = 1704067200L
+    // materialize a 60s rollup BEFORE streaming starts — every batch's
+    // write must keep it exact (derived data stays derived)
+    store.write("test", "e2e",
+      Seq((t0, "active", 1.0)).toDF("sec", "metric", "value")
+        .select(timestamp_seconds(col("sec")).as("ts"), col("metric"),
+          col("value")))
+    store.materializeRollup("test", "e2e", 60L)
+
+    def rollupConsistent(): Unit = {
+      // rollup read == re-aggregating the raw cells (first non-null per
+      // 60s bucket) — i.e. no read can see a pre-upsert rollup value
+      val raw = store.read("test", "e2e")
+        .withColumn("bucket", (col("ts").cast("long") -
+          col("ts").cast("long") % 60).cast("long"))
+        .groupBy("bucket")
+        .agg(min_by(col("active"), when(col("active").isNotNull,
+            col("ts"))).as("active"),
+          min_by(col("reactive"), when(col("reactive").isNotNull,
+            col("ts"))).as("reactive"))
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.get(1)), Option(r.get(2)))).toMap
+      val roll = store.readRollup("test", "e2e", 60L)
+        .collect().map(r => r.getTimestamp(0).toInstant.getEpochSecond ->
+          (Option(r.get(1)), Option(r.get(2)))).toMap
+      assert(roll == raw)
+    }
+
+    val src = MemoryStream[String]
+    val query = StreamIngest.toStore(
+      src.toDF().withColumnRenamed("value", "line"), "line",
+      store, "test", "e2e").start()
+    try {
+      src.addData(
+        s"test,circuit=e2e active=9,reactive=10 ${t0 + 120}000000000",
+        s"garbage line that must be dropped",
+        s"test,circuit=e2e active=11 ${(t0 + 125)}000000000")
+      query.processAllAvailable()
+      rollupConsistent() // batch 1 refreshed the touched chunk's rollup
+
+      // batch 2: EXACT redelivery of batch 1 (at-least-once source) + a
+      // LATE point that rewrites an already-rolled-up historical bucket
+      src.addData(
+        s"test,circuit=e2e active=9,reactive=10 ${t0 + 120}000000000",
+        s"test,circuit=e2e active=11 ${(t0 + 125)}000000000",
+        s"test,circuit=e2e reactive=77 ${t0}000000000")
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // effectively-once: redelivered cells left every row byte-identical
+    // (only the late point changed the store)
+    val out = store.read("test", "e2e").collect()
+    val byTs = out.map(r => r.getTimestamp(0).toInstant.getEpochSecond ->
+      (if (r.isNullAt(1)) None else Some(r.getFloat(1)),
+        if (r.isNullAt(2)) None else Some(r.getFloat(2)))).toMap
+    assert(byTs(t0) == (Some(1.0f), Some(77.0f)))       // late cell landed
+    assert(byTs(t0 + 120) == (Some(9.0f), Some(10.0f))) // redelivery: same
+    assert(byTs(t0 + 125) == (Some(11.0f), None))
+    assert(out.length == 3)
+    // the late write refreshed the historical bucket's rollup too
+    rollupConsistent()
+  }
 }
