@@ -157,6 +157,34 @@ object ScaleSanity {
       println(f"[scale] docs 1x=$nd 10x=$bigNd  median_ratio=${docRatios.sorted.apply(docRatios.size / 2)}%5.2f")
     }
 
+    // ---- falsify the substring-runs superlinearity attribution ------
+    // The standard doc replication appends ONE marker token per
+    // replica, so every INTERIOR 8-gram still duplicates 10× across
+    // replicas — the dup-gram table and island-merge output genuinely
+    // grow, which is where the observed ~2.6× per-row ratio was
+    // attributed (real duplication structure, not a plan bug). This
+    // section tests that attribution by eliminating the duplication:
+    // every TOKEN is salted with its replica index, so no 8-gram
+    // crosses replicas and per-replica gram structure matches 1×. If
+    // the attribution is right the salted ratio collapses to ~1×
+    // (10× rows / 10× cost); if it stays high, the gram-window stage
+    // has a real nonlinear term to fix.
+    if (sel(Seq("dedup_substring_runs_salted")).nonEmpty) {
+      val salted = (0 until 10).map { i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text",
+            regexp_replace(col("text"), "(^| )", s"$$1r${i}x"))
+      }.reduce(_ union _)
+      val sdir = tempDir("scalesalt")
+      salted.write.parquet(s"$sdir/documents.parquet")
+      val f = graft.SparkEntry.queries("dedup_substring_runs")
+      val t1 = time(f(spark, "/root/testdata/sf0.1").count())
+      val t10 = time(f(spark, sdir).count())
+      println(f"[scale] substring_runs SALTED 10x  1x=${t1}%6.2fs " +
+        f"10x=${t10}%6.2fs ratio=${t10 / t1}%5.2f " +
+        "(every token replica-salted: no cross-replica 8-grams)")
+    }
+
     // ---- orders 10×: the round-6 relational/CDC passes stay linear --
     // Keys AND custkeys are offset per replica so per-customer window
     // partitions keep their size (the linearity claim is about rows,
