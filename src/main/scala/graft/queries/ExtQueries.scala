@@ -1418,6 +1418,147 @@ object ExtQueries {
           col("rank").cast("long").as("rank"))
         .orderBy("lang", "rank")
     }),
+
+    // MinHash-band decontamination — the sketch-index counterpart of
+    // decontaminate_ngram for when exact gram joins are too wide: a
+    // train doc is dropped when ANY of its LSH bands collides with an
+    // eval doc's band. Reuses the SAME memoized corpus minhash index
+    // the dedup family probes (one signature build, N consumers); the
+    // eval band list is benchmark-sized and rides a size-gated
+    // broadcast semi-join — the corpus band stream never shuffles on
+    // the band key. Band collision over-flags (that is the LSH
+    // contract) — decontamination WANTS one-sided error toward
+    // dropping, never leaking.
+    "decontaminate_minhash" -> ((s, dir) => {
+      val benchMod = PipeQueries.BenchMod
+      val bands = Dedup.bands(minhashOf(s, dir), "doc_id", NumHashes, 1)
+      val evalBands = bands.filter(col("doc_id") % benchMod === 0)
+        .select("band", "band_key").distinct()
+      val bad = bands.filter(col("doc_id") % benchMod =!= 0)
+        .join(TextStats.gatedBroadcast(evalBands),
+          Seq("band", "band_key"), "left_semi")
+        .select("doc_id").distinct()
+      docs(s, dir).filter(col("doc_id") % benchMod =!= 0)
+        .join(bad, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style rule bundle (Rae et al. 2021 §A1.1 flavor) — the
+    // rules quality_rules does NOT cover: minimum stopword evidence,
+    // alphabetic-word fraction, symbol density. One narrow projection
+    // per doc (array lambdas inside codegen, no explode, no shuffle).
+    "quality_gopher" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have",
+        "with")
+      val w = split(col("text"), " ")
+      docs(s, dir).select(col("doc_id"),
+          size(w).cast("long").as("n_words"),
+          size(filter(w, t => lower(t).isInCollection(stops)))
+            .cast("long").as("n_stop"),
+          (size(filter(w, t => t.rlike("[A-Za-z]"))).cast("double") /
+            size(w)).as("af"),
+          ((length(col("text")) -
+            length(regexp_replace(col("text"), lit("#"), lit(""))))
+            .cast("double") / size(w)).as("sf"))
+        .select(col("doc_id"), col("n_words"), col("n_stop"),
+          t6(col("af")).as("alpha_frac"),
+          t6(col("sf")).as("symbol_frac"),
+          (col("n_stop") >= 2).as("r_stop"),
+          (col("af") >= 0.8).as("r_alpha"),
+          (col("sf") <= 0.1).as("r_symbol"),
+          (col("n_stop") >= 2 && col("af") >= 0.8 && col("sf") <= 0.1)
+            .as("gopher_pass"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-doc unigram Shannon entropy (nats) + the type-normalized
+    // variant — the token-diversity quality signal. H = ln n −
+    // (Σ c·ln c)/n so the only cross-row float sum is Σ c·ln c, routed
+    // through DECIMAL(38,18) exactly like the logprob keys
+    // (accumulation order cannot change it). Two hash aggregates,
+    // nothing else.
+    "doc_ngram_entropy" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      val tc = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val ent = log(col("n_tokens").cast("double")) -
+        col("clc").cast("double") / col("n_tokens")
+      tc.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum((col("c").cast("double") * log(col("c").cast("double")))
+            .cast(dec18)).as("clc"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          t6(ent).as("entropy_nats"),
+          when(col("n_types") > 1,
+            t6(ent / log(col("n_types").cast("double"))))
+            .as("entropy_norm"))
+        .orderBy("doc_id")
+    }),
+
+    // Cross-source shared-opening audit: clusters keyed on the
+    // first-5-word fingerprint (boilerplate headers, syndicated leads)
+    // that span more than one source are provenance leaks — the
+    // observability view a corpus owner checks before blaming a single
+    // feed. One map-side-combinable hash aggregate over a narrow
+    // fingerprint projection (the fingerprint is a prefix slice, not a
+    // full-text hash, so the scan stays column-pruned and cheap).
+    "dedup_cross_source" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(array_join(slice(split(col("text"), " "), 1, 5), " "))
+            .as("ch"))
+        .groupBy("ch")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("canonical_id"))
+        .filter(col("n_docs") >= 2)
+        .select(col("ch"), col("canonical_id"), col("n_docs"),
+          col("n_sources"), (col("n_sources") >= 2).as("cross_source"))
+        .orderBy("canonical_id")),
+
+    // Greedy token-budget allocation across sources: sources ranked by
+    // mean quality (distinct-token ratio), filled best-first until the
+    // budget (half the corpus tokens) runs out; the boundary source
+    // gets a fractional take. The rank AND the cumulative sum come
+    // from one triangular join over the |sources|-row table (no
+    // unpartitioned window anywhere) — the source table is bounded by
+    // construction, the fact is touched once.
+    "corpus_token_budget" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val w = split(col("text"), " ")
+      val src = docs(s, dir)
+        .select(col("source"), size(w).cast("long").as("toks"),
+          (size(array_distinct(w)).cast("double") / size(w)).as("q"))
+        .groupBy("source")
+        .agg(sum(col("toks")).as("tokens"),
+          (sum(col("q").cast(dec12)).cast("double") / count(lit(1)))
+            .as("mq"))
+        .localCheckpoint(false) // budget scalar + triangular join share
+      val budget = src.agg(expr("sum(tokens) div 2").as("budget"))
+      val b = src.select(col("source").as("b_source"),
+        col("tokens").as("b_tokens"), col("mq").as("b_mq"))
+      src.join(broadcast(b),
+          col("b_mq") > col("mq") ||
+            (col("b_mq") === col("mq") && col("b_source") <= col("source")))
+        .groupBy("source", "tokens", "mq")
+        .agg(count(lit(1)).as("src_rank"), sum(col("b_tokens")).as("cum_tokens"))
+        .crossJoin(broadcast(budget))
+        .select(col("source"), col("src_rank"), col("tokens"),
+          col("cum_tokens"),
+          when(col("cum_tokens") - col("tokens") >= col("budget"),
+            lit(0.0))
+            .when(col("cum_tokens") <= col("budget"), lit(1.0))
+            .otherwise(t6(
+              (col("budget") - (col("cum_tokens") - col("tokens")))
+                .cast("double") / col("tokens"))).as("take_frac"))
+        .orderBy("src_rank")
+    }),
   )
 
   // ---- oracles -------------------------------------------------------
@@ -2805,6 +2946,106 @@ object ExtQueries {
          |FROM a2 a JOIN qc ON a.cluster = qc.cluster CROSS JOIN q
          |WHERE a.vec_id <> 0
          |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+
+    "decontaminate_minhash" ->
+      s"""$ShingleCtes, evalb AS (
+         |  SELECT DISTINCT band, band_key FROM bd WHERE doc_id % 97 = 0
+         |), bad AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM bd b JOIN evalb e
+         |    ON b.band = e.band AND b.band_key = e.band_key
+         |  WHERE b.doc_id % 97 <> 0
+         |)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 97 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin,
+
+    "quality_gopher" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+        |), m AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(w, t -> lower(t) IN
+        |      ('the','be','to','of','and','that','have','with')))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+        |      AS DOUBLE) / len(w) AS af,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      AS DOUBLE) / len(w) AS sf
+        |  FROM w
+        |)
+        |SELECT doc_id, n_words, n_stop,
+        |  floor(af * 1000000) / 1000000 AS alpha_frac,
+        |  floor(sf * 1000000) / 1000000 AS symbol_frac,
+        |  n_stop >= 2 AS r_stop,
+        |  af >= 0.8 AS r_alpha,
+        |  sf <= 0.1 AS r_symbol,
+        |  (n_stop >= 2 AND af >= 0.8 AND sf <= 0.1) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "doc_ngram_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+        |), tc AS (
+        |  SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w
+        |), g AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_types,
+        |    sum(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |        AS DECIMAL(38,18))) AS clc
+        |  FROM tc GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, n_types,
+        |  floor((ln(CAST(n_tokens AS DOUBLE)) - CAST(clc AS DOUBLE) / n_tokens)
+        |        * 1000000) / 1000000 AS entropy_nats,
+        |  CASE WHEN n_types > 1 THEN
+        |    floor((ln(CAST(n_tokens AS DOUBLE)) - CAST(clc AS DOUBLE) / n_tokens)
+        |          / ln(CAST(n_types AS DOUBLE)) * 1000000) / 1000000
+        |  END AS entropy_norm
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "dedup_cross_source" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS ch
+        |  FROM documents
+        |), g AS (
+        |  SELECT ch, count(*) AS n_docs,
+        |    count(DISTINCT source) AS n_sources,
+        |    min(doc_id) AS canonical_id
+        |  FROM h GROUP BY ch HAVING count(*) >= 2
+        |)
+        |SELECT ch, canonical_id, n_docs, n_sources,
+        |  n_sources >= 2 AS cross_source
+        |FROM g ORDER BY canonical_id""".stripMargin,
+
+    "corpus_token_budget" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS q
+        |  FROM documents
+        |), src AS (
+        |  SELECT source, CAST(sum(toks) AS BIGINT) AS tokens,
+        |    CAST(sum(CAST(q AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mq
+        |  FROM per GROUP BY source
+        |), bud AS (
+        |  SELECT CAST(sum(tokens) AS BIGINT) // 2 AS budget FROM src
+        |), rk AS (
+        |  SELECT a.source, a.tokens, a.mq, count(*) AS src_rank,
+        |    CAST(sum(b.tokens) AS BIGINT) AS cum_tokens
+        |  FROM src a JOIN src b
+        |    ON b.mq > a.mq OR (b.mq = a.mq AND b.source <= a.source)
+        |  GROUP BY a.source, a.tokens, a.mq
+        |)
+        |SELECT source, src_rank, tokens, cum_tokens,
+        |  CASE WHEN cum_tokens - tokens >= budget THEN CAST(0.0 AS DOUBLE)
+        |       WHEN cum_tokens <= budget THEN CAST(1.0 AS DOUBLE)
+        |       ELSE floor(CAST(budget - (cum_tokens - tokens) AS DOUBLE)
+        |                  / tokens * 1000000) / 1000000 END AS take_frac
+        |FROM rk CROSS JOIN bud ORDER BY src_rank""".stripMargin,
   )
 
   /** Shared simhash CTE: `sh(doc_id, simhash)` — byte-identical to

@@ -25,7 +25,7 @@ object PipeQueries {
 
   // benchmark split for decontamination: every 97th doc plays the role
   // of the held-out eval set
-  private val BenchMod = 97
+  private[queries] val BenchMod = 97
 
   /** Shared end-to-end curation verdict frame: per doc, split label +
     * quality / canonicality / span / decontamination verdicts + kept.
@@ -922,6 +922,167 @@ object PipeQueries {
             sum(col("o_totalprice").cast(Dec)).cast("double") /
               count(lit(1))).as("mean_price"))
         .orderBy("o_orderpriority", "decile")
+    }),
+
+    // RFM customer segmentation — recency / frequency / monetary
+    // quartile scores, the CRM workhorse. Customer-grain moments come
+    // from ONE hash aggregate over orders; each dimension's GLOBAL
+    // quartile comes from Quantiles.bucketedRank with an empty group
+    // key (range-partitioned two-pass rank — customer grain is still
+    // billions of rows at 100 TB, so no `ntile(4) OVER (ORDER BY …)`
+    // single-task window anywhere) + the closed-form ntile arithmetic.
+    // Output is the ≤64-cell segment table with decimal-exact means.
+    "orders_rfm_segments" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val maxd = Tables.load(s, dir, "orders")
+        .agg(max(col("o_orderdate")).as("maxd"))
+      val rfm = Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(max(col("o_orderdate")).as("lastd"),
+          count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast(Dec)).as("mon"))
+        .crossJoin(broadcast(maxd))
+        .select(col("o_custkey"),
+          datediff(col("maxd"), col("lastd")).cast("long").as("rec"),
+          col("freq"), col("mon"),
+          (-col("freq")).as("negf"), negate(col("mon")).as("negm"))
+        .localCheckpoint(false) // three rank passes share one build
+      def q(valueCol: String, rng: (Double, Double), out: String) =
+        graft.operators.Quantiles.bucketedRank(
+          rfm.select("o_custkey", valueCol), Seq.empty, valueCol,
+          "o_custkey", range = Some(rng))
+          .select(col("o_custkey"), graft.operators.Quantiles
+            .ntileFromRank(col("__rank"), col("__n"), 4).as(out))
+      // score 1 = best: most recent / most orders / highest spend
+      rfm.join(q("rec", (0.0, 3000.0), "r_score"), "o_custkey")
+        .join(q("negf", (-1000.0, 0.0), "f_score"), "o_custkey")
+        .join(q("negm", (-1e8, 0.0), "m_score"), "o_custkey")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"),
+          t6(sum(col("mon")).cast("double") / count(lit(1)))
+            .as("avg_monetary"))
+        .orderBy("r_score", "f_score", "m_score")
+    }),
+
+    // DAU / trailing-7-day WAU / stickiness per day. The fact
+    // collapses to the (user, day) grain FIRST (one distinct — the
+    // only corpus-scale shuffle); the trailing-window distinct is the
+    // standard contribution-expansion: each user-day contributes to
+    // days d..d+6 (bounded 7× of the DAY-GRAIN rows, not the fact),
+    // distinct again, count. No self-join of the fact, no 7-day
+    // re-scan per output day.
+    "events_dau_wau" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val ud = TsQueries.base(s, dir)
+        .select(expr("sec div 86400").as("day"), col("user_id"))
+        .distinct()
+        .localCheckpoint(false) // dau + expansion share the distinct
+      val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("user_id"))
+        .distinct()
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day") // inner: only days with observed activity
+        .select(col("day"), col("dau"), col("wau"),
+          t6(col("dau").cast("double") / col("wau")).as("stickiness"))
+        .orderBy("day")
+    }),
+
+    // Funnel latency by signup-day cohort: per user the first signup
+    // and first subsequent purchase (two filtered min-aggregates — no
+    // window over the fact), then conversion counts + interpolated
+    // p50/p90 delays per cohort day via the engine-portable
+    // interpByRank (cohort-day partitions grow with the time range,
+    // not a fixed handful).
+    "events_funnel_time" -> ((s, dir) => {
+      val b = TsQueries.base(s, dir)
+      val sign = b.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("sec")).as("s_sec"))
+      val purch = b.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("sec")).as("p_sec"))
+      val conv = sign.join(purch, Seq("user_id"), "left")
+        .select(col("user_id"), expr("s_sec div 86400").as("signup_day"),
+          when(col("p_sec") >= col("s_sec"), col("p_sec") - col("s_sec"))
+            .as("delay"))
+        .localCheckpoint(false) // counts + quantiles share it
+      val qs = graft.operators.Quantiles.interpByRank(
+        conv.filter(col("delay").isNotNull),
+        Seq("signup_day"), "delay", "user_id", Seq(50, 90))
+        .select(col("signup_day"), col("q50").as("p50_delay_sec"),
+          col("q90").as("p90_delay_sec"))
+      conv.groupBy("signup_day")
+        .agg(count(lit(1)).as("n_signups"),
+          count(col("delay")).as("n_converted"))
+        .join(qs, Seq("signup_day"), "left")
+        .orderBy("signup_day")
+    }),
+
+    // Top first-3-event paths — the onboarding-flow audit. Per-user
+    // event history gathers in ONE hash aggregate (collect_list +
+    // array_sort — session-sized payloads, no per-user window sort
+    // pass), the path is a narrow slice+join projection, and the
+    // final top-10 is a TakeOrdered over the bounded path-count table.
+    "events_top_paths" -> ((s, dir) =>
+      TsQueries.base(s, dir)
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(struct(
+          col("sec"), col("event_id"), col("event_type")))).as("evs"))
+        .select(array_join(transform(slice(col("evs"), 1, 3),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(10)),
+
+    // Per-metric Gini concentration of user activity ("do a few users
+    // generate most events?"). User-grain counts from one hash
+    // aggregate; the per-metric ascending rank comes from
+    // bucketedRank (never a 5-partition window over user rows); the
+    // Gini closed form needs only Σrank·cnt — routed through DECIMAL
+    // so the billion-user dot product cannot overflow or reorder.
+    "events_user_gini" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec0 = DecimalType(38, 0)
+      val uc = TsQueries.base(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.Quantiles.bucketedRank(
+        uc, Seq("event_type"), "cnt", "user_id",
+        range = Some((0.0, 100000.0)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cnt")).as("tot"),
+          sum((col("__rank") * col("cnt")).cast(dec0)).as("rc"))
+        .select(col("event_type"), col("n_users"),
+          t6((col("rc").cast("double") * 2) /
+            (col("n_users").cast("double") * col("tot").cast("double")) -
+            (col("n_users") + 1).cast("double") / col("n_users"))
+            .as("gini"))
+        .orderBy("event_type")
+    }),
+
+    // Inter-order gap analytics per market segment: the lag window
+    // partitions on o_custkey (high-cardinality — each task holds a
+    // customer's short history, never a segment), gaps then roll up
+    // through one join + one hash aggregate with decimal mean sums.
+    "orders_interorder_gap" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = Tables.load(s, dir, "orders")
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("o_custkey"),
+          datediff(col("o_orderdate"), col("prev")).cast("long")
+            .as("gap_days"))
+      gaps.join(Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_gaps"),
+          t6(sum(col("gap_days").cast(Dec)).cast("double") /
+            count(lit(1))).as("avg_gap_days"),
+          max(col("gap_days")).as("max_gap_days"))
+        .orderBy("c_mktsegment")
     }),
   )
 
@@ -1893,5 +2054,134 @@ object PipeQueries {
         |        / count(*) * 1000000) / 1000000 AS mean_price
         |FROM d GROUP BY o_orderpriority, decile
         |ORDER BY o_orderpriority, decile""".stripMargin,
+
+    "orders_rfm_segments" ->
+      """WITH maxd AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        |rfm AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |                   CAST(maxd AS DATE)) AS BIGINT) AS rec,
+        |    count(*) AS freq,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS mon
+        |  FROM orders CROSS JOIN maxd GROUP BY o_custkey, maxd
+        |), scored AS (
+        |  SELECT mon,
+        |    ntile(4) OVER (ORDER BY rec, o_custkey) AS r_score,
+        |    ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+        |    ntile(4) OVER (ORDER BY mon DESC, o_custkey) AS m_score
+        |  FROM rfm
+        |)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+        |  floor(CAST(sum(mon) AS DOUBLE) / count(*) * 1000000) / 1000000
+        |    AS avg_monetary
+        |FROM scored GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
+
+    "events_dau_wau" -> {
+      s"""$BaseCte, ud AS (
+         |  SELECT DISTINCT sec // 86400 AS day, user_id FROM base
+         |), dau AS (
+         |  SELECT day, count(*) AS dau FROM ud GROUP BY day
+         |), c AS (
+         |  SELECT DISTINCT t.day, user_id
+         |  FROM ud, unnest(generate_series(ud.day, ud.day + 6)) AS t(day)
+         |), wau AS (
+         |  SELECT day, count(*) AS wau FROM c GROUP BY day
+         |)
+         |SELECT d.day, d.dau, w.wau,
+         |  floor(CAST(d.dau AS DOUBLE) / w.wau * 1000000) / 1000000
+         |    AS stickiness
+         |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin
+    },
+
+    "events_funnel_time" -> {
+      s"""$BaseCte, s AS (
+         |  SELECT user_id, min(sec) AS s_sec FROM base
+         |  WHERE event_type = 'signup' GROUP BY user_id
+         |), p AS (
+         |  SELECT user_id, min(sec) AS p_sec FROM base
+         |  WHERE event_type = 'purchase' GROUP BY user_id
+         |), conv AS (
+         |  SELECT s.user_id, s.s_sec // 86400 AS signup_day,
+         |    CASE WHEN p.p_sec >= s.s_sec THEN p.p_sec - s.s_sec END
+         |      AS delay
+         |  FROM s LEFT JOIN p ON s.user_id = p.user_id
+         |), r AS (
+         |  SELECT signup_day, delay,
+         |    row_number() OVER (PARTITION BY signup_day
+         |                       ORDER BY delay, user_id) AS rn,
+         |    count(*) OVER (PARTITION BY signup_day) AS n
+         |  FROM conv WHERE delay IS NOT NULL
+         |), q AS (
+         |  SELECT signup_day,
+         |    max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN delay END)
+         |      AS lo50,
+         |    max(CASE WHEN rn = (50 * (n - 1)) // 100 + 2 THEN delay END)
+         |      AS hi50,
+         |    max(((50 * (n - 1)) % 100) / CAST(100 AS DOUBLE)) AS f50,
+         |    max(CASE WHEN rn = (90 * (n - 1)) // 100 + 1 THEN delay END)
+         |      AS lo90,
+         |    max(CASE WHEN rn = (90 * (n - 1)) // 100 + 2 THEN delay END)
+         |      AS hi90,
+         |    max(((90 * (n - 1)) % 100) / CAST(100 AS DOUBLE)) AS f90
+         |  FROM r GROUP BY signup_day
+         |), agg AS (
+         |  SELECT signup_day, count(*) AS n_signups,
+         |    count(delay) AS n_converted
+         |  FROM conv GROUP BY signup_day
+         |)
+         |SELECT a.signup_day, a.n_signups, a.n_converted,
+         |  lo50 + (coalesce(hi50, lo50) - lo50) * f50 AS p50_delay_sec,
+         |  lo90 + (coalesce(hi90, lo90) - lo90) * f90 AS p90_delay_sec
+         |FROM agg a LEFT JOIN q ON a.signup_day = q.signup_day
+         |ORDER BY a.signup_day""".stripMargin
+    },
+
+    "events_top_paths" ->
+      s"""$BaseCte, paths AS (
+         |  SELECT array_to_string(
+         |    (list(event_type ORDER BY sec, event_id))[1:3], '>') AS path
+         |  FROM base GROUP BY user_id
+         |)
+         |SELECT path, count(*) AS n_users FROM paths GROUP BY path
+         |ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
+
+    "events_user_gini" ->
+      s"""$BaseCte, uc AS (
+         |  SELECT event_type, user_id, count(*) AS cnt FROM base
+         |  GROUP BY event_type, user_id
+         |), r AS (
+         |  SELECT event_type, cnt,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY cnt, user_id) AS rnk
+         |  FROM uc
+         |), g AS (
+         |  SELECT event_type, count(*) AS n_users, sum(cnt) AS tot,
+         |    sum(CAST(rnk * cnt AS DECIMAL(38,0))) AS rc
+         |  FROM r GROUP BY event_type
+         |)
+         |SELECT event_type, n_users,
+         |  floor((CAST(rc AS DOUBLE) * 2
+         |         / (CAST(n_users AS DOUBLE) * CAST(tot AS DOUBLE))
+         |         - CAST(n_users + 1 AS DOUBLE) / n_users)
+         |        * 1000000) / 1000000 AS gini
+         |FROM g ORDER BY event_type""".stripMargin,
+
+    "orders_interorder_gap" ->
+      """WITH gaps AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day',
+        |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        |  FROM orders
+        |)
+        |SELECT c_mktsegment, count(*) AS n_gaps,
+        |  floor(CAST(sum(CAST(gap_days AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*) * 1000000) / 1000000 AS avg_gap_days,
+        |  max(gap_days) AS max_gap_days
+        |FROM gaps JOIN customer ON o_custkey = c_custkey
+        |WHERE gap_days IS NOT NULL
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

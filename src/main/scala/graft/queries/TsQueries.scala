@@ -447,6 +447,115 @@ object TsQueries {
         day0, day0 + 86400 - Tick, Tick)
         .orderBy("user_id", "slot")
     }),
+
+    // Per-series OLS trend (slope/intercept/R²) in ONE map-side-
+    // combinable hash aggregation — no window, no sort, no second
+    // scan: the five moment sums (Σx, Σy, Σxy, Σx², Σy²) route
+    // through DECIMAL so accumulation order cannot change them, then
+    // the closed-form line fit is a fixed-shape float expression over
+    // the 5-row aggregate. x is seconds since the epoch floor so the
+    // decimal products stay small; slope reports per-day units.
+    "ts_ols_trend" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val x0 = 1704067200L
+      val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val b = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .select((col("sec") - x0).as("x"), col("value").as("y"),
+          col("event_type"))
+      val g = b.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec0)).cast("double").as("sx"),
+        sum(col("y").cast(dec6)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dec6)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec0)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec12)).cast("double").as("syy"))
+      g.withColumn("cov", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .withColumn("slope", col("cov") / col("vx"))
+        .select(col("event_type"), col("n"),
+          t6(col("slope") * 86400).as("slope_per_day"),
+          t6((col("sy") - col("slope") * col("sx")) / col("n"))
+            .as("intercept"),
+          t6(col("cov") * col("cov") / (col("vx") * col("vy"))).as("r2"))
+        .orderBy("event_type")
+    }),
+
+    // Max drawdown per series — the running-max shortfall audit. The
+    // raw stream COLLAPSES to the 5-min slot grid first (one hash
+    // aggregate, decimal slot means), so the per-series prefix window
+    // runs over the bounded slot series — time-range/Tick rows per
+    // series, the same slot-collapse-first discipline as STL/SAX —
+    // never over raw events. Trough slot is recovered by a broadcast
+    // join of the 5-row per-series max back onto the slot series.
+    "ts_drawdown" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("slot")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val slots = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("event_type", "slot")
+        .agg((sum(col("value").cast(dec6)).cast("double") /
+          count(lit(1))).as("v"))
+      val dd = slots
+        .withColumn("peak", max(col("v")).over(w))
+        .withColumn("dd", col("peak") - col("v"))
+        .localCheckpoint(false) // max table + trough probe share it
+      val maxdd = dd.groupBy("event_type")
+        .agg(count(lit(1)).as("n_slots"), max(col("dd")).as("mdd"))
+      dd.join(broadcast(maxdd), "event_type")
+        .filter(col("dd") === col("mdd"))
+        .groupBy(col("event_type"), col("n_slots"), col("mdd"))
+        .agg(min(col("slot")).as("trough_slot"))
+        .select(col("event_type"), col("n_slots"),
+          t6(col("mdd")).as("max_drawdown"), col("trough_slot"))
+        .orderBy("event_type")
+    }),
+
+    // Bollinger bands over the slot-collapsed series: trailing-20-slot
+    // mean ± 2σ with DECIMAL frame sums (the STL moving-average
+    // discipline — float frame re-aggregation order can differ across
+    // engines, decimal addition cannot), breakout counts and mean band
+    // width per series. Windows partition on (event_type) over the
+    // bounded slot grid only.
+    "ts_bollinger" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val wSeries = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("slot")
+      val w20 = wSeries.rowsBetween(-19, 0)
+      val slots = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("event_type", "slot")
+        .agg((sum(col("value").cast(dec6)).cast("double") /
+          count(lit(1))).as("v"))
+      slots
+        .withColumn("rn", row_number().over(wSeries))
+        .withColumn("s20", sum(col("v").cast(dec6)).over(w20))
+        .withColumn("ss20",
+          sum((col("v") * col("v")).cast(dec12)).over(w20))
+        .filter(col("rn") >= 20)
+        .withColumn("mb", col("s20").cast("double") / 20)
+        .withColumn("sd", sqrt(greatest(
+          col("ss20").cast("double") / 20 - col("mb") * col("mb"),
+          lit(0.0))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_windows"),
+          count(when(col("v") > col("mb") + col("sd") * 2, 1))
+            .as("n_above"),
+          count(when(col("v") < col("mb") - col("sd") * 2, 1))
+            .as("n_below"),
+          t6(sum((lit(4) * col("sd")).cast(dec12)).cast("double") /
+            count(lit(1))).as("mean_bandwidth"))
+        .orderBy("event_type")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -932,5 +1041,86 @@ object TsQueries {
          |  CAST(string_split(string_split(line, ' ')[2], '=')[2] AS DOUBLE) AS value,
          |  CAST(string_split(line, ' ')[3] AS BIGINT) // 1000000000 AS ts_sec
          |FROM lines ORDER BY event_id""".stripMargin,
+
+    "ts_ols_trend" ->
+      s"""$BaseCte, b AS (
+         |  SELECT event_type, sec - 1704067200 AS x, value AS y FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |), g AS (
+         |  SELECT event_type, count(*) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+         |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(y * y AS DECIMAL(38,12))) AS DOUBLE) AS syy
+         |  FROM b GROUP BY event_type
+         |), f AS (
+         |  SELECT event_type, n,
+         |    n * sxy - sx * sy AS cov,
+         |    n * sxx - sx * sx AS vx,
+         |    n * syy - sy * sy AS vy,
+         |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         |    sx, sy
+         |  FROM g
+         |)
+         |SELECT event_type, n,
+         |  floor(slope * 86400 * 1000000) / 1000000 AS slope_per_day,
+         |  floor((sy - slope * sx) / n * 1000000) / 1000000 AS intercept,
+         |  floor(cov * cov / (vx * vy) * 1000000) / 1000000 AS r2
+         |FROM f ORDER BY event_type""".stripMargin,
+
+    "ts_drawdown" ->
+      s"""$BaseCte, slots AS (
+         |  SELECT event_type, slot,
+         |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS v
+         |  FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY event_type, slot
+         |), dd AS (
+         |  SELECT event_type, slot, v,
+         |    max(v) OVER (PARTITION BY event_type ORDER BY slot
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - v AS dd
+         |  FROM slots
+         |), m AS (
+         |  SELECT event_type, count(*) AS n_slots, max(dd) AS mdd
+         |  FROM dd GROUP BY event_type
+         |)
+         |SELECT d.event_type, m.n_slots,
+         |  floor(m.mdd * 1000000) / 1000000 AS max_drawdown,
+         |  min(d.slot) AS trough_slot
+         |FROM dd d JOIN m ON d.event_type = m.event_type AND d.dd = m.mdd
+         |GROUP BY d.event_type, m.n_slots, m.mdd
+         |ORDER BY d.event_type""".stripMargin,
+
+    "ts_bollinger" ->
+      s"""$BaseCte, slots AS (
+         |  SELECT event_type, slot,
+         |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS v
+         |  FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY event_type, slot
+         |), w AS (
+         |  SELECT event_type, slot, v,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY slot) AS rn,
+         |    sum(CAST(v AS DECIMAL(28,6))) OVER (
+         |      PARTITION BY event_type ORDER BY slot
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s20,
+         |    sum(CAST(v * v AS DECIMAL(38,12))) OVER (
+         |      PARTITION BY event_type ORDER BY slot
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS ss20
+         |  FROM slots
+         |), bands AS (
+         |  SELECT event_type, v,
+         |    CAST(s20 AS DOUBLE) / 20 AS mb,
+         |    sqrt(greatest(CAST(ss20 AS DOUBLE) / 20
+         |      - (CAST(s20 AS DOUBLE) / 20) * (CAST(s20 AS DOUBLE) / 20),
+         |      CAST(0 AS DOUBLE))) AS sd
+         |  FROM w WHERE rn >= 20
+         |)
+         |SELECT event_type, count(*) AS n_windows,
+         |  count(CASE WHEN v > mb + sd * 2 THEN 1 END) AS n_above,
+         |  count(CASE WHEN v < mb - sd * 2 THEN 1 END) AS n_below,
+         |  floor(CAST(sum(CAST(sd * 4 AS DECIMAL(38,12))) AS DOUBLE)
+         |        / count(*) * 1000000) / 1000000 AS mean_bandwidth
+         |FROM bands GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
