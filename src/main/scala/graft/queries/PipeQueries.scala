@@ -1045,6 +1045,9 @@ object PipeQueries {
       val uc = TsQueries.base(s, dir)
         .groupBy("event_type", "user_id")
         .agg(count(lit(1)).as("cnt"))
+        // the two-pass rank references its input twice (bucket counts +
+        // rank join); cut the aggregate so the fact is scanned ONCE
+        .localCheckpoint(false)
       graft.operators.Quantiles.bucketedRank(
         uc, Seq("event_type"), "cnt", "user_id",
         range = Some((0.0, 100000.0)))

@@ -79,7 +79,13 @@ object ScaleSanity {
       // round-8: slot-collapse-first series passes (MA frame window;
       // PAA segmentation) — series-scale after the first aggregate —
       // and the one-pass two-arm experiment readout
-      "ts_stl_decompose", "ts_sax_symbols", "events_ab_lift")
+      "ts_stl_decompose", "ts_sax_symbols", "events_ab_lift",
+      // round-9: one-agg trend fit, slot-collapsed drawdown/bands,
+      // day-grain rolling actives, cohort funnels, path top-k,
+      // bucketed-rank Gini, engine-built Grafana JSON
+      "ts_ols_trend", "ts_drawdown", "ts_bollinger", "events_dau_wau",
+      "events_funnel_time", "events_top_paths", "events_user_gini",
+      "grafana_long_json")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -136,7 +142,11 @@ object ScaleSanity {
       "multimodal_dims",
       // round-8: bigram-LM scoring — three count aggs + gated joins,
       // all linear in corpus tokens — and the one-window loss weights
-      "doc_bigram_logprob", "dedup_loss_weights")
+      "doc_bigram_logprob", "dedup_loss_weights",
+      // round-9 linear doc passes: rule bundle, entropy, fingerprint
+      // audit, budget fill, minhash decontamination
+      "quality_gopher", "doc_ngram_entropy", "dedup_cross_source",
+      "corpus_token_budget", "decontaminate_minhash")
     val docPicks = sel(allDocPicks)
     if (docPicks.nonEmpty) {
       val nd = docs.count()
@@ -199,7 +209,11 @@ object ScaleSanity {
       // round-8: per-priority NTILE and the Pareto curve — partitions
       // grow 10× in rows (sort-based within class), count stays 5;
       // must track n·log n
-      "orders_ntile_deciles", "orders_pareto_share"))
+      "orders_ntile_deciles", "orders_pareto_share",
+      // round-9: bucketed-rank RFM quartiles — custkeys offset per
+      // replica, so quartile-table cardinality grows with rows and
+      // per-customer history stays put
+      "orders_rfm_segments"))
     if (ordPicks.nonEmpty) {
       val no = ord.count()
       val bigOrd = (0 until 10).map { i =>
@@ -237,7 +251,11 @@ object ScaleSanity {
       "q12_late_shipping", "q15_top_supplier", "q8_market_share",
       "q9_profit_by_nation", "q20_dominant_supplier",
       "q21_sole_late_supplier", "q2_min_price_supplier",
-      "q11_important_stock"))
+      "q11_important_stock",
+      // round-9: customer-lag gaps (needs the copied customer dim;
+      // same-custkey replicas grow each history 10× — the lag window
+      // must track that, never the segment count)
+      "orders_interorder_gap"))
     if (tpchPicks.nonEmpty) {
       val li0 = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
       val nl = li0.count()

@@ -787,4 +787,154 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"q21 global-sorts:\n$p")
     assert(!p.contains("CartesianProduct"), s"q21 grew a cartesian:\n$p")
   }
+
+  // ---- round 9 --------------------------------------------------------
+
+  test("ts_ols_trend: ONE hash aggregation — no window, no join, one " +
+    "events scan") {
+    val p = plan("ts_ols_trend")
+    assert(!p.contains("Window"), s"OLS grew a window:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"trend fit must be one scan:\n$p")
+    assert(!p.contains("Join"), s"OLS grew a join:\n$p")
+  }
+
+  test("ts_drawdown: the slot-collapsed series materializes ONCE (max " +
+    "table + trough probe share it); the max table broadcasts") {
+    val p = plan("ts_drawdown")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"max scalar + trough probe must read the one slot series:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"max probe degraded to SMJ:\n$p")
+  }
+
+  test("ts_bollinger: windows run over the slot-COLLAPSED series (one " +
+    "events scan, aggregate below the window)") {
+    val p = plan("ts_bollinger")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"bollinger must scan events once:\n$p")
+    // the collapse aggregate keys on (event_type, slot) below the window
+    assert(p.contains("Keys [2]"), s"slot collapse missing:\n$p")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("orders_rfm_segments: no ntile window anywhere; every " +
+    "row_number is bucket-partitioned; the fact materializes once") {
+    val p = plan("orders_rfm_segments")
+    assert(!p.contains("ntile("), s"a global NTILE window crept in:\n$p")
+    val rnLines = p.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rnLines.nonEmpty && rnLines.forall(_.contains("__bucket")),
+      s"a row_number window is not bucket-partitioned:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("orders.parquet")) == 0,
+      s"orders leaked past the rfm checkpoint:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"offset join degraded to SMJ:\n$p")
+  }
+
+  test("events_dau_wau: day-grain distinct materializes once; the " +
+    "trailing-window expansion reads it, never the fact") {
+    val p = plan("events_dau_wau")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the user-day checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"dau + expansion must read the one user-day table:\n$p")
+    assert(p.contains("Generate") && p.contains("explode"),
+      s"contribution expansion missing:\n$p")
+  }
+
+  test("events_funnel_time: per-user firsts materialize once; counts + " +
+    "quantiles share them; cohort windows never touch the fact") {
+    val p = plan("events_funnel_time")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the conv checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"counts + quantiles must read the one conv table:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_top_paths: one collect+sort aggregation pass — no " +
+    "per-user window sort; top-10 is TakeOrdered") {
+    val p = plan("events_top_paths")
+    assert(!p.contains("Window"), s"paths grew a window sort:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"paths must scan events once:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 global-sorts:\n$p")
+  }
+
+  test("events_user_gini: user-count aggregate materializes once; the " +
+    "rank window is bucket-partitioned") {
+    val p = plan("events_user_gini")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the user-count checkpoint:\n$p")
+    val rnLine = p.linesIterator.find(_.contains("row_number()"))
+    assert(rnLine.exists(_.contains("__bucket")),
+      s"rank window not bucket-partitioned:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"offset join degraded to SMJ:\n$p")
+  }
+
+  test("orders_interorder_gap: the lag window partitions on the " +
+    "high-cardinality customer key, never the segment") {
+    val p = plan("orders_interorder_gap")
+    val lagLine = p.linesIterator.find(_.contains("lag("))
+    assert(lagLine.exists(_.contains("o_custkey")),
+      s"lag window not customer-partitioned:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("orders.parquet")) == 1,
+      s"gap pass must scan orders once:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("decontaminate_minhash: eval bands probe via semi join, the " +
+    "verdict is an anti join — the corpus band stream never self-joins") {
+    val p = plan("decontaminate_minhash")
+    assert(p.contains("LeftSemi"), s"band probe must be a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"verdict must be an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quality_gopher: a pure narrow projection — no aggregate, no " +
+    "window, no join; only the output sort exchanges") {
+    val p = plan("quality_gopher")
+    assert(!p.contains("HashAggregate") && !p.contains("Window") &&
+      !p.contains("Join"), s"gopher rules must stay narrow:\n$p")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+      s"only the output sort may exchange:\n$p")
+  }
+
+  test("doc_ngram_entropy: two hash aggregations, no window, one " +
+    "documents scan") {
+    val p = plan("doc_ngram_entropy")
+    assert(!p.contains("Window"), p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 1,
+      s"entropy must scan documents once:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dedup_cross_source: fingerprint audit is one aggregation over " +
+    "a narrow projection — no window, no join") {
+    val p = plan("dedup_cross_source")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 1,
+      s"audit must scan documents once:\n$p")
+  }
+
+  test("corpus_token_budget: rank + cumulative come from the bounded " +
+    "triangular join — no window operator; the fact materializes once") {
+    val p = plan("corpus_token_budget")
+    assert(!p.contains("Window"), s"budget fill grew a window:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the source checkpoint:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the triangular join must broadcast the bounded source table:\n$p")
+  }
+
+  test("grafana_long_json: boundary table broadcasts back onto the " +
+    "bucketed stream; the JSON assembles in two aggregation passes") {
+    val p = plan("grafana_long_json")
+    // bucket-boundary pass + join pass: the two documented scans
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 2,
+      s"expected the boundary + join scans only:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"boundary table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
