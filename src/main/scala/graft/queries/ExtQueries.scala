@@ -1559,6 +1559,78 @@ object ExtQueries {
                 .cast("double") / col("tokens"))).as("take_frac"))
         .orderBy("src_rank")
     }),
+
+    // Cluster-label purity of the fitted k-means cells — the audit a
+    // pipeline runs before trusting an IVF index or SemDeDup cells:
+    // low purity on a weakly clustered corpus is itself the signal.
+    // One broadcast-centroid assignment pass (shared construction with
+    // kmeans_fit_assign), then windows over the bounded k×labels
+    // count table only.
+    "similar_cluster_purity" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t6 = TextStats.trunc6 _
+      val assigned = Similarity.assignToCentroids(emb(s, dir), "vec_id",
+        "embedding", kmeansCentsOf(s, dir))
+      val cl = assigned
+        .join(emb(s, dir).select(col("vec_id"),
+          col("label").cast("long").as("label")), "vec_id")
+        .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      val wTot = Window.partitionBy("cluster")
+      val wTop = Window.partitionBy("cluster")
+        .orderBy(col("n").desc, col("label"))
+      cl.withColumn("n_vecs", sum(col("n")).over(wTot))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("n_vecs"),
+          col("label").as("top_label"),
+          t6(col("n").cast("double") / col("n_vecs")).as("purity"))
+        .orderBy("cluster")
+    }),
+
+    // Source-level vocabulary overlap matrix: per-pair Jaccard of the
+    // DISTINCT token sets — the corpus-mixing diagnostic ("are these
+    // feeds the same crawl?"). The join is TOKEN-bucketed over the
+    // (source, token) distinct table (vocab-scale, never doc-pair);
+    // per token at most |sources|² pair rows exist, and |sources| is
+    // bounded, so the pair stage is vocab × a constant.
+    "doc_jaccard_sources" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val sv = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+        .localCheckpoint(false) // sizes + pair join share the distinct
+      val sizes = sv.groupBy("source").agg(count(lit(1)).as("n"))
+      val a = sv.select(col("source").as("a_source"), col("w"))
+      val b = sv.select(col("source").as("b_source"), col("w"))
+      a.join(b, "w").filter(col("a_source") < col("b_source"))
+        .groupBy("a_source", "b_source").agg(count(lit(1)).as("n_inter"))
+        .join(broadcast(sizes.select(col("source").as("a_source"),
+          col("n").as("na"))), "a_source")
+        .join(broadcast(sizes.select(col("source").as("b_source"),
+          col("n").as("nb"))), "b_source")
+        .select(col("a_source"), col("b_source"), col("n_inter"),
+          t6(col("n_inter").cast("double") /
+            (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+        .orderBy("a_source", "b_source")
+    }),
+
+    // Dedup threshold sweep: how many near-dup pairs (and docs) a
+    // given Jaccard cut removes — the knob-tuning curve a curator
+    // reads before committing a threshold. Rides the memoized
+    // candidate/shingle-set index; the curve itself is a broadcast of
+    // 4 threshold rows against the candidate-scale pair table.
+    "dedup_threshold_curve" -> ((s, dir) => {
+      import s.implicits._
+      val j = Dedup.jaccardFromSets(candsOf(s, dir), ssetsOf(s, dir),
+        "doc_id")
+      val tdf = Seq(0.5, 0.7, 0.8, 0.9).toDF("threshold")
+      j.crossJoin(broadcast(tdf))
+        .filter(col("jaccard") >= col("threshold"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("b_id")).as("n_docs_dropped"))
+        .orderBy("threshold")
+    }),
   )
 
   // ---- oracles -------------------------------------------------------
@@ -3046,6 +3118,69 @@ object ExtQueries {
         |       ELSE floor(CAST(budget - (cum_tokens - tokens) AS DOUBLE)
         |                  / tokens * 1000000) / 1000000 END AS take_frac
         |FROM rk CROSS JOIN bud ORDER BY src_rank""".stripMargin,
+
+    "similar_cluster_purity" ->
+      s"""$KmeansCtes, cl AS (
+         |  SELECT a.cluster, CAST(e.label AS BIGINT) AS label,
+         |    count(*) AS n
+         |  FROM a2 a JOIN embeddings e USING (vec_id)
+         |  GROUP BY a.cluster, e.label
+         |), r AS (
+         |  SELECT cluster, label, n,
+         |    CAST(sum(n) OVER (PARTITION BY cluster) AS BIGINT) AS n_vecs,
+         |    row_number() OVER (PARTITION BY cluster
+         |                       ORDER BY n DESC, label) AS rn
+         |  FROM cl
+         |)
+         |SELECT cluster, n_vecs, label AS top_label,
+         |  floor(CAST(n AS DOUBLE) / n_vecs * 1000000) / 1000000 AS purity
+         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin,
+
+    "doc_jaccard_sources" ->
+      """WITH sv AS (
+        |  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), sizes AS (
+        |  SELECT source, count(*) AS n FROM sv GROUP BY source
+        |), inter AS (
+        |  SELECT a.source AS a_source, b.source AS b_source,
+        |    count(*) AS n_inter
+        |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY a.source, b.source
+        |)
+        |SELECT i.a_source, i.b_source, i.n_inter,
+        |  floor(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter)
+        |        * 1000000) / 1000000 AS jaccard
+        |FROM inter i
+        |JOIN sizes na ON na.source = i.a_source
+        |JOIN sizes nb ON nb.source = i.b_source
+        |ORDER BY a_source, b_source""".stripMargin,
+
+    "dedup_threshold_curve" ->
+      s"""$ShingleCtes, sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id
+         |), j AS (
+         |  SELECT i.a_id, i.b_id,
+         |    floor((n_inter / (na.n + nb.n - n_inter)) * 1000000) / 1000000
+         |      AS jaccard
+         |  FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.a_id
+         |  JOIN sizes nb ON nb.doc_id = i.b_id
+         |), th AS (
+         |  SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.7 AS DOUBLE),
+         |                 CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)])
+         |    AS threshold
+         |)
+         |SELECT threshold, count(*) AS n_pairs,
+         |  count(DISTINCT b_id) AS n_docs_dropped
+         |FROM j CROSS JOIN th WHERE jaccard >= threshold
+         |GROUP BY threshold ORDER BY threshold""".stripMargin,
   )
 
   /** Shared simhash CTE: `sh(doc_id, simhash)` — byte-identical to

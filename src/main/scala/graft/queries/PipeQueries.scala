@@ -1087,6 +1087,36 @@ object PipeQueries {
           max(col("gap_days")).as("max_gap_days"))
         .orderBy("c_mktsegment")
     }),
+
+    // Cohort LTV triangle: customers bucketed by first-order year, per
+    // (cohort, order-year) revenue and the running per-customer LTV.
+    // The cohort tag is a customer-partitioned window min (ONE orders
+    // scan — high-cardinality partitions, never a cohort-wide sort);
+    // the frame is cut with a lazy checkpoint so cohort sizes and the
+    // revenue rollup share it; the cumulative window runs over the
+    // ≤ |cohorts|·|years| aggregate rows only.
+    "orders_cohort_ltv" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val wc = Window.partitionBy("o_custkey")
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("order_year"),
+          col("o_totalprice"),
+          year(min(col("o_orderdate")).over(wc)).as("cohort_year"))
+        .localCheckpoint(false) // sizes + revenue rollup share it
+      val sizes = o.groupBy("cohort_year")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"))
+      val rev = o.groupBy("cohort_year", "order_year")
+        .agg(sum(col("o_totalprice").cast(Dec)).as("rev"))
+      val w = Window.partitionBy("cohort_year").orderBy("order_year")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev.withColumn("cum_rev", sum(col("rev")).over(w))
+        .join(broadcast(sizes), "cohort_year")
+        .select(col("cohort_year"), col("order_year"), col("n_customers"),
+          t6(col("rev").cast("double")).as("rev"),
+          t6(col("cum_rev").cast("double") / col("n_customers"))
+            .as("ltv_per_customer"))
+        .orderBy("cohort_year", "order_year")
+    }),
   )
 
   // ---- oracles --------------------------------------------------------
@@ -2186,5 +2216,31 @@ object PipeQueries {
         |FROM gaps JOIN customer ON o_custkey = c_custkey
         |WHERE gap_days IS NOT NULL
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "orders_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey, year(o_orderdate) AS order_year, o_totalprice,
+        |    year(min(o_orderdate) OVER (PARTITION BY o_custkey))
+        |      AS cohort_year
+        |  FROM orders
+        |), sizes AS (
+        |  SELECT cohort_year, count(DISTINCT o_custkey) AS n_customers
+        |  FROM o GROUP BY cohort_year
+        |), rev AS (
+        |  SELECT cohort_year, order_year,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+        |  FROM o GROUP BY cohort_year, order_year
+        |), c AS (
+        |  SELECT cohort_year, order_year, rev,
+        |    sum(rev) OVER (PARTITION BY cohort_year ORDER BY order_year
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM rev
+        |)
+        |SELECT c.cohort_year, c.order_year, s.n_customers,
+        |  floor(CAST(rev AS DOUBLE) * 1000000) / 1000000 AS rev,
+        |  floor(CAST(cum_rev AS DOUBLE) / n_customers * 1000000) / 1000000
+        |    AS ltv_per_customer
+        |FROM c JOIN sizes s USING (cohort_year)
+        |ORDER BY c.cohort_year, c.order_year""".stripMargin,
   )
 }

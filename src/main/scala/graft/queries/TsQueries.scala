@@ -556,6 +556,39 @@ object TsQueries {
             count(lit(1))).as("mean_bandwidth"))
         .orderBy("event_type")
     }),
+
+    // Extreme-value analysis: weekly block maxima + a Gumbel
+    // moment-matched fit (β = σ√6/π, μ = x̄ − γβ) and the p99 return
+    // level — the tail-risk readout capacity planning runs. Block
+    // maxima are ONE hash aggregate (max is selection-exact); the fit
+    // is decimal moment sums over the bounded block table; constants
+    // (√6, π, γ) are fixed double literals so the final float
+    // pipeline has one shape on every engine.
+    "ts_block_maxima" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val blocks = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("event_type"), expr("sec div 604800").as("week"))
+        .agg(max(col("value")).as("bm"))
+      val g = blocks.groupBy("event_type").agg(
+        count(lit(1)).as("n_blocks"),
+        sum(col("bm").cast(dec6)).cast("double").as("sb"),
+        sum((col("bm") * col("bm")).cast(dec12)).cast("double").as("ssb"))
+      val mean = col("sb") / col("n_blocks")
+      val variance = (col("ssb") - col("sb") * col("sb") / col("n_blocks")) /
+        (col("n_blocks") - 1)
+      g.withColumn("beta",
+          sqrt(variance) * lit(math.sqrt(6.0)) / lit(math.Pi))
+        .withColumn("mu", mean - col("beta") * lit(0.5772156649015329))
+        .select(col("event_type"), col("n_blocks"),
+          t6(col("mu")).as("gumbel_mu"),
+          t6(col("beta")).as("gumbel_beta"),
+          t6(col("mu") - col("beta") * log(-log(lit(0.99))))
+            .as("p99_return_level"))
+        .orderBy("event_type")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1122,5 +1155,33 @@ object TsQueries {
          |  floor(CAST(sum(CAST(sd * 4 AS DECIMAL(38,12))) AS DOUBLE)
          |        / count(*) * 1000000) / 1000000 AS mean_bandwidth
          |FROM bands GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_block_maxima" ->
+      s"""$BaseCte, blocks AS (
+         |  SELECT event_type, sec // 604800 AS week, max(value) AS bm
+         |  FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY event_type, week
+         |), g AS (
+         |  SELECT event_type, count(*) AS n_blocks,
+         |    CAST(sum(CAST(bm AS DECIMAL(28,6))) AS DOUBLE) AS sb,
+         |    CAST(sum(CAST(bm * bm AS DECIMAL(38,12))) AS DOUBLE) AS ssb
+         |  FROM blocks GROUP BY event_type
+         |), f AS (
+         |  SELECT event_type, n_blocks,
+         |    sqrt((ssb - sb * sb / n_blocks) / (n_blocks - 1))
+         |      * sqrt(CAST(6 AS DOUBLE)) / pi() AS beta,
+         |    sb / n_blocks AS mean
+         |  FROM g
+         |), p AS (
+         |  SELECT event_type, n_blocks, beta,
+         |    mean - beta * CAST(0.5772156649015329 AS DOUBLE) AS mu
+         |  FROM f
+         |)
+         |SELECT event_type, n_blocks,
+         |  floor(mu * 1000000) / 1000000 AS gumbel_mu,
+         |  floor(beta * 1000000) / 1000000 AS gumbel_beta,
+         |  floor((mu - beta * ln(-ln(CAST(0.99 AS DOUBLE)))) * 1000000)
+         |    / 1000000 AS p99_return_level
+         |FROM p ORDER BY event_type""".stripMargin,
   )
 }

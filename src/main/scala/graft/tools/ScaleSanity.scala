@@ -85,7 +85,7 @@ object ScaleSanity {
       // bucketed-rank Gini, engine-built Grafana JSON
       "ts_ols_trend", "ts_drawdown", "ts_bollinger", "events_dau_wau",
       "events_funnel_time", "events_top_paths", "events_user_gini",
-      "grafana_long_json")
+      "grafana_long_json", "ts_block_maxima")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -146,7 +146,8 @@ object ScaleSanity {
       // round-9 linear doc passes: rule bundle, entropy, fingerprint
       // audit, budget fill, minhash decontamination
       "quality_gopher", "doc_ngram_entropy", "dedup_cross_source",
-      "corpus_token_budget", "decontaminate_minhash")
+      "corpus_token_budget", "decontaminate_minhash",
+      "doc_jaccard_sources")
     val docPicks = sel(allDocPicks)
     if (docPicks.nonEmpty) {
       val nd = docs.count()
@@ -212,8 +213,9 @@ object ScaleSanity {
       "orders_ntile_deciles", "orders_pareto_share",
       // round-9: bucketed-rank RFM quartiles — custkeys offset per
       // replica, so quartile-table cardinality grows with rows and
-      // per-customer history stays put
-      "orders_rfm_segments"))
+      // per-customer history stays put — and the cohort LTV triangle
+      // (customer-window tag, cohort count grows with replicas)
+      "orders_rfm_segments", "orders_cohort_ltv"))
     if (ordPicks.nonEmpty) {
       val no = ord.count()
       val bigOrd = (0 until 10).map { i =>

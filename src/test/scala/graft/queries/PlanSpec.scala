@@ -937,4 +937,47 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"boundary table not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("ts_block_maxima: two hash aggregations, no window, no join, " +
+    "one events scan") {
+    val p = plan("ts_block_maxima")
+    assert(!p.contains("Window"), s"block maxima grew a window:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"block maxima must scan events once:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("orders_cohort_ltv: the cohort-tagged frame materializes once " +
+    "(sizes + revenue share it); cohort sizes broadcast") {
+    val p = plan("orders_cohort_ltv")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("orders.parquet")) == 0,
+      s"orders leaked past the cohort checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"sizes + revenue must read the one cohort frame:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cohort sizes not broadcast:\n$p")
+  }
+
+  test("similar_cluster_purity: codegen'd cosine assignment; cluster " +
+    "windows never shuffle vectors via SMJ") {
+    val p = plan("similar_cluster_purity")
+    assert(p.contains("arraydot"), s"cosine not codegen'd:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"label join degraded to SMJ:\n$p")
+  }
+
+  test("doc_jaccard_sources: the (source, token) distinct materializes " +
+    "once; sizes broadcast; pair join is token-bucketed, no cartesian") {
+    val p = plan("doc_jaccard_sources")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the vocab checkpoint:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"sizes not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair stage went all-pairs:\n$p")
+  }
+
+  test("dedup_threshold_curve: the 4-row threshold table broadcasts " +
+    "against the candidate-scale pair table — no cartesian") {
+    val p = plan("dedup_threshold_curve")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"threshold table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
