@@ -76,6 +76,15 @@ object ExtQueries {
         .persist()
     })
 
+  /** The verified candidate-pair jaccard table is itself shared: the
+    * per-pair key reads it whole and the threshold curve reaggregates
+    * it, so the array_intersect pass runs once per (session, dir).
+    */
+  private def jaccardOf(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "jaccard"),
+      Dedup.jaccardFromSets(candsOf(s, dir), ssetsOf(s, dir), "doc_id")
+        .persist())
+
   /** Simhash fingerprints likewise serve two queries (the table itself
     * and the Hamming-radius pair search) — one corpus tokenize+vote
     * pass instead of two.
@@ -261,8 +270,7 @@ object ExtQueries {
       candsOf(s, dir).orderBy("a_id", "b_id")),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardFromSets(candsOf(s, dir), ssetsOf(s, dir), "doc_id")
-        .orderBy("a_id", "b_id")),
+      jaccardOf(s, dir).orderBy("a_id", "b_id")),
 
     // Asymmetric CONTAINMENT (Broder) for candidate pairs — catches
     // quote-inclusion near-dups Jaccard under-scores: a short doc fully
@@ -1621,8 +1629,7 @@ object ExtQueries {
     // 4 threshold rows against the candidate-scale pair table.
     "dedup_threshold_curve" -> ((s, dir) => {
       import s.implicits._
-      val j = Dedup.jaccardFromSets(candsOf(s, dir), ssetsOf(s, dir),
-        "doc_id")
+      val j = jaccardOf(s, dir)
       val tdf = Seq(0.5, 0.7, 0.8, 0.9).toDF("threshold")
       j.crossJoin(broadcast(tdf))
         .filter(col("jaccard") >= col("threshold"))

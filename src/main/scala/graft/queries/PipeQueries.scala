@@ -1117,6 +1117,40 @@ object PipeQueries {
             .as("ltv_per_customer"))
         .orderBy("cohort_year", "order_year")
     }),
+
+    // Distribution-drift monitor: per day, the total-variation distance
+    // between that day's event-type mix and the whole stream's — the
+    // alarm a pipeline owner wires before a schema or traffic shift
+    // poisons training data. The fact collapses to (day, type) counts
+    // FIRST (bounded table; checkpointed for its four consumers); the
+    // dense day×type grid comes from a 5-row broadcast cross join so
+    // absent types contribute their full |0 − p_global| term; each
+    // |p_day − p_global| routes through DECIMAL before summing.
+    "events_mix_drift" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec12 = DecimalType(38, 12)
+      val c = TsQueries.base(s, dir)
+        .groupBy(expr("sec div 86400").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // grid + global dist + totals share it
+      val grid = c.select("day").distinct()
+        .crossJoin(broadcast(c.select("event_type").distinct()))
+        .join(c, Seq("day", "event_type"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val glob = c.groupBy("event_type").agg(sum(col("n")).as("gn"))
+      val gtot = c.agg(sum(col("n")).as("gt"))
+      val wd = Window.partitionBy("day")
+      grid.withColumn("dn", sum(col("n")).over(wd))
+        .join(broadcast(glob), "event_type")
+        .crossJoin(broadcast(gtot))
+        .withColumn("term",
+          abs(col("n").cast("double") / col("dn") -
+            col("gn").cast("double") / col("gt")).cast(dec12))
+        .groupBy("day")
+        .agg(max(col("dn")).as("n_events"),
+          t6(sum(col("term")).cast("double") * lit(0.5)).as("tvd"))
+        .orderBy("day")
+    }),
   )
 
   // ---- oracles --------------------------------------------------------
@@ -2242,5 +2276,32 @@ object PipeQueries {
         |    AS ltv_per_customer
         |FROM c JOIN sizes s USING (cohort_year)
         |ORDER BY c.cohort_year, c.order_year""".stripMargin,
+
+    "events_mix_drift" ->
+      s"""$BaseCte, c AS (
+         |  SELECT sec // 86400 AS day, event_type, count(*) AS n
+         |  FROM base GROUP BY day, event_type
+         |), grid AS (
+         |  SELECT d.day, t.event_type, coalesce(c.n, 0) AS n
+         |  FROM (SELECT DISTINCT day FROM c) d
+         |  CROSS JOIN (SELECT DISTINCT event_type FROM c) t
+         |  LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+         |), g AS (
+         |  SELECT event_type, CAST(sum(n) AS BIGINT) AS gn
+         |  FROM c GROUP BY event_type
+         |), gt AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS gt FROM c
+         |), dd AS (
+         |  SELECT day, event_type, n,
+         |    CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS dn
+         |  FROM grid
+         |)
+         |SELECT dd.day, max(dn) AS n_events,
+         |  floor(CAST(sum(CAST(abs(CAST(n AS DOUBLE) / dn
+         |                           - CAST(gn AS DOUBLE) / gt.gt)
+         |                      AS DECIMAL(38,12))) AS DOUBLE)
+         |        * CAST(0.5 AS DOUBLE) * 1000000) / 1000000 AS tvd
+         |FROM dd JOIN g USING (event_type) CROSS JOIN gt
+         |GROUP BY dd.day ORDER BY dd.day""".stripMargin,
   )
 }

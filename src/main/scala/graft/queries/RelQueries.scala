@@ -737,6 +737,68 @@ object RelQueries {
         .limit(20)
         .select(col("s_name"), col("numwait"))
     }),
+
+    // Market-basket affinity at the brand grain: brand pairs that
+    // co-occur in one order, with support and lift. The pair stage
+    // joins on the ORDER key — fanout per order is bounded by basket
+    // size squared (≈ 4 parts/order), never a global brand×brand
+    // expansion; brand supports and the order total are one hash
+    // aggregate + a broadcast scalar. Top-20 is TakeOrdered.
+    "basket_brand_affinity" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val ob = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+          "l_partkey")
+        .select(col("l_orderkey"), col("p_brand"))
+        .distinct()
+        .localCheckpoint(false) // supports + pair join share it
+      val nOrders = ob.select("l_orderkey").distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val supp = ob.groupBy("p_brand").agg(count(lit(1)).as("n"))
+      val a = ob.select(col("l_orderkey"), col("p_brand").as("a_brand"))
+      val b = ob.select(col("l_orderkey"), col("p_brand").as("b_brand"))
+      a.join(b, "l_orderkey").filter(col("a_brand") < col("b_brand"))
+        .groupBy("a_brand", "b_brand").agg(count(lit(1)).as("pair_n"))
+        .join(broadcast(supp.select(col("p_brand").as("a_brand"),
+          col("n").as("na"))), "a_brand")
+        .join(broadcast(supp.select(col("p_brand").as("b_brand"),
+          col("n").as("nb"))), "b_brand")
+        .crossJoin(broadcast(nOrders))
+        .select(col("a_brand"), col("b_brand"), col("pair_n"),
+          t6((col("pair_n").cast("double") * col("n_orders")) /
+            (col("na").cast("double") * col("nb"))).as("lift"))
+        .orderBy(col("pair_n").desc, col("a_brand"), col("b_brand"))
+        .limit(20)
+    }),
+
+    // Supply-concentration audit: per brand, the Herfindahl index of
+    // supplier revenue shares ("is this brand single-sourced?"). One
+    // fact aggregation to (brand, supplier) revenue; the brand total
+    // is a window over that bounded aggregate (|brands|·|suppliers|
+    // rows); Σ share² routes each term through DECIMAL so the float
+    // sum has one association order on every engine.
+    "supplier_share_hhi" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec12 = DecimalType(38, 12)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("p_brand")
+      val bs = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+          "l_partkey")
+        .groupBy("p_brand", "l_suppkey")
+        .agg(sum(dec("l_extendedprice")).as("rev"))
+      bs.withColumn("tot", sum(col("rev")).over(w))
+        .withColumn("share",
+          col("rev").cast("double") / col("tot").cast("double"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_suppliers"),
+          t6(sum((col("share") * col("share")).cast(dec12))
+            .cast("double")).as("hhi"))
+        .orderBy("p_brand")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1168,5 +1230,48 @@ object RelQueries {
         |  GROUP BY s_suppkey, s_name
         |  ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20
         |)""".stripMargin,
+
+    "basket_brand_affinity" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), n_ord AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob
+        |), supp AS (
+        |  SELECT p_brand, count(*) AS n FROM ob GROUP BY p_brand
+        |), pairs AS (
+        |  SELECT a.p_brand AS a_brand, b.p_brand AS b_brand,
+        |    count(*) AS pair_n
+        |  FROM ob a JOIN ob b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        |  GROUP BY a.p_brand, b.p_brand
+        |)
+        |SELECT a_brand, b_brand, pair_n,
+        |  floor((CAST(pair_n AS DOUBLE) * n_orders)
+        |        / (CAST(na.n AS DOUBLE) * nb.n) * 1000000) / 1000000
+        |    AS lift
+        |FROM pairs
+        |JOIN supp na ON na.p_brand = a_brand
+        |JOIN supp nb ON nb.p_brand = b_brand
+        |CROSS JOIN n_ord
+        |ORDER BY pair_n DESC, a_brand, b_brand LIMIT 20""".stripMargin,
+
+    "supplier_share_hhi" ->
+      """WITH bs AS (
+        |  SELECT p_brand, l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, l_suppkey
+        |), sh AS (
+        |  SELECT p_brand,
+        |    CAST(rev AS DOUBLE)
+        |      / CAST(sum(rev) OVER (PARTITION BY p_brand) AS DOUBLE)
+        |      AS share
+        |  FROM bs
+        |)
+        |SELECT p_brand, count(*) AS n_suppliers,
+        |  floor(CAST(sum(CAST(share * share AS DECIMAL(38,12))) AS DOUBLE)
+        |        * 1000000) / 1000000 AS hhi
+        |FROM sh GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }

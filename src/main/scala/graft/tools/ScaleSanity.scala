@@ -85,7 +85,7 @@ object ScaleSanity {
       // bucketed-rank Gini, engine-built Grafana JSON
       "ts_ols_trend", "ts_drawdown", "ts_bollinger", "events_dau_wau",
       "events_funnel_time", "events_top_paths", "events_user_gini",
-      "grafana_long_json", "ts_block_maxima")
+      "grafana_long_json", "ts_block_maxima", "events_mix_drift")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -256,8 +256,11 @@ object ScaleSanity {
       "q11_important_stock",
       // round-9: customer-lag gaps (needs the copied customer dim;
       // same-custkey replicas grow each history 10× — the lag window
-      // must track that, never the segment count)
-      "orders_interorder_gap"))
+      // must track that, never the segment count), basket pairs
+      // (per-order fanout constant under replication), and the HHI
+      // rollup (brand×supplier aggregate cardinality fixed)
+      "orders_interorder_gap", "basket_brand_affinity",
+      "supplier_share_hhi"))
     if (tpchPicks.nonEmpty) {
       val li0 = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
       val nl = li0.count()

@@ -980,4 +980,33 @@ class PlanSpec extends SparkSpec {
       s"threshold table not broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("basket_brand_affinity: the (order, brand) frame materializes " +
+    "once; supports broadcast; top-20 is TakeOrdered") {
+    val p = plan("basket_brand_affinity")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("lineitem.parquet")) == 0,
+      s"lineitem leaked past the basket checkpoint:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supports not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 global-sorts:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("supplier_share_hhi: one lineitem scan; part broadcasts; the " +
+    "total is a window over the bounded (brand, supplier) aggregate") {
+    val p = plan("supplier_share_hhi")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("lineitem.parquet")) == 1,
+      s"hhi must scan lineitem once:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("events_mix_drift: (day, type) counts materialize once; the " +
+    "dense grid is a 5-row broadcast cross; global dist broadcasts") {
+    val p = plan("events_mix_drift")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the counts checkpoint:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"type grid not a broadcast cross:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
