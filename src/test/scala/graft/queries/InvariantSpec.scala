@@ -99,4 +99,163 @@ class InvariantSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
       "top-20 not sorted by descending outlierness")
   }
+
+  // ---- round 9 --------------------------------------------------------
+
+  test("gini is a [0,1) concentration index") {
+    run("events_user_gini").collect().foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= -1e-6 && g < 1.0,
+        s"${r.getString(0)}: gini $g outside [0,1)")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("rfm scores are quartiles; cells partition the customer base") {
+    val rows = run("orders_rfm_segments").collect()
+    rows.foreach { r =>
+      Seq(r.getInt(0), r.getInt(1), r.getInt(2)).foreach(s =>
+        assert(s >= 1 && s <= 4, s"score $s outside 1..4"))
+    }
+    val total = rows.map(_.getLong(3)).sum
+    val nCust = graft.core.Tables.load(spark, dir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(total == nCust, s"cells hold $total of $nCust customers")
+    // SQL-standard ntile: per dimension the four quartile populations
+    // differ by at most one
+    Seq(0, 1, 2).foreach { d =>
+      val marg = rows.groupBy(_.getInt(d)).view
+        .mapValues(_.map(_.getLong(3)).sum).values.toSeq
+      assert(marg.max - marg.min <= 1,
+        s"dimension $d quartiles unbalanced: $marg")
+    }
+  }
+
+  test("wau dominates dau; stickiness is a (0,1] ratio") {
+    run("events_dau_wau").collect().foreach { r =>
+      val (dau, wau, st) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(wau >= dau, s"day ${r.getLong(0)}: wau $wau < dau $dau")
+      assert(st > 0 && st <= 1.0 + 1e-9,
+        s"day ${r.getLong(0)}: stickiness $st")
+    }
+  }
+
+  test("funnel conversions never exceed signups; p50 <= p90") {
+    run("events_funnel_time").collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        s"day ${r.getLong(0)}: converted > signups")
+      if (!r.isNullAt(3) && !r.isNullAt(4))
+        assert(r.getDouble(3) <= r.getDouble(4) + 1e-9,
+          s"day ${r.getLong(0)}: p50 > p90")
+    }
+  }
+
+  test("drawdowns are nonnegative; bollinger breakouts are bounded") {
+    run("ts_drawdown").collect().foreach { r =>
+      assert(r.getDouble(2) >= 0, s"${r.getString(0)}: negative drawdown")
+      assert(r.getLong(1) > 0)
+    }
+    run("ts_bollinger").collect().foreach { r =>
+      val (n, above, below) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(above + below <= n,
+        s"${r.getString(0)}: breakouts exceed windows")
+      assert(r.getDouble(4) >= 0,
+        s"${r.getString(0)}: negative bandwidth")
+    }
+  }
+
+  test("ols r-squared is a [0,1] fit quality") {
+    run("ts_ols_trend").collect().foreach { r =>
+      val r2 = r.getDouble(4)
+      assert(r2 >= -1e-6 && r2 <= 1.0 + 1e-6,
+        s"${r.getString(0)}: r2 $r2 outside [0,1]")
+      assert(r.getLong(1) > 1)
+    }
+  }
+
+  test("hhi lies between perfect competition (1/n) and monopoly (1)") {
+    run("supplier_share_hhi").collect().foreach { r =>
+      val (n, hhi) = (r.getLong(1), r.getDouble(2))
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-9,
+        s"${r.getString(0)}: hhi $hhi with $n suppliers")
+    }
+  }
+
+  test("mix drift is a [0,1] total-variation distance") {
+    run("events_mix_drift").collect().foreach { r =>
+      val tvd = r.getDouble(2)
+      assert(tvd >= -1e-9 && tvd <= 1.0 + 1e-9,
+        s"day ${r.getLong(0)}: tvd $tvd outside [0,1]")
+    }
+  }
+
+  test("cluster purity is a (0,1] majority fraction; cells cover the corpus") {
+    val rows = run("similar_cluster_purity").collect()
+    rows.foreach { r =>
+      val p = r.getDouble(3)
+      assert(p > 0 && p <= 1.0 + 1e-9, s"cluster ${r.getInt(0)}: purity $p")
+    }
+    val covered = rows.map(_.getLong(1)).sum
+    val nVecs = graft.core.Tables.load(spark, dir, "embeddings").count()
+    assert(covered == nVecs, s"cells hold $covered of $nVecs vectors")
+  }
+
+  test("token budget fill is monotone and consumes exactly the budget") {
+    val rows = run("corpus_token_budget").collect()
+      .sortBy(_.getLong(1)) // src_rank
+    val fracs = rows.map(_.getDouble(4))
+    assert(fracs.forall(f => f >= 0 && f <= 1.0 + 1e-9))
+    // once the budget runs out every later source takes nothing, and
+    // before the boundary every source is fully taken
+    val firstPartial = fracs.indexWhere(f => f < 1.0)
+    if (firstPartial >= 0)
+      assert(fracs.drop(firstPartial + 1).forall(_ == 0.0),
+        s"take fractions not monotone: ${fracs.mkString(",")}")
+    val cums = rows.map(_.getLong(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b },
+      "cumulative tokens not monotone in rank")
+    // taken tokens ≈ min(budget, total) up to the one truncation step
+    val taken = rows.map(r => r.getDouble(4) * r.getLong(2)).sum
+    val total = rows.map(_.getLong(2)).sum
+    val budget = total / 2
+    assert(math.abs(taken - math.min(budget, total)) <= 1.0 + 1e-6 * total,
+      s"taken $taken vs budget $budget")
+  }
+
+  test("dedup threshold curve is nonincreasing in the threshold") {
+    val rows = run("dedup_threshold_curve").collect()
+      .sortBy(_.getDouble(0))
+    val pairs = rows.map(_.getLong(1))
+    val docs = rows.map(_.getLong(2))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b },
+      s"pair counts increase with threshold: ${pairs.mkString(",")}")
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b },
+      s"doc counts increase with threshold: ${docs.mkString(",")}")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1),
+      "distinct docs cannot exceed pair count"))
+  }
+
+  test("source vocabulary jaccard is a [0,1] symmetric matrix half") {
+    val rows = run("doc_jaccard_sources").collect()
+    assert(rows.length == 190) // C(20,2) upper-triangle pairs
+    rows.foreach { r =>
+      val j = r.getDouble(3)
+      assert(j >= 0 && j <= 1.0 + 1e-9,
+        s"${r.getString(0)}~${r.getString(1)}: jaccard $j")
+      assert(r.getString(0) < r.getString(1), "not upper-triangle")
+    }
+  }
+
+  test("cohort ltv is nondecreasing within a cohort; years are ordered") {
+    val rows = run("orders_cohort_ltv").collect()
+      .groupBy(_.getInt(0))
+    rows.foreach { case (cohort, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.foreach(r => assert(r.getInt(1) >= cohort,
+        s"cohort $cohort sells in year ${r.getInt(1)} before existing"))
+      val ltvs = sorted.map(_.getDouble(4))
+      assert(ltvs.zip(ltvs.tail).forall { case (a, b) => a <= b + 1e-6 },
+        s"cohort $cohort ltv not monotone: ${ltvs.mkString(",")}")
+    }
+  }
 }
