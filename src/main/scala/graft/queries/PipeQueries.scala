@@ -1151,6 +1151,41 @@ object PipeQueries {
           t6(sum(col("term")).cast("double") * lit(0.5)).as("tvd"))
         .orderBy("day")
     }),
+
+    // Bot-likeness score: per user, the coefficient of variation of
+    // inter-event gaps — timer-driven automation collapses toward
+    // cv = 0 while humans are bursty (cv ≥ 1). The lag window
+    // partitions on the high-cardinality user key; moments route
+    // through DECIMAL; only users with ≥ 20 gaps score (the small-n
+    // cv estimate is noise). The abuse/quality screen a training
+    // pipeline runs before trusting engagement-derived labels.
+    "events_bot_score" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec6 = DecimalType(38, 6)
+      val dec0 = DecimalType(38, 0)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec"), col("event_id"))
+      val gaps = TsQueries.base(s, dir)
+        .withColumn("prev", lag(col("sec"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("user_id"), (col("sec") - col("prev")).as("gap"))
+      gaps.groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(col("gap").cast(dec6)).cast("double").as("sg"),
+          sum((col("gap") * col("gap")).cast(dec0)).cast("double")
+            .as("sgg"))
+        .filter(col("n_gaps") >= 20)
+        .withColumn("mean_gap", col("sg") / col("n_gaps"))
+        .withColumn("cv",
+          sqrt(greatest(
+            (col("sgg") - col("sg") * col("sg") / col("n_gaps")) /
+              (col("n_gaps") - 1), lit(0.0))) / col("mean_gap"))
+        .select(col("user_id"), col("n_gaps"),
+          t6(col("mean_gap")).as("mean_gap_sec"),
+          t6(col("cv")).as("gap_cv"),
+          (col("cv") < 0.3).as("bot_like"))
+        .orderBy("user_id")
+    }),
   )
 
   // ---- oracles --------------------------------------------------------
@@ -2303,5 +2338,28 @@ object PipeQueries {
          |        * CAST(0.5 AS DOUBLE) * 1000000) / 1000000 AS tvd
          |FROM dd JOIN g USING (event_type) CROSS JOIN gt
          |GROUP BY dd.day ORDER BY dd.day""".stripMargin,
+
+    "events_bot_score" ->
+      s"""$BaseCte, gaps AS (
+         |  SELECT user_id, sec - lag(sec) OVER (PARTITION BY user_id
+         |    ORDER BY sec, event_id) AS gap
+         |  FROM base
+         |), g AS (
+         |  SELECT user_id, count(*) AS n_gaps,
+         |    CAST(sum(CAST(gap AS DECIMAL(38,6))) AS DOUBLE) AS sg,
+         |    CAST(sum(CAST(gap * gap AS DECIMAL(38,0))) AS DOUBLE) AS sgg
+         |  FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
+         |  HAVING count(*) >= 20
+         |), f AS (
+         |  SELECT user_id, n_gaps, sg / n_gaps AS mean_gap,
+         |    sqrt(greatest((sgg - sg * sg / n_gaps) / (n_gaps - 1),
+         |                  CAST(0 AS DOUBLE))) / (sg / n_gaps) AS cv
+         |  FROM g
+         |)
+         |SELECT user_id, n_gaps,
+         |  floor(mean_gap * 1000000) / 1000000 AS mean_gap_sec,
+         |  floor(cv * 1000000) / 1000000 AS gap_cv,
+         |  cv < 0.3 AS bot_like
+         |FROM f ORDER BY user_id""".stripMargin,
   )
 }

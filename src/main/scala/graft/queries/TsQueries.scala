@@ -146,6 +146,16 @@ object TsQueries {
           maxDataPoints = 100)
         .orderBy("event_type", "bucket")),
 
+    // M4 pixel-lossless downsample: min/max/first/last per bucket in
+    // one hash aggregate — the decimation that renders IDENTICALLY to
+    // the raw series at chart width (Jugel et al., VLDB 2014).
+    "downsample_m4" -> ((s, dir) =>
+      Downsample.m4PerBucket(base(s, dir), Seq("event_type"), col("sec"),
+          "value", "event_id",
+          startSec = 1704067200L, endSec = 1704067200L + 2678400L - 1,
+          maxDataPoints = 100)
+        .orderBy("event_type", "bucket")),
+
     // LTTB-style visual downsample (bucket-parallel variant): the
     // dashboard decimation that keeps spikes where first/mean-per-
     // bucket flatten them.
@@ -672,6 +682,17 @@ object TsQueries {
          |  CAST(floor((sec - 1704067200) / 26784.0) AS BIGINT) AS bucket,
          |  min_by(value, event_id) AS first_value,
          |  min_by(sec, event_id) AS first_ts
+         |FROM base
+         |WHERE sec >= 1704067200 AND sec <= ${1704067200L + 2678400L - 1}
+         |  AND value IS NOT NULL
+         |GROUP BY event_type, bucket ORDER BY event_type, bucket""".stripMargin,
+
+    "downsample_m4" ->
+      s"""$BaseCte SELECT event_type,
+         |  CAST(floor((sec - 1704067200) / 26784.0) AS BIGINT) AS bucket,
+         |  min(value) AS v_min, max(value) AS v_max,
+         |  min_by(value, sec * 10000000 + event_id) AS v_first,
+         |  max_by(value, sec * 10000000 + event_id) AS v_last
          |FROM base
          |WHERE sec >= 1704067200 AND sec <= ${1704067200L + 2678400L - 1}
          |  AND value IS NOT NULL

@@ -51,6 +51,32 @@ object Downsample {
         min_by(sec, col(orderCol)).as("first_ts"))
   }
 
+  /** M4 downsample (Jugel et al., VLDB 2014): per (series, pixel
+    * bucket) the min, max, FIRST and LAST values — the four rows that
+    * make a width-limited line chart render pixel-identically to the
+    * full series. ONE map-side-combinable hash aggregate: min/max are
+    * selection-exact, first/last are min_by/max_by on a composite
+    * (sec, arrival) time key — so 100 TB of points behind a 1000-px
+    * chart costs one aggregation, no sort, no window. The reference
+    * renders first-of-bucket only (`server.py:444-459`); M4 keeps the
+    * extremes LTTB only approximates.
+    */
+  def m4PerBucket(df: DataFrame, seriesCols: Seq[String], sec: Column,
+                  valueCol: String, orderCol: String, startSec: Long,
+                  endSec: Long, maxDataPoints: Int): DataFrame = {
+    val spread = spreadOf(startSec, endSec, maxDataPoints)
+    // composite time key: unique arrival ids stay below the 1e7 slot
+    val tkey = sec * lit(10000000L) + col(orderCol)
+    df.filter(sec >= startSec && sec <= endSec && col(valueCol).isNotNull)
+      .withColumn("bucket", bucket(sec, startSec, spread))
+      .groupBy((seriesCols.map(col) :+ col("bucket")): _*)
+      .agg(
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"),
+        min_by(col(valueCol), tkey).as("v_first"),
+        max_by(col(valueCol), tkey).as("v_last"))
+  }
+
   /** Mean-per-bucket consolidation — the training-pipeline variant of
     * B-9 (the reference only emits first-of-bucket). The sum is routed
     * through DECIMAL so partial-aggregation order can never change the

@@ -1009,4 +1009,26 @@ class PlanSpec extends SparkSpec {
       s"type grid not a broadcast cross:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("downsample_m4: ONE hash aggregation carries all four M4 " +
+    "values — no window, no join, one pushed scan") {
+    val p = plan("downsample_m4")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"M4 must stay one aggregation:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"M4 must scan events once:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(ts)"),
+      s"time range not pushed:\n$p")
+  }
+
+  test("events_bot_score: the lag window partitions on the user key; " +
+    "one events scan, no join") {
+    val p = plan("events_bot_score")
+    val lagLine = p.linesIterator.find(_.contains("lag("))
+    assert(lagLine.exists(_.contains("user_id")),
+      s"lag window not user-partitioned:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"bot score must scan events once:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }
