@@ -1568,6 +1568,31 @@ object ExtQueries {
         .orderBy("src_rank")
     }),
 
+    // Hill tail-index MLE over token frequencies per language — the
+    // estimator companion to doc_zipf_alpha's log-log OLS (the two
+    // disagreeing is itself the diagnostic: OLS fits the body, Hill
+    // the tail a tokenizer's long-tail budget actually depends on).
+    // α̂ = 1 + n / Σ ln(c_i / c_min) over tokens with count ≥ c_min;
+    // counts are exact integers, the only float sum routes through
+    // DECIMAL(38,18) like every log-family key. Two hash aggregates.
+    "doc_hill_tail" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      val cmin = 5.0
+      val tail = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= cmin)
+      tail.groupBy("lang")
+        .agg(count(lit(1)).as("n_tail"),
+          sum(log(col("c").cast("double") / cmin).cast(dec18)).as("sl"))
+        .select(col("lang"), col("n_tail"),
+          when(col("sl") > 0,
+            t6(lit(1.0) + col("n_tail").cast("double") /
+              col("sl").cast("double"))).as("hill_alpha"))
+        .orderBy("lang")
+    }),
+
     // Cluster-label purity of the fitted k-means cells — the audit a
     // pipeline runs before trusting an IVF index or SemDeDup cells:
     // low purity on a weakly clustered corpus is itself the signal.
@@ -3125,6 +3150,24 @@ object ExtQueries {
         |       ELSE floor(CAST(budget - (cum_tokens - tokens) AS DOUBLE)
         |                  / tokens * 1000000) / 1000000 END AS take_frac
         |FROM rk CROSS JOIN bud ORDER BY src_rank""".stripMargin,
+
+    "doc_hill_tail" ->
+      """WITH tc AS (
+        |  SELECT lang, w, count(*) AS c FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY lang, w HAVING count(*) >= 5
+        |), g AS (
+        |  SELECT lang, count(*) AS n_tail,
+        |    sum(CAST(ln(CAST(c AS DOUBLE) / 5.0) AS DECIMAL(38,18))) AS sl
+        |  FROM tc GROUP BY lang
+        |)
+        |SELECT lang, n_tail,
+        |  CASE WHEN sl > 0 THEN
+        |    floor((CAST(1.0 AS DOUBLE) + CAST(n_tail AS DOUBLE)
+        |           / CAST(sl AS DOUBLE)) * 1000000) / 1000000
+        |  END AS hill_alpha
+        |FROM g ORDER BY lang""".stripMargin,
 
     "similar_cluster_purity" ->
       s"""$KmeansCtes, cl AS (

@@ -1026,6 +1026,14 @@ class PlanSpec extends SparkSpec {
       s"time range not pushed:\n$p")
   }
 
+  test("doc_hill_tail: two hash aggregations, no window, no join, one " +
+    "documents scan") {
+    val p = plan("doc_hill_tail")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 1,
+      s"hill tail must scan documents once:\n$p")
+  }
+
   test("events_bot_score: the lag window partitions on the user key; " +
     "one events scan, no join") {
     val p = plan("events_bot_score")
