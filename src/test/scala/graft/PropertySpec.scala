@@ -284,4 +284,62 @@ class PropertySpec extends SparkSpec {
     }.toMap
     assert(out == expected)
   }
+
+  test("bucketedRank equals row_number for grouped, global, and " +
+    "clamped-range ranks on random heavily-tied data") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rows = gen(for {
+      g <- Gen.choose(0, 3)
+      v <- Gen.choose(-50, 50) // narrow domain → heavy value ties
+    } yield (g, v), 3000).zipWithIndex
+      .map { case ((g, v), i) => (g.toLong, v.toDouble, i.toLong) }
+    val df = rows.toDF("grp", "v", "id")
+    def check(ranked: org.apache.spark.sql.DataFrame,
+              groups: Seq[String]): Unit = {
+      val w =
+        if (groups.isEmpty) Window.orderBy(col("v"), col("id"))
+        else Window.partitionBy(groups.map(col): _*)
+          .orderBy(col("v"), col("id"))
+      val exp = df.withColumn("__exp", row_number().over(w).cast("long"))
+        .select((groups :+ "id").map(col) :+ col("__exp"): _*)
+      val joined = ranked.join(exp, groups :+ "id")
+      assert(joined.filter(col("__rank") =!= col("__exp")).count() == 0,
+        s"bucketedRank diverges from row_number (groups=$groups)")
+      // __n is the group size everywhere
+      val bad = joined.groupBy(groups.map(col): _*)
+        .agg(count(lit(1)).as("sz"), max(col("__n")).as("n"),
+          min(col("__n")).as("n2"))
+        .filter(col("sz") =!= col("n") || col("sz") =!= col("n2"))
+      assert(bad.count() == 0, s"__n wrong for some group (groups=$groups)")
+    }
+    check(graft.operators.Quantiles.bucketedRank(
+      df, Seq("grp"), "v", "id", nBuckets = 17), Seq("grp"))
+    check(graft.operators.Quantiles.bucketedRank(
+      df, Seq.empty, "v", "id", nBuckets = 17), Seq.empty)
+    // a fixed range NARROWER than the data clamps edge values into the
+    // boundary buckets — monotonicity, not containment, is the contract
+    check(graft.operators.Quantiles.bucketedRank(
+      df, Seq("grp"), "v", "id", nBuckets = 17,
+      range = Some((-10.0, 10.0))), Seq("grp"))
+  }
+
+  test("ntileFromRank is bit-identical to ntile for random group sizes") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val sizes = gen(Gen.choose(1, 137), 12).distinct
+    Seq(2, 3, 4, 7, 10).foreach { tiles =>
+      val df = sizes.zipWithIndex.flatMap { case (n, cid) =>
+        (1 to n).map(r => (cid, r.toLong, n.toLong))
+      }.toDF("cid", "rank", "n")
+      val w = Window.partitionBy("cid").orderBy("rank")
+      val bad = df
+        .withColumn("__expected", ntile(tiles).over(w))
+        .withColumn("__closed", graft.operators.Quantiles
+          .ntileFromRank(col("rank"), col("n"), tiles))
+        .filter(col("__expected") =!= col("__closed"))
+      assert(bad.count() == 0,
+        s"ntileFromRank diverges from ntile($tiles)")
+    }
+  }
 }
