@@ -172,7 +172,7 @@ class SensorStore(spark: SparkSession, baseDir: String) {
 
     // only the touched partitions participate in the merge
     val touched = incoming.select("chunk_start").distinct()
-      .collect().map(_.getLong(0))
+      .collect().map(_.getLong(0)).toIndexedSeq
     val existing = readRaw(db, sensor, metrics)
       .filter(col("chunk_start").isin(touched: _*))
       .select(Seq("chunk_start", "slot").map(col) ++

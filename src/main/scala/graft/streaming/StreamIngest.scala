@@ -136,7 +136,7 @@ object StreamIngest {
                   case _ => acc :+ s
                 }
               }
-          val wmMs = state.getCurrentWatermarkMs
+          val wmMs = state.getCurrentWatermarkMs()
           var sessions = state.getOption.map(_.sessions.toVector)
             .getOrElse(Vector.empty)
           if (!state.hasTimedOut)
