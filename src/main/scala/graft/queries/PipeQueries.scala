@@ -1152,6 +1152,92 @@ object PipeQueries {
         .orderBy("day")
     }),
 
+    // CUPED variance-reduced experiment readout (Deng et al., WSDM
+    // 2013): the pre-period covariate absorbs between-user variance so
+    // the same traffic detects smaller lifts. User-level pre/post
+    // means come from ONE grouped pass (decimal sums; the fixed-shape
+    // per-user division is bit-identical across engines, so the
+    // user-level terms re-enter DECIMAL for the cross-user moments);
+    // θ = cov(pre, post)/var(pre) is pooled, the adjustment is a
+    // closed-form projection over the per-arm aggregate. One row out.
+    "events_cuped_lift" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec12 = DecimalType(38, 12)
+      val mid = 1704067200L + 15L * 86400L
+      val u = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("user_id")
+        .agg(
+          count(when(col("sec") < mid, 1)).as("n_pre"),
+          sum(when(col("sec") < mid, col("value").cast(Dec))).as("s_pre"),
+          count(when(col("sec") >= mid, 1)).as("n_post"),
+          sum(when(col("sec") >= mid, col("value").cast(Dec))).as("s_post"))
+        .filter(col("n_pre") > 0 && col("n_post") > 0)
+        .select(col("user_id"), (col("user_id") % 2 === 0).as("arm_a"),
+          (col("s_pre").cast("double") / col("n_pre")).as("x"),
+          (col("s_post").cast("double") / col("n_post")).as("y"))
+      val g = u.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec12)).cast("double").as("sx"),
+        sum(col("y").cast(dec12)).cast("double").as("sy"),
+        sum((col("x") * col("x")).cast(dec12)).cast("double").as("sxx"),
+        sum((col("x") * col("y")).cast(dec12)).cast("double").as("sxy"),
+        count(when(col("arm_a"), 1)).as("n_a"),
+        sum(when(col("arm_a"), col("x").cast(dec12))).cast("double")
+          .as("sx_a"),
+        sum(when(col("arm_a"), col("y").cast(dec12))).cast("double")
+          .as("sy_a"),
+        count(when(!col("arm_a"), 1)).as("n_b"),
+        sum(when(!col("arm_a"), col("x").cast(dec12))).cast("double")
+          .as("sx_b"),
+        sum(when(!col("arm_a"), col("y").cast(dec12))).cast("double")
+          .as("sy_b"))
+      val theta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      val mxAll = col("sx") / col("n")
+      def adj(sy: org.apache.spark.sql.Column,
+              sx: org.apache.spark.sql.Column,
+              n: org.apache.spark.sql.Column) =
+        sy / n - col("theta") * (sx / n - mxAll)
+      g.withColumn("theta", theta)
+        .select(col("n_a"), col("n_b"),
+          t6(col("sy_b") / col("n_b") - col("sy_a") / col("n_a"))
+            .as("lift_raw"),
+          t6(adj(col("sy_b"), col("sx_b"), col("n_b")) -
+            adj(col("sy_a"), col("sx_a"), col("n_a"))).as("lift_cuped"),
+          t6(col("theta")).as("theta"))
+    }),
+
+    // First-/last-touch attribution: each purchase credits the user's
+    // first and most recent non-purchase touchpoints before it. Both
+    // touchpoints ride ONE user-partitioned window pass (running
+    // first/last with nulls ignored over the preceding frame — no
+    // purchase×history join, no per-purchase re-scan); purchases with
+    // no prior touch attribute to 'direct'. The marketing-analytics
+    // staple, output one row per channel.
+    "events_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      val per = TsQueries.base(s, dir)
+        .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("ft"), lit("direct")).as("ft"),
+          coalesce(col("lt"), lit("direct")).as("lt"))
+        .localCheckpoint(false) // both credit rollups share the pass
+      val f = per.groupBy(col("ft").as("channel"))
+        .agg(count(lit(1)).as("n_first"))
+      val l = per.groupBy(col("lt").as("channel"))
+        .agg(count(lit(1)).as("n_last"))
+      f.join(l, Seq("channel"), "outer")
+        .select(col("channel"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"))
+        .orderBy("channel")
+    }),
+
     // Bot-likeness score: per user, the coefficient of variation of
     // inter-event gaps — timer-driven automation collapses toward
     // cv = 0 while humans are bursty (cv ≥ 1). The lag window
@@ -2338,6 +2424,83 @@ object PipeQueries {
          |        * CAST(0.5 AS DOUBLE) * 1000000) / 1000000 AS tvd
          |FROM dd JOIN g USING (event_type) CROSS JOIN gt
          |GROUP BY dd.day ORDER BY dd.day""".stripMargin,
+
+    "events_cuped_lift" -> {
+      val mid = 1704067200L + 15L * 86400L
+      s"""$BaseCte, u AS (
+         |  SELECT user_id, user_id % 2 = 0 AS arm_a,
+         |    CAST(sum(CASE WHEN sec < $mid
+         |                  THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+         |      / count(CASE WHEN sec < $mid THEN 1 END) AS x,
+         |    CAST(sum(CASE WHEN sec >= $mid
+         |                  THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+         |      / count(CASE WHEN sec >= $mid THEN 1 END) AS y
+         |  FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY user_id
+         |  HAVING count(CASE WHEN sec < $mid THEN 1 END) > 0
+         |     AND count(CASE WHEN sec >= $mid THEN 1 END) > 0
+         |), g AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+         |    CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+         |    count(CASE WHEN arm_a THEN 1 END) AS n_a,
+         |    CAST(sum(CASE WHEN arm_a
+         |                  THEN CAST(x AS DECIMAL(38,12)) END) AS DOUBLE)
+         |      AS sx_a,
+         |    CAST(sum(CASE WHEN arm_a
+         |                  THEN CAST(y AS DECIMAL(38,12)) END) AS DOUBLE)
+         |      AS sy_a,
+         |    count(CASE WHEN NOT arm_a THEN 1 END) AS n_b,
+         |    CAST(sum(CASE WHEN NOT arm_a
+         |                  THEN CAST(x AS DECIMAL(38,12)) END) AS DOUBLE)
+         |      AS sx_b,
+         |    CAST(sum(CASE WHEN NOT arm_a
+         |                  THEN CAST(y AS DECIMAL(38,12)) END) AS DOUBLE)
+         |      AS sy_b
+         |  FROM u
+         |), t AS (
+         |  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta
+         |  FROM g
+         |)
+         |SELECT n_a, n_b,
+         |  floor((sy_b / n_b - sy_a / n_a) * 1000000) / 1000000
+         |    AS lift_raw,
+         |  floor(((sy_b / n_b - theta * (sx_b / n_b - sx / n))
+         |         - (sy_a / n_a - theta * (sx_a / n_a - sx / n)))
+         |        * 1000000) / 1000000 AS lift_cuped,
+         |  floor(theta * 1000000) / 1000000 AS theta
+         |FROM t""".stripMargin
+    },
+
+    "events_attribution" ->
+      s"""$BaseCte, t AS (
+         |  SELECT event_type,
+         |    first_value(CASE WHEN event_type <> 'purchase'
+         |                     THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY sec, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS ft,
+         |    last_value(CASE WHEN event_type <> 'purchase'
+         |                    THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY sec, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS lt
+         |  FROM base
+         |), per AS (
+         |  SELECT coalesce(ft, 'direct') AS ft, coalesce(lt, 'direct') AS lt
+         |  FROM t WHERE event_type = 'purchase'
+         |), f AS (
+         |  SELECT ft AS channel, count(*) AS n_first FROM per GROUP BY ft
+         |), l AS (
+         |  SELECT lt AS channel, count(*) AS n_last FROM per GROUP BY lt
+         |)
+         |SELECT coalesce(f.channel, l.channel) AS channel,
+         |  coalesce(n_first, CAST(0 AS BIGINT)) AS n_first,
+         |  coalesce(n_last, CAST(0 AS BIGINT)) AS n_last
+         |FROM f FULL OUTER JOIN l ON f.channel = l.channel
+         |ORDER BY channel""".stripMargin,
 
     "events_bot_score" ->
       s"""$BaseCte, gaps AS (

@@ -86,7 +86,8 @@ object ScaleSanity {
       "ts_ols_trend", "ts_drawdown", "ts_bollinger", "events_dau_wau",
       "events_funnel_time", "events_top_paths", "events_user_gini",
       "grafana_long_json", "ts_block_maxima", "events_mix_drift",
-      "downsample_m4", "events_bot_score")
+      "downsample_m4", "events_bot_score", "events_cuped_lift",
+      "events_attribution")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()

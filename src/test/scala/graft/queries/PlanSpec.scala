@@ -1034,6 +1034,23 @@ class PlanSpec extends SparkSpec {
       s"hill tail must scan documents once:\n$p")
   }
 
+  test("events_cuped_lift: two hash aggregations — no window, no " +
+    "join, one events scan") {
+    val p = plan("events_cuped_lift")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"CUPED must scan events once:\n$p")
+  }
+
+  test("events_attribution: ONE user-partitioned window pass " +
+    "materializes both touches; the two credit rollups share it") {
+    val p = plan("events_attribution")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the touch checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"first/last credit must read the one touch frame:\n$p")
+  }
+
   test("events_bot_score: the lag window partitions on the user key; " +
     "one events scan, no join") {
     val p = plan("events_bot_score")
