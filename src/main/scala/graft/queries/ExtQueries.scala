@@ -565,6 +565,38 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer FERTILITY per language — the eval every tokenizer
+    // report leads with: BPE tokens per word and characters per token
+    // under the trained vocab (high fertility on a language = its
+    // token budget buys less text). Rides the SAME train+encode chain
+    // as bpe_encode_count (word-grain — the corpus is never
+    // re-segmented per doc), then one (lang, word) count join and a
+    // 5-row rollup of exact integer sums.
+    "bpe_fertility" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val d = docs(s, dir)
+      val words = d.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val merges = graft.ext.Bpe.fit(words, "w", "c", steps = 3)
+      val wordTok = graft.ext.Bpe.encode(words, "w", merges)
+        .select(col("w"), col("n_tokens"))
+      d.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+        .join(wordTok, Seq("w"))
+        .groupBy("lang")
+        .agg(sum(col("n")).cast("long").as("n_words"),
+          sum(col("n") * col("n_tokens")).cast("long").as("n_tokens_bpe"),
+          sum(col("n") * length(col("w"))).cast("long").as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens_bpe"),
+          t6(col("n_tokens_bpe").cast("double") / col("n_words"))
+            .as("fertility"),
+          t6(col("n_chars").cast("double") / col("n_tokens_bpe"))
+            .as("chars_per_token"))
+        .orderBy("lang")
+    }),
+
     // Incremental ingest dedup: a "new batch" (every 7th doc) checked
     // against the persisted content-hash index of the rest of the
     // corpus and against itself — corpus text is never rescanned, the
@@ -1818,6 +1850,55 @@ object ExtQueries {
          |  CAST(sum(dw.n * wt.t) AS BIGINT) AS n_tokens_bpe
          |FROM dw JOIN wt USING (w)
          |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+    },
+
+    "bpe_fertility" -> {
+      // same train+encode chain as bpe_encode_count, rolled up to the
+      // language grain with char totals
+      val stepCtes = (1 to 3).map { i =>
+        s"""p$i AS (
+           |  SELECT sy[i] AS s1, sy[i+1] AS s2, CAST(sum(c) AS BIGINT) AS pc
+           |  FROM (SELECT c, string_split(seg, ' ') AS sy FROM seg$i) q,
+           |       unnest(range(1, len(sy))) AS t(i)
+           |  GROUP BY s1, s2
+           |), b$i AS (
+           |  SELECT s1, s2, pc,
+           |    '·' || replace(s1, '·', '') || replace(s2, '·', '') || '·' AS m
+           |  FROM p$i ORDER BY pc DESC, s1, s2 LIMIT 1
+           |), seg${i + 1} AS (
+           |  SELECT w, c, replace(seg, (SELECT s1 || ' ' || s2 FROM b$i),
+           |                       (SELECT m FROM b$i)) AS seg
+           |  FROM seg$i
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY w
+         |), seg1 AS (
+         |  SELECT w, c, array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> '·' || w[i] || '·'), ' ') AS seg
+         |  FROM words
+         |), $stepCtes, wt AS (
+         |  SELECT w, len(string_split(seg, ' ')) AS t FROM seg4
+         |), lw AS (
+         |  SELECT lang, w, count(*) AS n FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  WHERE length(w) > 0 GROUP BY lang, w
+         |), g AS (
+         |  SELECT lang,
+         |    CAST(sum(lw.n) AS BIGINT) AS n_words,
+         |    CAST(sum(lw.n * wt.t) AS BIGINT) AS n_tokens_bpe,
+         |    CAST(sum(lw.n * length(lw.w)) AS BIGINT) AS n_chars
+         |  FROM lw JOIN wt USING (w) GROUP BY lang
+         |)
+         |SELECT lang, n_words, n_tokens_bpe,
+         |  floor(CAST(n_tokens_bpe AS DOUBLE) / n_words * 1000000) / 1000000
+         |    AS fertility,
+         |  floor(CAST(n_chars AS DOUBLE) / n_tokens_bpe * 1000000) / 1000000
+         |    AS chars_per_token
+         |FROM g ORDER BY lang""".stripMargin
     },
 
     "dedup_incremental" ->

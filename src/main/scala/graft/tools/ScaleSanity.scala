@@ -149,7 +149,7 @@ object ScaleSanity {
       // audit, budget fill, minhash decontamination
       "quality_gopher", "doc_ngram_entropy", "dedup_cross_source",
       "corpus_token_budget", "decontaminate_minhash",
-      "doc_jaccard_sources", "doc_hill_tail")
+      "doc_jaccard_sources", "doc_hill_tail", "bpe_fertility")
     val docPicks = sel(allDocPicks)
     if (docPicks.nonEmpty) {
       val nd = docs.count()

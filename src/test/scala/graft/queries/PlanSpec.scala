@@ -1034,6 +1034,14 @@ class PlanSpec extends SparkSpec {
       s"hill tail must scan documents once:\n$p")
   }
 
+  test("bpe_fertility: word-grain segmentation (no per-doc re-encode); " +
+    "no window; no cartesian") {
+    val p = plan("bpe_fertility")
+    // the encode chain is word-grain: the only join keys are the word
+    assert(!p.contains("Window"), s"fertility grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("events_cuped_lift: two hash aggregations — no window, no " +
     "join, one events scan") {
     val p = plan("events_cuped_lift")
