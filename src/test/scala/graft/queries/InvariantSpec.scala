@@ -246,6 +246,61 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("attribution conserves credit: first and last totals both equal " +
+    "the purchase count") {
+    val rows = run("events_attribution").collect()
+    val purchases = graft.core.Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == purchases,
+      "first-touch credits do not sum to the purchases")
+    assert(rows.map(_.getLong(2)).sum == purchases,
+      "last-touch credits do not sum to the purchases")
+    rows.foreach(r => assert(r.getString(0) != "purchase",
+      "a purchase cannot be its own touchpoint"))
+  }
+
+  test("m4 envelope: min <= first,last <= max in every bucket") {
+    run("downsample_m4").collect().foreach { r =>
+      val (mn, mx, f, l) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mn <= mx && mn <= f && f <= mx && mn <= l && l <= mx,
+        s"${r.getString(0)}/${r.getLong(1)}: envelope violated " +
+          s"($mn, $f, $l, $mx)")
+    }
+  }
+
+  test("fertility is at least one token per word; chars per token positive") {
+    run("bpe_fertility").collect().foreach { r =>
+      assert(r.getDouble(3) >= 1.0 - 1e-6,
+        s"${r.getString(0)}: fertility ${r.getDouble(3)} < 1")
+      assert(r.getDouble(4) > 0,
+        s"${r.getString(0)}: chars/token not positive")
+    }
+  }
+
+  test("hill alpha is a >1 tail index; bot cv is nonnegative") {
+    run("doc_hill_tail").collect().foreach { r =>
+      if (!r.isNullAt(2))
+        assert(r.getDouble(2) > 1.0,
+          s"${r.getString(0)}: hill alpha ${r.getDouble(2)} <= 1")
+    }
+    run("events_bot_score").collect().foreach { r =>
+      assert(r.getDouble(3) >= 0, s"user ${r.getLong(0)}: negative cv")
+      assert(r.getDouble(2) > 0, s"user ${r.getLong(0)}: nonpositive gap")
+    }
+  }
+
+  test("cuped reports a finite theta and both lifts") {
+    val r = run("events_cuped_lift").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) > 0 && row.getLong(1) > 0)
+    Seq(2, 3, 4).foreach(i =>
+      assert(!row.isNullAt(i) &&
+        !row.getDouble(i).isNaN && !row.getDouble(i).isInfinite,
+        s"cuped col $i not finite"))
+  }
+
   test("cohort ltv is nondecreasing within a cohort; years are ordered") {
     val rows = run("orders_cohort_ltv").collect()
       .groupBy(_.getInt(0))
