@@ -1018,20 +1018,30 @@ object PipeQueries {
         .orderBy("signup_day")
     }),
 
-    // Top first-3-event paths — the onboarding-flow audit. Per-user
-    // event history gathers in ONE hash aggregate (collect_list +
-    // array_sort — session-sized payloads, no per-user window sort
-    // pass), the path is a narrow slice+join projection, and the
-    // final top-10 is a TakeOrdered over the bounded path-count table.
-    "events_top_paths" -> ((s, dir) =>
+    // Top first-3-event paths — the onboarding-flow audit. The fact is
+    // cut to 3 rows/user by row_number over the user-partitioned window
+    // BEFORE any aggregation buffer exists: a window sort partitioned on
+    // the high-cardinality user key spills gracefully (a power user's
+    // ten-million-event history never materializes in one collect_list
+    // buffer — those don't spill). Only the ≤3 surviving rows per user
+    // enter the collect/array_sort, the path is a narrow projection,
+    // and the final top-10 is a TakeOrdered over the bounded path-count
+    // table. event_id is unique, so ordering by (sec, event_id) is
+    // total and the rn-sorted path equals the old full-history slice.
+    "events_top_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("sec"), col("event_id"))
       TsQueries.base(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
         .groupBy("user_id")
         .agg(array_sort(collect_list(struct(
-          col("sec"), col("event_id"), col("event_type")))).as("evs"))
-        .select(array_join(transform(slice(col("evs"), 1, 3),
+          col("rn"), col("event_type")))).as("evs"))
+        .select(array_join(transform(col("evs"),
           x => x.getField("event_type")), ">").as("path"))
         .groupBy("path").agg(count(lit(1)).as("n_users"))
-        .orderBy(col("n_users").desc, col("path")).limit(10)),
+        .orderBy(col("n_users").desc, col("path")).limit(10)
+    }),
 
     // Per-metric Gini concentration of user activity ("do a few users
     // generate most events?"). User-grain counts from one hash

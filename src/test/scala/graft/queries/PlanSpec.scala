@@ -858,10 +858,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("events_top_paths: one collect+sort aggregation pass — no " +
-    "per-user window sort; top-10 is TakeOrdered") {
+  test("events_top_paths: rn<=3 cut precedes every collect buffer — " +
+    "the user-partitioned window spills, an unbounded collect_list " +
+    "doesn't; top-10 is TakeOrdered") {
     val p = plan("events_top_paths")
-    assert(!p.contains("Window"), s"paths grew a window sort:\n$p")
+    val rnLine = p.linesIterator.find(_.contains("row_number()"))
+    assert(rnLine.exists(_.contains("user_id")),
+      s"first-3 window must partition on the high-cardinality user key:\n$p")
+    assert(p.contains("<= 3"),
+      s"missing the rn<=3 cut before aggregation:\n$p")
+    // rank-limit pushdown: the rn<=3 predicate must reach the map side
+    // as a WindowGroupLimit BELOW the shuffle — each task keeps ≤3 rows
+    // per user before any exchange, so a power user's history never
+    // even shuffles in full
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=3 not pushed down as a group limit:\n$p")
+    // the collect aggregate must NOT consume raw fact rows: the
+    // collected struct carries rn, a column that only exists above the
+    // window+filter, so the buffer's input grain is ≤3 rows/user —
+    // never a user's full history
+    val aggLines = p.linesIterator.filter(_.contains("collect_list")).toSeq
+    assert(aggLines.nonEmpty && aggLines.forall(_.contains("rn#")),
+      s"collect_list consumes pre-cut fact rows:\n$p")
     assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
       s"paths must scan events once:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-10 global-sorts:\n$p")
