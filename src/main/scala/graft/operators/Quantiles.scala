@@ -123,6 +123,14 @@ object Quantiles {
     * fact. Both helper windows run over provably bounded inputs: the
     * offset window over the ≤ |groups|·nBuckets count table, nothing
     * else.
+    *
+    * GLOBAL mode (`groupCols` empty) is EAGER: this call itself runs
+    * the bucket-count pass (a scan of `df`) to fold the ≤ nBuckets
+    * prefix offsets on the driver — even if the caller only ever
+    * explains the result. The bucketed frame is lazily checkpointed
+    * first, so the offsets and the rank join always read the same
+    * materialized rows (a nondeterministic `df` cannot desync them)
+    * and the input feeds both passes from that one scan.
     */
   def bucketedRank(df: DataFrame, groupCols: Seq[String], valueCol: String,
                    tieCol: String, nBuckets: Int = 4096,
@@ -155,7 +163,15 @@ object Quantiles {
           .drop("__vmin", "__vmax")
     }
     val bcols = groupCols :+ "__bucket"
-    val counts = b.groupBy(bcols.map(col): _*).agg(count(lit(1)).as("__bc"))
+    // GLOBAL path note: building the returned DataFrame runs an EAGER
+    // action (the counts collect below) — the input is scanned at call
+    // time, not at the caller's first action. The lazy checkpoint of
+    // the bucketed frame makes that safe for nondeterministic inputs
+    // (the driver-computed offsets and the rank join read the SAME
+    // materialized rows, never two independent re-evaluations) and
+    // means the fact feeds both passes from one scan.
+    val bG = if (groupCols.isEmpty) b.localCheckpoint(false) else b
+    val counts = bG.groupBy(bcols.map(col): _*).agg(count(lit(1)).as("__bc"))
     val offsets = if (groupCols.isEmpty) {
       // GLOBAL rank: the counts table is ≤ nBuckets rows BY
       // CONSTRUCTION (a bounded artifact regardless of input size), so
@@ -187,7 +203,7 @@ object Quantiles {
     val wIn = org.apache.spark.sql.expressions.Window
       .partitionBy(bcols.map(col): _*)
       .orderBy(col(valueCol), col(tieCol))
-    b.join(broadcast(offsets), bcols)
+    bG.join(broadcast(offsets), bcols)
       .withColumn("__rank", col("__off") + row_number().over(wIn))
       .drop("__bucket", "__off")
   }

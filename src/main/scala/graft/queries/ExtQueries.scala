@@ -1021,7 +1021,11 @@ object ExtQueries {
     }),
 
     // Inverted index: token → document-frequency + ordered posting
-    // list (string-joined for engine-portable hashing).
+    // list (string-joined for engine-portable hashing). Buffer note
+    // (COVERAGE.md aggregation-buffer ledger): the per-token posting
+    // collect is output-grain — at corpus scale the index is the
+    // (doc_id, token) exploded table itself (shuffled + spillable);
+    // the single-row string emit is the bounded-SF hash surface.
     "doc_inverted_index" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),

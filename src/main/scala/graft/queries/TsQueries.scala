@@ -691,8 +691,8 @@ object TsQueries {
       s"""$BaseCte SELECT event_type,
          |  CAST(floor((sec - 1704067200) / 26784.0) AS BIGINT) AS bucket,
          |  min(value) AS v_min, max(value) AS v_max,
-         |  min_by(value, sec * 10000000 + event_id) AS v_first,
-         |  max_by(value, sec * 10000000 + event_id) AS v_last
+         |  first(value ORDER BY sec, event_id) AS v_first,
+         |  last(value ORDER BY sec, event_id) AS v_last
          |FROM base
          |WHERE sec >= 1704067200 AND sec <= ${1704067200L + 2678400L - 1}
          |  AND value IS NOT NULL

@@ -65,8 +65,10 @@ object Downsample {
                   valueCol: String, orderCol: String, startSec: Long,
                   endSec: Long, maxDataPoints: Int): DataFrame = {
     val spread = spreadOf(startSec, endSec, maxDataPoints)
-    // composite time key: unique arrival ids stay below the 1e7 slot
-    val tkey = sec * lit(10000000L) + col(orderCol)
+    // composite (sec, arrival) time key as a STRUCT — lexicographic
+    // struct ordering is exact for any orderCol domain (an arithmetic
+    // sec*K+order packing silently breaks once ids reach K)
+    val tkey = struct(sec.as("s"), col(orderCol).as("o"))
     df.filter(sec >= startSec && sec <= endSec && col(valueCol).isNotNull)
       .withColumn("bucket", bucket(sec, startSec, spread))
       .groupBy((seriesCols.map(col) :+ col("bucket")): _*)

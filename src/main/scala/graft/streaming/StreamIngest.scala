@@ -447,11 +447,19 @@ object StreamIngest {
     *    call, so after EVERY batch a rollup read equals re-aggregating
     *    the raw cells — late points included (no pre-upsert value is
     *    ever served);
-    *  - EFFECTIVELY-ONCE: cell upsert is idempotent (same (slot,
-    *    metric) → same value), so duplicate deliveries from an
-    *    at-least-once source leave the store byte-identical even
-    *    without the dedup stage; `dedupWatermark` additionally spares
-    *    the redundant write work inside the watermark horizon.
+    *  - EFFECTIVELY-ONCE **for timestamped lines**: cell upsert is
+    *    idempotent (same (slot, metric) → same value), so duplicate
+    *    deliveries from an at-least-once source leave the store
+    *    byte-identical even without the dedup stage; `dedupWatermark`
+    *    additionally spares the redundant write work inside the
+    *    watermark horizon. Lines WITHOUT a timestamp are stamped at
+    *    batch processing time ([[parse]], mirroring the reference's
+    *    server-arrival stamp) — a replay after a mid-batch failure
+    *    re-stamps those at a NEW time, so a replayed untimestamped
+    *    point can land in a second slot. Sources that need replay
+    *    idempotence must send explicit timestamps (the normal influx
+    *    producer behavior); there is no deterministic arrival time to
+    *    derive on the engine side without inventing one.
     */
   def toStore(lines: DataFrame, lineCol: String, store: SensorStore,
               db: String, sensor: String, fillValue: Double = 0.0,
