@@ -109,6 +109,74 @@ object ScaleSanity {
       println(f"[scale] rows 1x=$n 10x=$bigN  median_ratio=${rows.sorted.apply(rows.size / 2)}%5.2f")
     }
 
+    // ---- skew stress: ONE key owns 15% of a 10× fact ----------------
+    // The uniform 10× sweeps above replicate per-key history size, so
+    // they can never see the one failure mode AQE cannot repair: a hot
+    // WINDOW partition (AQE splits skewed JOIN partitions, but a
+    // window partition is indivisible by definition). Here 15% of all
+    // rows (pmod(event_id, 20) < 3 — deterministic) are reassigned to
+    // one existing user before the per-user window family runs. The
+    // printed ratio is skewed-vs-uniform at the SAME 10× row count, so
+    // it isolates the hot task: ~1 means the single-task sort absorbs
+    // the hot key at this scale (n·log n, spillable); >>1 flags a key
+    // whose per-row window work is superlinear and needs a salted
+    // two-pass split before 100 TB.
+    if (only.isEmpty || only("skew")) {
+      val skewKeys = Seq("events_bot_score", "events_attribution",
+        "events_markov_transitions", "events_top_paths",
+        "events_sessionize")
+      val big = (0 until 10).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS"))
+      }.reduce(_ union _)
+      val udir = tempDir("skewuni")
+      val hdir = tempDir("skewhot")
+      big.write.parquet(s"$udir/events.parquet")
+      big.withColumn("user_id",
+          when(pmod(col("event_id"), lit(20)) < 3, lit(1L))
+            .otherwise(col("user_id")))
+        .write.parquet(s"$hdir/events.parquet")
+      val hotShare = spark.read.parquet(s"$hdir/events.parquet")
+        .filter(col("user_id") === 1L).count().toDouble /
+        spark.read.parquet(s"$hdir/events.parquet").count()
+      skewKeys.foreach { q =>
+        val f = graft.SparkEntry.queries(q)
+        f(spark, udir).count() // JIT/codegen warm-up outside the clock
+        val tU = time(f(spark, udir).count())
+        val tS = time(f(spark, hdir).count())
+        println(f"[skew] $q%-28s uniform10x=${tU}%6.2fs hot10x=${tS}%6.2fs " +
+          f"ratio=${tS / tU}%5.2f")
+      }
+      println(f"[skew] events hot-user share=${hotShare * 100}%4.1f%%")
+      // orders substrate: the customer-lag window family. The hot key
+      // is an EXISTING custkey so the segment join keeps the hot rows.
+      val ordS = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "orders")
+      val bigOrd = (0 until 10).map { i =>
+        ordS.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 10000000L))
+      }.reduce(_ union _)
+      val oudir = tempDir("skewouni")
+      val ohdir = tempDir("skewohot")
+      bigOrd.write.parquet(s"$oudir/orders.parquet")
+      bigOrd.withColumn("o_custkey",
+          when(pmod(col("o_orderkey"), lit(20)) < 3, lit(1L))
+            .otherwise(col("o_custkey")))
+        .write.parquet(s"$ohdir/orders.parquet")
+      Seq("customer").foreach { t =>
+        val d = graft.core.Tables.load(spark, "/root/testdata/sf0.1", t)
+        d.write.parquet(s"$oudir/$t.parquet")
+        d.write.parquet(s"$ohdir/$t.parquet")
+      }
+      Seq("orders_interorder_gap", "orders_cohort_ltv").foreach { q =>
+        val f = graft.SparkEntry.queries(q)
+        f(spark, oudir).count() // JIT/codegen warm-up outside the clock
+        val tU = time(f(spark, oudir).count())
+        val tS = time(f(spark, ohdir).count())
+        println(f"[skew] $q%-28s uniform10x=${tU}%6.2fs hot10x=${tS}%6.2fs " +
+          f"ratio=${tS / tU}%5.2f")
+      }
+    }
+
     // ---- documents corpus 10×: the text-pipeline operators ----------
     // Each replica appends a unique marker token so replicas do not
     // manufacture unbounded cross-replica near-dup structure; the
