@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Range-subsplit composition for PREFIX (running) aggregates.
+  *
+  * A running aggregate over one series is normally a single window
+  * partition — one sorted task per series. That is the right default
+  * while a series fits a task (the `ts_level_shift` discipline), but a
+  * single multi-year series at a 1-second grid is hundreds of millions
+  * of rows; this operator is the escape hatch: it computes the same
+  * running max with the series RANGE-SUBSPLIT into `nSlices`
+  * contiguous slices, so no task ever sorts more than ~1/nSlices of
+  * the series.
+  *
+  * Two-pass shape (the [[Quantiles.bucketedRank]] pattern applied to
+  * an associative prefix aggregate):
+  *   1. slice each row onto a fixed order grid (per-series min/max of
+  *      the order column, one tiny aggregate broadcast back), then a
+  *      window PER (series, slice) computes the local running max —
+  *      partition count = |series|·nSlices, each sorting a slice;
+  *   2. the per-slice totals form a ≤ |series|·nSlices bounded table;
+  *      an EXCLUSIVE prefix max over it (window over the bounded
+  *      table only) yields each slice's carry-in, broadcast-joined
+  *      back: running = max(carry_in, local_running).
+  *
+  * Exactness at slice edges is not approximate: max is associative,
+  * so prefix_max(row) = max(max over all earlier slices, local prefix
+  * within the row's slice) — proven bit-equal to the single-window
+  * plan by PrefixSplitSpec, including every first-row-of-slice edge.
+  * The same composition carries any associative+commutative prefix
+  * aggregate (sum, min, count); bounded ±k frames (Bollinger, the STL
+  * trend MA) subsplit even more simply with k-row halos because their
+  * frame never reaches back past k rows (SCALE.md).
+  */
+object PrefixSplit {
+
+  /** Running max of `valueCol` over (`partCols` order by `orderCol`),
+    * computed with the series subsplit into `nSlices` — result column
+    * `__runmax` equals `max(valueCol) OVER (PARTITION BY partCols
+    * ORDER BY orderCol ROWS UNBOUNDED PRECEDING)` exactly. `orderCol`
+    * must be numeric and unique per series (a slot/sec grid).
+    */
+  def runningMaxSubsplit(df: DataFrame, partCols: Seq[String],
+                         orderCol: String, valueCol: String,
+                         nSlices: Int = 256): DataFrame = {
+    val pc = partCols.map(col)
+    val o = col(orderCol).cast("double")
+    // per-series order range: one tiny aggregate, broadcast back
+    val rng = df.groupBy(pc: _*)
+      .agg(min(o).as("__omin"), max(o).as("__omax"))
+    val width = greatest((col("__omax") - col("__omin")) / nSlices,
+      lit(1e-9))
+    val sliced = df.join(broadcast(rng), partCols)
+      .withColumn("__slice",
+        least(greatest(floor((o - col("__omin")) / width), lit(0)),
+          lit(nSlices - 1)).cast("int"))
+      .drop("__omin", "__omax")
+    // pass 1: local running max within each (series, slice)
+    val wLocal = Window.partitionBy((pc :+ col("__slice")): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = sliced.withColumn("__lmax", max(col(valueCol)).over(wLocal))
+    // pass 2: exclusive prefix max over the bounded per-slice table
+    val wCarry = Window.partitionBy(pc: _*).orderBy(col("__slice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = sliced.groupBy((pc :+ col("__slice")): _*)
+      .agg(max(col(valueCol)).as("__smax"))
+      .withColumn("__carry", max(col("__smax")).over(wCarry))
+      .drop("__smax")
+    local.join(broadcast(carry), partCols :+ "__slice")
+      .withColumn("__runmax",
+        greatest(col("__lmax"), coalesce(col("__carry"), col("__lmax"))))
+      .drop("__slice", "__lmax", "__carry")
+  }
+}

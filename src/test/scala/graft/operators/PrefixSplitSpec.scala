@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Slice-edge exactness of the two-pass range-subsplit prefix max:
+  * the composed plan must equal the single-window running max
+  * BIT-FOR-BIT on every row — in particular on the first row of every
+  * slice, where the carry-in join supplies the history the local
+  * window cannot see.
+  */
+class PrefixSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("runningMaxSubsplit equals the single-window running max on " +
+    "every row, including slice edges") {
+    // deterministic pseudo-random series: values wiggle so maxima land
+    // both inside slices and exactly on slice boundaries
+    val df = (0 until 3).flatMap { s =>
+      (0 until 1000).map { i =>
+        (s.toString, i.toLong,
+          math.sin(i * 0.37 + s) * 100 + (i % 97) - (i % 13) * 7.0)
+      }
+    }.toDF("series", "slot", "v")
+    val wRef = Window.partitionBy("series").orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = df.withColumn("__ref", max(col("v")).over(wRef))
+    // nSlices values that do AND do not divide the series length, so
+    // edge rows land at varying offsets
+    Seq(7, 16, 100).foreach { n =>
+      val got = PrefixSplit.runningMaxSubsplit(df, Seq("series"),
+        "slot", "v", nSlices = n)
+      val joined = ref.join(got, Seq("series", "slot", "v"))
+      val mismatch = joined.filter(col("__ref") =!= col("__runmax")).count()
+      assert(mismatch == 0L,
+        s"nSlices=$n: $mismatch rows diverge from the single window")
+      assert(joined.count() == 3000L, s"nSlices=$n: join lost rows")
+    }
+  }
+
+  test("the subsplit plan's windows are all slice- or bounded-table " +
+    "partitioned — no whole-series sort task") {
+    val df = (0 until 200).map(i => ("a", i.toLong, i * 1.0))
+      .toDF("series", "slot", "v")
+    val p = PrefixSplit.runningMaxSubsplit(df, Seq("series"), "slot", "v")
+      .queryExecution.executedPlan.toString
+    // pass-1 window must partition on (series, __slice); the only
+    // window NOT slice-partitioned is the carry window over the
+    // bounded per-slice table
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    assert(winLines.exists(_.contains("__slice")),
+      s"no slice-partitioned window in:\n$p")
+  }
+}
