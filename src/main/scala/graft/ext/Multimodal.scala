@@ -143,6 +143,122 @@ object Multimodal {
         NullL.as("width"), NullL.as("height")))
   }
 
+  /** Little-endian unsigned integer from `n` bytes at 1-indexed `pos`
+    * (null when the payload is too short) — the RIFF/WAV byte order.
+    */
+  private def leInt(payload: Column, pos: Column, n: Int): Column =
+    when(length(payload) >= pos + lit(n - 1),
+      (0 until n).map(i => byteAt(payload, pos + i) * lit(1L << (8 * i)))
+        .reduce(_ + _))
+
+  /** Hex of the 4-byte tag at 1-indexed `pos` (chunk/box fourcc). */
+  private def fourcc(payload: Column, pos: Column): Column =
+    hex(payload.substr(pos, lit(4)))
+
+  /** Audio/video container metadata from raw header bytes — the A/V
+    * sibling of [[imageDims]], as pure codegen'd byte expressions:
+    *
+    *  - WAV (RIFF): chunks are not at fixed offsets (INFO `LIST` or
+    *    `JUNK` chunks may precede `fmt `), so this walks the chunk
+    *    chain from byte 13, skipping each chunk by its declared
+    *    little-endian size (+1 pad byte when odd, per RIFF), until
+    *    both `fmt ` (sample rate at +12, byte rate at +16 of the
+    *    chunk) and `data` (payload size) are seen;
+    *    duration_ms = ⌊data_size·1000 / byte_rate⌋.
+    *  - MP4 (ISO BMFF): a bounded box-walk — top level to `moov`
+    *    (skipping `ftyp`/`free`/`mdat` by their big-endian sizes),
+    *    inside `moov` to `mvhd` (duration/timescale; version 0 and 1
+    *    layouts both handled) and the first `trak`, inside that to
+    *    `tkhd` (width/height as 16.16 fixed-point, v0/v1 offsets);
+    *    duration_ms = ⌊duration·1000 / timescale⌋.
+    *
+    * Returns struct(format, sample_rate, duration_ms, width, height)
+    * with nulls for truncated or unrecognized payloads. Like
+    * [[imageDims]], every walk is an `aggregate` over a bounded step
+    * sequence: per-row cost is capped by `maxBoxes`, independent of
+    * payload size — a 100 TB media scan pays a metadata-pass price
+    * (box SIZES are read, box bodies are never touched).
+    */
+  def avMeta(payload: Column, maxBoxes: Int = 16): Column = {
+    val isWav = fourcc(payload, lit(1L)) === lit("52494646") && // RIFF
+      fourcc(payload, lit(9L)) === lit("57415645")              // WAVE
+    val isMp4 = fourcc(payload, lit(5L)) === lit("66747970")    // ftyp
+
+    // WAV chunk walk: state = (pos, sample_rate, byte_rate, data_size)
+    val wavWalk = aggregate(
+      sequence(lit(1), lit(maxBoxes)),
+      struct(lit(13L).as("pos"), NullL.as("sr"), NullL.as("br"),
+        NullL.as("ds")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val id = fourcc(payload, pos)
+        val size = leInt(payload, pos + 4, 4)
+        val haveAll = st.getField("sr").isNotNull &&
+          st.getField("ds").isNotNull
+        val isFmt = id === lit("666D7420")  // "fmt "
+        val isData = id === lit("64617461") // "data"
+        when(haveAll || size.isNull, st)
+          .otherwise(struct(
+            (pos + 8 + size + pmod(size, lit(2))).as("pos"),
+            coalesce(st.getField("sr"),
+              when(isFmt, leInt(payload, pos + 12, 4))).as("sr"),
+            coalesce(st.getField("br"),
+              when(isFmt, leInt(payload, pos + 16, 4))).as("br"),
+            coalesce(st.getField("ds"), when(isData, size)).as("ds")))
+      })
+
+    // ISO-BMFF box walk: first box of type `wantHex` in [start, end)
+    def boxWalk(startPos: Column, endPos: Column, wantHex: String): Column =
+      aggregate(
+        sequence(lit(1), lit(maxBoxes)),
+        struct(startPos.cast(LongType).as("pos"), NullL.as("found")),
+        (st, _) => {
+          val pos = st.getField("pos")
+          val size = beInt(payload, pos, 4)
+          val t = fourcc(payload, pos + 4)
+          when(st.getField("found").isNotNull || pos.isNull ||
+            pos >= endPos || size.isNull || size < 8, st)
+            .when(t === lit(wantHex),
+              struct(pos.as("pos"), pos.as("found")))
+            .otherwise(struct((pos + size).as("pos"), NullL.as("found")))
+        }).getField("found")
+
+    val moovPos = boxWalk(lit(1L), length(payload) + 1, "6D6F6F76")
+    val moovEnd = moovPos + beInt(payload, moovPos, 4)
+    val mvhdPos = boxWalk(moovPos + 8, moovEnd, "6D766864")
+    val trakPos = boxWalk(moovPos + 8, moovEnd, "7472616B")
+    val tkhdPos = boxWalk(trakPos + 8,
+      trakPos + beInt(payload, trakPos, 4), "746B6864")
+
+    val mvVer = byteAt(payload, mvhdPos + 8)
+    val timescale = when(mvVer === 0, beInt(payload, mvhdPos + 20, 4))
+      .when(mvVer === 1, beInt(payload, mvhdPos + 28, 4))
+    val durTicks = when(mvVer === 0, beInt(payload, mvhdPos + 24, 4))
+      .when(mvVer === 1, beInt(payload, mvhdPos + 32, 8))
+    val tkVer = byteAt(payload, tkhdPos + 8)
+    // 16.16 fixed-point: the integer part is the leading u16
+    val tkW = when(tkVer === 0, beInt(payload, tkhdPos + 84, 2))
+      .when(tkVer === 1, beInt(payload, tkhdPos + 96, 2))
+    val tkH = when(tkVer === 0, beInt(payload, tkhdPos + 88, 2))
+      .when(tkVer === 1, beInt(payload, tkhdPos + 100, 2))
+
+    val wavDur = when(wavWalk.getField("br") > 0,
+      floor(wavWalk.getField("ds") * lit(1000.0) /
+        wavWalk.getField("br")).cast(LongType))
+    val mp4Dur = when(timescale > 0,
+      floor(durTicks * lit(1000.0) / timescale).cast(LongType))
+
+    when(isWav, struct(lit("wav").as("format"),
+      wavWalk.getField("sr").as("sample_rate"), wavDur.as("duration_ms"),
+      NullL.as("width"), NullL.as("height")))
+      .when(isMp4, struct(lit("mp4").as("format"),
+        NullL.as("sample_rate"), mp4Dur.as("duration_ms"),
+        tkW.as("width"), tkH.as("height")))
+      .otherwise(struct(lit("unknown").as("format"),
+        NullL.as("sample_rate"), NullL.as("duration_ms"),
+        NullL.as("width"), NullL.as("height")))
+  }
+
   /** Typed record for the partition-batch decode path. */
   case class MediaRecord(media_id: Long, payload: Array[Byte], mime: String)
 

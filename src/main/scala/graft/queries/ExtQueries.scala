@@ -1002,6 +1002,66 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // A/V container metadata (r10): WAV/MP4 headers synthesized
+    // in-engine from deterministic doc properties (so DuckDB can
+    // predict every field without parsing bytes), then parsed back by
+    // Multimodal.avMeta's bounded chunk/box walks. Both walks are
+    // REAL: the WAV fmt chunk sits behind a variable-length LIST
+    // chunk, and the MP4 moov behind a variable-length free box, so
+    // fixed-offset peeking cannot pass. Same codegen'd-byte-expression
+    // contract as multimodal_dims — per-row cost independent of
+    // payload size.
+    "multimodal_av_meta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def be(c: Column, n: Int) = unhex(lpad(hex(c), 2 * n, "0"))
+      def le(c: Column, n: Int) = concat((0 until n).map(i =>
+        unhex(lpad(hex(pmod(shiftright(c.cast("long"), 8 * i),
+          lit(256))), 2, "0"))): _*)
+      def zeros(n: Int) = unhex(lit("00" * n))
+      // WAV: LIST junk chunk (variable even length) precedes fmt
+      val sr = (lit(8000) + pmod(col("doc_id") * 37, lit(40000))).cast("long")
+      val br = sr * 2
+      val ds = (col("n_chars") * 4).cast("long")
+      val junkLen = (lit(10) + pmod(col("doc_id"), lit(4)) * 2).cast("long")
+      val wav = concat(
+        lit("RIFF").cast("binary"), le(lit(36L) + junkLen, 4),
+        lit("WAVE").cast("binary"),
+        lit("LIST").cast("binary"), le(junkLen, 4),
+        encode(repeat(lit("x"), junkLen.cast("int")), "UTF-8"),
+        lit("fmt ").cast("binary"), le(lit(16L), 4),
+        le(lit(1L), 2), le(lit(1L), 2), le(sr, 4), le(br, 4),
+        le(lit(2L), 2), le(lit(16L), 2),
+        lit("data").cast("binary"), le(ds, 4),
+        encode(substring(col("text"), 1, 16), "UTF-8"))
+      // MP4: ftyp + variable free + moov{mvhd v0, trak{tkhd v0}}
+      val w = (lit(16) + pmod(col("n_chars"), lit(2032))).cast("long")
+      val h = (lit(16) + pmod(col("doc_id") * 11, lit(1512))).cast("long")
+      val ts = (lit(1000) + pmod(col("doc_id"), lit(9000))).cast("long")
+      val dt = (col("n_chars") * 50).cast("long")
+      val freeLen = (lit(8) + pmod(col("doc_id"), lit(16))).cast("long")
+      val mvhd = concat(be(lit(108L), 4), lit("mvhd").cast("binary"),
+        zeros(4), zeros(8), be(ts, 4), be(dt, 4), zeros(80))
+      val tkhd = concat(be(lit(92L), 4), lit("tkhd").cast("binary"),
+        zeros(76), be(w, 2), zeros(2), be(h, 2), zeros(2))
+      val mp4 = concat(
+        be(lit(16L), 4), lit("ftypisom").cast("binary"), zeros(4),
+        be(freeLen, 4), lit("free").cast("binary"),
+        encode(repeat(lit("f"), (freeLen - 8).cast("int")), "UTF-8"),
+        be(lit(216L), 4), lit("moov").cast("binary"), mvhd,
+        concat(be(lit(100L), 4), lit("trak").cast("binary"), tkhd))
+      val payload = when(pmod(col("doc_id"), lit(3)) === 0, wav)
+        .when(pmod(col("doc_id"), lit(3)) === 1, mp4)
+        .otherwise(encode(col("text"), "UTF-8"))
+      val meta = Multimodal.avMeta(col("payload"))
+      d.select(col("doc_id").as("media_id"), payload.as("payload"))
+        .select(col("media_id"), meta.getField("format").as("format"),
+          meta.getField("sample_rate").as("sample_rate"),
+          meta.getField("duration_ms").as("duration_ms"),
+          meta.getField("width").as("width"),
+          meta.getField("height").as("height"))
+        .orderBy("media_id")
+    }),
+
     "similar_topk_cosine" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
@@ -2598,6 +2658,24 @@ object ExtQueries {
         |    ELSE CAST(16 + n_chars % 2032 AS BIGINT) END AS width,
         |  CASE WHEN doc_id % 3 = 2 THEN NULL
         |    ELSE CAST(16 + (doc_id * 7) % 1512 AS BIGINT) END AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "multimodal_av_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'wav'
+        |    WHEN 1 THEN 'mp4' ELSE 'unknown' END AS format,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN CAST(8000 + (doc_id * 37) % 40000 AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(FLOOR(
+        |      (n_chars * 4) * 1000.0 /
+        |      ((8000 + (doc_id * 37) % 40000) * 2)) AS BIGINT)
+        |    WHEN doc_id % 3 = 1 THEN CAST(FLOOR(
+        |      (n_chars * 50) * 1000.0 /
+        |      (1000 + doc_id % 9000)) AS BIGINT) END AS duration_ms,
+        |  CASE WHEN doc_id % 3 = 1
+        |    THEN CAST(16 + n_chars % 2032 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 3 = 1
+        |    THEN CAST(16 + (doc_id * 11) % 1512 AS BIGINT) END AS height
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "similar_range_search" ->

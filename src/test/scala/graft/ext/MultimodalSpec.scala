@@ -86,4 +86,95 @@ class MultimodalSpec extends SparkSpec {
     assert(d(2L) == (("unknown", -1L, -1L)))
     assert(d(3L) == (("unknown", -1L, -1L)))
   }
+
+  // ---- avMeta fixtures: WAV / MP4 container headers ----------------
+
+  /** Canonical 44.1 kHz 16-bit stereo WAV: fmt then data, 2 s of
+    * audio declared (352800 bytes at 176400 B/s → 2000 ms).
+    */
+  private val wavCanonical = hexBytes(
+    "52494646" + "24620500" + "57415645" + // RIFF size WAVE
+      "666D7420" + "10000000" +            // "fmt " len=16
+      "0100" + "0200" + "44AC0000" +       // PCM, 2ch, 44100
+      "10B10200" + "0400" + "1000" +       // byteRate=176400, align, bits
+      "64617461" + "20620500" +            // "data" size=352800
+      "ABCD")                              // stub sample bytes
+
+  /** WAV with an ODD-sized LIST chunk before fmt — the walk must add
+    * the RIFF pad byte or it desyncs onto garbage.
+    */
+  private val wavOddList = hexBytes(
+    "52494646" + "FFFF0000" + "57415645" +
+      "4C495354" + "0B000000" +            // "LIST" len=11 (odd)
+      "494E464F41424344454647" +           // 11 payload bytes
+      "00" +                               // RIFF pad byte
+      "666D7420" + "10000000" +
+      "0100" + "0100" + "803E0000" +       // mono 16000 Hz
+      "007D0000" + "0200" + "1000" +       // byteRate=32000
+      "64617461" + "00FA0000")             // size=64000 → 2000 ms
+
+  /** MP4 with v1 mvhd/tkhd AND an mdat (skipped by size) whose payload
+    * contains the decoy bytes "moov" — a substring scan would walk
+    * into it; the box walk skips mdat by its declared size.
+    * timescale=600, duration=12345 → 20575 ms; track 1920×1080.
+    */
+  private val mp4V1Decoy = {
+    def be(v: Long, n: Int) =
+      f"$v%016X".takeRight(2 * n)
+    hexBytes(
+      be(16, 4) + "66747970" + "69736F6D" + "00000000" + // ftyp isom
+        be(20, 4) + "6D646174" +                          // mdat size=20
+        "6D6F6F76" + be(0xDEADBEEFL, 4) + be(0xCAFEL, 4) + // DECOY "moov"
+        be(240, 4) + "6D6F6F76" +                         // real moov
+        be(120, 4) + "6D766864" + "01" + "000000" +       // mvhd v1
+        "00" * 16 +                                       // creation+mod (8+8)
+        be(600, 4) + be(12345, 8) +                       // timescale, duration
+        "00" * 80 +                                       // rate..next_track_id
+        be(112, 4) + "7472616B" +                         // trak
+        be(104, 4) + "746B6864" + "01" + "000000" +       // tkhd v1
+        "00" * 84 +                                       // creation..matrix
+        be(1920, 2) + "0000" + be(1080, 2) + "0000")      // 16.16 w/h
+  }
+
+  private def av(payloads: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    val df = payloads.toDF("media_id", "payload")
+    val m = Multimodal.avMeta(col("payload"))
+    df.select(col("media_id"), m.getField("format").as("f"),
+        m.getField("sample_rate").as("sr"),
+        m.getField("duration_ms").as("d"),
+        m.getField("width").as("w"), m.getField("height").as("h"))
+      .collect().map { r =>
+        def g(i: Int) = if (r.isNullAt(i)) -1L else r.getLong(i)
+        r.getLong(0) -> ((r.getString(1), g(2), g(3), g(4), g(5)))
+      }.toMap
+  }
+
+  test("WAV: canonical fmt+data header parses rate and duration") {
+    assert(av(Seq(0L -> wavCanonical))(0L) ==
+      (("wav", 44100L, 2000L, -1L, -1L)))
+  }
+
+  test("WAV: odd-sized LIST chunk before fmt — pad byte honored") {
+    assert(av(Seq(0L -> wavOddList))(0L) ==
+      (("wav", 16000L, 2000L, -1L, -1L)))
+  }
+
+  test("MP4: v1 mvhd/tkhd parse; mdat with decoy 'moov' bytes skipped " +
+    "by size") {
+    assert(av(Seq(0L -> mp4V1Decoy))(0L) ==
+      (("mp4", -1L, 20575L, 1920L, 1080L)))
+  }
+
+  test("avMeta truncation/garbage degrade to nulls, not errors") {
+    val d = av(Seq(
+      0L -> wavCanonical.take(20),          // dies before fmt fields
+      1L -> mp4V1Decoy.take(40),            // dies inside mdat
+      2L -> "plain text".getBytes("UTF-8"),
+      3L -> Array.emptyByteArray))
+    assert(d(0L) == (("wav", -1L, -1L, -1L, -1L)))
+    assert(d(1L) == (("mp4", -1L, -1L, -1L, -1L)))
+    assert(d(2L) == (("unknown", -1L, -1L, -1L, -1L)))
+    assert(d(3L) == (("unknown", -1L, -1L, -1L, -1L)))
+  }
 }

@@ -391,6 +391,16 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected the output sort only, got $exchanges:\n$p")
   }
 
+  test("A/V header decode is a single narrow pass — no join, no UDF, " +
+    "one output-sort exchange") {
+    val p = plan("multimodal_av_meta")
+    assert(!p.contains("Join"), s"container parse must not join:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      s"parse left codegen:\n$p")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected the output sort only, got $exchanges:\n$p")
+  }
+
   test("key-skew detector is two hash aggregations — the argmax never joins") {
     val p = plan("events_key_skew")
     assert(!p.contains("Join"), s"argmax grew a join:\n$p")
