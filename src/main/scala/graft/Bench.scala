@@ -14,6 +14,14 @@ import org.apache.spark.sql.SparkSession
   * spread, and the 1-minute system load average before and after — so
   * a shared-machine artifact is visible in the record itself instead of
   * having to be inferred from per-query forensics.
+  *
+  * Pre-flight load gate: before timing starts, if the 1-minute load
+  * exceeds `SPARK_GRAFT_LOAD_MAX` (default 3.0) the bench waits up to
+  * `SPARK_GRAFT_LOAD_WAIT_S` (default 120) seconds for it to fall, then
+  * proceeds either way and stamps `"load_gate":{"threshold":…,
+  * "pre":…,"waited_s":…,"contended":bool}` into the JSON line — the
+  * record self-documents contention instead of leaving it to per-query
+  * forensics (r9 verdict ask #8).
   */
 object Bench {
   private def loadAvg: Double =
@@ -47,7 +55,17 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // pre-flight load gate: wait (bounded) for a quiet machine, then
+    // record the verdict either way so the line is self-evidencing
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "3.0").toDouble
+    val loadWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_S", "120").toInt
+    val gatePre = loadAvg
+    var waited = 0
+    while (loadAvg > loadMax && waited < loadWaitS) {
+      Thread.sleep(5000); waited += 5
+    }
     val loadStart = loadAvg
+    val contended = loadStart > loadMax
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val passes: Seq[Seq[(String, Double)]] = (1 to nRuns).map { _ =>
       names.map { case (name, fn) =>
@@ -67,6 +85,7 @@ object Bench {
       s""""runs":${totals.map(r3).mkString("[", ",", "]")}""" +
         s""","spread_pct":${r3(spreadPct)}""" +
         s""","load_avg":[${r3(loadStart)},${r3(loadEnd)}]""" +
+        s""","load_gate":{"threshold":${r3(loadMax)},"pre":${r3(gatePre)},"waited_s":$waited,"contended":$contended}""" +
         s""","cpus":$cpus"""
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -94,7 +113,10 @@ object Bench {
         s""""pass${i + 1}":{${p.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString(",")}}"""
       }.mkString(",")
       val detail = full.dropRight(1) + s""","passes":{$allPasses}}"""
-      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      // overridable so a side-run (e.g. the big-SF row) can't clobber
+      // the committed sf0.1 detail (this bit r9 once already)
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
       java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(out)

@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materializes a coherent REPL×-scaled copy of the full sf0.1 table set
+  * (default 10× ≈ "sf1": ~6M lineitem rows) so the bench gate can be
+  * measured at a scale where data-dependent cost dominates the
+  * per-query scheduling floor (r9 verdict ask #6 — every gate row so
+  * far was sf0.1, where totals are floor-dominated).
+  *
+  * The replication preserves every cross-table invariant the queries
+  * rely on, mirroring how TPC-H itself scales:
+  *   - region/nation: fixed at all SFs — copied verbatim.
+  *   - customer/part/supplier: replicated with disjoint key offsets
+  *     (custkey/partkey +i·1e7, suppkey +i·1e6) — dims grow with SF.
+  *   - orders/lineitem: orderkey +i·1e8 in BOTH tables, and the FK
+  *     columns get the SAME offsets as their dims, so every join keeps
+  *     its per-replica match structure and selectivity; output grows
+  *     exactly REPL×.
+  *   - events: event_id +i·1e7, ts +i·31 days (unique ids/timestamps);
+  *     user_id unchanged so per-user history grows REPL× — the harder,
+  *     more realistic shape for the per-user window family.
+  *   - documents: doc_id +i·1e7; the text of replica i has letters
+  *     a–j rotated by i (length-, punctuation- and whitespace-
+  *     preserving), so replicas are NOT near-duplicates of each other:
+  *     the minhash/simhash/gram dedup families see the per-replica dup
+  *     structure REPL× (linear), not REPL²-sized cross-replica groups
+  *     that would measure a data pathology instead of the plan.
+  *   - embeddings: vec_id +i·1e7 (the codebook pivots vec_id∈[0,16]
+  *     stay a fixed 17 rows — the corpus grows around them, which is
+  *     the correct ANN scaling), vectors angularly perturbed per
+  *     replica so they don't manufacture sim=1.0 own-cell bests.
+  *
+  * Usage: sbt "runMain graft.tools.MakeBigSf [outDir] [repl]"
+  * (defaults: target/bigsf 10). Then
+  * `SPARK_GRAFT_SF_DIR=target/bigsf sbt "runMain graft.Bench"`.
+  */
+object MakeBigSf {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("target/bigsf")
+    val repl = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def load(t: String): DataFrame = graft.core.Tables.load(spark, srcDir, t)
+    def fanned(df: DataFrame)(per: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until repl).map(i => per(df, i)).reduce(_ union _)
+    def write(df: DataFrame, t: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[bigsf] $t: ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
+    }
+
+    Seq("region", "nation").foreach(t => write(load(t), t))
+
+    write(fanned(load("customer")) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 10000000L))
+    }, "customer")
+    write(fanned(load("supplier")) { (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i.toLong * 1000000L))
+    }, "supplier")
+    write(fanned(load("part")) { (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 10000000L))
+    }, "part")
+    write(fanned(load("orders")) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 10000000L))
+    }, "orders")
+    write(fanned(load("lineitem")) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 10000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * 1000000L))
+    }, "lineitem")
+    write(fanned(load("events")) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS"))
+    }, "events")
+    // letters a–j rotated by i: deterministic, length-preserving, and
+    // different for every replica, so no two replicas of the same doc
+    // share shingles — the dedup candidate volume scales REPL×, not
+    // with cross-replica duplicate groups
+    val alpha = "abcdefghij"
+    write(fanned(load("documents")) { (df, i) =>
+      val to = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+      df.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+        .withColumn("text", translate(col("text"), alpha, to))
+    }, "documents")
+    write(fanned(load("embeddings")) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+        .withColumn("embedding",
+          transform(col("embedding"), x => (x + lit(i * 0.05f)).cast("float")))
+    }, "embeddings")
+
+    println(s"[bigsf] wrote $repl x $srcDir -> $outDir")
+    spark.stop()
+  }
+}
