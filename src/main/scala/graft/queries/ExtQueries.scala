@@ -1759,6 +1759,130 @@ object ExtQueries {
           countDistinct(col("b_id")).as("n_docs_dropped"))
         .orderBy("threshold")
     }),
+
+    // Per-source unigram KL divergence vs the corpus mixture — the
+    // distribution-shift diagnostic a curator reads next to
+    // doc_jaccard_sources (vocab overlap says "same words"; KL says
+    // "same FREQUENCIES"). One fact pass builds the (source, word)
+    // count table; the corpus marginal re-aggregates THAT table
+    // (vocab-scale, never the fact), the per-source totals broadcast
+    // back, and the log-weighted sum routes through DECIMAL(38,18)
+    // like every log-family key so accumulation order can't move it.
+    "doc_source_kl" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      val sw = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // marginal + totals + terms share one pass
+      val corpus = sw.groupBy("w").agg(sum(col("c")).as("cw"))
+      val totals = sw.groupBy("source").agg(sum(col("c")).as("n_src"))
+      val corpusTotal = corpus.agg(sum(col("cw")).as("n_corpus"))
+      val ps = col("c").cast("double") / col("n_src")
+      val pc = col("cw").cast("double") / col("n_corpus")
+      sw.join(corpus, "w")
+        .join(broadcast(totals), "source")
+        .crossJoin(broadcast(corpusTotal))
+        .groupBy("source", "n_src")
+        .agg(count(lit(1)).as("vocab_src"),
+          sum((ps * log(ps / pc)).cast(dec18)).as("klsum"))
+        .select(col("source"), col("n_src").as("n_tokens"),
+          col("vocab_src"),
+          t6(col("klsum").cast("double")).as("kl_nats"))
+        .orderBy("source")
+    }),
+
+    // Hash-shard balance audit: the shard assignment a distributed
+    // training job would use (first md5 nibble of the doc id → 16
+    // shards), with per-shard token mass and the skew ratio vs the
+    // ideal 1/16 share. One map-side-combinable hash aggregate over a
+    // narrow projection; the 16-row shard table gets its total via a
+    // broadcast scalar, not a window.
+    "corpus_shard_balance" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val shards = docs(s, dir)
+        .select(substring(md5(col("doc_id").cast("string")), 1, 1)
+            .as("shard"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .localCheckpoint(false) // total + per-shard rows share one pass
+      val total = shards.agg(sum(col("n_tokens")).as("tot"))
+      shards.crossJoin(broadcast(total))
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          t6(col("n_tokens").cast("double") / col("tot")).as("token_share"),
+          t6(col("n_tokens").cast("double") * 16 / col("tot")).as("skew"))
+        .orderBy("shard")
+    }),
+
+    // Deterministic train/val/test split assignment: two md5 hex chars
+    // of (doc_id || 'split') partition [0,256) into ~80/10/10 by
+    // lexicographic hex compare — the split is a pure function of the
+    // id, so re-running the pipeline (or adding documents) never moves
+    // an existing document across splits. Output is the per-(source,
+    // split) census with within-source shares; the per-source totals
+    // ride a broadcast of the |sources|-row table.
+    "corpus_split_assign" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val h2 = substring(md5(concat(col("doc_id").cast("string"),
+        lit("split"))), 1, 2)
+      val assigned = docs(s, dir)
+        .select(col("source"),
+          when(h2 < "cd", "train").when(h2 < "e6", "val")
+            .otherwise("test").as("split"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .localCheckpoint(false) // census + per-source totals share a pass
+      val srcTot = assigned.groupBy("source")
+        .agg(sum(col("n_docs")).as("src_docs"))
+      assigned.join(broadcast(srcTot), "source")
+        .select(col("source"), col("split"), col("n_docs"),
+          col("n_tokens"),
+          t6(col("n_docs").cast("double") / col("src_docs"))
+            .as("doc_share"))
+        .orderBy("source", "split")
+    }),
+
+    // Heaps'-law vocabulary growth curve: distinct-type count and
+    // token mass of the corpus prefix at 10 id-range checkpoints.
+    // Scale shape: the curve needs NO global rank — each word's
+    // FIRST doc id (a vocab-scale aggregate) is compared against a
+    // broadcast 10-row checkpoint table, so the fact is touched twice
+    // (types pass + token pass), each a plain hash aggregate, and the
+    // checkpoint fanout is a fixed 10× of vocab-/doc-grain rows —
+    // the events_dau_wau contribution-expansion shape.
+    "doc_vocab_growth" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val d = docs(s, dir)
+      val bounds = d.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+      val cuts = bounds
+        .select(explode(sequence(lit(1), lit(10))).as("decile"),
+          col("lo"), col("hi"))
+        .select(col("decile"),
+          expr("lo - 1 + ((hi - lo + 1) * decile) div 10").as("cutoff"))
+      val firstDoc = d
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(min(col("doc_id")).as("fd"))
+      val vocabAt = firstDoc.crossJoin(broadcast(cuts))
+        .filter(col("fd") <= col("cutoff"))
+        .groupBy("decile", "cutoff").agg(count(lit(1)).as("vocab"))
+      val toksAt = d
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .crossJoin(broadcast(cuts))
+        .filter(col("doc_id") <= col("cutoff"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      vocabAt.join(toksAt, "decile")
+        .select(col("decile"), col("cutoff"), col("n_docs"),
+          col("n_tokens"), col("vocab"),
+          when(col("n_tokens") > 1,
+            t6(log(col("vocab").cast("double")) /
+              log(col("n_tokens").cast("double")))).as("heaps_ratio"))
+        .orderBy("decile")
+    }),
   )
 
   // ---- oracles -------------------------------------------------------
@@ -3394,6 +3518,109 @@ object ExtQueries {
          |  count(DISTINCT b_id) AS n_docs_dropped
          |FROM j CROSS JOIN th WHERE jaccard >= threshold
          |GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    "doc_source_kl" ->
+      """WITH sw AS (
+        |  SELECT source, w, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY source, w
+        |), corpus AS (
+        |  SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sw GROUP BY w
+        |), totals AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_src
+        |  FROM sw GROUP BY source
+        |), ct AS (
+        |  SELECT CAST(sum(cw) AS BIGINT) AS n_corpus FROM corpus
+        |)
+        |SELECT sw.source, t.n_src AS n_tokens, count(*) AS vocab_src,
+        |  floor(CAST(sum(CAST(
+        |    (CAST(c AS DOUBLE) / t.n_src) *
+        |    ln((CAST(c AS DOUBLE) / t.n_src) /
+        |       (CAST(cw AS DOUBLE) / n_corpus))
+        |    AS DECIMAL(38,18))) AS DOUBLE) * 1000000) / 1000000 AS kl_nats
+        |FROM sw JOIN corpus USING (w)
+        |JOIN totals t ON t.source = sw.source
+        |CROSS JOIN ct
+        |GROUP BY sw.source, t.n_src
+        |ORDER BY sw.source""".stripMargin,
+
+    "corpus_shard_balance" ->
+      """WITH per AS (
+        |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT shard, count(*) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens
+        |  FROM per GROUP BY shard
+        |), tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM sh
+        |)
+        |SELECT shard, n_docs, n_tokens,
+        |  floor(CAST(n_tokens AS DOUBLE) / tot * 1000000) / 1000000
+        |    AS token_share,
+        |  floor(CAST(n_tokens AS DOUBLE) * 16 / tot * 1000000) / 1000000
+        |    AS skew
+        |FROM sh CROSS JOIN tot ORDER BY shard""".stripMargin,
+
+    "corpus_split_assign" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 2)
+        |              < 'cd' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 2)
+        |              < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |), census AS (
+        |  SELECT source, split, count(*) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens
+        |  FROM per GROUP BY source, split
+        |), st AS (
+        |  SELECT source, CAST(sum(n_docs) AS BIGINT) AS src_docs
+        |  FROM census GROUP BY source
+        |)
+        |SELECT c.source, c.split, c.n_docs, c.n_tokens,
+        |  floor(CAST(c.n_docs AS DOUBLE) / src_docs * 1000000) / 1000000
+        |    AS doc_share
+        |FROM census c JOIN st ON st.source = c.source
+        |ORDER BY c.source, c.split""".stripMargin,
+
+    "doc_vocab_growth" ->
+      """WITH bounds AS (
+        |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+        |), cuts AS (
+        |  SELECT CAST(d.decile AS INTEGER) AS decile,
+        |    CAST(lo - 1 + ((hi - lo + 1) * d.decile) // 10 AS BIGINT)
+        |      AS cutoff
+        |  FROM bounds, (SELECT unnest(range(1, 11)) AS decile) d
+        |), firstdoc AS (
+        |  SELECT w, min(doc_id) AS fd FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY w
+        |), vocab_at AS (
+        |  SELECT decile, cutoff, count(*) AS vocab
+        |  FROM firstdoc CROSS JOIN cuts WHERE fd <= cutoff
+        |  GROUP BY decile, cutoff
+        |), toks_at AS (
+        |  SELECT decile, count(*) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |        FROM documents) d
+        |  CROSS JOIN cuts WHERE doc_id <= cutoff
+        |  GROUP BY decile
+        |)
+        |SELECT v.decile, v.cutoff, t.n_docs, t.n_tokens, v.vocab,
+        |  CASE WHEN t.n_tokens > 1 THEN
+        |    floor(ln(CAST(v.vocab AS DOUBLE)) /
+        |          ln(CAST(t.n_tokens AS DOUBLE)) * 1000000) / 1000000
+        |  END AS heaps_ratio
+        |FROM vocab_at v JOIN toks_at t USING (decile)
+        |ORDER BY v.decile""".stripMargin,
   )
 
   /** Shared simhash CTE: `sh(doc_id, simhash)` — byte-identical to
