@@ -34,7 +34,13 @@ object Bench {
     // best-of-3 by default: pass 1 pays codegen + shared-index builds,
     // pass 2 is usually steady, pass 3 confirms it — the r8 verdict's
     // discipline point, applied to the DRIVER-visible record too
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // defensive env parses: a malformed value degrades to the default
+    // instead of killing the bench before any timing (r10 advice)
+    def envInt(name: String, default: Int): Int =
+      scala.util.Try(sys.env(name).trim.toInt).getOrElse(default)
+    def envDouble(name: String, default: Double): Double =
+      scala.util.Try(sys.env(name).trim.toDouble).getOrElse(default)
+    val nRuns = envInt("SPARK_GRAFT_BENCH_RUNS", 3).max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,6 +54,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // pre-flight load gate BEFORE the multi-threaded warm-up (r10
+    // advice: sampling after it measures the bench's own warm-up load
+    // and can burn the whole wait budget on self-inflicted contention):
+    // wait (bounded) for a quiet machine, then record the verdict
+    // either way so the line is self-evidencing
+    val loadMax = envDouble("SPARK_GRAFT_LOAD_MAX", 3.0)
+    val loadWaitS = envInt("SPARK_GRAFT_LOAD_WAIT_S", 120)
+    val gatePre = loadAvg
+    var waited = 0
+    while (loadAvg > loadMax && waited < loadWaitS) {
+      Thread.sleep(5000); waited += 5
+    }
+    // the gate verdict is sampled BEFORE our own warm-up adds load
+    val contended = loadAvg > loadMax
+
     // warm-up: scheduler + codegen + parquet footers for every table
     spark.range(1000).selectExpr("sum(id)").collect()
     graft.core.Tables.All.foreach { t =>
@@ -55,17 +76,9 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // pre-flight load gate: wait (bounded) for a quiet machine, then
-    // record the verdict either way so the line is self-evidencing
-    val loadMax = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "3.0").toDouble
-    val loadWaitS = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_S", "120").toInt
-    val gatePre = loadAvg
-    var waited = 0
-    while (loadAvg > loadMax && waited < loadWaitS) {
-      Thread.sleep(5000); waited += 5
-    }
+    // loadStart (timing start) necessarily includes warm-up self-load;
+    // the contention verdict above does not
     val loadStart = loadAvg
-    val contended = loadStart > loadMax
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val passes: Seq[Seq[(String, Double)]] = (1 to nRuns).map { _ =>
       names.map { case (name, fn) =>

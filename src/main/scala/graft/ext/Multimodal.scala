@@ -178,8 +178,24 @@ object Multimodal {
     * sequence: per-row cost is capped by `maxBoxes`, independent of
     * payload size — a 100 TB media scan pays a metadata-pass price
     * (box SIZES are read, box bodies are never touched).
+    *
+    * PLAN-SIZE CONTRACT (the r10 lesson): Column trees are trees, not
+    * DAGs — nesting one `aggregate()` inside another's bounds, or
+    * reading fold output through several downstream expressions,
+    * DUPLICATES the whole sub-tree per reference, and Catalyst
+    * re-optimizes the multiplied tree on every execution (~49 s/run
+    * at its worst). So the MP4 walk is ONE fold whose state machine
+    * descends top-level → moov → trak and carries every extracted
+    * field (timescale, duration, width, height) in its state; field
+    * reads happen INSIDE the lambda (single tree, never duplicated),
+    * and the fold output is referenced a bounded handful of times.
+    * Callers must consume the returned struct through a projection
+    * barrier (alias it, then `getField` the ATTRIBUTE — CollapseProject
+    * keeps non-cheap multi-referenced aliases unmerged), never
+    * `getField` this Column five times in one select. PlanSpec pins a
+    * node-count budget on the whole byte-walk family.
     */
-  def avMeta(payload: Column, maxBoxes: Int = 16): Column = {
+  def avMeta(payload: Column, maxBoxes: Int = 32): Column = {
     val isWav = fourcc(payload, lit(1L)) === lit("52494646") && // RIFF
       fourcc(payload, lit(9L)) === lit("57415645")              // WAVE
     val isMp4 = fourcc(payload, lit(5L)) === lit("66747970")    // ftyp
@@ -207,53 +223,90 @@ object Multimodal {
             coalesce(st.getField("ds"), when(isData, size)).as("ds")))
       })
 
-    // ISO-BMFF box walk: first box of type `wantHex` in [start, end)
-    def boxWalk(startPos: Column, endPos: Column, wantHex: String): Column =
-      aggregate(
-        sequence(lit(1), lit(maxBoxes)),
-        struct(startPos.cast(LongType).as("pos"), NullL.as("found")),
-        (st, _) => {
-          val pos = st.getField("pos")
-          val size = beInt(payload, pos, 4)
-          val t = fourcc(payload, pos + 4)
-          when(st.getField("found").isNotNull || pos.isNull ||
-            pos >= endPos || size.isNull || size < 8, st)
-            .when(t === lit(wantHex),
-              struct(pos.as("pos"), pos.as("found")))
-            .otherwise(struct((pos + size).as("pos"), NullL.as("found")))
-        }).getField("found")
-
-    val moovPos = boxWalk(lit(1L), length(payload) + 1, "6D6F6F76")
-    val moovEnd = moovPos + beInt(payload, moovPos, 4)
-    val mvhdPos = boxWalk(moovPos + 8, moovEnd, "6D766864")
-    val trakPos = boxWalk(moovPos + 8, moovEnd, "7472616B")
-    val tkhdPos = boxWalk(trakPos + 8,
-      trakPos + beInt(payload, trakPos, 4), "746B6864")
-
-    val mvVer = byteAt(payload, mvhdPos + 8)
-    val timescale = when(mvVer === 0, beInt(payload, mvhdPos + 20, 4))
-      .when(mvVer === 1, beInt(payload, mvhdPos + 28, 4))
-    val durTicks = when(mvVer === 0, beInt(payload, mvhdPos + 24, 4))
-      .when(mvVer === 1, beInt(payload, mvhdPos + 32, 8))
-    val tkVer = byteAt(payload, tkhdPos + 8)
-    // 16.16 fixed-point: the integer part is the leading u16
-    val tkW = when(tkVer === 0, beInt(payload, tkhdPos + 84, 2))
-      .when(tkVer === 1, beInt(payload, tkhdPos + 96, 2))
-    val tkH = when(tkVer === 0, beInt(payload, tkhdPos + 88, 2))
-      .when(tkVer === 1, beInt(payload, tkhdPos + 100, 2))
+    // ISO-BMFF box walk: ONE fold, descending state machine.
+    // mode 0 = top-level scan for moov; 1 = inside moov (mvhd fields
+    // read in-lambda, first trak entered); 2 = inside trak (tkhd
+    // fields read in-lambda, then pop back to moov at `ret`).
+    // `lim` bounds the current region; `ret` holds the moov end while
+    // inside a trak. Field reads (version-dependent mvhd/tkhd offsets
+    // per ISO 14496-12 §8.2.2/§8.3.2) happen at the moment the box is
+    // found, so the payload-offset arithmetic lives once in this
+    // single lambda instead of being re-inlined per downstream use.
+    val mFalse = lit(false)
+    val mp4Walk = aggregate(
+      sequence(lit(1), lit(maxBoxes)),
+      struct(mFalse.as("done"), lit(0).as("mode"),
+        lit(1L).as("pos"), (length(payload) + 1).cast(LongType).as("lim"),
+        NullL.as("ret"), mFalse.as("mvhdSeen"), mFalse.as("trakSeen"),
+        NullL.as("ts"), NullL.as("dur"), NullL.as("w"), NullL.as("h")),
+      (st, _) => {
+        val mode = st.getField("mode")
+        val pos = st.getField("pos")
+        val lim = st.getField("lim")
+        val size = beInt(payload, pos, 4)
+        val typ = fourcc(payload, pos + 4)
+        val ver = byteAt(payload, pos + 8)
+        def keep(done: Column, m: Column, p: Column, l: Column, r: Column,
+                 mvhd: Column, trak: Column, ts: Column, dur: Column,
+                 w: Column, h: Column) =
+          struct(done.as("done"), m.as("mode"), p.as("pos"), l.as("lim"),
+            r.as("ret"), mvhd.as("mvhdSeen"), trak.as("trakSeen"),
+            ts.as("ts"), dur.as("dur"), w.as("w"), h.as("h"))
+        def same(done: Column, m: Column, p: Column, l: Column, r: Column) =
+          keep(done, m, p, l, r, st.getField("mvhdSeen"),
+            st.getField("trakSeen"), st.getField("ts"), st.getField("dur"),
+            st.getField("w"), st.getField("h"))
+        val freeze = same(lit(true), mode, pos, lim, st.getField("ret"))
+        when(st.getField("done"), st)
+          // trak exhausted without tkhd: pop back into moov
+          .when(mode === 2 && (pos.isNull || pos >= lim),
+            same(mFalse, lit(1), lim, st.getField("ret"), NullL))
+          // region exhausted / truncated / not a box: stop
+          .when(pos.isNull || pos >= lim, freeze)
+          .when(size.isNull || size < 8, freeze)
+          .when(mode === 0 && typ === lit("6D6F6F76"), // moov: descend
+            same(mFalse, lit(1), pos + 8, pos + size, NullL))
+          .when(mode === 1 && typ === lit("6D766864") && // mvhd: read
+            !st.getField("mvhdSeen"),
+            keep(st.getField("trakSeen") && st.getField("w").isNotNull,
+              lit(1), pos + size, lim, NullL,
+              lit(true), st.getField("trakSeen"),
+              when(ver === 0, beInt(payload, pos + 20, 4))
+                .when(ver === 1, beInt(payload, pos + 28, 4)),
+              when(ver === 0, beInt(payload, pos + 24, 4))
+                .when(ver === 1, beInt(payload, pos + 32, 8)),
+              st.getField("w"), st.getField("h")))
+          .when(mode === 1 && typ === lit("7472616B") && // trak: descend
+            !st.getField("trakSeen"),
+            keep(mFalse, lit(2), pos + 8, pos + size, lim,
+              st.getField("mvhdSeen"), lit(true), st.getField("ts"),
+              st.getField("dur"), st.getField("w"), st.getField("h")))
+          .when(mode === 2 && typ === lit("746B6864"), // tkhd: read, pop
+            keep(st.getField("mvhdSeen"), lit(1), lim,
+              st.getField("ret"), NullL, st.getField("mvhdSeen"), lit(true),
+              st.getField("ts"), st.getField("dur"),
+              // 16.16 fixed-point: the integer part is the leading u16
+              when(ver === 0, beInt(payload, pos + 84, 2))
+                .when(ver === 1, beInt(payload, pos + 96, 2)),
+              when(ver === 0, beInt(payload, pos + 88, 2))
+                .when(ver === 1, beInt(payload, pos + 100, 2))))
+          .otherwise( // opaque box (ftyp/free/mdat/udta/…): skip by size
+            same(mFalse, mode, pos + size, lim, st.getField("ret")))
+      })
 
     val wavDur = when(wavWalk.getField("br") > 0,
       floor(wavWalk.getField("ds") * lit(1000.0) /
         wavWalk.getField("br")).cast(LongType))
-    val mp4Dur = when(timescale > 0,
-      floor(durTicks * lit(1000.0) / timescale).cast(LongType))
+    val mp4Dur = when(mp4Walk.getField("ts") > 0,
+      floor(mp4Walk.getField("dur") * lit(1000.0) /
+        mp4Walk.getField("ts")).cast(LongType))
 
     when(isWav, struct(lit("wav").as("format"),
       wavWalk.getField("sr").as("sample_rate"), wavDur.as("duration_ms"),
       NullL.as("width"), NullL.as("height")))
       .when(isMp4, struct(lit("mp4").as("format"),
         NullL.as("sample_rate"), mp4Dur.as("duration_ms"),
-        tkW.as("width"), tkH.as("height")))
+        mp4Walk.getField("w").as("width"), mp4Walk.getField("h").as("height")))
       .otherwise(struct(lit("unknown").as("format"),
         NullL.as("sample_rate"), NullL.as("duration_ms"),
         NullL.as("width"), NullL.as("height")))

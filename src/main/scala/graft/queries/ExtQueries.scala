@@ -994,11 +994,16 @@ object ExtQueries {
       val payload = when(pmod(col("doc_id"), lit(3)) === 0, png)
         .when(pmod(col("doc_id"), lit(3)) === 1, jpeg)
         .otherwise(encode(col("text"), "UTF-8")) // ASCII: no magic match
-      val dims = Multimodal.imageDims(col("payload"))
+      // projection barriers (the r10 plan-size lesson): synthesize the
+      // payload once, emit the parse struct ONCE, then read fields off
+      // the struct ATTRIBUTE — `getField` on the Column would duplicate
+      // the whole walk tree per field and Catalyst re-optimizes the
+      // multiplied tree on every run
       d.select(col("doc_id").as("media_id"), payload.as("payload"))
-        .select(col("media_id"), dims.getField("format").as("format"),
-          dims.getField("width").as("width"),
-          dims.getField("height").as("height"))
+        .select(col("media_id"),
+          Multimodal.imageDims(col("payload")).as("dims"))
+        .select(col("media_id"), col("dims.format").as("format"),
+          col("dims.width").as("width"), col("dims.height").as("height"))
         .orderBy("media_id")
     }),
 
@@ -1052,13 +1057,15 @@ object ExtQueries {
       val payload = when(pmod(col("doc_id"), lit(3)) === 0, wav)
         .when(pmod(col("doc_id"), lit(3)) === 1, mp4)
         .otherwise(encode(col("text"), "UTF-8"))
-      val meta = Multimodal.avMeta(col("payload"))
+      // same projection-barrier discipline as multimodal_dims: ONE
+      // avMeta struct emission, fields read from the attribute
       d.select(col("doc_id").as("media_id"), payload.as("payload"))
-        .select(col("media_id"), meta.getField("format").as("format"),
-          meta.getField("sample_rate").as("sample_rate"),
-          meta.getField("duration_ms").as("duration_ms"),
-          meta.getField("width").as("width"),
-          meta.getField("height").as("height"))
+        .select(col("media_id"),
+          Multimodal.avMeta(col("payload")).as("av"))
+        .select(col("media_id"), col("av.format").as("format"),
+          col("av.sample_rate").as("sample_rate"),
+          col("av.duration_ms").as("duration_ms"),
+          col("av.width").as("width"), col("av.height").as("height"))
         .orderBy("media_id")
     }),
 
@@ -1862,6 +1869,9 @@ object ExtQueries {
           col("lo"), col("hi"))
         .select(col("decile"),
           expr("lo - 1 + ((hi - lo + 1) * decile) div 10").as("cutoff"))
+        // 10-row table referenced by BOTH passes: checkpoint so the
+        // min/max bounds scan of the fact runs once, not once per use
+        .localCheckpoint(false)
       val firstDoc = d
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(min(col("doc_id")).as("fd"))

@@ -80,14 +80,26 @@ object MakeBigSf {
         .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * 1000000L))
     }, "lineitem")
     write(fanned(load("events")) { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
+      val shifted = df
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
         .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS"))
+      // Tables.load adds a ts_ns companion for TIMESTAMP(NANOS)
+      // sources and Reader.scanRange prefers it when present — shift
+      // it in lockstep or replicas i>0 keep their ORIGINAL times for
+      // every range scan (r10 advice; latent while testdata is µs)
+      if (shifted.columns.contains("ts_ns"))
+        shifted.withColumn("ts_ns",
+          col("ts_ns") + lit(i.toLong * 31L * 86400L * 1000000000L))
+      else shifted
     }, "events")
-    // letters a–j rotated by i: deterministic, length-preserving, and
-    // different for every replica, so no two replicas of the same doc
-    // share shingles — the dedup candidate volume scales REPL×, not
-    // with cross-replica duplicate groups
-    val alpha = "abcdefghij"
+    // full a–z rotation by i: deterministic, length-preserving, and
+    // different for every replica, so any word containing a letter
+    // changes per replica and replicas of the same doc (approximately)
+    // never share shingles — the dedup candidate volume scales REPL×,
+    // not with cross-replica duplicate groups. (r10 advice: the
+    // earlier a–j map left all-k–z words like "sort" byte-identical
+    // across replicas.)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
     write(fanned(load("documents")) { (df, i) =>
       val to = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
       df.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))

@@ -401,6 +401,34 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected the output sort only, got $exchanges:\n$p")
   }
 
+  test("byte-walk family: expression trees stay bounded (the r10 " +
+    "plan-compile lesson — shape pins can't see tree SIZE)") {
+    // r10 shipped multimodal_av_meta with a perfect one-exchange shape
+    // and a ~million-node expression tree: nested aggregate() folds +
+    // 5× getField consumption duplicated the walk sub-tree until
+    // Catalyst spent ~49 s/run re-optimizing it. Budget: the fixed
+    // fold-once/emit-once versions measure ~1-3k nodes; 20k leaves
+    // headroom for growth while catching any order-of-magnitude jump.
+    def exprSize(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+      1 + e.children.map(exprSize).sum
+    for (key <- Seq("multimodal_dims", "multimodal_av_meta")) {
+      ExtQueries.clearMemo()
+      val t0 = System.nanoTime()
+      val qe = graft.SparkEntry.queries(key)(spark, dir).queryExecution
+      val nodes = qe.optimizedPlan.collect {
+        case p => p.expressions.map(exprSize).sum
+      }.sum
+      qe.executedPlan // physical planning included in the time budget
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(nodes < 20000,
+        s"$key optimized plan carries $nodes expression nodes — a " +
+          "byte-walk is duplicating sub-trees again")
+      assert(secs < 15.0,
+        f"$key took $secs%.1f s to analyze+optimize+plan — recurring " +
+          "Catalyst cost per execution")
+    }
+  }
+
   test("key-skew detector is two hash aggregations — the argmax never joins") {
     val p = plan("events_key_skew")
     assert(!p.contains("Join"), s"argmax grew a join:\n$p")
@@ -1096,5 +1124,57 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
       s"bot score must scan events once:\n$p")
     assert(!p.contains("Join"), p)
+  }
+
+  // ---- r10 corpus-observability keys (pins added r11 — these four
+  // shipped in the r10 end-of-round snapshot without plan pins) ------
+
+  test("doc_source_kl: fact scanned once behind the (source,word) " +
+    "checkpoint; totals broadcast; no cartesian") {
+    val p = plan("doc_source_kl")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the (source,word) checkpoint:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"marginal/totals must read the checkpointed count table:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"per-source totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in KL:\n$p")
+    assert(!p.contains("Window"), s"KL needs no window:\n$p")
+  }
+
+  test("corpus_shard_balance: one agg pass behind the checkpoint; " +
+    "total is a broadcast scalar, not a window") {
+    val p = plan("corpus_shard_balance")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the shard-table checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"total + shares must read the one 16-row shard table:\n$p")
+    assert(!p.contains("Window"), s"share must not window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("corpus_split_assign: census checkpoint feeds both sides; " +
+    "source totals broadcast; no window") {
+    val p = plan("corpus_split_assign")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the census checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"census + totals must read the one (source,split) table:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals must broadcast:\n$p")
+    assert(!p.contains("Window"), s"share must not window:\n$p")
+  }
+
+  test("doc_vocab_growth: no global rank — first-doc-id agg × " +
+    "broadcast 10-row cuts; fact scanned exactly twice") {
+    val p = plan("doc_vocab_growth")
+    assert(!p.contains("Window"), s"Heaps curve must not rank:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 2,
+      s"fact scans grew past types-pass + token-pass (cuts must ride " +
+        s"the checkpoint, bounds must not recompute):\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"checkpoint cuts must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"growth curve must never shuffle-join the fact:\n$p")
   }
 }
