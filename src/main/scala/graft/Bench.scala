@@ -76,6 +76,16 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // shared-index pre-build on its OWN named line (r10 verdict ask:
+    // the memoized LSH/kmeans/fitted-index builds used to land inside
+    // whichever key touched the memo first, so build cost migrated
+    // between alphabetical neighbors across rounds — indistinguishable
+    // from a regression in the per-key record)
+    val prebuild =
+      try graft.queries.ExtQueries.prebuildSharedIndexes(spark, sfDir)
+      catch { case _: Throwable => Seq.empty[(String, Double)] }
+    val prebuildTotal = prebuild.map(_._2).sum
+
     // loadStart (timing start) necessarily includes warm-up self-load;
     // the contention verdict above does not
     val loadStart = loadAvg
@@ -99,6 +109,7 @@ object Bench {
         s""","spread_pct":${r3(spreadPct)}""" +
         s""","load_avg":[${r3(loadStart)},${r3(loadEnd)}]""" +
         s""","load_gate":{"threshold":${r3(loadMax)},"pre":${r3(gatePre)},"waited_s":$waited,"contended":$contended}""" +
+        s""","prebuild_s":${r3(prebuildTotal)}""" +
         s""","cpus":$cpus"""
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -125,7 +136,10 @@ object Bench {
       val allPasses = passes.zipWithIndex.map { case (p, i) =>
         s""""pass${i + 1}":{${p.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString(",")}}"""
       }.mkString(",")
-      val detail = full.dropRight(1) + s""","passes":{$allPasses}}"""
+      val pb = prebuild.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val detail = full.dropRight(1) +
+        s""","prebuild":$pb,"passes":{$allPasses}}"""
       // overridable so a side-run (e.g. the big-SF row) can't clobber
       // the committed sf0.1 detail (this bit r9 once already)
       val p = java.nio.file.Paths.get(

@@ -600,6 +600,20 @@ object Dedup {
     collapseCells(cells, idCol, vecCol, tau, cap)
   }
 
+  /** [[semanticFitted]] against a PREBUILT [[fittedIndex]] — the
+    * production shape: the index is fit once, persisted, and every
+    * dedup run assigns + collapses against it without re-fitting
+    * (re-fitting runs eager checkpoint jobs at plan-construction
+    * time). Same result as [[semanticFitted]] when (coarse, anchors)
+    * came from the same data and parameters.
+    */
+  def semanticFittedWith(df: DataFrame, idCol: String, vecCol: String,
+                         coarse: DataFrame, anchors: DataFrame,
+                         tau: Double, maxCellSize: Int): DataFrame = {
+    val cells = assignCells(df, idCol, vecCol, coarse, anchors)
+    collapseCells(cells, idCol, vecCol, tau, maxCellSize)
+  }
+
   /** The fitted two-level index of [[semanticFitted]] as a standalone
     * artifact: (coarse centroids, coarse-tagged anchors). Persist both
     * tiny tables beside the cell-assigned corpus and any future batch

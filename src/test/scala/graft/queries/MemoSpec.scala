@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Pins that the shared fitted-index memo actually SHARES: each index
+  * family builds its artifact once per (session, dir) and every query
+  * in the family gets the same instance. Without this, index-build
+  * cost re-runs per bench pass and migrates between alphabetical
+  * neighbors in the per-key attribution (the r10 `dedup_semantic`
+  * 1.08→6.46 s motion), indistinguishable from a real regression.
+  */
+class MemoSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("semantic-dedup fitted index builds once and is reused across " +
+    "constructions") {
+    ExtQueries.clearMemo()
+    graft.SparkEntry.queries("dedup_semantic")(spark, dir)
+    val c1 = ExtQueries.memoEntry(spark, dir, "semfit_coarse")
+    val a1 = ExtQueries.memoEntry(spark, dir, "semfit_anchors")
+    assert(c1.isDefined && a1.isDefined,
+      "dedup_semantic must populate the semfit memo")
+    graft.SparkEntry.queries("dedup_semantic")(spark, dir)
+    assert(ExtQueries.memoEntry(spark, dir, "semfit_coarse").get eq c1.get,
+      "second construction re-fit the coarse centroids")
+    assert(ExtQueries.memoEntry(spark, dir, "semfit_anchors").get eq a1.get,
+      "second construction re-fit the anchors")
+  }
+
+  test("incremental-semantic corpus index builds once (probe-only " +
+    "steady state)") {
+    ExtQueries.clearMemo()
+    graft.SparkEntry.queries("dedup_incremental_semantic")(spark, dir)
+    val cells = ExtQueries.memoEntry(spark, dir, "seminc_cells")
+    assert(cells.isDefined, "corpus cell table must be memoized")
+    graft.SparkEntry.queries("dedup_incremental_semantic")(spark, dir)
+    assert(ExtQueries.memoEntry(spark, dir, "seminc_cells").get eq cells.get,
+      "second construction rebuilt the persisted corpus cells")
+  }
+
+  test("kmeans centroid fit is shared across its whole query family") {
+    ExtQueries.clearMemo()
+    graft.SparkEntry.queries("similar_ood_score")(spark, dir)
+    val k1 = ExtQueries.memoEntry(spark, dir, "kmeans_cents")
+    assert(k1.isDefined, "similar_ood_score must populate kmeans_cents")
+    for (key <- Seq("kmeans_fit_assign", "similar_ivf_kmeans",
+        "similar_cluster_purity")) {
+      graft.SparkEntry.queries(key)(spark, dir)
+      assert(ExtQueries.memoEntry(spark, dir, "kmeans_cents").get eq k1.get,
+        s"$key re-fit the centroids instead of sharing the memo")
+    }
+  }
+
+  test("prebuildSharedIndexes forces every shared artifact and reports " +
+    "a named per-index cost") {
+    ExtQueries.clearMemo()
+    val costs = ExtQueries.prebuildSharedIndexes(spark, dir)
+    val names = costs.map(_._1).toSet
+    for (n <- Seq("lsh_chain", "kmeans_cents", "semfit", "seminc"))
+      assert(names.contains(n), s"prebuild missing $n")
+    assert(costs.forall(_._2 >= 0.0))
+    // after prebuild, query construction must NOT rebuild anything
+    val c1 = ExtQueries.memoEntry(spark, dir, "semfit_coarse").get
+    graft.SparkEntry.queries("dedup_semantic")(spark, dir)
+    assert(ExtQueries.memoEntry(spark, dir, "semfit_coarse").get eq c1,
+      "construction after prebuild re-fit the index")
+  }
+}
