@@ -75,4 +75,29 @@ object PrefixSplit {
         greatest(col("__lmax"), coalesce(col("__carry"), col("__lmax"))))
       .drop("__slice", "__lmax", "__carry")
   }
+
+  /** Size-GATED running max (the [[graft.ext.TextStats.gatedBroadcast]]
+    * pattern applied to window strategy): a single per-series window
+    * while the frame's MEASURED row count stays under
+    * `maxRowsSingleWindow` — the right default when every series fits
+    * a task — else the [[runningMaxSubsplit]] escape hatch, so one
+    * multi-year 1-second-grid series can never pin a whole stage on a
+    * single sorting task. The caller must pass an already-checkpointed
+    * frame: the gate's count() materializes it once and every consumer
+    * reuses it. Values are identical either way (PrefixSplitSpec
+    * proves bit-equality including slice edges) — the gate changes the
+    * execution strategy, never the result.
+    */
+  def gatedRunningMax(df: DataFrame, partCols: Seq[String],
+                      orderCol: String, valueCol: String, outCol: String,
+                      maxRowsSingleWindow: Long = 4000000L,
+                      nSlices: Int = 256): DataFrame =
+    if (df.count() <= maxRowsSingleWindow) {
+      val w = Window.partitionBy(partCols.map(col): _*)
+        .orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      df.withColumn(outCol, max(col(valueCol)).over(w))
+    } else
+      runningMaxSubsplit(df, partCols, orderCol, valueCol, nSlices)
+        .withColumnRenamed("__runmax", outCol)
 }

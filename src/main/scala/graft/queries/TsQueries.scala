@@ -504,17 +504,18 @@ object TsQueries {
     "ts_drawdown" -> ((s, dir) => {
       val t6 = graft.ext.TextStats.trunc6 _
       val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("event_type").orderBy("slot")
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, 0)
       val slots = base(s, dir)
         .filter(col("value").isNotNull && !isnan(col("value")))
         .groupBy("event_type", "slot")
         .agg((sum(col("value").cast(dec6)).cast("double") /
           count(lit(1))).as("v"))
-      val dd = slots
-        .withColumn("peak", max(col("v")).over(w))
+        .localCheckpoint(false) // gate count + both peak paths share it
+      // running peak through the size gate: single per-series window at
+      // test scale, PrefixSplit.runningMaxSubsplit once a series
+      // outgrows a task (r10 ask #6 — the escape hatch is load-bearing;
+      // PrefixSplitSpec pins bit-equality of the two paths + the gate)
+      val dd = graft.operators.PrefixSplit
+        .gatedRunningMax(slots, Seq("event_type"), "slot", "v", "peak")
         .withColumn("dd", col("peak") - col("v"))
         .localCheckpoint(false) // max table + trough probe share it
       val maxdd = dd.groupBy("event_type")
@@ -526,6 +527,30 @@ object TsQueries {
         .select(col("event_type"), col("n_slots"),
           t6(col("mdd")).as("max_drawdown"), col("trough_slot"))
         .orderBy("event_type")
+    }),
+
+    // The PrefixSplit escape hatch END-TO-END on real data (r10 ask
+    // #5): the running max over the slot-collapsed series computed
+    // with the series subsplit into 8 contiguous slices (two window
+    // passes: per-(series, slice) local prefix + exclusive carry-in
+    // over the bounded slice table — no task ever sorts more than
+    // ~1/8 of a series), oracled against DuckDB's PLAIN single-window
+    // running max. Reference analog: the running "last position" scan
+    // (/root/reference/src/ong_tsdb/database.py:522-546).
+    "ts_running_max_split" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val slots = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("event_type", "slot")
+        .agg((sum(col("value").cast(dec6)).cast("double") /
+          count(lit(1))).as("v"))
+      graft.operators.PrefixSplit
+        .runningMaxSubsplit(slots, Seq("event_type"), "slot", "v",
+          nSlices = 8)
+        .select(col("event_type"), col("slot"), t6(col("v")).as("v"),
+          t6(col("__runmax")).as("run_max"))
+        .orderBy("event_type", "slot")
     }),
 
     // Bollinger bands over the slot-collapsed series: trailing-20-slot
@@ -1145,6 +1170,22 @@ object TsQueries {
          |FROM dd d JOIN m ON d.event_type = m.event_type AND d.dd = m.mdd
          |GROUP BY d.event_type, m.n_slots, m.mdd
          |ORDER BY d.event_type""".stripMargin,
+
+    // oracle is the PLAIN single-window running max — proving the
+    // 8-slice subsplit composition is exact, slice edges included
+    "ts_running_max_split" ->
+      s"""$BaseCte, slots AS (
+         |  SELECT event_type, slot,
+         |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS v
+         |  FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY event_type, slot
+         |)
+         |SELECT event_type, slot,
+         |  floor(v * 1000000) / 1000000 AS v,
+         |  floor(max(v) OVER (PARTITION BY event_type ORDER BY slot
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    * 1000000) / 1000000 AS run_max
+         |FROM slots ORDER BY event_type, slot""".stripMargin,
 
     "ts_bollinger" ->
       s"""$BaseCte, slots AS (

@@ -53,4 +53,30 @@ class PrefixSplitSpec extends SparkSpec {
     assert(winLines.exists(_.contains("__slice")),
       s"no slice-partitioned window in:\n$p")
   }
+
+  test("gatedRunningMax: single window under the threshold, subsplit " +
+    "over it, identical values either way") {
+    val df = (0 until 2).flatMap { s =>
+      (0 until 500).map { i =>
+        (s.toString, i.toLong, math.cos(i * 0.53 + s) * 50 + (i % 41))
+      }
+    }.toDF("series", "slot", "v").localCheckpoint(false)
+    // under the gate: plan is the plain single-series window
+    val under = PrefixSplit.gatedRunningMax(df, Seq("series"), "slot",
+      "v", "peak", maxRowsSingleWindow = 1000000L)
+    val pUnder = under.queryExecution.executedPlan.toString
+    assert(!pUnder.contains("__slice"),
+      s"under-threshold frame took the subsplit path:\n$pUnder")
+    // over the gate (threshold 0): plan is the subsplit composition
+    val over = PrefixSplit.gatedRunningMax(df, Seq("series"), "slot",
+      "v", "peak", maxRowsSingleWindow = 0L)
+    val pOver = over.queryExecution.executedPlan.toString
+    assert(pOver.contains("__slice"),
+      s"over-threshold frame kept the single window:\n$pOver")
+    // strategy cannot change values: bit-equal rows on both paths
+    val diff = under.join(over.withColumnRenamed("peak", "peak2"),
+      Seq("series", "slot", "v"))
+      .filter(col("peak") =!= col("peak2")).count()
+    assert(diff == 0L, s"$diff rows diverge between gate paths")
+  }
 }

@@ -1126,6 +1126,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("ts_running_max_split: every row-grain window partitions on " +
+    "(series, slice) — no whole-series sort task anywhere") {
+    val p = plan("ts_running_max_split")
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty, s"subsplit lost its windows:\n$p")
+    // the only window WITHOUT __slice in its partition spec is the
+    // carry pass over the bounded (series × nSlices) table
+    assert(winLines.exists(_.contains("__slice")),
+      s"local prefix window is not slice-partitioned:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"carry-in must broadcast back, not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   // ---- r10 corpus-observability keys (pins added r11 — these four
   // shipped in the r10 end-of-round snapshot without plan pins) ------
 
