@@ -99,6 +99,59 @@ class MsgpackSpec extends SparkSpec {
     assert(rows(19).metric == "m19" && rows(19).value == 14.0)
   }
 
+  // Volume shape of the reference's `test_read_data1d_sensor1s`
+  // (`tests/test_client.py:148-153`: 10k points written, read back):
+  // a 10k-point body — encoded with the SAME format choices
+  // msgpack-python makes for these values (fixarray/array16, fixstr,
+  // float64 values, uint64 ns timestamps) — decodes distributed,
+  // writes, and reads back with EXACT frame equality.
+  test("10k-point volume body round-trips decode -> store -> read " +
+    "with exact frame equality") {
+    import spark.implicits._
+    // minimal msgpack encoder making msgpack-python's choices for
+    // exactly this body shape (the fixtures above pin the byte format;
+    // this pins the VOLUME path)
+    val bb = java.nio.ByteBuffer.allocate(1 << 22)
+    def pStr(s: String): Unit = { // all names here are < 32 bytes
+      val b = s.getBytes("UTF-8"); bb.put((0xa0 | b.length).toByte); bb.put(b)
+    }
+    def pF64(d: Double): Unit = { bb.put(0xcb.toByte); bb.putDouble(d) }
+    def pU64(v: Long): Unit = { bb.put(0xcf.toByte); bb.putLong(v) }
+    val nRows = 5000 // x 2 metrics = 10k points
+    bb.put(0xdc.toByte); bb.putShort(nRows.toShort) // array16
+    val t0 = 1704067200L
+    (0 until nRows).foreach { i =>
+      bb.put(0x95.toByte) // 5-tuple
+      pStr("test"); pStr("s1")
+      bb.put(0x92.toByte); pStr("active"); pStr("reactive")
+      bb.put(0x92.toByte); pF64(i * 0.5); pF64(10000.0 - i)
+      pU64((t0 + i) * 1000000000L)
+    }
+    val body = java.util.Arrays.copyOf(bb.array(), bb.position())
+
+    val rows = Msgpack.decodePointList(body)
+    assert(rows.length == 10000, s"expected 10k points, got ${rows.length}")
+
+    val st = new SensorStore(spark,
+      Files.createTempDirectory("graft-mp10k").toString)
+    st.createSensor(SensorConfig("test", "s1", "1s",
+      Seq(MetricDef(Seq("active")), MetricDef(Seq("reactive")))))
+    val pts = Msgpack.decode(Seq(Msgpack.Payload(1L, body)).toDS()
+        .repartition(4)) // distributed decode, not one task
+      .select("ts", "metric", "value")
+    st.write("test", "s1", pts)
+    val out = st.read("test", "s1").orderBy("ts")
+      .select(unix_timestamp(col("ts")).as("sec"), col("active"),
+        col("reactive")).collect()
+    assert(out.length == nRows)
+    // exact equality: every value here is float32-representable
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == t0 + i, s"row $i ts ${r.getLong(0)}")
+      assert(r.getFloat(1) == (i * 0.5).toFloat, s"row $i active")
+      assert(r.getFloat(2) == (10000.0 - i).toFloat, s"row $i reactive")
+    }
+  }
+
   test("malformed bodies fail with the byte offset, not a zip crash") {
     val full = hex(seq2)
     // truncated mid-value
