@@ -143,6 +143,41 @@ object Multimodal {
         NullL.as("width"), NullL.as("height")))
   }
 
+  /** Image dimensions for the FIXED-OFFSET header formats (r11) — the
+    * formats whose dims sit at spec-pinned offsets, so no walk at all:
+    *
+    *  - GIF87a/GIF89a: logical-screen width/height as LE u16 at
+    *    offsets 7/9 (GIF89a spec §18).
+    *  - BMP: 'BM' + 12-byte file header, then BITMAPINFOHEADER with
+    *    width/height as LE 32-bit at offsets 19/23.
+    *  - WebP (VP8X extended): RIFF/WEBP container with a leading VP8X
+    *    chunk; canvas width-1/height-1 as LE u24 at offsets 25/28.
+    *
+    * Same contract as [[imageDims]] (struct(format, width, height),
+    * nulls on truncation, codegen'd byte expressions, consumption
+    * through a projection barrier) and covered by the same PlanSpec
+    * node-count budget.
+    */
+  def imageDimsExt(payload: Column): Column = {
+    val isGif = hex(payload.substr(lit(1), lit(6))) === lit("474946383761") ||
+      hex(payload.substr(lit(1), lit(6))) === lit("474946383961")
+    val isBmp = hex(payload.substr(lit(1), lit(2))) === lit("424D")
+    val isWebpX = hex(payload.substr(lit(1), lit(4))) === lit("52494646") &&
+      hex(payload.substr(lit(9), lit(4))) === lit("57454250") &&
+      hex(payload.substr(lit(13), lit(4))) === lit("56503858")
+    when(isGif, struct(lit("gif").as("format"),
+      leInt(payload, lit(7), 2).as("width"),
+      leInt(payload, lit(9), 2).as("height")))
+      .when(isWebpX, struct(lit("webp").as("format"),
+        (leInt(payload, lit(25), 3) + 1).as("width"),
+        (leInt(payload, lit(28), 3) + 1).as("height")))
+      .when(isBmp, struct(lit("bmp").as("format"),
+        leInt(payload, lit(19), 4).as("width"),
+        leInt(payload, lit(23), 4).as("height")))
+      .otherwise(struct(lit("unknown").as("format"),
+        NullL.as("width"), NullL.as("height")))
+  }
+
   /** Little-endian unsigned integer from `n` bytes at 1-indexed `pos`
     * (null when the payload is too short) — the RIFF/WAV byte order.
     */

@@ -1968,6 +1968,145 @@ object ExtQueries {
               log(col("n_tokens").cast("double")))).as("heaps_ratio"))
         .orderBy("decile")
     }),
+
+    // ---- r11 additions ----------------------------------------------
+
+    // Matryoshka (MRL) truncated-dimension ANN: coarse top-40 by
+    // cosine over the FIRST 16 of 64 dims (the pass that reads 4×
+    // fewer floats at 100 TB — the nesting property MRL training
+    // gives), exact full-dim re-rank to top-10. Both scores kept so
+    // the truncation error is visible in (sim_head vs sim).
+    "similar_matryoshka_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"),
+          slice(col("embedding"), 1, 16).as("qhead"))
+      e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .withColumn("sim_head",
+          round(Similarity.cosine(slice(col("embedding"), 1, 16),
+            col("qhead")), 6))
+        .orderBy(col("sim_head").desc, col("vec_id")).limit(40)
+        .select(col("vec_id"), col("sim_head"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6)
+            .as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+    }),
+
+    // Recall audit for the matryoshka coarse pass (the sq_recall
+    // methodology): how many exact full-dim top-5 survive into the
+    // head-dim top-40 — the truncated-dim rerank factor is MEASURED.
+    "similar_matryoshka_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"),
+          slice(col("embedding"), 1, 16).as("qhead"))
+      val corpus = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+      val coarse = corpus
+        .select(col("vec_id"),
+          round(Similarity.cosine(slice(col("embedding"), 1, 16),
+            col("qhead")), 6).as("sim_head"))
+        .orderBy(col("sim_head").desc, col("vec_id")).limit(40)
+      val exact = corpus
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6)
+            .as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      exact.join(coarse, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("k_exact"),
+          count(col("sim_head")).as("n_in_coarse"))
+        .select(col("k_exact"), col("n_in_coarse"),
+          TextStats.trunc6(col("n_in_coarse") / col("k_exact"))
+            .as("recall"))
+    }),
+
+    // Position-weighted 4-gram NOVELTY curve (the memorization-risk
+    // diagnostic): per doc, the fraction of its word-4-gram POSITIONS
+    // whose gram first appears in THIS doc (first = min doc_id over
+    // the corpus). Scale shape: one (doc, gram) count table feeds both
+    // the first-doc aggregate and the probe — gram-key joins only,
+    // no window, no doc-pair stage. Docs under 4 words have no grams
+    // and drop out (same rule as the span-dedup family).
+    "text_ngram_novelty" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val w4 = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 4)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("w")) - 4),
+            i => concat_ws(" ", element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2), element_at(col("w"), i + 3),
+              element_at(col("w"), i + 4)))).as("gram"))
+      val pos = w4.groupBy("doc_id", "gram")
+        .agg(count(lit(1)).as("positions"))
+        .localCheckpoint(false) // first-doc table + probe share it
+      val first = pos.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+      pos.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(sum(col("positions")).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), col("positions"))
+            .otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          t6(col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
+    // Fixed-offset image formats (GIF / BMP / WebP-VP8X) synthesized
+    // from doc fields and parsed back by Multimodal.imageDimsExt —
+    // widening the header-decode family to the formats whose dims sit
+    // at spec-pinned offsets (no walk). Same projection-barrier
+    // consumption + PlanSpec node-count budget as the walk parsers.
+    "multimodal_image_formats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def le(c: Column, n: Int) = concat((0 until n).map(i =>
+        unhex(lpad(hex(pmod(shiftright(c.cast("long"), 8 * i),
+          lit(256))), 2, "0"))): _*)
+      def zeros(n: Int) = unhex(lit("00" * n))
+      val w = (lit(8) + pmod(col("n_chars") * 3, lit(4000))).cast("long")
+      val h = (lit(8) + pmod(col("doc_id") * 13, lit(3000))).cast("long")
+      val gif = concat(lit("GIF89a").cast("binary"), le(w, 2), le(h, 2),
+        zeros(3), encode(substring(col("text"), 1, 8), "UTF-8"))
+      val bmp = concat(lit("BM").cast("binary"), le(lit(122L), 4),
+        zeros(4), le(lit(54L), 4), le(lit(40L), 4), le(w, 4), le(h, 4),
+        zeros(8))
+      val webp = concat(lit("RIFF").cast("binary"), le(lit(30L), 4),
+        lit("WEBPVP8X").cast("binary"), le(lit(10L), 4), zeros(4),
+        le(w - 1, 3), le(h - 1, 3))
+      val payload = when(pmod(col("doc_id"), lit(4)) === 0, gif)
+        .when(pmod(col("doc_id"), lit(4)) === 1, bmp)
+        .when(pmod(col("doc_id"), lit(4)) === 2, webp)
+        .otherwise(encode(col("text"), "UTF-8"))
+      d.select(col("doc_id").as("media_id"), payload.as("payload"))
+        .select(col("media_id"),
+          Multimodal.imageDimsExt(col("payload")).as("dims"))
+        .select(col("media_id"), col("dims.format").as("format"),
+          col("dims.width").as("width"), col("dims.height").as("height"))
+        .orderBy("media_id")
+    }),
+
+    // Sequence-packing waste audit: for each candidate context length,
+    // the chunk count and pad fraction if every doc is split into
+    // ceil(tokens/ctx) chunks — the number a pipeline owner reads
+    // before picking a context length. One narrow projection × a
+    // broadcast 3-row length table, then a map-side-combinable agg.
+    "corpus_pack_waste" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val toks = docs(s, dir)
+        .select(size(split(col("text"), " ")).cast("long").as("toks"))
+      val lens = toks.sparkSession.range(1)
+        .select(explode(array(lit(512L), lit(1024L), lit(2048L)))
+          .as("ctx_len"))
+      toks.crossJoin(broadcast(lens))
+        .withColumn("chunks",
+          expr("(toks + ctx_len - 1) div ctx_len"))
+        .groupBy("ctx_len")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+          sum(col("chunks")).as("n_chunks"))
+        .select(col("ctx_len"), col("n_docs"), col("n_tokens"),
+          col("n_chunks"),
+          t6(lit(1d) - col("n_tokens").cast("double") /
+            (col("n_chunks") * col("ctx_len"))).as("pad_frac"))
+        .orderBy("ctx_len")
+    }),
   )
 
   // ---- oracles -------------------------------------------------------
@@ -3706,6 +3845,100 @@ object ExtQueries {
         |  END AS heaps_ratio
         |FROM vocab_at v JOIN toks_at t USING (decile)
         |ORDER BY v.decile""".stripMargin,
+
+    // ---- r11 additions ----------------------------------------------
+
+    "similar_matryoshka_topk" ->
+      s"""WITH q AS (
+         |  SELECT embedding AS qvec, embedding[1:16] AS qhead
+         |  FROM embeddings WHERE vec_id = 0
+         |), coarse AS (
+         |  SELECT e.vec_id,
+         |    round(${cosineSql("e.embedding[1:16]", "q.qhead")}, 6)
+         |      AS sim_head,
+         |    e.embedding, q.qvec
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY sim_head DESC, e.vec_id LIMIT 40
+         |)
+         |SELECT vec_id, sim_head,
+         |  round(${cosineSql("embedding", "qvec")}, 6) AS sim
+         |FROM coarse ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "similar_matryoshka_recall" ->
+      s"""WITH q AS (
+         |  SELECT embedding AS qvec, embedding[1:16] AS qhead
+         |  FROM embeddings WHERE vec_id = 0
+         |), coarse AS (
+         |  SELECT e.vec_id,
+         |    round(${cosineSql("e.embedding[1:16]", "q.qhead")}, 6)
+         |      AS sim_head
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY sim_head DESC, e.vec_id LIMIT 40
+         |), exact AS (
+         |  SELECT e.vec_id,
+         |    round(${cosineSql("e.embedding", "q.qvec")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY sim DESC, e.vec_id LIMIT 5
+         |)
+         |SELECT count(*) AS k_exact, count(c.sim_head) AS n_in_coarse,
+         |  floor(count(c.sim_head) * 1000000.0 / count(*)) / 1000000
+         |    AS recall
+         |FROM exact x LEFT JOIN coarse c ON x.vec_id = c.vec_id""".stripMargin,
+
+    "text_ngram_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |           w[i+3])) AS gram
+        |  FROM w WHERE len(w) >= 4
+        |), pos AS (
+        |  SELECT doc_id, gram, count(*) AS positions
+        |  FROM g GROUP BY doc_id, gram
+        |), fd AS (
+        |  SELECT gram, min(doc_id) AS first_doc FROM pos GROUP BY gram
+        |)
+        |SELECT p.doc_id,
+        |  CAST(sum(p.positions) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_doc = p.doc_id
+        |    THEN p.positions ELSE 0 END) AS BIGINT) AS n_novel,
+        |  floor(CAST(sum(CASE WHEN f.first_doc = p.doc_id
+        |      THEN p.positions ELSE 0 END) AS DOUBLE)
+        |    / sum(p.positions) * 1000000) / 1000000 AS novelty
+        |FROM pos p JOIN fd f USING (gram)
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    "multimodal_image_formats" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'gif'
+        |    WHEN 1 THEN 'bmp' WHEN 2 THEN 'webp'
+        |    ELSE 'unknown' END AS format,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |    ELSE CAST(8 + (n_chars * 3) % 4000 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |    ELSE CAST(8 + (doc_id * 13) % 3000 AS BIGINT) END AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "corpus_pack_waste" ->
+      """WITH toks AS (
+        |  SELECT len(string_split(text, ' ')) AS toks FROM documents
+        |), lens AS (
+        |  SELECT unnest([512, 1024, 2048]) AS ctx_len
+        |), x AS (
+        |  SELECT CAST(l.ctx_len AS BIGINT) AS ctx_len,
+        |    CAST(t.toks AS BIGINT) AS toks,
+        |    (t.toks + l.ctx_len - 1) // l.ctx_len AS chunks
+        |  FROM toks t CROSS JOIN lens l
+        |)
+        |SELECT ctx_len, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(chunks) AS BIGINT) AS n_chunks,
+        |  floor((1 - CAST(sum(toks) AS DOUBLE) /
+        |    (CAST(sum(chunks) AS BIGINT) * ctx_len)) * 1000000) / 1000000
+        |    AS pad_frac
+        |FROM x GROUP BY ctx_len ORDER BY ctx_len""".stripMargin,
   )
 
   /** Shared simhash CTE: `sh(doc_id, simhash)` — byte-identical to

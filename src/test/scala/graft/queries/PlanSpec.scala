@@ -411,7 +411,8 @@ class PlanSpec extends SparkSpec {
     // headroom for growth while catching any order-of-magnitude jump.
     def exprSize(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
       1 + e.children.map(exprSize).sum
-    for (key <- Seq("multimodal_dims", "multimodal_av_meta")) {
+    for (key <- Seq("multimodal_dims", "multimodal_av_meta",
+        "multimodal_image_formats")) {
       ExtQueries.clearMemo()
       val t0 = System.nanoTime()
       val qe = graft.SparkEntry.queries(key)(spark, dir).queryExecution
@@ -1139,6 +1140,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"carry-in must broadcast back, not shuffle:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  // ---- r11 keys ----------------------------------------------------
+
+  test("matryoshka ANN: native arraydot, TakeOrdered cuts, no corpus " +
+    "shuffle or sort") {
+    val p = plan("similar_matryoshka_topk")
+    assert(p.contains("arraydot"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"coarse cut must be " +
+      s"TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("text_ngram_novelty: gram-key joins only behind one fact scan — " +
+    "no window, no doc-pair stage") {
+    val p = plan("text_ngram_novelty")
+    assert(!p.contains("Window"), s"novelty must not rank:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"fact leaked past the (doc,gram) checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("fixed-offset image formats: single narrow pass, no join, no " +
+    "UDF, one output-sort exchange") {
+    val p = plan("multimodal_image_formats")
+    assert(!p.contains("Join"), s"header parse must not join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"parse left codegen:\n$p")
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected the output sort only, got $exchanges:\n$p")
+  }
+
+  test("corpus_pack_waste: broadcast 3-row length table × one " +
+    "map-side-combinable aggregation — no window, one fact scan") {
+    val p = plan("corpus_pack_waste")
+    assert(!p.contains("Window"), p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 1,
+      s"pack audit must scan documents once:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"length table must broadcast:\n$p")
+    assert(p.contains("HashAggregate"), p)
   }
 
   // ---- r10 corpus-observability keys (pins added r11 — these four
