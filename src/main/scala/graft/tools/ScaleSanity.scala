@@ -87,7 +87,9 @@ object ScaleSanity {
       "events_funnel_time", "events_top_paths", "events_user_gini",
       "grafana_long_json", "ts_block_maxima", "events_mix_drift",
       "downsample_m4", "events_bot_score", "events_cuped_lift",
-      "events_attribution")
+      "events_attribution",
+      // round-11: the subsplit running max — two bounded window passes
+      "ts_running_max_split")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -217,7 +219,14 @@ object ScaleSanity {
       // audit, budget fill, minhash decontamination
       "quality_gopher", "doc_ngram_entropy", "dedup_cross_source",
       "corpus_token_budget", "decontaminate_minhash",
-      "doc_jaccard_sources", "doc_hill_tail", "bpe_fertility")
+      "doc_jaccard_sources", "doc_hill_tail", "bpe_fertility",
+      // round-10 corpus-observability keys (ratios: r11 verdict ask #3)
+      "doc_source_kl", "corpus_shard_balance", "corpus_split_assign",
+      "doc_vocab_growth",
+      // round-11 linear doc passes: gram novelty (gram-key joins),
+      // fixed-offset header parse, pack-waste aggregation
+      "text_ngram_novelty", "multimodal_image_formats",
+      "corpus_pack_waste")
     val docPicks = sel(allDocPicks)
     if (docPicks.nonEmpty) {
       val nd = docs.count()
