@@ -2083,6 +2083,35 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // Hashed-linear quality scoring — the fastText-classifier SHAPE
+    // (hash word → bucket, sum learned bucket weights, sigmoid) with
+    // deterministic stand-in weights, since no model ships in this
+    // environment: bucket = first 3 md5 nibbles (0..4095), weight =
+    // (bucket − 2048)/2048. Weights are exact multiples of 2⁻¹¹ and
+    // |Σ| < 2¹³, so the double sum is EXACT regardless of
+    // accumulation order — no decimal routing needed for the score;
+    // the sigmoid is one libm call on an identical double. One
+    // word-grain projection + one map-side-combinable agg; swapping
+    // in real trained weights = a broadcast join on `bucket`.
+    "quality_linear_score" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val words = docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+      val bucket = conv(substring(md5(col("w")), 1, 3), 16, 10)
+        .cast("long")
+      words
+        .select(col("doc_id"),
+          ((bucket - 2048).cast("double") / 2048d).as("wt"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("wt")).as("score"))
+        .select(col("doc_id"), col("n_words"), t6(col("score")).as("score"),
+          t6(lit(1d) / (lit(1d) + exp(-col("score") / lit(8d))))
+            .as("prob"),
+          (col("score") > 0).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence-packing waste audit: for each candidate context length,
     // the chunk count and pad fraction if every doc is split into
     // ceil(tokens/ctx) chunks — the number a pipeline owner reads
@@ -3920,6 +3949,28 @@ object ExtQueries {
         |  CASE WHEN doc_id % 4 = 3 THEN NULL
         |    ELSE CAST(8 + (doc_id * 13) % 3000 AS BIGINT) END AS height
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "quality_linear_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), wt AS (
+        |  SELECT doc_id,
+        |    CAST((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1)
+        |       - 2048 AS DOUBLE) / 2048 AS wt
+        |  FROM tok
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_words, sum(wt) AS score
+        |  FROM wt GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_words,
+        |  floor(score * 1000000) / 1000000 AS score,
+        |  floor(1.0 / (1.0 + exp(-score / 8)) * 1000000) / 1000000
+        |    AS prob,
+        |  score > 0 AS keep
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "corpus_pack_waste" ->
       """WITH toks AS (

@@ -553,6 +553,53 @@ object TsQueries {
         .orderBy("event_type", "slot")
     }),
 
+    // Permutation entropy (Bandt–Pompe, order 3) per series over the
+    // slot-collapsed values: each slot's ordinal pattern of
+    // (v, v+1, v+2) — ranks with ties broken toward the earlier
+    // index — feeds a ≤6-row pattern distribution per series;
+    // entropy = −Σ p·ln p, normalized by ln 6. The complexity gauge a
+    // monitoring stack reads next to autocorr/level-shift. Scale
+    // shape: ONE lead-window pass on the bounded slot grid, then
+    // constant-size aggregates; the Σ over ≤6 terms routes through
+    // DECIMAL(38,18) like every log-family key.
+    "ts_perm_entropy" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("slot")
+      val slots = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("event_type", "slot")
+        .agg((sum(col("value").cast(dec6)).cast("double") /
+          count(lit(1))).as("v"))
+      def b(c: org.apache.spark.sql.Column) = c.cast("int") // 0/1 bool
+      val tri = slots
+        .withColumn("v1", lead(col("v"), 1).over(w))
+        .withColumn("v2", lead(col("v"), 2).over(w))
+        .filter(col("v2").isNotNull)
+      // rank of element i = 1 + |{j : vj < vi, or vj = vi with j < i}|
+      val r0 = lit(1) + b(col("v1") < col("v")) + b(col("v2") < col("v"))
+      val r1 = lit(1) + b(col("v") <= col("v1")) + b(col("v2") < col("v1"))
+      val r2 = lit(1) + b(col("v") <= col("v2")) + b(col("v1") <= col("v2"))
+      val counts = tri
+        .select(col("event_type"),
+          (r0 * 100 + r1 * 10 + r2).as("pattern"))
+        .groupBy("event_type", "pattern").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // totals + entropy share the tiny table
+      val tot = counts.groupBy("event_type").agg(sum(col("c")).as("n"))
+      val p = col("c").cast("double") / col("n")
+      counts.join(broadcast(tot), "event_type")
+        .groupBy("event_type", "n")
+        .agg(count(lit(1)).as("n_patterns"),
+          sum((-p * log(p)).cast(dec18)).as("esum"))
+        .select(col("event_type"), col("n").as("n_windows"),
+          col("n_patterns"),
+          t6(col("esum").cast("double")).as("entropy"),
+          t6(col("esum").cast("double") / log(lit(6d))).as("entropy_norm"))
+        .orderBy("event_type")
+    }),
+
     // Bollinger bands over the slot-collapsed series: trailing-20-slot
     // mean ± 2σ with DECIMAL frame sums (the STL moving-average
     // discipline — float frame re-aggregation order can differ across
@@ -1170,6 +1217,43 @@ object TsQueries {
          |FROM dd d JOIN m ON d.event_type = m.event_type AND d.dd = m.mdd
          |GROUP BY d.event_type, m.n_slots, m.mdd
          |ORDER BY d.event_type""".stripMargin,
+
+    "ts_perm_entropy" ->
+      s"""$BaseCte, slots AS (
+         |  SELECT event_type, slot,
+         |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS v
+         |  FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY event_type, slot
+         |), tri AS (
+         |  SELECT event_type, v,
+         |    lead(v, 1) OVER (PARTITION BY event_type ORDER BY slot) AS v1,
+         |    lead(v, 2) OVER (PARTITION BY event_type ORDER BY slot) AS v2
+         |  FROM slots
+         |), pat AS (
+         |  SELECT event_type,
+         |    (1 + CAST(v1 < v AS INTEGER) + CAST(v2 < v AS INTEGER)) * 100
+         |    + (1 + CAST(v <= v1 AS INTEGER) + CAST(v2 < v1 AS INTEGER)) * 10
+         |    + (1 + CAST(v <= v2 AS INTEGER) + CAST(v1 <= v2 AS INTEGER))
+         |      AS pattern
+         |  FROM tri WHERE v2 IS NOT NULL
+         |), counts AS (
+         |  SELECT event_type, pattern, count(*) AS c
+         |  FROM pat GROUP BY event_type, pattern
+         |), tot AS (
+         |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+         |  FROM counts GROUP BY event_type
+         |), ent AS (
+         |  SELECT c.event_type, t.n, count(*) AS n_patterns,
+         |    sum(CAST(-(CAST(c.c AS DOUBLE) / t.n)
+         |      * ln(CAST(c.c AS DOUBLE) / t.n) AS DECIMAL(38,18))) AS esum
+         |  FROM counts c JOIN tot t ON c.event_type = t.event_type
+         |  GROUP BY c.event_type, t.n
+         |)
+         |SELECT event_type, n AS n_windows, n_patterns,
+         |  floor(CAST(esum AS DOUBLE) * 1000000) / 1000000 AS entropy,
+         |  floor(CAST(esum AS DOUBLE) / ln(6.0) * 1000000) / 1000000
+         |    AS entropy_norm
+         |FROM ent ORDER BY event_type""".stripMargin,
 
     // oracle is the PLAIN single-window running max — proving the
     // 8-slice subsplit composition is exact, slice edges included

@@ -89,7 +89,9 @@ object ScaleSanity {
       "downsample_m4", "events_bot_score", "events_cuped_lift",
       "events_attribution",
       // round-11: the subsplit running max — two bounded window passes
-      "ts_running_max_split")
+      "ts_running_max_split",
+      // round-11: order-3 ordinal patterns — one lead window + tiny aggs
+      "ts_perm_entropy")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -226,7 +228,7 @@ object ScaleSanity {
       // round-11 linear doc passes: gram novelty (gram-key joins),
       // fixed-offset header parse, pack-waste aggregation
       "text_ngram_novelty", "multimodal_image_formats",
-      "corpus_pack_waste")
+      "corpus_pack_waste", "quality_linear_score")
     val docPicks = sel(allDocPicks)
     if (docPicks.nonEmpty) {
       val nd = docs.count()

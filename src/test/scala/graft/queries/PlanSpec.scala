@@ -1182,6 +1182,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("quality_linear_score: one word-grain scan into one hash " +
+    "aggregation — no window, no join") {
+    val p = plan("quality_linear_score")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 1,
+      s"linear scorer must scan documents once:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("ts_perm_entropy: one series-partitioned lead window; entropy " +
+    "reads the checkpointed 6-row-per-series pattern table") {
+    val p = plan("ts_perm_entropy")
+    val winLine = p.linesIterator.find(_.contains("windowspecdefinition"))
+    assert(winLine.isEmpty || winLine.exists(_.contains("event_type")),
+      s"lead window not series-partitioned:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the pattern-count checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"totals + entropy must read the one pattern table:\n$p")
+  }
+
   // ---- r10 corpus-observability keys (pins added r11 — these four
   // shipped in the r10 end-of-round snapshot without plan pins) ------
 
