@@ -15,6 +15,11 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table specs write through the catalog; keep the
+      // warehouse out of the repo tree
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse")
+          .toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
