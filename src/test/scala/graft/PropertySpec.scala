@@ -342,4 +342,67 @@ class PropertySpec extends SparkSpec {
         s"ntileFromRank diverges from ntile($tiles)")
     }
   }
+
+  test("runningMaxSubsplit equals the single window on random series " +
+    "for random slice counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // random series lengths (incl. shorter than nSlices), random
+    // values with plateaus (ties across slice edges), random nSlices
+    val seriesLens = gen(Gen.chooseNum(1, 400), 6)
+    val rows = seriesLens.zipWithIndex.flatMap { case (len, s) =>
+      val vs = gen(Gen.chooseNum(-1000, 1000).map(_.toDouble / 8), len)
+      vs.zipWithIndex.map { case (v, i) => (s.toString, i.toLong, v) }
+    }
+    val df = rows.toDF("series", "slot", "v")
+    val ref = df.withColumn("__ref",
+      max(col("v")).over(Window.partitionBy("series").orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    gen(Gen.chooseNum(2, 64), 3).foreach { n =>
+      val got = graft.operators.PrefixSplit.runningMaxSubsplit(
+        df, Seq("series"), "slot", "v", nSlices = n)
+      val bad = ref.join(got, Seq("series", "slot", "v"))
+        .filter(col("__ref") =!= col("__runmax")).count()
+      assert(bad == 0L, s"nSlices=$n diverges on random series")
+    }
+  }
+
+  test("msgpack encode→decode round-trips random point lists") {
+    // encoder mirrors msgpack-python's choices for this body shape
+    // (fixstr/str8, float64, uint64 ns, fixarray/array16)
+    val bb = java.nio.ByteBuffer.allocate(1 << 20)
+    def pStr(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      if (b.length < 32) bb.put((0xa0 | b.length).toByte)
+      else { bb.put(0xd9.toByte); bb.put(b.length.toByte) }
+      bb.put(b)
+    }
+    val name: Gen[String] =
+      Gen.chooseNum(1, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val cases = gen(for {
+      db <- name; sensor <- name
+      k <- Gen.chooseNum(1, 5)
+      ms <- Gen.listOfN(k, name)
+      vs <- Gen.listOfN(k, Gen.chooseNum(-1e9, 1e9))
+      ts <- Gen.chooseNum(0L, 4102444800L)
+    } yield (db, sensor, ms, vs, ts * 1000000000L), 60)
+    bb.put(0xdc.toByte); bb.putShort(cases.size.toShort)
+    cases.foreach { case (db, sensor, ms, vs, ns) =>
+      bb.put(0x95.toByte); pStr(db); pStr(sensor)
+      bb.put((0x90 | ms.size).toByte); ms.foreach(pStr)
+      bb.put((0x90 | vs.size).toByte)
+      vs.foreach { v => bb.put(0xcb.toByte); bb.putDouble(v) }
+      bb.put(0xcf.toByte); bb.putLong(ns)
+    }
+    val body = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val got = graft.ingest.Msgpack.decodePointList(body)
+    val expected = cases.flatMap { case (db, sensor, ms, vs, ns) =>
+      ms.zip(vs).map { case (m, v) =>
+        graft.ingest.Msgpack.PointRow(db, sensor, m, v, ns / 1e9)
+      }
+    }
+    assert(got == expected,
+      s"decode mismatch: got ${got.size} rows, expected ${expected.size}")
+  }
 }
