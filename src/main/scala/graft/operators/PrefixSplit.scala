@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -45,7 +45,36 @@ object PrefixSplit {
     */
   def runningMaxSubsplit(df: DataFrame, partCols: Seq[String],
                          orderCol: String, valueCol: String,
-                         nSlices: Int = 256): DataFrame = {
+                         nSlices: Int = 256): DataFrame =
+    runningAggSubsplit(df, partCols, orderCol, valueCol, "max", nSlices)
+      .withColumnRenamed("__run", "__runmax")
+
+  /** The subsplit composition for ANY associative+commutative prefix
+    * aggregate — `agg` ∈ max | min | sum. Result column `__run`
+    * equals `AGG(valueCol) OVER (PARTITION BY partCols ORDER BY
+    * orderCol ROWS UNBOUNDED PRECEDING)`.
+    *
+    * Exactness: max/min are bit-exact for any values. `sum` is
+    * bit-exact when the values are exact under reassociation
+    * (integers, decimals, dyadic doubles — the DETERMINISM.md rule);
+    * for general doubles the subsplit reassociates the additions, the
+    * same caveat as any distributed float sum.
+    */
+  def runningAggSubsplit(df: DataFrame, partCols: Seq[String],
+                         orderCol: String, valueCol: String,
+                         agg: String, nSlices: Int = 256): DataFrame = {
+    def aggFn(c: Column): Column = agg match {
+      case "max" => max(c)
+      case "min" => min(c)
+      case "sum" => sum(c)
+      case other => throw new IllegalArgumentException(
+        s"runningAggSubsplit supports max|min|sum, got $other")
+    }
+    def combine(local: Column, carry: Column): Column = agg match {
+      case "max" => greatest(local, coalesce(carry, local))
+      case "min" => least(local, coalesce(carry, local))
+      case "sum" => when(carry.isNull, local).otherwise(local + carry)
+    }
     val pc = partCols.map(col)
     val o = col(orderCol).cast("double")
     // per-series order range: one tiny aggregate, broadcast back
@@ -58,22 +87,21 @@ object PrefixSplit {
         least(greatest(floor((o - col("__omin")) / width), lit(0)),
           lit(nSlices - 1)).cast("int"))
       .drop("__omin", "__omax")
-    // pass 1: local running max within each (series, slice)
+    // pass 1: local running aggregate within each (series, slice)
     val wLocal = Window.partitionBy((pc :+ col("__slice")): _*)
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val local = sliced.withColumn("__lmax", max(col(valueCol)).over(wLocal))
-    // pass 2: exclusive prefix max over the bounded per-slice table
+    val local = sliced.withColumn("__l", aggFn(col(valueCol)).over(wLocal))
+    // pass 2: exclusive prefix over the bounded per-slice totals
     val wCarry = Window.partitionBy(pc: _*).orderBy(col("__slice"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carry = sliced.groupBy((pc :+ col("__slice")): _*)
-      .agg(max(col(valueCol)).as("__smax"))
-      .withColumn("__carry", max(col("__smax")).over(wCarry))
-      .drop("__smax")
+      .agg(aggFn(col(valueCol)).as("__s"))
+      .withColumn("__carry", aggFn(col("__s")).over(wCarry))
+      .drop("__s")
     local.join(broadcast(carry), partCols :+ "__slice")
-      .withColumn("__runmax",
-        greatest(col("__lmax"), coalesce(col("__carry"), col("__lmax"))))
-      .drop("__slice", "__lmax", "__carry")
+      .withColumn("__run", combine(col("__l"), col("__carry")))
+      .drop("__slice", "__l", "__carry")
   }
 
   /** Size-GATED running max (the [[graft.ext.TextStats.gatedBroadcast]]

@@ -54,6 +54,37 @@ class PrefixSplitSpec extends SparkSpec {
       s"no slice-partitioned window in:\n$p")
   }
 
+  test("runningAggSubsplit: min and sum equal their single-window " +
+    "references on every row (dyadic values — exact under " +
+    "reassociation)") {
+    // values are multiples of 1/8 so the sum path is bit-exact in any
+    // accumulation order (the DETERMINISM.md dyadic rule)
+    val df = (0 until 2).flatMap { s =>
+      (0 until 600).map { i =>
+        (s.toString, i.toLong, ((i * 37 + s * 11) % 400 - 200) / 8.0)
+      }
+    }.toDF("series", "slot", "v")
+    for (agg <- Seq("min", "sum")) {
+      val fn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        if (agg == "min") min(_) else sum(_)
+      val wRef = Window.partitionBy("series").orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val ref = df.withColumn("__ref", fn(col("v")).over(wRef))
+      val got = PrefixSplit.runningAggSubsplit(df, Seq("series"),
+        "slot", "v", agg, nSlices = 13)
+      val bad = ref.join(got, Seq("series", "slot", "v"))
+        .filter(col("__ref") =!= col("__run")).count()
+      assert(bad == 0L, s"$agg subsplit diverges from the single window")
+    }
+  }
+
+  test("runningAggSubsplit rejects a non-associative aggregate name") {
+    val df = Seq(("a", 0L, 1.0)).toDF("series", "slot", "v")
+    intercept[IllegalArgumentException] {
+      PrefixSplit.runningAggSubsplit(df, Seq("series"), "slot", "v", "avg")
+    }
+  }
+
   test("gatedRunningMax: single window under the threshold, subsplit " +
     "over it, identical values either way") {
     val df = (0 until 2).flatMap { s =>
