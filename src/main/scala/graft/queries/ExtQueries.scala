@@ -2083,6 +2083,43 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // LSH band-count tuning forecast: for each (bands, rows) split of
+    // the 16-hash minhash budget, the EXPECTED candidate volume and
+    // expected recall of the ≥0.8 pairs, integrated over the MEASURED
+    // jaccard distribution via the S-curve P(cand|s) = 1−(1−sʳ)ᵇ —
+    // the number a dedup owner reads before re-banding a 100 TB index
+    // (companion to dedup_threshold_curve, which prices the τ choice;
+    // this prices the (b, r) choice). Four one-row aggregates over the
+    // memoized pair table; every power is an EXPLICIT squaring chain
+    // (s², s⁴, s⁸ …) so both engines evaluate the identical IEEE tree
+    // — no libm pow anywhere; sums route through DECIMAL(38,18).
+    "dedup_band_tuning" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      val j = jaccardOf(s, dir)
+      def sq(c: Column): Column = c * c
+      def powChain(c: Column, e: Int): Column = e match {
+        case 1 => c
+        case n => sq(powChain(c, n / 2)) // n ∈ {2,4,8,16}
+      }
+      def pCand(b: Int, r: Int): Column =
+        lit(1d) - powChain(lit(1d) - powChain(col("jaccard"), r), b)
+      Seq((2, 8), (4, 4), (8, 2), (16, 1)).map { case (b, r) =>
+        val p = pCand(b, r)
+        j.agg(count(lit(1)).as("n_pairs"),
+            sum(p.cast(dec18)).as("ec"),
+            count(when(col("jaccard") >= 0.8, lit(1))).as("n_high"),
+            sum(when(col("jaccard") >= 0.8, p).cast(dec18)).as("eh"))
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("n_pairs"),
+            t6(col("ec").cast("double")).as("exp_candidates"),
+            col("n_high"),
+            when(col("n_high") > 0,
+              t6(col("eh").cast("double") / col("n_high")))
+              .as("exp_recall_high"))
+      }.reduce(_ union _).orderBy("bands")
+    }),
+
     // Hashed-linear quality scoring — the fastText-classifier SHAPE
     // (hash word → bucket, sum learned bucket weights, sigmoid) with
     // deterministic stand-in weights, since no model ships in this
@@ -3771,6 +3808,47 @@ object ExtQueries {
          |  count(DISTINCT b_id) AS n_docs_dropped
          |FROM j CROSS JOIN th WHERE jaccard >= threshold
          |GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    // powers are the SAME explicit squaring chains as the Spark side
+    // (s², s⁴, s⁸ …) — identical IEEE trees, no libm pow
+    "dedup_band_tuning" -> {
+      def pw(x: String, e: Int): String =
+        if (e == 1) x else { val h = pw(x, e / 2); s"($h * $h)" }
+      def p(b: Int, r: Int): String =
+        s"(1 - ${pw(s"(1 - ${pw("jaccard", r)})", b)})"
+      val arms = Seq((2, 8), (4, 4), (8, 2), (16, 1)).map { case (b, r) =>
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+           |  count(*) AS n_pairs,
+           |  floor(CAST(sum(CAST(${p(b, r)} AS DECIMAL(38,18)))
+           |    AS DOUBLE) * 1000000) / 1000000 AS exp_candidates,
+           |  count(CASE WHEN jaccard >= 0.8 THEN 1 END) AS n_high,
+           |  CASE WHEN count(CASE WHEN jaccard >= 0.8 THEN 1 END) > 0
+           |    THEN floor(CAST(sum(CASE WHEN jaccard >= 0.8
+           |        THEN CAST(${p(b, r)} AS DECIMAL(38,18)) END) AS DOUBLE)
+           |      / count(CASE WHEN jaccard >= 0.8 THEN 1 END)
+           |      * 1000000) / 1000000
+           |  END AS exp_recall_high
+           |FROM j""".stripMargin
+      }
+      s"""$ShingleCtes, sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id
+         |), j AS (
+         |  SELECT i.a_id, i.b_id,
+         |    floor((n_inter / (na.n + nb.n - n_inter)) * 1000000) / 1000000
+         |      AS jaccard
+         |  FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.a_id
+         |  JOIN sizes nb ON nb.doc_id = i.b_id
+         |)
+         |${arms.mkString("\nUNION ALL\n")}
+         |ORDER BY bands""".stripMargin
+    },
 
     "doc_source_kl" ->
       """WITH sw AS (

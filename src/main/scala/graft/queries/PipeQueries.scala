@@ -821,6 +821,27 @@ object PipeQueries {
     // grouped pass with conditional aggregates (never a per-arm scan
     // or a self-join); moments route double→DECIMAL before summing,
     // the t formula is one fixed-shape float expression at the end.
+    // Sample-ratio-mismatch guardrail for the A/B readout: per
+    // event_type, DISTINCT-user counts per arm (randomization-unit
+    // grain, not event grain — event-count SRM confounds with
+    // activity), χ² for the 50/50 design = (n_a−n_b)²/(n_a+n_b)
+    // (integer numerator — one double division, deterministic), flag
+    // at the 95% cut. The check an experimenter runs BEFORE reading
+    // events_ab_lift. One distinct + one agg, no window.
+    "events_srm_check" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val users = TsQueries.base(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val chi2 = ((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+        .cast("double") / (col("n_a") + col("n_b"))
+      users.groupBy("event_type")
+        .agg(count(when(col("user_id") % 2 === 0, lit(1))).as("n_a"),
+          count(when(col("user_id") % 2 =!= 0, lit(1))).as("n_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          t6(chi2).as("chi2"), (chi2 > lit(3.841459)).as("srm_flag"))
+        .orderBy("event_type")
+    }),
+
     "events_ab_lift" -> ((s, dir) => {
       val dec = DecimalType(28, 6)
       val d12 = DecimalType(38, 12)
@@ -2182,6 +2203,22 @@ object PipeQueries {
          |SELECT event_type, count(*) AS n_segments,
          |  string_agg(sym, '' ORDER BY seg) AS sax_word
          |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_srm_check" ->
+      s"""$BaseCte, u AS (
+         |  SELECT DISTINCT event_type, user_id FROM base
+         |), g AS (
+         |  SELECT event_type,
+         |    count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+         |    count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS n_b
+         |  FROM u GROUP BY event_type
+         |)
+         |SELECT event_type, n_a, n_b,
+         |  floor(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+         |    * 1000000) / 1000000 AS chi2,
+         |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
+         |    > 3.841459 AS srm_flag
+         |FROM g ORDER BY event_type""".stripMargin,
 
     "events_ab_lift" ->
       s"""$BaseCte, b AS (

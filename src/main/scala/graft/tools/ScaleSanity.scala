@@ -91,7 +91,9 @@ object ScaleSanity {
       // round-11: the subsplit running max — two bounded window passes
       "ts_running_max_split",
       // round-11: order-3 ordinal patterns — one lead window + tiny aggs
-      "ts_perm_entropy")
+      "ts_perm_entropy",
+      // round-11: SRM guardrail — distinct + one agg
+      "events_srm_check")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -228,7 +230,8 @@ object ScaleSanity {
       // round-11 linear doc passes: gram novelty (gram-key joins),
       // fixed-offset header parse, pack-waste aggregation
       "text_ngram_novelty", "multimodal_image_formats",
-      "corpus_pack_waste", "quality_linear_score")
+      "corpus_pack_waste", "quality_linear_score",
+      "dedup_band_tuning")
     val docPicks = sel(allDocPicks)
     if (docPicks.nonEmpty) {
       val nd = docs.count()

@@ -1182,6 +1182,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("dedup_band_tuning: four one-row aggregates over the CACHED " +
+    "pair table — fact never rescanned, no window, no cartesian") {
+    val p = plan("dedup_band_tuning")
+    assert(p.contains("Union"), p)
+    assert(p.contains("InMemoryTableScan"),
+      s"band tuning must read the memoized jaccard index:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("events_srm_check: distinct + one agg on the user grain — no " +
+    "join, no window, one events scan") {
+    val p = plan("events_srm_check")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"SRM must scan events once:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("quality_linear_score: one word-grain scan into one hash " +
     "aggregation — no window, no join") {
     val p = plan("quality_linear_score")
