@@ -2083,6 +2083,50 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // IVF nprobe tuning curve — the ANN-side companion of
+    // dedup_band_tuning: measured recall@10 of the fitted-centroid IVF
+    // probe at nprobe ∈ {1, 2, 4}, against the exact top-10. The
+    // operational read-out for "how many cells must I probe": at
+    // 100 TB the probe cost is nprobe/k of the corpus, and this curve
+    // prices that knob with MEASURED recall, not hope. Rides the
+    // memoized centroid fit; exact top-10 and the cell assignment are
+    // lazily checkpointed and reused by all three arms.
+    "similar_ivf_probe_curve" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val e = emb(s, dir)
+      val cents = kmeansCentsOf(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+        .localCheckpoint(false) // 1 row, referenced by every arm
+      val assigned = Similarity.assignToCentroids(e, "vec_id",
+          "embedding", cents)
+        .localCheckpoint(false) // three probe arms share the pass
+      val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6)
+            .as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .localCheckpoint(false) // 10 rows, reused by all arms
+      Seq(1, 2, 4).map { np =>
+        val qcells = cents.crossJoin(broadcast(q))
+          .withColumn("qsim",
+            Similarity.cosine(col("cvec"), col("qvec")))
+          .orderBy(col("qsim").desc, col("cluster")).limit(np)
+          .select("cluster")
+        val ivf = assigned.join(broadcast(qcells), "cluster")
+          .crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            round(Similarity.cosine(col("embedding"), col("qvec")), 6)
+              .as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        exact.join(ivf.select(col("vec_id"), lit(1).as("hit")),
+            Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("k_exact"), count(col("hit")).as("n_hit"))
+          .select(lit(np).as("nprobe"), col("k_exact"), col("n_hit"),
+            t6(col("n_hit") / col("k_exact")).as("recall"))
+      }.reduce(_ union _).orderBy("nprobe")
+    }),
+
     // LSH band-count tuning forecast: for each (bands, rows) split of
     // the 16-hash minhash budget, the EXPECTED candidate volume and
     // expected recall of the ≥0.8 pairs, integrated over the MEASURED
@@ -3808,6 +3852,35 @@ object ExtQueries {
          |  count(DISTINCT b_id) AS n_docs_dropped
          |FROM j CROSS JOIN th WHERE jaccard >= threshold
          |GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    "similar_ivf_probe_curve" -> {
+      val arms = Seq(1, 2, 4).map { np =>
+        s"""SELECT $np AS nprobe, count(*) AS k_exact,
+           |  count(h.vec_id) AS n_hit,
+           |  floor((CAST(count(h.vec_id) AS DOUBLE) / count(*))
+           |    * 1000000) / 1000000 AS recall
+           |FROM ex LEFT JOIN (
+           |  SELECT a.vec_id FROM a2 a
+           |  JOIN (SELECT cluster FROM c2 CROSS JOIN q
+           |        ORDER BY ${cosineSql("c2.cvec", "q.qvec")} DESC,
+           |          cluster LIMIT $np) qc
+           |    ON a.cluster = qc.cluster
+           |  CROSS JOIN q WHERE a.vec_id <> 0
+           |  ORDER BY round(${cosineSql("a.embedding", "q.qvec")}, 6)
+           |    DESC, a.vec_id LIMIT 10
+           |) h ON ex.vec_id = h.vec_id""".stripMargin
+      }
+      s"""$KmeansCtes, q AS (
+         |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+         |), ex AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY round(${cosineSql("e.embedding", "q.qvec")}, 6)
+         |    DESC, e.vec_id LIMIT 10
+         |)
+         |${arms.mkString("\nUNION ALL\n")}
+         |ORDER BY nprobe""".stripMargin
+    },
 
     // powers are the SAME explicit squaring chains as the Spark side
     // (s², s⁴, s⁸ …) — identical IEEE trees, no libm pow

@@ -232,6 +232,9 @@ object ScaleSanity {
       "text_ngram_novelty", "multimodal_image_formats",
       "corpus_pack_waste", "quality_linear_score",
       "dedup_band_tuning")
+    // (similar_ivf_probe_curve rides the embeddings substrate — its
+    // arms are checkpoint-shared; the embeddings family sweep lives in
+    // the dedicated embeddings section of prior rounds)
     val docPicks = sel(allDocPicks)
     if (docPicks.nonEmpty) {
       val nd = docs.count()

@@ -1182,6 +1182,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("similar_ivf_probe_curve: all three arms read the ONE " +
+    "checkpointed assignment + exact top-10 — no re-scan per nprobe") {
+    val p = plan("similar_ivf_probe_curve")
+    assert(p.contains("Union"), p)
+    // per arm: qcells(centroids + q) + ivf(assigned + q) + exact = 5
+    // checkpointed reads ×3 arms = 15; the embeddings parquet itself
+    // must not appear once per arm
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 15,
+      s"arms must share the checkpointed passes:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("embeddings.parquet")) == 0,
+      s"embeddings leaked past the checkpoints:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("dedup_band_tuning: four one-row aggregates over the CACHED " +
     "pair table — fact never rescanned, no window, no cartesian") {
     val p = plan("dedup_band_tuning")
