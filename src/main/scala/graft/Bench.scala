@@ -81,9 +81,14 @@ object Bench {
     // whichever key touched the memo first, so build cost migrated
     // between alphabetical neighbors across rounds — indistinguishable
     // from a regression in the per-key record)
-    val prebuild =
-      try graft.queries.ExtQueries.prebuildSharedIndexes(spark, sfDir)
-      catch { case _: Throwable => Seq.empty[(String, Double)] }
+    val (prebuild, prebuildFailed) =
+      try (graft.queries.ExtQueries.prebuildSharedIndexes(spark, sfDir), false)
+      catch {
+        // keep benching, but STAMP the failure — a silent empty
+        // prebuild would let index-build cost migrate back into the
+        // per-key numbers, indistinguishable from a regression
+        case _: Throwable => (Seq.empty[(String, Double)], true)
+      }
     val prebuildTotal = prebuild.map(_._2).sum
 
     // loadStart (timing start) necessarily includes warm-up self-load;
@@ -110,6 +115,7 @@ object Bench {
         s""","load_avg":[${r3(loadStart)},${r3(loadEnd)}]""" +
         s""","load_gate":{"threshold":${r3(loadMax)},"pre":${r3(gatePre)},"waited_s":$waited,"contended":$contended}""" +
         s""","prebuild_s":${r3(prebuildTotal)}""" +
+        (if (prebuildFailed) s""","prebuild_failed":true""" else "") +
         s""","cpus":$cpus"""
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }

@@ -171,9 +171,21 @@ object Multimodal {
       .when(isWebpX, struct(lit("webp").as("format"),
         (leInt(payload, lit(25), 3) + 1).as("width"),
         (leInt(payload, lit(28), 3) + 1).as("height")))
-      .when(isBmp, struct(lit("bmp").as("format"),
-        leInt(payload, lit(19), 4).as("width"),
-        leInt(payload, lit(23), 4).as("height")))
+      .when(isBmp, {
+        // DIB header size at 15 picks the layout: 12 = BITMAPCOREHEADER
+        // (u16 dims at 19/21); else BITMAPINFOHEADER+ (i32 dims at
+        // 19/23 — height SIGNED: negative = top-down row order, the
+        // magnitude is the pixel height)
+        val dib = leInt(payload, lit(15), 4)
+        val h32 = leInt(payload, lit(23), 4)
+        val hSigned = when(h32 > Int.MaxValue.toLong, h32 - 4294967296L)
+          .otherwise(h32)
+        struct(lit("bmp").as("format"),
+          when(dib === 12, leInt(payload, lit(19), 2))
+            .otherwise(leInt(payload, lit(19), 4)).as("width"),
+          when(dib === 12, leInt(payload, lit(21), 2))
+            .otherwise(abs(hSigned)).as("height"))
+      })
       .otherwise(struct(lit("unknown").as("format"),
         NullL.as("width"), NullL.as("height")))
   }
@@ -293,8 +305,11 @@ object Multimodal {
             st.getField("w"), st.getField("h"))
         val freeze = same(lit(true), mode, pos, lim, st.getField("ret"))
         when(st.getField("done"), st)
-          // trak exhausted without tkhd: pop back into moov
-          .when(mode === 2 && (pos.isNull || pos >= lim),
+          // trak exhausted — or a malformed child inside it — pop back
+          // into moov so a corrupt trak can't cost the mvhd fields the
+          // independent walks of the r10 version still recovered
+          .when(mode === 2 && (pos.isNull || pos >= lim ||
+              size.isNull || size < 8),
             same(mFalse, lit(1), lim, st.getField("ret"), NullL))
           // region exhausted / truncated / not a box: stop
           .when(pos.isNull || pos >= lim, freeze)

@@ -31,7 +31,8 @@ import org.apache.spark.sql.expressions.Window
   * within the row's slice) — proven bit-equal to the single-window
   * plan by PrefixSplitSpec, including every first-row-of-slice edge.
   * The same composition carries any associative+commutative prefix
-  * aggregate (sum, min, count); bounded ±k frames (Bollinger, the STL
+  * aggregate ([[runningAggSubsplit]]: max | min | sum; a running count
+  * is the sum of a not-null indicator); bounded ±k frames (Bollinger, the STL
   * trend MA) subsplit even more simply with k-row halos because their
   * frame never reaches back past k rows (SCALE.md).
   */
@@ -73,7 +74,10 @@ object PrefixSplit {
     def combine(local: Column, carry: Column): Column = agg match {
       case "max" => greatest(local, coalesce(carry, local))
       case "min" => least(local, coalesce(carry, local))
-      case "sum" => when(carry.isNull, local).otherwise(local + carry)
+      // window SUM skips nulls: an all-null local prefix must pass the
+      // carry through (and vice versa), like greatest/least do above
+      case "sum" => when(local.isNull, carry)
+        .when(carry.isNull, local).otherwise(local + carry)
     }
     val pc = partCols.map(col)
     val o = col(orderCol).cast("double")

@@ -1063,7 +1063,8 @@ object ExtQueries {
         unhex(lit("FFD9")))
       val payload = when(pmod(col("doc_id"), lit(3)) === 0, png)
         .when(pmod(col("doc_id"), lit(3)) === 1, jpeg)
-        .otherwise(encode(col("text"), "UTF-8")) // ASCII: no magic match
+        .otherwise(concat(unhex(lit("00")),
+          encode(col("text"), "UTF-8"))) // NUL prefix: no magic can match
       // projection barriers (the r10 plan-size lesson): synthesize the
       // payload once, emit the parse struct ONCE, then read fields off
       // the struct ATTRIBUTE — `getField` on the Column would duplicate
@@ -1126,7 +1127,8 @@ object ExtQueries {
         concat(be(lit(100L), 4), lit("trak").cast("binary"), tkhd))
       val payload = when(pmod(col("doc_id"), lit(3)) === 0, wav)
         .when(pmod(col("doc_id"), lit(3)) === 1, mp4)
-        .otherwise(encode(col("text"), "UTF-8"))
+        .otherwise(concat(unhex(lit("00")),
+          encode(col("text"), "UTF-8"))) // NUL prefix: no magic can match
       // same projection-barrier discipline as multimodal_dims: ONE
       // avMeta struct emission, fields read from the attribute
       d.select(col("doc_id").as("media_id"), payload.as("payload"))
@@ -2001,6 +2003,7 @@ object ExtQueries {
         .select(col("embedding").as("qvec"),
           slice(col("embedding"), 1, 16).as("qhead"))
       val corpus = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .localCheckpoint(false) // coarse + exact arms share one scan
       val coarse = corpus
         .select(col("vec_id"),
           round(Similarity.cosine(slice(col("embedding"), 1, 16),
@@ -2074,7 +2077,8 @@ object ExtQueries {
       val payload = when(pmod(col("doc_id"), lit(4)) === 0, gif)
         .when(pmod(col("doc_id"), lit(4)) === 1, bmp)
         .when(pmod(col("doc_id"), lit(4)) === 2, webp)
-        .otherwise(encode(col("text"), "UTF-8"))
+        .otherwise(concat(unhex(lit("00")),
+          encode(col("text"), "UTF-8"))) // NUL prefix: no magic can match
       d.select(col("doc_id").as("media_id"), payload.as("payload"))
         .select(col("media_id"),
           Multimodal.imageDimsExt(col("payload")).as("dims"))

@@ -166,6 +166,59 @@ class MultimodalSpec extends SparkSpec {
       (("mp4", -1L, 20575L, 1920L, 1080L)))
   }
 
+  test("MP4: a corrupt child inside trak pops back to moov — mvhd " +
+    "duration still parses (the r11 review fix)") {
+    def be(v: Long, n: Int) = f"$v%016X".takeRight(2 * n)
+    val corruptTrak = hexBytes(
+      be(16, 4) + "66747970" + "69736F6D" + "00000000" + // ftyp
+        be(132, 4) + "6D6F6F76" +                        // moov
+        be(16, 4) + "7472616B" +                         // trak
+        be(0, 4) + "78787878" +                          // child size=0: bad
+        be(108, 4) + "6D766864" + "00000000" +           // mvhd v0 AFTER trak
+        "00" * 8 + be(1000, 4) + be(5000, 4) + "00" * 80)
+    assert(av(Seq(0L -> corruptTrak))(0L) ==
+      (("mp4", -1L, 5000L, -1L, -1L)))
+  }
+
+  // ---- imageDimsExt fixtures: GIF / BMP / WebP-VP8X ----------------
+
+  private def dimsExt(payloads: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    val df = payloads.toDF("media_id", "payload")
+    val d = Multimodal.imageDimsExt(col("payload"))
+    df.select(col("media_id"), d.getField("format").as("format"),
+        d.getField("width").as("width"), d.getField("height").as("height"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+  }
+
+  test("imageDimsExt: GIF89a LE u16 dims; WebP VP8X canvas-1 u24 dims") {
+    val gif = hexBytes("474946383961" + "4001" + "C800" + "F70000") // 320×200
+    val webp = hexBytes("52494646" + "1E000000" + "57454250" +
+      "56503858" + "0A000000" + "00000000" +
+      "7F020000".take(6) + "DF010000".take(6)) // w-1=639, h-1=479 (u24 LE)
+    val d = dimsExt(Seq(0L -> gif, 1L -> webp))
+    assert(d(0L) == (("gif", 320L, 200L)))
+    assert(d(1L) == (("webp", 640L, 480L)))
+  }
+
+  test("imageDimsExt: BMP negative (top-down) height reads |h|; " +
+    "BITMAPCOREHEADER u16 dims; garbage stays unknown") {
+    def le(v: Long, n: Int) = (0 until n)
+      .map(i => f"${(v >> (8 * i)) & 0xff}%02X").mkString
+    val topDown = hexBytes("424D" + le(122, 4) + le(0, 4) + le(54, 4) +
+      le(40, 4) + le(640, 4) + le((-480L) & 0xFFFFFFFFL, 4) + le(0, 8))
+    val core = hexBytes("424D" + le(62, 4) + le(0, 4) + le(26, 4) +
+      le(12, 4) + le(100, 2) + le(50, 2) + le(1, 2) + le(8, 2))
+    val junk = "no image here".getBytes("UTF-8")
+    val d = dimsExt(Seq(0L -> topDown, 1L -> core, 2L -> junk))
+    assert(d(0L) == (("bmp", 640L, 480L)))
+    assert(d(1L) == (("bmp", 100L, 50L)))
+    assert(d(2L) == (("unknown", -1L, -1L)))
+  }
+
   test("avMeta truncation/garbage degrade to nulls, not errors") {
     val d = av(Seq(
       0L -> wavCanonical.take(20),          // dies before fmt fields

@@ -78,6 +78,28 @@ class PrefixSplitSpec extends SparkSpec {
     }
   }
 
+  test("runningAggSubsplit sum: null-skipping matches the window — " +
+    "including an ALL-NULL slice between non-null slices") {
+    // slice width ≈ 1000/10 = 100 slots: slots 100-299 are all null, so
+    // at least one whole slice has a null local prefix and must pass
+    // the carry through (the r11 review fix)
+    val rows = (0 until 1000).map { i =>
+      val v: java.lang.Double =
+        if (i >= 100 && i < 300) null else java.lang.Double.valueOf((i % 64) / 8.0)
+      ("a", i.toLong, v)
+    }
+    val df = rows.toDF("series", "slot", "v")
+    val wRef = Window.partitionBy("series").orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = df.withColumn("__ref", sum(col("v")).over(wRef))
+    val got = PrefixSplit.runningAggSubsplit(df, Seq("series"), "slot",
+      "v", "sum", nSlices = 10)
+    val joined = ref.join(got, Seq("series", "slot"))
+    assert(joined.filter(!(col("__ref") <=> col("__run"))).count() == 0,
+      "sum subsplit diverges on null-bearing series")
+    assert(joined.count() == 1000)
+  }
+
   test("runningAggSubsplit rejects a non-associative aggregate name") {
     val df = Seq(("a", 0L, 1.0)).toDF("series", "slot", "v")
     intercept[IllegalArgumentException] {

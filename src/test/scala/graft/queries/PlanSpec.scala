@@ -409,8 +409,9 @@ class PlanSpec extends SparkSpec {
     // Catalyst spent ~49 s/run re-optimizing it. Budget: the fixed
     // fold-once/emit-once versions measure ~1-3k nodes; 20k leaves
     // headroom for growth while catching any order-of-magnitude jump.
+    // Counting rule shared with the committed record (PlanDump).
     def exprSize(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
-      1 + e.children.map(exprSize).sum
+      graft.tools.PlanDump.exprSize(e)
     for (key <- Seq("multimodal_dims", "multimodal_av_meta",
         "multimodal_image_formats")) {
       ExtQueries.clearMemo()
