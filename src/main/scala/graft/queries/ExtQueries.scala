@@ -2087,6 +2087,29 @@ object ExtQueries {
         .orderBy("media_id")
     }),
 
+    // EXACT-substring decontamination — the final verify mode of the
+    // decontamination family (exact-gram → overlap-fraction → minhash
+    // → THIS): drop corpus docs that contain a benchmark fragment
+    // verbatim (here the eval docs' 20-char openings). Scale shape:
+    // the benchmark suite is KBs by construction, so the fragment set
+    // BROADCASTS and the corpus pays one linear scan with a bounded
+    // per-row contains budget — the corpus never shuffles, never
+    // self-joins (production composes this after the gram prefilter
+    // when even the fragment set is too wide).
+    "decontaminate_substring" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val frags = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(substring(col("text"), 1, 20).as("frag"))
+        .filter(length(col("frag")) >= 20)
+      val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val bad = corpus.crossJoin(broadcast(frags))
+        .filter(col("text").contains(col("frag")))
+        .select(col("doc_id")).distinct()
+      corpus.join(broadcast(bad), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // IVF nprobe tuning curve — the ANN-side companion of
     // dedup_band_tuning: measured recall@10 of the fitted-centroid IVF
     // probe at nprobe ∈ {1, 2, 4}, against the exact top-10. The
@@ -3856,6 +3879,19 @@ object ExtQueries {
          |  count(DISTINCT b_id) AS n_docs_dropped
          |FROM j CROSS JOIN th WHERE jaccard >= threshold
          |GROUP BY threshold ORDER BY threshold""".stripMargin,
+
+    "decontaminate_substring" ->
+      """WITH ev AS (
+        |  SELECT substr(text, 1, 20) AS frag FROM documents
+        |  WHERE doc_id % 97 = 0 AND len(substr(text, 1, 20)) >= 20
+        |), bad AS (
+        |  SELECT DISTINCT d.doc_id FROM documents d CROSS JOIN ev
+        |  WHERE d.doc_id % 97 <> 0 AND position(ev.frag IN d.text) > 0
+        |)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 97 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
 
     "similar_ivf_probe_curve" -> {
       val arms = Seq(1, 2, 4).map { np =>

@@ -821,6 +821,45 @@ object PipeQueries {
     // grouped pass with conditional aggregates (never a per-arm scan
     // or a self-join); moments route double→DECIMAL before summing,
     // the t formula is one fixed-shape float expression at the end.
+    // Difference-in-differences readout per event_type: arms by
+    // user hash (user_id % 2), periods by the integer midpoint of the
+    // observed time range (sec·2 ≥ min+max — exact integer compare,
+    // no float boundary), DiD = (ā_post − ā_pre) − (b̄_post − b̄_pre)
+    // with decimal-routed sums. The panel-data estimate an
+    // experimenter reads when treatment rolled out mid-window. ONE
+    // grouped pass with conditional aggregates over a broadcast
+    // 1-row bounds table.
+    "events_diff_in_diff" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec = DecimalType(28, 6)
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+        .localCheckpoint(false) // bounds + the grouped pass share it
+      val bounds = b.agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+      val withArms = b.crossJoin(broadcast(bounds))
+        .select(col("event_type"), col("value"),
+          (col("user_id") % 2 === 0).as("arm_a"),
+          (col("sec") * 2 >= col("mn") + col("mx")).as("post"))
+      def cell(arm: org.apache.spark.sql.Column,
+               post: org.apache.spark.sql.Column, tag: String) = Seq(
+        count(when(arm && post, lit(1))).as(s"n_$tag"),
+        sum(when(arm && post, col("value").cast(dec)))
+          .cast("double").as(s"s_$tag"))
+      val aggs =
+        cell(col("arm_a"), col("post"), "a2") ++
+          cell(col("arm_a"), !col("post"), "a1") ++
+          cell(!col("arm_a"), col("post"), "b2") ++
+          cell(!col("arm_a"), !col("post"), "b1")
+      def m(tag: String) = col(s"s_$tag") / col(s"n_$tag")
+      withArms.groupBy("event_type")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("event_type"),
+          col("n_a1"), col("n_a2"), col("n_b1"), col("n_b2"),
+          t6((m("a2") - m("a1")) - (m("b2") - m("b1"))).as("did"))
+        .orderBy("event_type")
+    }),
+
     // Sample-ratio-mismatch guardrail for the A/B readout: per
     // event_type, DISTINCT-user counts per arm (randomization-unit
     // grain, not event grain — event-count SRM confounds with
@@ -2203,6 +2242,38 @@ object PipeQueries {
          |SELECT event_type, count(*) AS n_segments,
          |  string_agg(sym, '' ORDER BY seg) AS sax_word
          |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "events_diff_in_diff" ->
+      s"""$BaseCte, f AS (
+         |  SELECT event_type, value, user_id, sec FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |), bounds AS (
+         |  SELECT min(sec) AS mn, max(sec) AS mx FROM f
+         |), w AS (
+         |  SELECT event_type, value, user_id % 2 = 0 AS arm_a,
+         |    sec * 2 >= mn + mx AS post
+         |  FROM f CROSS JOIN bounds
+         |), g AS (
+         |  SELECT event_type,
+         |    count(CASE WHEN arm_a AND post THEN 1 END) AS n_a2,
+         |    CAST(sum(CASE WHEN arm_a AND post
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_a2,
+         |    count(CASE WHEN arm_a AND NOT post THEN 1 END) AS n_a1,
+         |    CAST(sum(CASE WHEN arm_a AND NOT post
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_a1,
+         |    count(CASE WHEN NOT arm_a AND post THEN 1 END) AS n_b2,
+         |    CAST(sum(CASE WHEN NOT arm_a AND post
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_b2,
+         |    count(CASE WHEN NOT arm_a AND NOT post THEN 1 END) AS n_b1,
+         |    CAST(sum(CASE WHEN NOT arm_a AND NOT post
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_b1
+         |  FROM w GROUP BY event_type
+         |)
+         |SELECT event_type, n_a1, n_a2, n_b1, n_b2,
+         |  floor(((s_a2 / n_a2 - s_a1 / n_a1) - (s_b2 / n_b2 - s_b1 / n_b1))
+         |    * 1000000) / 1000000 AS did
+         |FROM g ORDER BY event_type""".stripMargin,
 
     "events_srm_check" ->
       s"""$BaseCte, u AS (

@@ -93,7 +93,9 @@ object ScaleSanity {
       // round-11: order-3 ordinal patterns — one lead window + tiny aggs
       "ts_perm_entropy",
       // round-11: SRM guardrail — distinct + one agg
-      "events_srm_check")
+      "events_srm_check",
+      // round-11: DiD — one grouped pass × broadcast bounds
+      "events_diff_in_diff")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -231,7 +233,7 @@ object ScaleSanity {
       // fixed-offset header parse, pack-waste aggregation
       "text_ngram_novelty", "multimodal_image_formats",
       "corpus_pack_waste", "quality_linear_score",
-      "dedup_band_tuning")
+      "dedup_band_tuning", "decontaminate_substring")
     // (similar_ivf_probe_curve rides the embeddings substrate — its
     // arms are checkpoint-shared; the embeddings family sweep lives in
     // the dedicated embeddings section of prior rounds)

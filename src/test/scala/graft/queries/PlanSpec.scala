@@ -1183,6 +1183,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("decontaminate_substring: fragment set broadcasts; the hit list " +
+    "broadcasts back as an anti join — the corpus never shuffles") {
+    val p = plan("decontaminate_substring")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"contains probe must ride a broadcast of the fragments:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus shuffled for decontamination:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) <= 3,
+      s"document scans grew past frags+probe+survivors:\n$p")
+  }
+
+  test("events_diff_in_diff: one grouped pass over the checkpointed " +
+    "fact × a broadcast 1-row bounds table — no window, no fact join") {
+    val p = plan("events_diff_in_diff")
+    assert(!p.contains("Window"), p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"bounds + grouped pass must share the one filtered fact:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bounds must broadcast:\n$p")
+  }
+
   test("similar_ivf_probe_curve: all three arms read the ONE " +
     "checkpointed assignment + exact top-10 — no re-scan per nprobe") {
     val p = plan("similar_ivf_probe_curve")
