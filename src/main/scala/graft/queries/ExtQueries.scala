@@ -2110,6 +2110,107 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Normalization-aware exact dedup — the pipeline step between raw
+    // exact dedup and near-dup: case-fold, strip non-alphanumerics to
+    // spaces, collapse whitespace runs, then hash-group the canonical
+    // form. Catches the re-encoded / re-punctuated copies exact dedup
+    // misses and MinHash would spend candidate budget on. The probe
+    // set is a deterministic 1/101 sample re-encoded (upper-cased,
+    // punctuation appended) and unioned in — exactly the variants this
+    // operator exists to collapse and byte-level dedup cannot. ONE
+    // projection into ONE map-side-combinable hash agg; only the
+    // 32-char md5 of the canonical form ever shuffles, never the text.
+    "dedup_normalized" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val variants = d.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(upper(col("text")), lit(" ~~ ")).as("text"))
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      d.unionByName(variants)
+        .select(col("doc_id"), md5(norm).as("h"))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_dups"))
+        .filter(col("n_dups") > 1)
+        .orderBy("canonical_id")
+    }),
+
+    // Embedding health audit — the first check a training pipeline
+    // runs on a new embedding dump: per label, the L2-norm
+    // distribution (catches zero/degenerate vectors and un-normalized
+    // models) and the norm of the MEAN vector relative to the mean
+    // norm (anisotropy: ~0 for an isotropic cloud, →1 when the cloud
+    // collapses toward one direction). Per-row norms are one native
+    // codegen'd arraydot; every cross-row float sum is truncated then
+    // DECIMAL-routed (order-independent). The mean vector is an
+    // explode→(label,pos) aggregation — the fanout is rows×dim with
+    // dim a CONSTANT, map-side combined into a labels×dim table, so
+    // at 100 TB it is one linear pass, no window, no fact join; the
+    // two per-label aggregates meet in a broadcast join.
+    "embedding_norm_stats" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+      val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val e = emb(s, dir)
+      val st = e
+        .select(col("label"),
+          t6(Similarity.norm(col("embedding"))).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(col("nrm").cast(dec)).cast("double").as("s"),
+          sum((col("nrm") * col("nrm")).cast(d12)).cast("double").as("ss"))
+      val mv = e
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"),
+          t6(col("col").cast("double")).as("v"))
+        .groupBy("label", "pos")
+        .agg(sum(col("v").cast(dec)).cast("double").as("sv"),
+          count(lit(1)).as("nv"))
+        .select(col("label"), t6(col("sv") / col("nv")).as("mval"))
+      val mvn = mv.groupBy("label")
+        .agg(sqrt(sum((col("mval") * col("mval")).cast(d12)).cast("double"))
+          .as("mvn_raw"))
+      st.join(broadcast(mvn), "label")
+        .select(col("label"), col("n"),
+          t6(col("s") / col("n")).as("mean_norm"),
+          t6(sqrt(greatest(
+            col("ss") / col("n") - (col("s") / col("n")) * (col("s") / col("n")),
+            lit(0.0)))).as("sd_norm"),
+          t6(col("mvn_raw")).as("mean_vec_norm"),
+          t6(col("mvn_raw") / (col("s") / col("n"))).as("anisotropy"))
+        .orderBy("label")
+    }),
+
+    // Epoch/repetition schedule for a token budget (Muennighoff et
+    // al. 2023: up to ~4 epochs of repeated data train ≈ like fresh
+    // data; beyond that returns decay fast): per source, available
+    // whitespace tokens, the α=0.5 temperature-smoothed mixture
+    // weight (same smoothing family as corpus_mix_alpha, applied to
+    // token mass), the share of a 2×-corpus token budget that weight
+    // demands, and the implied epochs over the source with an
+    // over-repetition flag at 4. ONE agg over the docs fact × a
+    // broadcast 1-row totals frame — no window, fact touched once.
+    "corpus_epoch_schedule" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val src = docs(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("source").agg(sum(col("toks")).as("n_tokens"))
+        .localCheckpoint(false) // totals scalar + per-source rows share
+      val tot = src.agg(sum(col("n_tokens")).as("t_total"),
+        sum(sqrt(col("n_tokens").cast("double")).cast(d12))
+          .cast("double").as("sw"))
+      val w = sqrt(col("n_tokens").cast("double")) / col("sw")
+      val epochs = w * (lit(2L) * col("t_total")) / col("n_tokens")
+      src.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          t6(w).as("weight"), t6(epochs).as("epochs"),
+          (epochs > lit(4.0)).as("over_repeated"))
+        .orderBy("source")
+    }),
+
     // IVF nprobe tuning curve — the ANN-side companion of
     // dedup_band_tuning: measured recall@10 of the fitted-centroid IVF
     // probe at nprobe ∈ {1, 2, 4}, against the exact top-10. The
@@ -3892,6 +3993,77 @@ object ExtQueries {
         |WHERE doc_id % 97 <> 0
         |  AND doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_normalized" ->
+      """WITH alld AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, upper(text) || ' ~~ ' AS text
+        |  FROM documents WHERE doc_id % 101 = 0
+        |), h AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+        |  FROM alld
+        |)
+        |SELECT h, min(doc_id) AS canonical_id, count(*) AS n_dups
+        |FROM h GROUP BY h HAVING count(*) > 1
+        |ORDER BY canonical_id""".stripMargin,
+
+    "embedding_norm_stats" ->
+      s"""WITH nr AS (
+         |  SELECT label,
+         |    floor(sqrt(${dotSql("embedding", "embedding")}) * 1000000)
+         |      / 1000000 AS nrm
+         |  FROM embeddings
+         |), st AS (
+         |  SELECT label, count(*) AS n,
+         |    CAST(sum(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE) AS s,
+         |    CAST(sum(CAST(nrm * nrm AS DECIMAL(38,12))) AS DOUBLE) AS ss
+         |  FROM nr GROUP BY label
+         |), ex AS (
+         |  SELECT label, unnest(range(len(embedding))) AS pos,
+         |    floor(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+         |      / 1000000 AS v
+         |  FROM embeddings
+         |), mv AS (
+         |  SELECT label,
+         |    floor(CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+         |      / count(*) * 1000000) / 1000000 AS mval
+         |  FROM ex GROUP BY label, pos
+         |), mvn AS (
+         |  SELECT label,
+         |    sqrt(CAST(sum(CAST(mval * mval AS DECIMAL(38,12))) AS DOUBLE))
+         |      AS mvn_raw
+         |  FROM mv GROUP BY label
+         |)
+         |SELECT st.label, n,
+         |  floor(s / n * 1000000) / 1000000 AS mean_norm,
+         |  floor(sqrt(greatest(ss / n - (s / n) * (s / n), 0.0))
+         |    * 1000000) / 1000000 AS sd_norm,
+         |  floor(mvn_raw * 1000000) / 1000000 AS mean_vec_norm,
+         |  floor(mvn_raw / (s / n) * 1000000) / 1000000 AS anisotropy
+         |FROM st JOIN mvn ON st.label = mvn.label
+         |ORDER BY st.label""".stripMargin,
+
+    "corpus_epoch_schedule" ->
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
+        |    CAST(sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS sw
+        |  FROM src
+        |)
+        |SELECT source, n_tokens,
+        |  floor(sqrt(CAST(n_tokens AS DOUBLE)) / sw * 1000000)
+        |    / 1000000 AS weight,
+        |  floor((sqrt(CAST(n_tokens AS DOUBLE)) / sw) * (2 * t_total)
+        |    / n_tokens * 1000000) / 1000000 AS epochs,
+        |  (sqrt(CAST(n_tokens AS DOUBLE)) / sw) * (2 * t_total)
+        |    / n_tokens > 4.0 AS over_repeated
+        |FROM src CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "similar_ivf_probe_curve" -> {
       val arms = Seq(1, 2, 4).map { np =>

@@ -881,6 +881,50 @@ object PipeQueries {
         .orderBy("event_type")
     }),
 
+    // Power / minimum-detectable-effect readout — the question an
+    // experimenter asks BEFORE launch: "how small a lift could this
+    // traffic even see?" Per event_type, Welch standard error from
+    // the same decimal-routed moments as events_ab_lift, scaled by
+    // z_{0.975}+z_{0.80} (two-sided 95% confidence at 80% power);
+    // absolute and relative-to-pooled-mean forms. Completes the A/B
+    // family (SRM gate → power → lift → CUPED → DiD). ONE grouped
+    // pass with conditional aggregates — no join, no window.
+    "events_power_mde" -> ((s, dir) => {
+      val dec = DecimalType(28, 6)
+      val d12 = DecimalType(38, 12)
+      val t6 = graft.ext.TextStats.trunc6 _
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+        .select(col("event_type"), col("value"),
+          (col("user_id") % 2 === 0).as("arm_a"))
+      val g = b.groupBy("event_type").agg(
+        count(when(col("arm_a"), lit(1))).as("n_a"),
+        sum(when(col("arm_a"), col("value").cast(dec)))
+          .cast("double").as("s_a"),
+        sum(when(col("arm_a"), (col("value") * col("value")).cast(d12)))
+          .cast("double").as("ss_a"),
+        count(when(!col("arm_a"), lit(1))).as("n_b"),
+        sum(when(!col("arm_a"), col("value").cast(dec)))
+          .cast("double").as("s_b"),
+        sum(when(!col("arm_a"), (col("value") * col("value")).cast(d12)))
+          .cast("double").as("ss_b"))
+      val varSum =
+        (col("ss_a") - col("s_a") * col("s_a") / col("n_a")) /
+          (col("n_a") - 1) / col("n_a") +
+        (col("ss_b") - col("s_b") * col("s_b") / col("n_b")) /
+          (col("n_b") - 1) / col("n_b")
+      val zsum = lit(2.801585) // z_{0.975} + z_{0.80}
+      val pooledMean = (col("s_a") + col("s_b")) / (col("n_a") + col("n_b"))
+      g.select(col("event_type"), col("n_a"), col("n_b"),
+          when(col("n_a") > 1 && col("n_b") > 1 && varSum > 0,
+            t6(zsum * sqrt(varSum))).as("mde_abs"),
+          when(col("n_a") > 1 && col("n_b") > 1 && varSum > 0 &&
+            pooledMean =!= 0,
+            t6(zsum * sqrt(varSum) / pooledMean)).as("mde_rel"))
+        .orderBy("event_type")
+    }),
+
     "events_ab_lift" -> ((s, dir) => {
       val dec = DecimalType(28, 6)
       val d12 = DecimalType(38, 12)
@@ -2290,6 +2334,44 @@ object PipeQueries {
          |  CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)
          |    > 3.841459 AS srm_flag
          |FROM g ORDER BY event_type""".stripMargin,
+
+    "events_power_mde" ->
+      s"""$BaseCte, b AS (
+         |  SELECT event_type, value, user_id % 2 = 0 AS arm_a
+         |  FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |), g AS (
+         |  SELECT event_type,
+         |    count(CASE WHEN arm_a THEN 1 END) AS n_a,
+         |    CAST(sum(CASE WHEN arm_a
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_a,
+         |    CAST(sum(CASE WHEN arm_a
+         |      THEN CAST(value * value AS DECIMAL(38,12)) END) AS DOUBLE)
+         |      AS ss_a,
+         |    count(CASE WHEN NOT arm_a THEN 1 END) AS n_b,
+         |    CAST(sum(CASE WHEN NOT arm_a
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_b,
+         |    CAST(sum(CASE WHEN NOT arm_a
+         |      THEN CAST(value * value AS DECIMAL(38,12)) END) AS DOUBLE)
+         |      AS ss_b
+         |  FROM b GROUP BY event_type
+         |), v AS (
+         |  SELECT event_type, n_a, n_b, s_a, s_b,
+         |    (ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a +
+         |    (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b AS var_sum
+         |  FROM g
+         |)
+         |SELECT event_type, n_a, n_b,
+         |  CASE WHEN n_a > 1 AND n_b > 1 AND var_sum > 0
+         |    THEN floor(2.801585 * sqrt(var_sum) * 1000000) / 1000000
+         |  END AS mde_abs,
+         |  CASE WHEN n_a > 1 AND n_b > 1 AND var_sum > 0
+         |    AND (s_a + s_b) / (n_a + n_b) <> 0
+         |    THEN floor(2.801585 * sqrt(var_sum)
+         |      / ((s_a + s_b) / (n_a + n_b)) * 1000000) / 1000000
+         |  END AS mde_rel
+         |FROM v ORDER BY event_type""".stripMargin,
 
     "events_ab_lift" ->
       s"""$BaseCte, b AS (

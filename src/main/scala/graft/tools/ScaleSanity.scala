@@ -95,7 +95,9 @@ object ScaleSanity {
       // round-11: SRM guardrail — distinct + one agg
       "events_srm_check",
       // round-11: DiD — one grouped pass × broadcast bounds
-      "events_diff_in_diff")
+      "events_diff_in_diff",
+      // round-11: MDE — one grouped pass, same moments as ab_lift
+      "events_power_mde")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -233,7 +235,10 @@ object ScaleSanity {
       // fixed-offset header parse, pack-waste aggregation
       "text_ngram_novelty", "multimodal_image_formats",
       "corpus_pack_waste", "quality_linear_score",
-      "dedup_band_tuning", "decontaminate_substring")
+      "dedup_band_tuning", "decontaminate_substring",
+      // round-11 closing: canonical-form hash grouping (md5-only
+      // shuffle), per-source token mass × broadcast totals
+      "dedup_normalized", "corpus_epoch_schedule")
     // (similar_ivf_probe_curve rides the embeddings substrate — its
     // arms are checkpoint-shared; the embeddings family sweep lives in
     // the dedicated embeddings section of prior rounds)
@@ -384,7 +389,9 @@ object ScaleSanity {
     // they don't manufacture sim=1.0 own-cell bests that would prune
     // unrealistically well.
     val embPicks = sel(Seq("exactNN", "dedup_semantic",
-      "similar_filtered_topk"))
+      "similar_filtered_topk",
+      // round-11 closing: two linear passes + broadcast meet
+      "embedding_norm_stats"))
     if (embPicks.nonEmpty) {
       val embT = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
       val ne = embT.count()
@@ -426,6 +433,17 @@ object ScaleSanity {
         val f10 = time(ffil(spark, edir).count())
         println(f"[scale] similar_filtered_topk    1x=${f1}%6.2fs " +
           f"10x=${f10}%6.2fs ratio=${f10 / f1}%5.2f")
+      }
+      // round-11: norm/anisotropy audit — two linear passes (arraydot
+      // norms; posexplode mean vector) meeting in a labels-grain
+      // broadcast join; ratio must track rows, the dim fanout is
+      // constant
+      if (embPicks.contains("embedding_norm_stats")) {
+        val fns = graft.SparkEntry.queries("embedding_norm_stats")
+        val n1 = time(fns(spark, "/root/testdata/sf0.1").count())
+        val n10 = time(fns(spark, edir).count())
+        println(f"[scale] embedding_norm_stats    1x=${n1}%6.2fs " +
+          f"10x=${n10}%6.2fs ratio=${n10 / n1}%5.2f")
       }
     }
     spark.stop()

@@ -1310,4 +1310,47 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       s"growth curve must never shuffle-join the fact:\n$p")
   }
+
+  test("dedup_normalized: base + variant scans union into ONE hash " +
+    "agg — only the md5 shuffles, no join, no window") {
+    val p = plan("dedup_normalized")
+    assert(p.contains("Union"), p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 2,
+      s"normalized dedup must scan documents exactly twice (base + variants):\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("embedding_norm_stats: two linear passes over embeddings meet " +
+    "in a broadcast join — no window, no shuffle join") {
+    val p = plan("embedding_norm_stats")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("embeddings.parquet")) == 2,
+      s"norm stats must scan embeddings exactly twice (norms + mean vector):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the labels-grain aggregates must meet in a broadcast join:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate"), s"mean vector needs the posexplode pass:\n$p")
+  }
+
+  test("corpus_epoch_schedule: totals + per-source rows share the ONE " +
+    "checkpointed source table; totals broadcast; no window") {
+    val p = plan("corpus_epoch_schedule")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the source-tokens checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"totals + schedule must read the one per-source table:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals frame must broadcast:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("events_power_mde: one grouped pass with conditional " +
+    "aggregates — no join, no window, one events scan") {
+    val p = plan("events_power_mde")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"MDE must scan events once:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
 }
