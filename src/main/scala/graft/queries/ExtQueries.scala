@@ -2211,6 +2211,150 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // SEMANTIC decontamination — the embedding-space member of the
+    // decontaminate family (exact-gram / minhash / substring catch
+    // verbatim and shingled overlap; paraphrased benchmark items need
+    // cosine). The benchmark side is a deterministic 1/97 sample
+    // re-embedded with a small alternating-sign perturbation
+    // (ε = 2⁻⁷, dyadic so both engines parse the identical double) —
+    // exactly the "same item, slightly different embedding run" case
+    // this operator exists for; natural cross-split cosine tops out
+    // ≈0.50 on this corpus so the 0.99 cut can never false-flag. At
+    // 100 TB the benchmark set is constant-size → broadcast NLJ probe
+    // over ONE linear corpus pass (native arraydot cosine), flagged
+    // ids broadcast back as an anti join — the corpus never shuffles.
+    "decontaminate_semantic" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val eps = 0.0078125 // 2^-7: exactly representable
+      val bench = e.filter(pmod(col("vec_id"), lit(97)) === 0)
+        .select(col("vec_id").as("b_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") + when(pmod(i, lit(2)) === 0, lit(eps))
+              .otherwise(lit(-eps))).as("b_emb"))
+      val bad = e.crossJoin(broadcast(bench))
+        .filter(round(Similarity.cosine(col("embedding"), col("b_emb")), 6)
+          >= lit(0.99))
+        .select(col("vec_id")).distinct()
+      e.join(broadcast(bad), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }),
+
+    // DSIR-style importance weights (Xie et al. 2023: data selection
+    // by importance resampling): score every doc by how much more
+    // likely its unigrams are under a target domain (here lang='en')
+    // than under the raw corpus — mean log p_tgt(w)/p_raw(w) with
+    // add-1 smoothing over the raw vocabulary. Both count columns come
+    // from ONE vocab-scale aggregation (c_raw and c_tgt side by side,
+    // checkpointed); the per-word log-ratio is a fixed-shape float
+    // expression computed once at vocab grain, then joined to the
+    // token stream (size-gated broadcast) and DECIMAL(38,18)-routed
+    // into per-doc means, reported per source with the would-select
+    // rate (weight > 0). At 100 TB: two linear passes over the fact,
+    // one vocab-grain table, no window, no fact-fact join.
+    "corpus_dsir_weights" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          (col("lang") === "en").as("tgt"),
+          explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy("w")
+        .agg(count(lit(1)).as("c_raw"),
+          count(when(col("tgt"), 1)).as("c_tgt"))
+        .localCheckpoint(false) // totals + log-ratio table share it
+      val totals = vocab.agg(sum(col("c_raw")).as("n_raw"),
+        sum(col("c_tgt")).as("n_tgt"), count(lit(1)).as("v"))
+      val lr = vocab.crossJoin(broadcast(totals))
+        .select(col("w"),
+          (log((col("c_tgt") + 1).cast("double") /
+            (col("n_tgt") + col("v")).cast("double")) -
+           log((col("c_raw") + 1).cast("double") /
+            (col("n_raw") + col("v")).cast("double"))).as("lr"))
+      val perDoc = tok
+        .join(TextStats.gatedBroadcast(lr), Seq("w"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lr").cast(dec18)).as("lr_sum"))
+        .select(col("source"),
+          t6(col("lr_sum").cast("double") / col("n_tokens")).as("dw"))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          t6(sum(col("dw").cast(dec)).cast("double") / count(lit(1)))
+            .as("mean_weight"),
+          t6(count(when(col("dw") > 0, 1)).cast("double") /
+            count(lit(1))).as("sel_rate"))
+        .orderBy("source")
+    }),
+
+    // Method-agreement audit across the decontamination family — the
+    // observability readout a curation team checks before trusting any
+    // one method: pairwise flagged-set overlap (n-gram hit vs minhash
+    // band collision vs exact-substring) as counts + Jaccard. Each
+    // method's flagged ids are computed exactly as its own key
+    // computes them (same 1/97 split, same shared minhash index), the
+    // three small id sets union into ONE lazily-checkpointed frame
+    // consumed by both the per-method census and the pair join, and
+    // the 3-row pair skeleton is a literal so a method that flags
+    // nothing still reports its zero row. All meeting joins are
+    // broadcasts of flagged-set-sized frames.
+    "decontaminate_agreement" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val bench = d.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val fNg = Dedup.shingles(corpus, "doc_id", "text", 5)
+        .join(TextStats.gatedBroadcast(
+          Dedup.shingles(bench, "doc_id", "text", 5)
+            .select("shingle").distinct()),
+          Seq("shingle"), "left_semi")
+        .select("doc_id").distinct()
+        .select(lit("ngram").as("method"), col("doc_id"))
+      val bands = Dedup.bands(minhashOf(s, dir), "doc_id", NumHashes, 1)
+      val fMh = bands.filter(col("doc_id") % 97 =!= 0)
+        .join(TextStats.gatedBroadcast(
+          bands.filter(col("doc_id") % 97 === 0)
+            .select("band", "band_key").distinct()),
+          Seq("band", "band_key"), "left_semi")
+        .select("doc_id").distinct()
+        .select(lit("minhash").as("method"), col("doc_id"))
+      val frags = bench.select(substring(col("text"), 1, 20).as("frag"))
+        .filter(length(col("frag")) >= 20)
+      val fSub = corpus.crossJoin(broadcast(frags))
+        .filter(col("text").contains(col("frag")))
+        .select("doc_id").distinct()
+        .select(lit("substring").as("method"), col("doc_id"))
+      val fl = fNg.unionByName(fMh).unionByName(fSub)
+        .localCheckpoint(false) // census + pair join share one build
+      val cnt = fl.groupBy("method").agg(count(lit(1)).as("n"))
+      val pr = fl.select(col("method").as("method_a"), col("doc_id"))
+        .join(fl.select(col("method").as("method_b"), col("doc_id")),
+          Seq("doc_id"))
+        .filter(col("method_a") < col("method_b"))
+        .groupBy("method_a", "method_b").agg(count(lit(1)).as("n_both"))
+      val sk = s.range(1).select(explode(array(
+          struct(lit("minhash").as("method_a"), lit("ngram").as("method_b")),
+          struct(lit("minhash").as("method_a"), lit("substring").as("method_b")),
+          struct(lit("ngram").as("method_a"), lit("substring").as("method_b"))))
+          .as("p"))
+        .select(col("p.method_a"), col("p.method_b"))
+      sk.join(broadcast(cnt.select(col("method").as("method_a"),
+          col("n").as("n_a0"))), Seq("method_a"), "left")
+        .join(broadcast(cnt.select(col("method").as("method_b"),
+          col("n").as("n_b0"))), Seq("method_b"), "left")
+        .join(broadcast(pr), Seq("method_a", "method_b"), "left")
+        .select(col("method_a"), col("method_b"),
+          coalesce(col("n_a0"), lit(0L)).as("n_a"),
+          coalesce(col("n_b0"), lit(0L)).as("n_b"),
+          coalesce(col("n_both"), lit(0L)).as("nb"))
+        .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"),
+          col("nb").as("n_both"),
+          when(col("n_a") + col("n_b") - col("nb") > 0,
+            TextStats.trunc6(col("nb").cast("double") /
+              (col("n_a") + col("n_b") - col("nb")))).as("jaccard"))
+        .orderBy("method_a", "method_b")
+    }),
+
     // IVF nprobe tuning curve — the ANN-side companion of
     // dedup_band_tuning: measured recall@10 of the fitted-centroid IVF
     // probe at nprobe ∈ {1, 2, 4}, against the exact top-10. The
@@ -4064,6 +4208,115 @@ object ExtQueries {
         |  (sqrt(CAST(n_tokens AS DOUBLE)) / sw) * (2 * t_total)
         |    / n_tokens > 4.0 AS over_repeated
         |FROM src CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "decontaminate_semantic" ->
+      s"""WITH bench AS (
+         |  SELECT vec_id AS b_id,
+         |    list_transform(range(1, len(embedding) + 1),
+         |      i -> CAST(embedding[i] AS DOUBLE) +
+         |        CASE WHEN (i - 1) % 2 = 0 THEN 0.0078125
+         |             ELSE -0.0078125 END) AS b_emb
+         |  FROM embeddings WHERE vec_id % 97 = 0
+         |), bad AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM embeddings a CROSS JOIN bench b
+         |  WHERE round(${cosineSql("a.embedding", "b.b_emb")}, 6) >= 0.99
+         |)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+         |ORDER BY vec_id""".stripMargin,
+
+    "corpus_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, lang = 'en' AS tgt,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), voc AS (
+        |  SELECT w, count(*) AS c_raw,
+        |    count(CASE WHEN tgt THEN 1 END) AS c_tgt
+        |  FROM tok GROUP BY w
+        |), tot AS (
+        |  SELECT CAST(sum(c_raw) AS BIGINT) AS n_raw,
+        |    CAST(sum(c_tgt) AS BIGINT) AS n_tgt,
+        |    count(*) AS v
+        |  FROM voc
+        |), lr AS (
+        |  SELECT w,
+        |    ln(CAST(c_tgt + 1 AS DOUBLE) / CAST(n_tgt + v AS DOUBLE)) -
+        |    ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + v AS DOUBLE)) AS lr
+        |  FROM voc CROSS JOIN tot
+        |), pd AS (
+        |  SELECT doc_id, source,
+        |    floor(CAST(sum(CAST(lr AS DECIMAL(38,18))) AS DOUBLE)
+        |      / count(*) * 1000000) / 1000000 AS dw
+        |  FROM tok JOIN lr USING (w)
+        |  GROUP BY doc_id, source
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  floor(CAST(sum(CAST(dw AS DECIMAL(28,6))) AS DOUBLE)
+        |    / count(*) * 1000000) / 1000000 AS mean_weight,
+        |  floor(CAST(count(CASE WHEN dw > 0 THEN 1 END) AS DOUBLE)
+        |    / count(*) * 1000000) / 1000000 AS sel_rate
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+
+    "decontaminate_agreement" ->
+      s"""$ShingleCtes, agw AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), agg5 AS (
+         |  SELECT DISTINCT doc_id,
+         |    unnest(list_transform(range(1, len(w) - 3),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+         |           w[i+3] || ' ' || w[i+4])) AS shingle
+         |  FROM agw WHERE len(w) >= 5
+         |), agb AS (
+         |  SELECT DISTINCT shingle FROM agg5 WHERE doc_id % 97 = 0
+         |), f_ng AS (
+         |  SELECT DISTINCT doc_id FROM agg5 JOIN agb USING (shingle)
+         |  WHERE doc_id % 97 <> 0
+         |), evb AS (
+         |  SELECT DISTINCT band, band_key FROM bd WHERE doc_id % 97 = 0
+         |), f_mh AS (
+         |  SELECT DISTINCT b.doc_id FROM bd b JOIN evb e
+         |    ON b.band = e.band AND b.band_key = e.band_key
+         |  WHERE b.doc_id % 97 <> 0
+         |), frg AS (
+         |  SELECT substring(text, 1, 20) AS frag FROM documents
+         |  WHERE doc_id % 97 = 0 AND length(substring(text, 1, 20)) >= 20
+         |), f_sub AS (
+         |  SELECT DISTINCT c.doc_id FROM documents c CROSS JOIN frg
+         |  WHERE c.doc_id % 97 <> 0 AND contains(c.text, frg.frag)
+         |), fl AS (
+         |  SELECT 'ngram' AS method, doc_id FROM f_ng
+         |  UNION ALL SELECT 'minhash', doc_id FROM f_mh
+         |  UNION ALL SELECT 'substring', doc_id FROM f_sub
+         |), cnt AS (
+         |  SELECT method, count(*) AS n FROM fl GROUP BY method
+         |), pr AS (
+         |  SELECT a.method AS method_a, b.method AS method_b,
+         |    count(*) AS n_both
+         |  FROM fl a JOIN fl b USING (doc_id)
+         |  WHERE a.method < b.method
+         |  GROUP BY 1, 2
+         |), sk AS (
+         |  SELECT * FROM (VALUES ('minhash', 'ngram'),
+         |    ('minhash', 'substring'), ('ngram', 'substring'))
+         |    AS t(method_a, method_b)
+         |)
+         |SELECT sk.method_a, sk.method_b,
+         |  coalesce(ca.n, 0) AS n_a, coalesce(cb.n, 0) AS n_b,
+         |  coalesce(pr.n_both, 0) AS n_both,
+         |  CASE WHEN coalesce(ca.n, 0) + coalesce(cb.n, 0)
+         |      - coalesce(pr.n_both, 0) > 0
+         |    THEN floor(CAST(coalesce(pr.n_both, 0) AS DOUBLE)
+         |      / (coalesce(ca.n, 0) + coalesce(cb.n, 0)
+         |         - coalesce(pr.n_both, 0)) * 1000000) / 1000000
+         |  END AS jaccard
+         |FROM sk
+         |LEFT JOIN cnt ca ON ca.method = sk.method_a
+         |LEFT JOIN cnt cb ON cb.method = sk.method_b
+         |LEFT JOIN pr ON pr.method_a = sk.method_a
+         |  AND pr.method_b = sk.method_b
+         |ORDER BY sk.method_a, sk.method_b""".stripMargin,
 
     "similar_ivf_probe_curve" -> {
       val arms = Seq(1, 2, 4).map { np =>

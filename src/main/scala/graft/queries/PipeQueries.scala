@@ -925,6 +925,90 @@ object PipeQueries {
         .orderBy("event_type")
     }),
 
+    // Holm step-down multiple-testing correction over the per-type A/B
+    // z-statistics — the guardrail that keeps a 5-metric experiment
+    // from cherry-picking its one nominally-significant lift. Welch z
+    // per event_type from the same decimal-routed moments as
+    // events_ab_lift; the per-rank critical values are a broadcast
+    // 10-row z-table literal (α=0.05 two-sided over the remaining
+    // hypotheses — a fixed table, the same one practitioners use, so
+    // no normal-CDF evaluation has to agree across engines). The arms
+    // are hash-random (a true A/A), so a deterministic KNOWN effect is
+    // injected — +11 on purchase (clearly significant from sf0.01 up),
+    // +5 on signup (significant unadjusted, killed by the correction)
+    // — the standard harness that exercises every branch of the
+    // step-down instead of only the all-null one. The windows order a
+    // #event_types-row aggregate (≤ tens of rows at ANY corpus scale —
+    // the fact is reduced first), so the global sort is free; the fact
+    // itself is ONE grouped pass.
+    "events_holm_correction" -> ((s, dir) => {
+      val dec = DecimalType(28, 6)
+      val d12 = DecimalType(38, 12)
+      val t6 = graft.ext.TextStats.trunc6 _
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+        .select(col("event_type"),
+          (col("user_id") % 2 === 0).as("arm_a"), col("value"))
+        .select(col("event_type"), col("arm_a"),
+          (col("value") +
+            when(col("arm_a") && col("event_type") === "purchase",
+              lit(11.0)).otherwise(lit(0.0)) +
+            when(col("arm_a") && col("event_type") === "signup",
+              lit(5.0)).otherwise(lit(0.0))).as("value"))
+      val g = b.groupBy("event_type").agg(
+        count(when(col("arm_a"), lit(1))).as("n_a"),
+        sum(when(col("arm_a"), col("value").cast(dec)))
+          .cast("double").as("s_a"),
+        sum(when(col("arm_a"), (col("value") * col("value")).cast(d12)))
+          .cast("double").as("ss_a"),
+        count(when(!col("arm_a"), lit(1))).as("n_b"),
+        sum(when(!col("arm_a"), col("value").cast(dec)))
+          .cast("double").as("s_b"),
+        sum(when(!col("arm_a"), (col("value") * col("value")).cast(d12)))
+          .cast("double").as("ss_b"))
+      val varSum =
+        (col("ss_a") - col("s_a") * col("s_a") / col("n_a")) /
+          (col("n_a") - 1) / col("n_a") +
+        (col("ss_b") - col("s_b") * col("s_b") / col("n_b")) /
+          (col("n_b") - 1) / col("n_b")
+      val zRaw = (col("s_a") / col("n_a") - col("s_b") / col("n_b")) /
+        sqrt(varSum)
+      val valid = col("n_a") > 1 && col("n_b") > 1 && varSum > 0
+      val v = g.select(col("event_type"), col("n_a"), col("n_b"),
+        when(valid, t6(zRaw)).as("z"),
+        when(valid, t6(abs(zRaw))).as("abs_z"))
+      // α=0.05 two-sided critical z for 1..10 remaining hypotheses
+      val zcrit = s.range(1, 11).select(col("id").as("divisor"),
+        element_at(array(lit(1.959964), lit(2.241403), lit(2.39398),
+          lit(2.497705), lit(2.575829), lit(2.638257), lit(2.69011),
+          lit(2.734369), lit(2.772921), lit(2.807034)),
+          col("id").cast("int")).as("z_crit"))
+      val all = Window.partitionBy(lit(1))
+      val rkWin = Window.partitionBy(lit(1))
+        .orderBy(col("abs_z").desc_nulls_last, col("event_type"))
+      val w = v.withColumn("m", count(col("abs_z")).over(all))
+        .withColumn("rk", row_number().over(rkWin))
+        .withColumn("divisor",
+          when(col("abs_z").isNotNull, col("m") - col("rk") + 1))
+      val stepWin = Window.partitionBy(lit(1)).orderBy(col("rk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      w.join(broadcast(zcrit), Seq("divisor"), "left")
+        .withColumn("runmin",
+          min(when(col("abs_z") >= col("z_crit"), lit(1)).otherwise(lit(0)))
+            .over(stepWin))
+        .withColumn("bonf", max(when(col("rk") === 1, col("z_crit"))).over(all))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("z"),
+          col("m"),
+          when(col("abs_z").isNotNull, col("rk")).cast("long")
+            .as("holm_rank"),
+          col("z_crit"),
+          (col("abs_z") >= lit(1.959964)).as("sig_raw"),
+          (col("abs_z") >= col("bonf")).as("sig_bonferroni"),
+          when(col("abs_z").isNotNull, col("runmin") === 1).as("sig_holm"))
+        .orderBy("event_type")
+    }),
+
     "events_ab_lift" -> ((s, dir) => {
       val dec = DecimalType(28, 6)
       val d12 = DecimalType(38, 12)
@@ -2372,6 +2456,79 @@ object PipeQueries {
          |      / ((s_a + s_b) / (n_a + n_b)) * 1000000) / 1000000
          |  END AS mde_rel
          |FROM v ORDER BY event_type""".stripMargin,
+
+    "events_holm_correction" ->
+      s"""$BaseCte, b0 AS (
+         |  SELECT event_type, user_id % 2 = 0 AS arm_a, value
+         |  FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |), b AS (
+         |  SELECT event_type, arm_a,
+         |    value +
+         |      CASE WHEN arm_a AND event_type = 'purchase'
+         |        THEN 11.0 ELSE 0.0 END +
+         |      CASE WHEN arm_a AND event_type = 'signup'
+         |        THEN 5.0 ELSE 0.0 END AS value
+         |  FROM b0
+         |), g AS (
+         |  SELECT event_type,
+         |    count(CASE WHEN arm_a THEN 1 END) AS n_a,
+         |    CAST(sum(CASE WHEN arm_a
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_a,
+         |    CAST(sum(CASE WHEN arm_a
+         |      THEN CAST(value * value AS DECIMAL(38,12)) END) AS DOUBLE)
+         |      AS ss_a,
+         |    count(CASE WHEN NOT arm_a THEN 1 END) AS n_b,
+         |    CAST(sum(CASE WHEN NOT arm_a
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE) AS s_b,
+         |    CAST(sum(CASE WHEN NOT arm_a
+         |      THEN CAST(value * value AS DECIMAL(38,12)) END) AS DOUBLE)
+         |      AS ss_b
+         |  FROM b GROUP BY event_type
+         |), vs AS (
+         |  SELECT event_type, n_a, n_b, s_a, s_b,
+         |    (ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a +
+         |    (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b AS var_sum
+         |  FROM g
+         |), v AS (
+         |  SELECT event_type, n_a, n_b,
+         |    CASE WHEN n_a > 1 AND n_b > 1 AND var_sum > 0
+         |      THEN floor((s_a / n_a - s_b / n_b) / sqrt(var_sum)
+         |        * 1000000) / 1000000 END AS z,
+         |    CASE WHEN n_a > 1 AND n_b > 1 AND var_sum > 0
+         |      THEN floor(abs((s_a / n_a - s_b / n_b) / sqrt(var_sum))
+         |        * 1000000) / 1000000 END AS abs_z
+         |  FROM vs
+         |), zc AS (
+         |  SELECT CAST(divisor AS BIGINT) AS divisor, z_crit
+         |  FROM (VALUES (1, 1.959964), (2, 2.241403), (3, 2.39398),
+         |    (4, 2.497705), (5, 2.575829), (6, 2.638257), (7, 2.69011),
+         |    (8, 2.734369), (9, 2.772921), (10, 2.807034))
+         |    AS t(divisor, z_crit)
+         |), w AS (
+         |  SELECT *, count(abs_z) OVER () AS m,
+         |    row_number() OVER (ORDER BY abs_z DESC NULLS LAST,
+         |      event_type) AS rk
+         |  FROM v
+         |), j AS (
+         |  SELECT w.*, zc.z_crit FROM w
+         |  LEFT JOIN zc ON zc.divisor = w.m - w.rk + 1
+         |    AND w.abs_z IS NOT NULL
+         |), h AS (
+         |  SELECT *,
+         |    min(CASE WHEN abs_z >= z_crit THEN 1 ELSE 0 END)
+         |      OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS runmin,
+         |    max(CASE WHEN rk = 1 THEN z_crit END) OVER () AS bonf
+         |  FROM j
+         |)
+         |SELECT event_type, n_a, n_b, z, m,
+         |  CASE WHEN abs_z IS NOT NULL THEN rk END AS holm_rank,
+         |  z_crit,
+         |  abs_z >= 1.959964 AS sig_raw,
+         |  abs_z >= bonf AS sig_bonferroni,
+         |  CASE WHEN abs_z IS NOT NULL THEN runmin = 1 END AS sig_holm
+         |FROM h ORDER BY event_type""".stripMargin,
 
     "events_ab_lift" ->
       s"""$BaseCte, b AS (

@@ -97,7 +97,10 @@ object ScaleSanity {
       // round-11: DiD — one grouped pass × broadcast bounds
       "events_diff_in_diff",
       // round-11: MDE — one grouped pass, same moments as ab_lift
-      "events_power_mde")
+      "events_power_mde",
+      // round-11: Holm step-down — one grouped pass, windows only on
+      // the 5-row aggregate
+      "events_holm_correction")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -238,7 +241,13 @@ object ScaleSanity {
       "dedup_band_tuning", "decontaminate_substring",
       // round-11 closing: canonical-form hash grouping (md5-only
       // shuffle), per-source token mass × broadcast totals
-      "dedup_normalized", "corpus_epoch_schedule")
+      "dedup_normalized", "corpus_epoch_schedule",
+      // round-11 closing: DSIR importance weights (two linear passes
+      // + one vocab table) and the decontamination agreement readout
+      // (NOTE: like decontaminate_substring, the replication grows the
+      // benchmark side 10x too — a real deployment's bench set is
+      // constant)
+      "corpus_dsir_weights", "decontaminate_agreement")
     // (similar_ivf_probe_curve rides the embeddings substrate — its
     // arms are checkpoint-shared; the embeddings family sweep lives in
     // the dedicated embeddings section of prior rounds)
@@ -391,7 +400,11 @@ object ScaleSanity {
     val embPicks = sel(Seq("exactNN", "dedup_semantic",
       "similar_filtered_topk",
       // round-11 closing: two linear passes + broadcast meet
-      "embedding_norm_stats"))
+      "embedding_norm_stats",
+      // round-11 closing: broadcast NLJ probe (bench side grows 10x
+      // under replication, like the substring sweep — constant in a
+      // real deployment)
+      "decontaminate_semantic"))
     if (embPicks.nonEmpty) {
       val embT = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
       val ne = embT.count()
@@ -444,6 +457,15 @@ object ScaleSanity {
         val n10 = time(fns(spark, edir).count())
         println(f"[scale] embedding_norm_stats    1x=${n1}%6.2fs " +
           f"10x=${n10}%6.2fs ratio=${n10 / n1}%5.2f")
+      }
+      // round-11: semantic decontamination — linear corpus probe
+      // against the broadcast (perturbed-sample) benchmark set
+      if (embPicks.contains("decontaminate_semantic")) {
+        val fds = graft.SparkEntry.queries("decontaminate_semantic")
+        val s1 = time(fds(spark, "/root/testdata/sf0.1").count())
+        val s10 = time(fds(spark, edir).count())
+        println(f"[scale] decontaminate_semantic  1x=${s1}%6.2fs " +
+          f"10x=${s10}%6.2fs ratio=${s10 / s1}%5.2f")
       }
     }
     spark.stop()

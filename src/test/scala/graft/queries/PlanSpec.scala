@@ -1353,4 +1353,55 @@ class PlanSpec extends SparkSpec {
       s"MDE must scan events once:\n$p")
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("decontaminate_semantic: broadcast NLJ probe + broadcast anti " +
+    "— the corpus never shuffles, no window, no shuffle join") {
+    val p = plan("decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the constant-size benchmark side must broadcast into the probe:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("embeddings.parquet")) == 3,
+      s"probe + bench + anti base = exactly three embeddings scans:\n$p")
+  }
+
+  test("corpus_dsir_weights: one checkpointed vocab table feeds the " +
+    "log-ratio join; the fact streams once; no window") {
+    val p = plan("corpus_dsir_weights")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 1,
+      s"the token stream must be the only documents scan (vocab is checkpointed):\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"log-ratio table + totals must both read the one vocab checkpoint:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row totals frame must broadcast into the vocab table:\n$p")
+  }
+
+  test("decontaminate_agreement: the three flagged sets build behind " +
+    "ONE checkpoint; the readout never rescans documents; no window") {
+    val p = plan("decontaminate_agreement")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the flagged-set checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 4,
+      s"census x2 + pair join x2 must all read the one flagged checkpoint:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("events_holm_correction: the fact reduces in one grouped pass " +
+    "before any window; windows order only the per-type aggregate") {
+    val p = plan("events_holm_correction")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"the moments must come from one events scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the z-table lookup must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the windows exist but sit ABOVE the aggregate: in the root-first
+    // tree every Window line must precede the first HashAggregate line
+    // (a window below the agg would print after it, i.e. on the fact)
+    val tree = p.linesIterator.takeWhile(l => !l.trim.startsWith("(")).toSeq
+    val firstAgg = tree.indexWhere(_.contains("HashAggregate"))
+    val lastWin = tree.lastIndexWhere(_.contains("Window"))
+    assert(firstAgg >= 0 && lastWin >= 0 && lastWin < firstAgg,
+      s"a window touched the un-aggregated fact:\n$p")
+  }
 }
