@@ -2355,6 +2355,58 @@ object ExtQueries {
         .orderBy("method_a", "method_b")
     }),
 
+    // Hard-negative mining for contrastive training — for each query
+    // vector (deterministic 1/41 sample), the most-similar vector of a
+    // DIFFERENT label: the "looks alike, isn't" example an embedding
+    // trainer pairs with each anchor. The query side is constant-size
+    // → broadcast; the corpus streams ONCE through a codegen'd cosine
+    // and reduces via a map-side-combinable struct-min argmax (key =
+    // 1−sim so min() = best, vec_id tie-break) — no window over the
+    // corpus-sized candidate stream, no shuffle of the fact, output
+    // grain = queries.
+    "similar_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(pmod(col("vec_id"), lit(41)) === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb"))
+      val sim = round(Similarity.cosine(col("embedding"), col("q_emb")), 6)
+      e.crossJoin(broadcast(q))
+        .filter(col("label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"),
+          struct((lit(1.0) - sim).as("k"),
+            col("vec_id").as("hard_neg_id"),
+            col("label").as("neg_label"),
+            sim.as("sim")).as("c"))
+        .groupBy("q_id", "q_label")
+        .agg(min(col("c")).as("best"))
+        .select(col("q_id"), col("q_label"),
+          col("best.hard_neg_id").as("hard_neg_id"),
+          col("best.neg_label").as("neg_label"),
+          col("best.sim").as("sim"))
+        .orderBy("q_id")
+    }),
+
+    // Docs↔embeddings coverage audit — the referential-integrity check
+    // before any semantic stage runs: per source, how many documents
+    // actually have an embedding row. At 100 TB both sides are
+    // fact-scale, so the join keys on the id both tables are bucketed
+    // by at rest (store.BucketedIndex layout) — co-located, no
+    // broadcast needed; here the left join + one hash agg states the
+    // plan and AQE picks the physical join for the SF.
+    "corpus_embedding_coverage" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val e = emb(s, dir).select(col("vec_id").as("doc_id"),
+        lit(1).as("has"))
+      d.join(e, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("has")).as("n_embedded"))
+        .select(col("source"), col("n_docs"), col("n_embedded"),
+          TextStats.trunc6(col("n_embedded").cast("double") /
+            col("n_docs")).as("coverage"))
+        .orderBy("source")
+    }),
+
     // IVF nprobe tuning curve — the ANN-side companion of
     // dedup_band_tuning: measured recall@10 of the fitted-centroid IVF
     // probe at nprobe ∈ {1, 2, 4}, against the exact top-10. The
@@ -4317,6 +4369,32 @@ object ExtQueries {
          |LEFT JOIN pr ON pr.method_a = sk.method_a
          |  AND pr.method_b = sk.method_b
          |ORDER BY sk.method_a, sk.method_b""".stripMargin,
+
+    "similar_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+         |  FROM embeddings WHERE vec_id % 41 = 0
+         |), c AS (
+         |  SELECT q.q_id, q.q_label, e.vec_id AS hard_neg_id,
+         |    e.label AS neg_label,
+         |    round(${cosineSql("e.embedding", "q.q_emb")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.label <> q.q_label
+         |), r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, hard_neg_id) AS rn
+         |  FROM c
+         |)
+         |SELECT q_id, q_label, hard_neg_id, neg_label, sim
+         |FROM r WHERE rn = 1 ORDER BY q_id""".stripMargin,
+
+    "corpus_embedding_coverage" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(e.vec_id) AS n_embedded,
+        |  floor(CAST(count(e.vec_id) AS DOUBLE) / count(*) * 1000000)
+        |    / 1000000 AS coverage
+        |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "similar_ivf_probe_curve" -> {
       val arms = Seq(1, 2, 4).map { np =>

@@ -523,6 +523,79 @@ object PipeQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // Rescaled-range Hurst exponent per event type — the long-memory
+    // diagnostic (H≈0.5 random walk, >0.5 trending, <0.5 mean-
+    // reverting) a capacity forecaster checks before trusting an
+    // extrapolation. Per type, the ordered series splits into FIXED
+    // 32- and 128-row blocks; each block folds once through a
+    // cumulative-deviation walk (range measured from the origin) and
+    // reports R/S; H = Δ mean ln(R/S) / ln(128/32). The collect_list
+    // buffer is bounded by the BLOCK size (class-a: 128 rows max
+    // regardless of corpus), blocks parallelize freely, and the only
+    // full-series op is the row_number window every ts key shares
+    // (prefix-split is the documented escape hatch). Cross-block
+    // means are t6+DECIMAL-routed.
+    "ts_hurst" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+      val win = Window.partitionBy(col("event_type"))
+        .orderBy(col("sec"), col("event_id"))
+      val ex = b.withColumn("rn", row_number().over(win))
+        .select(col("event_type"), col("rn"), col("value"),
+          explode(array(lit(32), lit(128))).as("bs"))
+      val blocks = ex
+        .withColumn("blk", expr("CAST((rn - 1) div bs AS BIGINT)"))
+        .groupBy("event_type", "bs", "blk")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(Dec)).cast("double").as("sv"),
+          sum((col("value").cast(Dec)) * (col("value").cast(Dec)))
+            .cast("double").as("ss"),
+          sort_array(collect_list(struct(col("rn"), col("value"))))
+            .as("pts"))
+        .filter(col("n") === col("bs"))
+      val nD = col("n").cast("double")
+      val mu = col("sv") / nD
+      val sigma = sqrt(greatest(lit(0d), col("ss") / nD - mu * mu))
+      val vals = transform(col("pts"), p =>
+        p.getField("value").cast("double"))
+      val zero = array(lit(0d), lit(0d), lit(0d)) // cum, min, max
+      def step(acc: org.apache.spark.sql.Column,
+               x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val c = element_at(acc, 1) + (x - col("_mu"))
+        array(c, least(element_at(acc, 2), c),
+          greatest(element_at(acc, 3), c))
+      }
+      val rs = blocks.withColumn("_mu", mu).withColumn("_sigma", sigma)
+        .withColumn("fit", aggregate(vals, zero, step))
+        .select(col("event_type"), col("bs"),
+          when(col("_sigma") > 0,
+            (element_at(col("fit"), 3) - element_at(col("fit"), 2)) /
+              col("_sigma")).as("rs"))
+      val perSize = rs
+        .select(col("event_type"), col("bs"),
+          when(col("rs") > 0, t6(log(col("rs")))).as("lnrs"))
+        .groupBy("event_type", "bs")
+        .agg(count(col("lnrs")).as("nb"),
+          sum(col("lnrs").cast(Dec)).cast("double").as("slnrs"))
+        .select(col("event_type"), col("bs"), col("nb"),
+          when(col("nb") > 0, col("slnrs") / col("nb")).as("m"))
+      perSize.groupBy("event_type")
+        .agg(max(when(col("bs") === 32, col("nb"))).as("nb32"),
+          max(when(col("bs") === 128, col("nb"))).as("nb128"),
+          max(when(col("bs") === 32, col("m"))).as("m32"),
+          max(when(col("bs") === 128, col("m"))).as("m128"))
+        .select(col("event_type"),
+          coalesce(col("nb32"), lit(0L)).as("n_blocks_32"),
+          coalesce(col("nb128"), lit(0L)).as("n_blocks_128"),
+          t6(col("m32")).as("mean_lnrs_32"),
+          t6(col("m128")).as("mean_lnrs_128"),
+          when(col("m32").isNotNull && col("m128").isNotNull,
+            t6((col("m128") - col("m32")) / log(lit(4.0)))).as("hurst"))
+        .orderBy("event_type")
+    }),
+
     // HOLT double-exponential smoothing per (user, type) series — the
     // level+trend forecaster between seasonal-naive and a real model.
     // Each series' ordered values fold once through the coupled
@@ -2080,6 +2153,73 @@ object PipeQueries {
          |  round(fit[4], 6) AS max_stat,
          |  CAST(fit[3] AS BIGINT) AS n_alarms
          |FROM f ORDER BY user_id, event_type""".stripMargin,
+
+    "ts_hurst" ->
+      s"""$BaseCte, clean AS (
+         |  SELECT event_type, sec, event_id, value FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |), rn AS (
+         |  SELECT event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |                       ORDER BY sec, event_id) AS rn
+         |  FROM clean
+         |), ex AS (
+         |  SELECT event_type, rn, value, bs
+         |  FROM rn CROSS JOIN (VALUES (32), (128)) AS sz(bs)
+         |), blk AS (
+         |  SELECT event_type, bs, (rn - 1) // bs AS blk,
+         |    count(*) AS n,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6)) *
+         |             CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ss,
+         |    list(CAST(value AS DOUBLE) ORDER BY rn) AS vals
+         |  FROM ex GROUP BY 1, 2, 3 HAVING count(*) = bs
+         |), m AS (
+         |  SELECT *, sv / CAST(n AS DOUBLE) AS mu,
+         |    sqrt(greatest(CAST(0.0 AS DOUBLE),
+         |      ss / CAST(n AS DOUBLE)
+         |        - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE))))
+         |      AS sigma
+         |  FROM blk
+         |), f AS (
+         |  SELECT event_type, bs, sigma,
+         |    list_reduce(
+         |      list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0],
+         |        list_transform(vals, x -> [x, 0.0, 0.0])),
+         |      (acc, e) -> [acc[1] + (e[1] - mu),
+         |        least(acc[2], acc[1] + (e[1] - mu)),
+         |        greatest(acc[3], acc[1] + (e[1] - mu))]) AS fit
+         |  FROM m
+         |), r AS (
+         |  SELECT event_type, bs,
+         |    CASE WHEN sigma > 0 THEN (fit[3] - fit[2]) / sigma END AS rs
+         |  FROM f
+         |), ps AS (
+         |  SELECT event_type, bs, count(lnrs) AS nb,
+         |    CASE WHEN count(lnrs) > 0 THEN
+         |      CAST(sum(CAST(lnrs AS DECIMAL(18,6))) AS DOUBLE)
+         |        / count(lnrs) END AS m
+         |  FROM (SELECT event_type, bs,
+         |      CASE WHEN rs > 0
+         |        THEN floor(ln(rs) * 1000000) / 1000000 END AS lnrs
+         |    FROM r) q
+         |  GROUP BY event_type, bs
+         |)
+         |SELECT event_type,
+         |  coalesce(max(CASE WHEN bs = 32 THEN nb END), 0) AS n_blocks_32,
+         |  coalesce(max(CASE WHEN bs = 128 THEN nb END), 0) AS n_blocks_128,
+         |  floor(max(CASE WHEN bs = 32 THEN m END) * 1000000) / 1000000
+         |    AS mean_lnrs_32,
+         |  floor(max(CASE WHEN bs = 128 THEN m END) * 1000000) / 1000000
+         |    AS mean_lnrs_128,
+         |  CASE WHEN max(CASE WHEN bs = 32 THEN m END) IS NOT NULL
+         |    AND max(CASE WHEN bs = 128 THEN m END) IS NOT NULL
+         |    THEN floor((max(CASE WHEN bs = 128 THEN m END)
+         |      - max(CASE WHEN bs = 32 THEN m END)) / ln(4.0)
+         |      * 1000000) / 1000000
+         |  END AS hurst
+         |FROM ps GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // The fold state is a LIST [level, trend], not a struct: DuckDB's
     // list_reduce evaluates struct_pack fields non-atomically (a later

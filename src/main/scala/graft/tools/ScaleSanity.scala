@@ -100,7 +100,10 @@ object ScaleSanity {
       "events_power_mde",
       // round-11: Holm step-down — one grouped pass, windows only on
       // the 5-row aggregate
-      "events_holm_correction")
+      "events_holm_correction",
+      // round-11: Hurst R/S — one row_number window, then fixed-size
+      // blocks aggregate independently (collect bounded by block)
+      "ts_hurst")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -404,7 +407,10 @@ object ScaleSanity {
       // round-11 closing: broadcast NLJ probe (bench side grows 10x
       // under replication, like the substring sweep — constant in a
       // real deployment)
-      "decontaminate_semantic"))
+      "decontaminate_semantic",
+      // round-11 closing: broadcast query probe + struct-min argmax
+      // (query side grows 10x under replication too)
+      "similar_hard_negatives"))
     if (embPicks.nonEmpty) {
       val embT = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
       val ne = embT.count()
@@ -466,6 +472,15 @@ object ScaleSanity {
         val s10 = time(fds(spark, edir).count())
         println(f"[scale] decontaminate_semantic  1x=${s1}%6.2fs " +
           f"10x=${s10}%6.2fs ratio=${s10 / s1}%5.2f")
+      }
+      // round-11: hard negatives — corpus streams once through the
+      // broadcast query probe into a queries-grain partial argmax
+      if (embPicks.contains("similar_hard_negatives")) {
+        val fhn = graft.SparkEntry.queries("similar_hard_negatives")
+        val h1 = time(fhn(spark, "/root/testdata/sf0.1").count())
+        val h10 = time(fhn(spark, edir).count())
+        println(f"[scale] similar_hard_negatives  1x=${h1}%6.2fs " +
+          f"10x=${h10}%6.2fs ratio=${h10 / h1}%5.2f")
       }
     }
     spark.stop()

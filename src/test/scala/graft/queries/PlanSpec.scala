@@ -1404,4 +1404,49 @@ class PlanSpec extends SparkSpec {
     assert(firstAgg >= 0 && lastWin >= 0 && lastWin < firstAgg,
       s"a window touched the un-aggregated fact:\n$p")
   }
+
+  test("similar_hard_negatives: broadcast query probe + struct-min " +
+    "argmax — the corpus streams once, no window over candidates") {
+    val p = plan("similar_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the constant-size query sample must broadcast:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("embeddings.parquet")) == 2,
+      s"corpus + query sample = exactly two embeddings scans:\n$p")
+    // the struct-min argmax is a SortAggregate (struct buffers are not
+    // hash-aggregable) — the property that matters is that a PARTIAL
+    // aggregate sits between the probe join and the first exchange, so
+    // only queries-grain partials ever shuffle, never candidates
+    val tree = p.linesIterator.takeWhile(l => !l.trim.startsWith("(")).toSeq
+    val idxNlj = tree.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    val idxExch = tree.lastIndexWhere(_.contains("Exchange"), idxNlj)
+    assert(idxExch >= 0 && tree.slice(idxExch, idxNlj)
+      .exists(_.contains("Aggregate")),
+      s"no partial aggregate between the probe join and the shuffle:\n$p")
+  }
+
+  test("corpus_embedding_coverage: one scan per side into one join + " +
+    "one agg — no window, physical join left to AQE") {
+    val p = plan("corpus_embedding_coverage")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 1, p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("embeddings.parquet")) == 1, p)
+    assert(p.contains("Join") && !p.contains("Window") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("ts_hurst: one events scan; the only full-series op is the " +
+    "shared row_number window; blocks aggregate independently") {
+    val p = plan("ts_hurst")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"the series must be read once:\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("Generate"), s"the block-size explode is missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"hurst must not join anything:\n$p")
+    val tree = p.linesIterator.takeWhile(l => !l.trim.startsWith("(")).toSeq
+    assert(tree.count(_.contains("Window")) == 1,
+      s"exactly one window (the per-type row_number):\n$p")
+  }
 }
