@@ -2407,6 +2407,60 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // Token-mass duplication inflation — the budget question exact
+    // dedup answers by doc count, answered by TOKEN count: per source,
+    // how much of the token budget is spent on byte-identical copies
+    // (everything in a hash group beyond its canonical doc). The
+    // pipeline is ONE hash-group on md5(text) (the dedup_exact key)
+    // joined back to the token-weighted fact on the hash — at 100 TB
+    // both sides hash-partition on the 32-char digest, never the text.
+    "corpus_dup_inflation" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        md5(col("text")).as("h"))
+      val canon = d.groupBy("h").agg(min(col("doc_id")).as("cid"))
+      d.join(TextStats.gatedBroadcast(canon), Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("total_tokens"),
+          count(when(col("doc_id") =!= col("cid"), 1)).as("n_dup_docs"),
+          sum(when(col("doc_id") =!= col("cid"), col("toks")))
+            .as("dup0"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("n_dup_docs"),
+          coalesce(col("dup0"), lit(0L)).as("dup_tokens"),
+          t6(coalesce(col("dup0"), lit(0L)).cast("double") /
+            col("total_tokens")).as("dup_token_frac"))
+        .orderBy("source")
+    }),
+
+    // Boilerplate-prefix detection — the cheap template scan a curator
+    // runs before near-dup: per source, the most common 5-word prefix
+    // and the share of (≥5-word) docs that start with it. A high share
+    // means a scraped template (cookie banners, license headers) that
+    // span-dedup should strip. One prefix projection → one hash agg →
+    // a source-grain struct-min argmax (count desc, prefix asc) — no
+    // window anywhere, nothing text-sized shuffles except the 5-word
+    // prefix itself.
+    "doc_boilerplate_prefix" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val w = split(col("text"), " ")
+      val p = docs(s, dir).filter(size(w) >= 5)
+        .select(col("source"), array_join(slice(w, 1, 5), " ").as("prefix"))
+      p.groupBy("source", "prefix").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c")).as("n_docs"),
+          min(struct((-col("c")).as("nc"), col("prefix").as("top_prefix"),
+            col("c").as("n_top"))).as("best"))
+        .select(col("source"), col("n_docs"),
+          col("best.top_prefix").as("top_prefix"),
+          col("best.n_top").as("n_top"),
+          t6(col("best.n_top").cast("double") / col("n_docs"))
+            .as("top_share"))
+        .orderBy("source")
+    }),
+
     // IVF nprobe tuning curve — the ANN-side companion of
     // dedup_band_tuning: measured recall@10 of the fitted-centroid IVF
     // probe at nprobe ∈ {1, 2, 4}, against the exact top-10. The
@@ -4395,6 +4449,47 @@ object ExtQueries {
         |    / 1000000 AS coverage
         |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "corpus_dup_inflation" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    md5(text) AS h
+        |  FROM documents
+        |), canon AS (
+        |  SELECT h, min(doc_id) AS cid FROM d GROUP BY h
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+        |  count(CASE WHEN doc_id <> cid THEN 1 END) AS n_dup_docs,
+        |  CAST(coalesce(sum(CASE WHEN doc_id <> cid THEN toks END), 0)
+        |    AS BIGINT) AS dup_tokens,
+        |  floor(CAST(coalesce(sum(CASE WHEN doc_id <> cid THEN toks END),
+        |      0) AS DOUBLE) / sum(toks) * 1000000) / 1000000
+        |    AS dup_token_frac
+        |FROM d JOIN canon USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "doc_boilerplate_prefix" ->
+      """WITH w AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents
+        |), p AS (
+        |  SELECT source, array_to_string(w[1:5], ' ') AS prefix
+        |  FROM w WHERE len(w) >= 5
+        |), c AS (
+        |  SELECT source, prefix, count(*) AS c FROM p GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, prefix, c,
+        |    sum(c) OVER (PARTITION BY source) AS n_docs,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY c DESC, prefix) AS rn
+        |  FROM c
+        |)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  prefix AS top_prefix, c AS n_top,
+        |  floor(CAST(c AS DOUBLE) / n_docs * 1000000) / 1000000
+        |    AS top_share
+        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
 
     "similar_ivf_probe_curve" -> {
       val arms = Seq(1, 2, 4).map { np =>

@@ -596,6 +596,59 @@ object PipeQueries {
         .orderBy("event_type")
     }),
 
+    // Walk-forward forecast backtest — the evaluation readout that
+    // tells a forecaster which of its cheap models to trust: one-step-
+    // ahead mean absolute error of last-value (naive) vs EWMA(α=0.3)
+    // per event type, measured over every (user, type) series. Each
+    // series folds ONCE through a coupled [ewma, Σ|e_naive|, Σ|e_ewma|,
+    // n, prev] state (same per-series collect bound as ts_cusum/holt);
+    // per-series error sums are t6'd then DECIMAL-routed across users,
+    // so the cross-series aggregation is order-independent. Skill =
+    // 1 − MAE_ewma/MAE_naive (positive when smoothing helps).
+    "ts_forecast_backtest" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+      val g = b.groupBy("user_id", "event_type").agg(
+        sort_array(collect_list(struct(col("sec"), col("event_id"),
+          col("value")))).as("pts"),
+        count(lit(1)).as("n"))
+      val vals = transform(col("pts"), p =>
+        p.getField("value").cast("double"))
+      def step(acc: org.apache.spark.sql.Column,
+               x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        array(lit(0.3) * x + lit(0.7) * element_at(acc, 1),
+          element_at(acc, 2) + abs(x - element_at(acc, 5)),
+          element_at(acc, 3) + abs(x - element_at(acc, 1)),
+          element_at(acc, 4) + lit(1.0),
+          x)
+      val v1 = element_at(col("vals"), 1)
+      val fit = aggregate(
+        slice(col("vals"), lit(2),
+          greatest((col("n") - 1).cast("int"), lit(0))),
+        array(v1, lit(0d), lit(0d), lit(0d), v1), step)
+      val perSeries = g.withColumn("vals", vals)
+        .select(col("event_type"), fit.as("fit"))
+        .select(col("event_type"),
+          element_at(col("fit"), 4).cast("long").as("n_err"),
+          t6(element_at(col("fit"), 2)).as("sae_n"),
+          t6(element_at(col("fit"), 3)).as("sae_e"))
+      perSeries.groupBy("event_type")
+        .agg(count(lit(1)).as("n_series"),
+          sum(col("n_err")).as("n_points"),
+          sum(col("sae_n").cast(Dec)).cast("double").as("tn"),
+          sum(col("sae_e").cast(Dec)).cast("double").as("te"))
+        .select(col("event_type"), col("n_series"), col("n_points"),
+          when(col("n_points") > 0,
+            t6(col("tn") / col("n_points"))).as("mae_naive"),
+          when(col("n_points") > 0,
+            t6(col("te") / col("n_points"))).as("mae_ewma"),
+          when(col("n_points") > 0 && col("tn") > 0,
+            t6(lit(1.0) - col("te") / col("tn"))).as("ewma_skill"))
+        .orderBy("event_type")
+    }),
+
     // HOLT double-exponential smoothing per (user, type) series — the
     // level+trend forecaster between seasonal-naive and a real model.
     // Each series' ordered values fold once through the coupled
@@ -2220,6 +2273,50 @@ object PipeQueries {
          |      * 1000000) / 1000000
          |  END AS hurst
          |FROM ps GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_forecast_backtest" ->
+      s"""$BaseCte, clean AS (
+         |  SELECT user_id, event_type, sec, event_id, value FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |), g AS (
+         |  SELECT user_id, event_type,
+         |    list(CAST(value AS DOUBLE) ORDER BY sec, event_id) AS vals,
+         |    count(*) AS n
+         |  FROM clean GROUP BY user_id, event_type
+         |), f AS (
+         |  SELECT event_type,
+         |    list_reduce(
+         |      list_prepend([vals[1], CAST(0.0 AS DOUBLE), 0.0, 0.0,
+         |          vals[1]],
+         |        list_transform(vals[2:], x -> [x, 0.0, 0.0, 0.0, 0.0])),
+         |      (acc, e) -> [0.3 * e[1] + 0.7 * acc[1],
+         |        acc[2] + abs(e[1] - acc[5]),
+         |        acc[3] + abs(e[1] - acc[1]),
+         |        acc[4] + 1.0,
+         |        e[1]]) AS fit
+         |  FROM g
+         |), ps AS (
+         |  SELECT event_type, CAST(fit[4] AS BIGINT) AS n_err,
+         |    floor(fit[2] * 1000000) / 1000000 AS sae_n,
+         |    floor(fit[3] * 1000000) / 1000000 AS sae_e
+         |  FROM f
+         |), agg AS (
+         |  SELECT event_type, count(*) AS n_series,
+         |    CAST(sum(n_err) AS BIGINT) AS n_points,
+         |    CAST(sum(CAST(sae_n AS DECIMAL(18,6))) AS DOUBLE) AS tn,
+         |    CAST(sum(CAST(sae_e AS DECIMAL(18,6))) AS DOUBLE) AS te
+         |  FROM ps GROUP BY event_type
+         |)
+         |SELECT event_type, n_series, n_points,
+         |  CASE WHEN n_points > 0
+         |    THEN floor(tn / n_points * 1000000) / 1000000 END AS mae_naive,
+         |  CASE WHEN n_points > 0
+         |    THEN floor(te / n_points * 1000000) / 1000000 END AS mae_ewma,
+         |  CASE WHEN n_points > 0 AND tn > 0
+         |    THEN floor((1.0 - te / tn) * 1000000) / 1000000
+         |  END AS ewma_skill
+         |FROM agg ORDER BY event_type""".stripMargin,
 
     // The fold state is a LIST [level, trend], not a struct: DuckDB's
     // list_reduce evaluates struct_pack fields non-atomically (a later

@@ -103,7 +103,10 @@ object ScaleSanity {
       "events_holm_correction",
       // round-11: Hurst R/S — one row_number window, then fixed-size
       // blocks aggregate independently (collect bounded by block)
-      "ts_hurst")
+      "ts_hurst",
+      // round-11: forecast backtest — per-series folds, one grouped
+      // collect, no window
+      "ts_forecast_backtest")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -250,7 +253,10 @@ object ScaleSanity {
       // (NOTE: like decontaminate_substring, the replication grows the
       // benchmark side 10x too — a real deployment's bench set is
       // constant)
-      "corpus_dsir_weights", "decontaminate_agreement")
+      "corpus_dsir_weights", "decontaminate_agreement",
+      // round-11 closing: digest-keyed dup inflation and the prefix
+      // boilerplate scan — both linear doc passes
+      "corpus_dup_inflation", "doc_boilerplate_prefix")
     // (similar_ivf_probe_curve rides the embeddings substrate — its
     // arms are checkpoint-shared; the embeddings family sweep lives in
     // the dedicated embeddings section of prior rounds)

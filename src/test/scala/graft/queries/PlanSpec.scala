@@ -1449,4 +1449,30 @@ class PlanSpec extends SparkSpec {
     assert(tree.count(_.contains("Window")) == 1,
       s"exactly one window (the per-type row_number):\n$p")
   }
+
+  test("ts_forecast_backtest: per-series folds behind one grouped " +
+    "collect — one events scan, no join, no window") {
+    val p = plan("ts_forecast_backtest")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("Aggregate"), p)
+  }
+
+  test("corpus_dup_inflation: hash-group + join back on the digest — " +
+    "exactly two documents scans, no window") {
+    val p = plan("corpus_dup_inflation")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 2,
+      s"canonical table + token stream = exactly two scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the size-gated canonical join must broadcast at this SF:\n$p")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("doc_boilerplate_prefix: one docs scan into two hash aggs and " +
+    "a struct-min argmax — no join, no window") {
+    val p = plan("doc_boilerplate_prefix")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 1, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("Aggregate"), p)
+  }
 }
