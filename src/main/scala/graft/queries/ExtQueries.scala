@@ -2435,6 +2435,54 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // Filter-impact attribution — the readout that tells a curator
+    // what each quality rule actually COSTS: per rule (min-length 50,
+    // ≥2 stopwords, alpha-fraction ≥0.8, symbol-fraction ≤0.1 — the
+    // quality_gopher bundle plus the length gate), failing docs,
+    // tokens those docs carry, the failure rate, and the docs failing
+    // ONLY that rule (the marginal cost — a doc three rules reject is
+    // nobody's marginal loss). One narrow per-doc verdict projection
+    // → a constant ×4 rule explode → ONE hash agg; no join, no
+    // window, rule verdicts never leave the row until the 4-row
+    // output.
+    "quality_rule_impact" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val stops = Seq("the", "be", "to", "of", "and", "that", "have",
+        "with")
+      val w = split(col("text"), " ")
+      val v = docs(s, dir).select(
+        size(w).cast("long").as("toks"),
+        (size(w) >= 50).as("r_len"),
+        (size(filter(w, t => lower(t).isInCollection(stops))) >= 2)
+          .as("r_stop"),
+        (size(filter(w, t => t.rlike("[A-Za-z]"))).cast("double") /
+          size(w) >= 0.8).as("r_alpha"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), lit("#"), lit(""))))
+          .cast("double") / size(w) <= 0.1).as("r_symbol"))
+      val nf = (!col("r_len")).cast("int") + (!col("r_stop")).cast("int") +
+        (!col("r_alpha")).cast("int") + (!col("r_symbol")).cast("int")
+      v.select(col("toks"), nf.as("nf"),
+          explode(array(
+            struct(lit("alpha_frac").as("rule"), (!col("r_alpha")).as("fail")),
+            struct(lit("min_length").as("rule"), (!col("r_len")).as("fail")),
+            struct(lit("stopword").as("rule"), (!col("r_stop")).as("fail")),
+            struct(lit("symbol_frac").as("rule"), (!col("r_symbol")).as("fail"))))
+            .as("e"))
+        .select(col("toks"), col("nf"), col("e.rule").as("rule"),
+          col("e.fail").as("fail"))
+        .groupBy("rule")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("fail"), 1)).as("n_fail"),
+          sum(when(col("fail"), col("toks"))).as("lost0"),
+          count(when(col("fail") && col("nf") === 1, 1)).as("n_only_fail"))
+        .select(col("rule"), col("n_docs"), col("n_fail"),
+          coalesce(col("lost0"), lit(0L)).as("tokens_lost"),
+          col("n_only_fail"),
+          t6(col("n_fail").cast("double") / col("n_docs")).as("fail_rate"))
+        .orderBy("rule")
+    }),
+
     // Boilerplate-prefix detection — the cheap template scan a curator
     // runs before near-dup: per source, the most common 5-word prefix
     // and the share of (≥5-word) docs that start with it. A high share
@@ -4469,6 +4517,41 @@ object ExtQueries {
         |    AS dup_token_frac
         |FROM d JOIN canon USING (h)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "quality_rule_impact" ->
+      """WITH w AS (
+        |  SELECT text, string_split(text, ' ') AS w FROM documents
+        |), v AS (
+        |  SELECT CAST(len(w) AS BIGINT) AS toks,
+        |    len(w) >= 50 AS r_len,
+        |    len(list_filter(w, t -> lower(t) IN
+        |      ('the','be','to','of','and','that','have','with'))) >= 2
+        |      AS r_stop,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+        |      AS DOUBLE) / len(w) >= 0.8 AS r_alpha,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      AS DOUBLE) / len(w) <= 0.1 AS r_symbol
+        |  FROM w
+        |), e AS (
+        |  SELECT toks,
+        |    (CASE WHEN r_len THEN 0 ELSE 1 END)
+        |      + (CASE WHEN r_stop THEN 0 ELSE 1 END)
+        |      + (CASE WHEN r_alpha THEN 0 ELSE 1 END)
+        |      + (CASE WHEN r_symbol THEN 0 ELSE 1 END) AS nf,
+        |    unnest(['alpha_frac', 'min_length', 'stopword',
+        |      'symbol_frac']) AS rule,
+        |    unnest([NOT r_alpha, NOT r_len, NOT r_stop, NOT r_symbol])
+        |      AS fail
+        |  FROM v
+        |)
+        |SELECT rule, count(*) AS n_docs,
+        |  count(CASE WHEN fail THEN 1 END) AS n_fail,
+        |  CAST(coalesce(sum(CASE WHEN fail THEN toks END), 0) AS BIGINT)
+        |    AS tokens_lost,
+        |  count(CASE WHEN fail AND nf = 1 THEN 1 END) AS n_only_fail,
+        |  floor(CAST(count(CASE WHEN fail THEN 1 END) AS DOUBLE)
+        |    / count(*) * 1000000) / 1000000 AS fail_rate
+        |FROM e GROUP BY rule ORDER BY rule""".stripMargin,
 
     "doc_boilerplate_prefix" ->
       """WITH w AS (

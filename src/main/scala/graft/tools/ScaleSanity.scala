@@ -256,7 +256,10 @@ object ScaleSanity {
       "corpus_dsir_weights", "decontaminate_agreement",
       // round-11 closing: digest-keyed dup inflation and the prefix
       // boilerplate scan — both linear doc passes
-      "corpus_dup_inflation", "doc_boilerplate_prefix")
+      "corpus_dup_inflation", "doc_boilerplate_prefix",
+      // round-11 closing: rule-impact attribution — one verdict
+      // projection + constant explode + one agg
+      "quality_rule_impact")
     // (similar_ivf_probe_curve rides the embeddings substrate — its
     // arms are checkpoint-shared; the embeddings family sweep lives in
     // the dedicated embeddings section of prior rounds)

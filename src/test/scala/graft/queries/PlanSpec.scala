@@ -1468,6 +1468,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
   }
 
+  test("quality_rule_impact: one verdict projection, constant x4 " +
+    "explode, one hash agg — no join, no window, one docs scan") {
+    val p = plan("quality_rule_impact")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 1, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("Generate") && p.contains("HashAggregate"), p)
+  }
+
   test("doc_boilerplate_prefix: one docs scan into two hash aggs and " +
     "a struct-min argmax — no join, no window") {
     val p = plan("doc_boilerplate_prefix")
