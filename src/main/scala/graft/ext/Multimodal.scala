@@ -242,7 +242,7 @@ object Multimodal {
     * `getField` this Column five times in one select. PlanSpec pins a
     * node-count budget on the whole byte-walk family.
     */
-  def avMeta(payload: Column, maxBoxes: Int = 32): Column = {
+  def avMeta(payload: Column, maxBoxes: Int = 64): Column = {
     val isWav = fourcc(payload, lit(1L)) === lit("52494646") && // RIFF
       fourcc(payload, lit(9L)) === lit("57415645")              // WAVE
     val isMp4 = fourcc(payload, lit(5L)) === lit("66747970")    // ftyp

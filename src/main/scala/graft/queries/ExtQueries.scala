@@ -16,6 +16,31 @@ import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 object ExtQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** The Gopher rule bundle (Rae et al. 2021 §A1.1 flavor) shared by
+    * `quality_gopher` and `quality_rule_impact` — ONE definition of
+    * the rule expressions and thresholds, so the two keys cannot
+    * drift on what the bundle means (each key's oracle would still
+    * pass against its own divergent copy, hiding the split).
+    */
+  private object GopherRules {
+    val stops: Seq[String] =
+      Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    def words: Column = split(col("text"), " ")
+    def nStop: Column =
+      size(filter(words, t => lower(t).isInCollection(stops))).cast("long")
+    def alphaFrac: Column =
+      size(filter(words, t => t.rlike("[A-Za-z]"))).cast("double") /
+        size(words)
+    def symbolFrac: Column =
+      (length(col("text")) -
+        length(regexp_replace(col("text"), lit("#"), lit(""))))
+        .cast("double") / size(words)
+    val StopMin = 2
+    val AlphaMin = 0.8
+    val SymbolMax = 0.1
+    val LenMin = 50
+  }
   private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
 
   /** Session-scoped memo of the shingle→minhash→band→candidate chain:
@@ -1638,26 +1663,20 @@ object ExtQueries {
     // per doc (array lambdas inside codegen, no explode, no shuffle).
     "quality_gopher" -> ((s, dir) => {
       val t6 = TextStats.trunc6 _
-      val stops = Seq("the", "be", "to", "of", "and", "that", "have",
-        "with")
-      val w = split(col("text"), " ")
+      val R = GopherRules
       docs(s, dir).select(col("doc_id"),
-          size(w).cast("long").as("n_words"),
-          size(filter(w, t => lower(t).isInCollection(stops)))
-            .cast("long").as("n_stop"),
-          (size(filter(w, t => t.rlike("[A-Za-z]"))).cast("double") /
-            size(w)).as("af"),
-          ((length(col("text")) -
-            length(regexp_replace(col("text"), lit("#"), lit(""))))
-            .cast("double") / size(w)).as("sf"))
+          size(R.words).cast("long").as("n_words"),
+          R.nStop.as("n_stop"),
+          R.alphaFrac.as("af"),
+          R.symbolFrac.as("sf"))
         .select(col("doc_id"), col("n_words"), col("n_stop"),
           t6(col("af")).as("alpha_frac"),
           t6(col("sf")).as("symbol_frac"),
-          (col("n_stop") >= 2).as("r_stop"),
-          (col("af") >= 0.8).as("r_alpha"),
-          (col("sf") <= 0.1).as("r_symbol"),
-          (col("n_stop") >= 2 && col("af") >= 0.8 && col("sf") <= 0.1)
-            .as("gopher_pass"))
+          (col("n_stop") >= R.StopMin).as("r_stop"),
+          (col("af") >= R.AlphaMin).as("r_alpha"),
+          (col("sf") <= R.SymbolMax).as("r_symbol"),
+          (col("n_stop") >= R.StopMin && col("af") >= R.AlphaMin &&
+            col("sf") <= R.SymbolMax).as("gopher_pass"))
         .orderBy("doc_id")
     }),
 
@@ -2101,6 +2120,7 @@ object ExtQueries {
       val frags = d.filter(pmod(col("doc_id"), lit(97)) === 0)
         .select(substring(col("text"), 1, 20).as("frag"))
         .filter(length(col("frag")) >= 20)
+        .distinct() // boilerplate openings repeat; each probe once
       val corpus = d.filter(pmod(col("doc_id"), lit(97)) =!= 0)
       val bad = corpus.crossJoin(broadcast(frags))
         .filter(col("text").contains(col("frag")))
@@ -2123,7 +2143,10 @@ object ExtQueries {
     "dedup_normalized" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val variants = d.filter(pmod(col("doc_id"), lit(101)) === 0)
-        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        // 1e9 offset: disjoint from MakeBigSf's replica namespace
+        // (replica i = doc_id + i*1e7), so variant ids never alias a
+        // real document on the 10x fixture
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
           concat(upper(col("text")), lit(" ~~ ")).as("text"))
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
@@ -2320,6 +2343,7 @@ object ExtQueries {
         .select(lit("minhash").as("method"), col("doc_id"))
       val frags = bench.select(substring(col("text"), 1, 20).as("frag"))
         .filter(length(col("frag")) >= 20)
+        .distinct() // boilerplate openings repeat; each probe once
       val fSub = corpus.crossJoin(broadcast(frags))
         .filter(col("text").contains(col("frag")))
         .select("doc_id").distinct()
@@ -2447,19 +2471,13 @@ object ExtQueries {
     // output.
     "quality_rule_impact" -> ((s, dir) => {
       val t6 = TextStats.trunc6 _
-      val stops = Seq("the", "be", "to", "of", "and", "that", "have",
-        "with")
-      val w = split(col("text"), " ")
+      val R = GopherRules
       val v = docs(s, dir).select(
-        size(w).cast("long").as("toks"),
-        (size(w) >= 50).as("r_len"),
-        (size(filter(w, t => lower(t).isInCollection(stops))) >= 2)
-          .as("r_stop"),
-        (size(filter(w, t => t.rlike("[A-Za-z]"))).cast("double") /
-          size(w) >= 0.8).as("r_alpha"),
-        ((length(col("text")) -
-          length(regexp_replace(col("text"), lit("#"), lit(""))))
-          .cast("double") / size(w) <= 0.1).as("r_symbol"))
+        size(R.words).cast("long").as("toks"),
+        (size(R.words) >= R.LenMin).as("r_len"),
+        (R.nStop >= R.StopMin).as("r_stop"),
+        (R.alphaFrac >= R.AlphaMin).as("r_alpha"),
+        (R.symbolFrac <= R.SymbolMax).as("r_symbol"))
       val nf = (!col("r_len")).cast("int") + (!col("r_stop")).cast("int") +
         (!col("r_alpha")).cast("int") + (!col("r_symbol")).cast("int")
       v.select(col("toks"), nf.as("nf"),
@@ -4296,7 +4314,7 @@ object ExtQueries {
       """WITH alld AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000000 AS doc_id, upper(text) || ' ~~ ' AS text
+        |  SELECT doc_id + 1000000000 AS doc_id, upper(text) || ' ~~ ' AS text
         |  FROM documents WHERE doc_id % 101 = 0
         |), h AS (
         |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(

@@ -23,6 +23,28 @@ object PipeQueries {
 
   private val Dec = DecimalType(18, 6)
 
+  /** α=0.05 two-sided critical z for 1..64 remaining hypotheses
+    * (Φ⁻¹(1−0.025/m), 6 dp) — one table shared verbatim by the Spark
+    * plan and the DuckDB oracle of `events_holm_correction`, so the
+    * two engines can never disagree on a normal-CDF evaluation.
+    */
+  private val HolmZCrit: Seq[Double] = Seq(
+    1.959964, 2.241403, 2.39398, 2.497705, 2.575829, 2.638257, 2.69011,
+    2.734369, 2.772921, 2.807034, 2.837597, 2.86526, 2.890512, 2.913726,
+    2.935199, 2.955167, 2.97382, 2.991316, 3.007787, 3.023341, 3.038074,
+    3.052065, 3.065383, 3.078088, 3.090232, 3.101862, 3.113017, 3.123735,
+    3.134046, 3.14398, 3.153563, 3.162818, 3.171766, 3.180426, 3.188815,
+    3.19695, 3.204845, 3.212514, 3.219968, 3.227218, 3.234277, 3.241152,
+    3.247854, 3.254389, 3.260767, 3.266995, 3.273078, 3.279024, 3.284839,
+    3.290527, 3.296094, 3.301545, 3.306885, 3.312118, 3.317247, 3.322278,
+    3.327213, 3.332056, 3.33681, 3.341479, 3.346065, 3.350571, 3.355,
+    3.359354)
+
+  /** The same table as a SQL VALUES list for the DuckDB oracle. */
+  private lazy val HolmZCritValuesSql: String =
+    HolmZCrit.zipWithIndex
+      .map { case (z, i) => s"(${i + 1}, $z)" }.mkString(", ")
+
   // benchmark split for decontamination: every 97th doc plays the role
   // of the held-out eval set
   private[queries] val BenchMod = 97
@@ -1104,26 +1126,44 @@ object PipeQueries {
       val v = g.select(col("event_type"), col("n_a"), col("n_b"),
         when(valid, t6(zRaw)).as("z"),
         when(valid, t6(abs(zRaw))).as("abs_z"))
-      // α=0.05 two-sided critical z for 1..10 remaining hypotheses
-      val zcrit = s.range(1, 11).select(col("id").as("divisor"),
-        element_at(array(lit(1.959964), lit(2.241403), lit(2.39398),
-          lit(2.497705), lit(2.575829), lit(2.638257), lit(2.69011),
-          lit(2.734369), lit(2.772921), lit(2.807034)),
-          col("id").cast("int")).as("z_crit"))
-      val all = Window.partitionBy(lit(1))
-      val rkWin = Window.partitionBy(lit(1))
-        .orderBy(col("abs_z").desc_nulls_last, col("event_type"))
-      val w = v.withColumn("m", count(col("abs_z")).over(all))
-        .withColumn("rk", row_number().over(rkWin))
+      // α=0.05 two-sided critical z for 1..64 remaining hypotheses
+      // (Φ⁻¹(1−0.025/m), 6 dp — 64 covers any plausible event-type
+      // cardinality; a divisor past the table leaves z_crit null and
+      // the step-down conservatively stops, same as Holm's rule)
+      val zcrit = s.range(1, HolmZCrit.length + 1)
+        .select(col("id").as("divisor"),
+          element_at(array(HolmZCrit.map(lit): _*),
+            col("id").cast("int")).as("z_crit"))
+      // the frame is ≤ #event_types rows, so the global rank and the
+      // step-down run as broadcast before-or-equal self-joins (the
+      // doc_zipf_alpha recipe) — same values as unpartitioned windows,
+      // none of the "No Partition Defined" warnings an empty partition
+      // spec sprays into every log (Catalyst folds partitionBy(lit))
+      val vc = v.localCheckpoint(false) // fact agg runs once, 3 readers
+      val ordv = vc.withColumn("ord", coalesce(col("abs_z"), lit(-1.0)))
+      val bSide = broadcast(ordv.select(col("ord").as("b_ord"),
+        col("event_type").as("b_et")))
+      val mRow = broadcast(vc.agg(count(col("abs_z")).as("m")))
+      val rked = ordv.join(bSide,
+          col("b_ord") > col("ord") ||
+            (col("b_ord") === col("ord") && col("b_et") <= col("event_type")))
+        .groupBy("event_type", "n_a", "n_b", "z", "abs_z")
+        .agg(count(lit(1)).cast("int").as("rk"))
+        .crossJoin(mRow)
         .withColumn("divisor",
           when(col("abs_z").isNotNull, col("m") - col("rk") + 1))
-      val stepWin = Window.partitionBy(lit(1)).orderBy(col("rk"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      w.join(broadcast(zcrit), Seq("divisor"), "left")
-        .withColumn("runmin",
-          min(when(col("abs_z") >= col("z_crit"), lit(1)).otherwise(lit(0)))
-            .over(stepWin))
-        .withColumn("bonf", max(when(col("rk") === 1, col("z_crit"))).over(all))
+      val j = rked.join(broadcast(zcrit), Seq("divisor"), "left")
+        .localCheckpoint(false) // step-down + bonferroni share one build
+      val jb = broadcast(j.select(col("rk").as("b_rk"),
+        col("abs_z").as("b_abs"), col("z_crit").as("b_zc")))
+      val bonf = broadcast(j.filter(col("rk") === 1)
+        .select(col("z_crit").as("bonf")))
+      j.join(jb, col("b_rk") <= col("rk"))
+        .groupBy("event_type", "n_a", "n_b", "z", "m", "rk", "z_crit",
+          "abs_z")
+        .agg(min(when(col("b_abs") >= col("b_zc"), lit(1)).otherwise(lit(0)))
+          .as("runmin"))
+        .crossJoin(bonf)
         .select(col("event_type"), col("n_a"), col("n_b"), col("z"),
           col("m"),
           when(col("abs_z").isNotNull, col("rk")).cast("long")
@@ -2739,9 +2779,7 @@ object PipeQueries {
          |  FROM vs
          |), zc AS (
          |  SELECT CAST(divisor AS BIGINT) AS divisor, z_crit
-         |  FROM (VALUES (1, 1.959964), (2, 2.241403), (3, 2.39398),
-         |    (4, 2.497705), (5, 2.575829), (6, 2.638257), (7, 2.69011),
-         |    (8, 2.734369), (9, 2.772921), (10, 2.807034))
+         |  FROM (VALUES $HolmZCritValuesSql)
          |    AS t(divisor, z_crit)
          |), w AS (
          |  SELECT *, count(abs_z) OVER () AS m,

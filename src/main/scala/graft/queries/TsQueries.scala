@@ -545,6 +545,10 @@ object TsQueries {
         .groupBy("event_type", "slot")
         .agg((sum(col("value").cast(dec6)).cast("double") /
           count(lit(1))).as("v"))
+        // the subsplit references this frame in three lineages (range
+        // agg, local pass, carry pass) — checkpoint so the fact scan
+        // + slot collapse run ONCE, same as ts_drawdown's slots
+        .localCheckpoint(false)
       graft.operators.PrefixSplit
         .runningMaxSubsplit(slots, Seq("event_type"), "slot", "v",
           nSlices = 8)

@@ -1387,22 +1387,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
-  test("events_holm_correction: the fact reduces in one grouped pass " +
-    "before any window; windows order only the per-type aggregate") {
+  test("events_holm_correction: the fact reduces in one checkpointed " +
+    "grouped pass; rank + step-down are broadcast self-joins, no window") {
     val p = plan("events_holm_correction")
-    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
-      s"the moments must come from one events scan:\n$p")
+    // the zcrit-joined frame is a lazy checkpoint with 3 readers
+    // (step-down left side + broadcast b-side + bonferroni scalar);
+    // the first checkpoint (per-type aggregate, 3 readers of its own)
+    // sits INSIDE this frame's truncated lineage, so the final plan
+    // sees exactly the second frame's fanout and nothing deeper
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 3,
+      s"the zcrit-joined frame must materialize once and fan out x3:\n$p")
+    assert(!p.contains("Window"),
+      s"no window may touch the frame (empty-partition warnings):\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"the z-table lookup must broadcast:\n$p")
-    assert(p.contains("BroadcastHashJoin"), p)
-    // the windows exist but sit ABOVE the aggregate: in the root-first
-    // tree every Window line must precede the first HashAggregate line
-    // (a window below the agg would print after it, i.e. on the fact)
-    val tree = p.linesIterator.takeWhile(l => !l.trim.startsWith("(")).toSeq
-    val firstAgg = tree.indexWhere(_.contains("HashAggregate"))
-    val lastWin = tree.lastIndexWhere(_.contains("Window"))
-    assert(firstAgg >= 0 && lastWin >= 0 && lastWin < firstAgg,
-      s"a window touched the un-aggregated fact:\n$p")
+      s"every join over the tiny frame must broadcast:\n$p")
+    // ≤#event_types rows: the non-equi step-down join and the scalar
+    // bonferroni cross both broadcast their build side
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BuildRight"), p)
   }
 
   test("similar_hard_negatives: broadcast query probe + struct-min " +
