@@ -1680,6 +1680,42 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Lexical-complexity profile per document: mean word length, mean
+    // syllables per word (vowel-group count — the Flesch-style proxy
+    // that needs no dictionary), share of 3+-syllable words, and
+    // type-token ratio. The readability/diversity gauge a curator
+    // reads next to quality_gopher (rules say "is it text"; this says
+    // "how HARD is the text"). Everything is per-row array lambdas
+    // inside codegen — no explode, no shuffle beyond the output sort;
+    // the per-doc sums are exact integers, so only the final ratios
+    // are floats (truncated at 6 dp).
+    "quality_lexical_complexity" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val w = split(col("text"), " ")
+      // vowel-group count: split on runs of vowels leaves (groups+1)
+      // pieces; a vowel-free token still counts one syllable
+      def syl(t: Column): Column =
+        greatest(lit(1), size(split(t, "[aeiou]+")) - 1)
+      docs(s, dir).select(col("doc_id"),
+          size(w).cast("long").as("n_words"),
+          aggregate(w, lit(0L), (acc, t) => acc + length(t))
+            .as("n_chars_w"),
+          aggregate(w, lit(0L), (acc, t) => acc + syl(t))
+            .as("n_syllables"),
+          size(filter(w, t => syl(t) >= 3)).cast("long").as("n_poly"),
+          size(array_distinct(w)).cast("long").as("n_types"))
+        .select(col("doc_id"), col("n_words"), col("n_syllables"),
+          t6(col("n_chars_w").cast("double") / col("n_words"))
+            .as("avg_word_len"),
+          t6(col("n_syllables").cast("double") / col("n_words"))
+            .as("avg_syllables"),
+          t6(col("n_poly").cast("double") / col("n_words"))
+            .as("poly_frac"),
+          t6(col("n_types").cast("double") / col("n_words"))
+            .as("type_token_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // Per-doc unigram Shannon entropy (nats) + the type-normalized
     // variant — the token-diversity quality signal. H = ln n −
     // (Σ c·ln c)/n so the only cross-row float sum is Σ c·ln c, routed
@@ -1893,6 +1929,51 @@ object ExtQueries {
           col("vocab_src"),
           t6(col("klsum").cast("double")).as("kl_nats"))
         .orderBy("source")
+    }),
+
+    // Pairwise Jensen–Shannon divergence between source unigram
+    // distributions — the symmetric, bounded ([0, ln 2]) companion to
+    // doc_source_kl (KL vs the mixture says "how far from average";
+    // JSD says which PAIRS of feeds differ). Identity used:
+    //   JSD(a,b) = Σ_∩ −m·ln m − ½Σ_∩ −p_a·ln p_a − ½Σ_∩ −p_b·ln p_b
+    //            + ½·ln 2·(2 − Σ_∩ p_a − Σ_∩ p_b),   m = (p_a+p_b)/2
+    // — every sum runs over the INTERSECTION vocabulary only (words a
+    // source alone holds contribute exactly ½p·ln 2, folded into the
+    // mass-deficit term), so the join is the token-bucketed inner
+    // self-join doc_jaccard_sources already proved out: vocab-scale ×
+    // a bounded |sources|² pair fanout, never doc-pair, never outer.
+    // All four sums route through DECIMAL(38,18).
+    "doc_js_divergence" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      val ln2 = math.log(2.0)
+      val sw = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // totals + both join sides share the pass
+      val totals = sw.groupBy("source").agg(sum(col("c")).as("n"))
+      val a = sw.join(broadcast(totals), "source")
+        .select(col("source").as("a_source"), col("w"),
+          (col("c").cast("double") / col("n")).as("pa"))
+      val b = sw.join(broadcast(totals), "source")
+        .select(col("source").as("b_source"), col("w"),
+          (col("c").cast("double") / col("n")).as("pb"))
+      val m = (col("pa") + col("pb")) / 2
+      a.join(b, "w").filter(col("a_source") < col("b_source"))
+        .groupBy("a_source", "b_source")
+        .agg(count(lit(1)).as("n_inter"),
+          sum((-m * log(m)).cast(dec18)).as("hm"),
+          sum((-col("pa") * log(col("pa"))).cast(dec18)).as("ha"),
+          sum((-col("pb") * log(col("pb"))).cast(dec18)).as("hb"),
+          sum(col("pa").cast(dec18)).as("pamass"),
+          sum(col("pb").cast(dec18)).as("pbmass"))
+        .select(col("a_source"), col("b_source"), col("n_inter"),
+          t6(col("hm").cast("double") -
+            col("ha").cast("double") / 2 -
+            col("hb").cast("double") / 2 +
+            lit(ln2 / 2) * (lit(2.0) - col("pamass").cast("double") -
+              col("pbmass").cast("double"))).as("jsd_nats"))
+        .orderBy("a_source", "b_source")
     }),
 
     // Hash-shard balance audit: the shard assignment a distributed
@@ -4153,6 +4234,34 @@ object ExtQueries {
         |  (n_stop >= 2 AND af >= 0.8 AND sf <= 0.1) AS gopher_pass
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    "quality_lexical_complexity" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), syl AS (
+        |  SELECT doc_id, w,
+        |    list_transform(w, t -> greatest(1,
+        |      len(string_split_regex(t, '[aeiou]+')) - 1)) AS sl
+        |  FROM w
+        |), m AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum')
+        |      AS BIGINT) AS n_chars_w,
+        |    CAST(list_aggregate(sl, 'sum') AS BIGINT) AS n_syllables,
+        |    CAST(len(list_filter(sl, x -> x >= 3)) AS BIGINT) AS n_poly,
+        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_types
+        |  FROM syl
+        |)
+        |SELECT doc_id, n_words, n_syllables,
+        |  floor(CAST(n_chars_w AS DOUBLE) / n_words * 1000000) / 1000000
+        |    AS avg_word_len,
+        |  floor(CAST(n_syllables AS DOUBLE) / n_words * 1000000) / 1000000
+        |    AS avg_syllables,
+        |  floor(CAST(n_poly AS DOUBLE) / n_words * 1000000) / 1000000
+        |    AS poly_frac,
+        |  floor(CAST(n_types AS DOUBLE) / n_words * 1000000) / 1000000
+        |    AS type_token_ratio
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "doc_ngram_entropy" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -4687,6 +4796,38 @@ object ExtQueries {
         |CROSS JOIN ct
         |GROUP BY sw.source, t.n_src
         |ORDER BY sw.source""".stripMargin,
+
+    "doc_js_divergence" ->
+      """WITH sw AS (
+        |  SELECT source, w, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY source, w
+        |), totals AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |  FROM sw GROUP BY source
+        |), p AS (
+        |  SELECT sw.source, sw.w, CAST(sw.c AS DOUBLE) / t.n AS pr
+        |  FROM sw JOIN totals t ON t.source = sw.source
+        |), pair AS (
+        |  SELECT a.source AS a_source, b.source AS b_source,
+        |    a.pr AS pa, b.pr AS pb, (a.pr + b.pr) / 2 AS m
+        |  FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+        |), agg AS (
+        |  SELECT a_source, b_source, count(*) AS n_inter,
+        |    sum(CAST(-m * ln(m) AS DECIMAL(38,18))) AS hm,
+        |    sum(CAST(-pa * ln(pa) AS DECIMAL(38,18))) AS ha,
+        |    sum(CAST(-pb * ln(pb) AS DECIMAL(38,18))) AS hb,
+        |    sum(CAST(pa AS DECIMAL(38,18))) AS pamass,
+        |    sum(CAST(pb AS DECIMAL(38,18))) AS pbmass
+        |  FROM pair GROUP BY a_source, b_source
+        |)
+        |SELECT a_source, b_source, n_inter,
+        |  floor((CAST(hm AS DOUBLE) - CAST(ha AS DOUBLE) / 2
+        |    - CAST(hb AS DOUBLE) / 2
+        |    + ln(2.0) / 2 * (2.0 - CAST(pamass AS DOUBLE)
+        |      - CAST(pbmass AS DOUBLE))) * 1000000) / 1000000 AS jsd_nats
+        |FROM agg ORDER BY a_source, b_source""".stripMargin,
 
     "corpus_shard_balance" ->
       """WITH per AS (

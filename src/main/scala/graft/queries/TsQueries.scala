@@ -604,6 +604,49 @@ object TsQueries {
         .orderBy("event_type")
     }),
 
+    // Goertzel-style spectral power at fixed calendar periods (half-day
+    // 144 / day 288 in 5-min slots) per series — the "is this metric
+    // diurnal?" gauge a monitoring stack reads before picking a
+    // seasonal window (ts_seasonal_profile assumes the period; this
+    // key MEASURES which one carries energy). One slot-grid pass
+    // (shared via checkpoint by the mean and the projection), constant
+    // ×2 period fanout, no window, no join beyond a 5-row broadcast.
+    // The cos/sin arguments are mod-reduced (slot index mod period) so
+    // both engines evaluate libm on identical small doubles, and the
+    // projection sums route through DECIMAL(38,18) like every
+    // log-family key so accumulation order can't move them.
+    "ts_spectral_power" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val twoPi = 2.0 * math.Pi
+      val slots = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("event_type", "slot")
+        .agg((sum(col("value").cast(dec6)).cast("double") /
+          count(lit(1))).as("v"))
+        .withColumn("idx", (col("slot") / lit(Tick)).cast("long"))
+        .localCheckpoint(false) // mean + projection share the grid pass
+      val means = slots.groupBy("event_type")
+        .agg((sum(col("v").cast(dec6)).cast("double") /
+          count(lit(1))).as("mu"), count(lit(1)).as("n_slots"))
+      val withP = slots
+        .select(col("event_type"), col("idx"), col("v"),
+          explode(array(lit(144L), lit(288L))).as("period"))
+        .join(broadcast(means), "event_type")
+      val angle = lit(twoPi) * pmod(col("idx"), col("period"))
+        .cast("double") / col("period")
+      val dv = col("v") - col("mu")
+      withP.groupBy("event_type", "period", "n_slots")
+        .agg(sum((dv * cos(angle)).cast(dec18)).as("sc"),
+          sum((dv * sin(angle)).cast(dec18)).as("ss"))
+        .select(col("event_type"), col("period"), col("n_slots"),
+          t6((col("sc").cast("double") * col("sc").cast("double") +
+            col("ss").cast("double") * col("ss").cast("double")) /
+            (col("n_slots") * col("n_slots"))).as("power"))
+        .orderBy("event_type", "period")
+    }),
+
     // Bollinger bands over the slot-collapsed series: trailing-20-slot
     // mean ± 2σ with DECIMAL frame sums (the STL moving-average
     // discipline — float frame re-aggregation order can differ across
@@ -1258,6 +1301,38 @@ object TsQueries {
          |  floor(CAST(esum AS DOUBLE) / ln(6.0) * 1000000) / 1000000
          |    AS entropy_norm
          |FROM ent ORDER BY event_type""".stripMargin,
+
+    "ts_spectral_power" ->
+      s"""$BaseCte, slots AS (
+         |  SELECT event_type, slot,
+         |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS v,
+         |    CAST(slot / 300 AS BIGINT) AS idx
+         |  FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY event_type, slot
+         |), means AS (
+         |  SELECT event_type,
+         |    CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mu,
+         |    count(*) AS n_slots
+         |  FROM slots GROUP BY event_type
+         |), proj AS (
+         |  SELECT s.event_type, p.period, m.n_slots,
+         |    sum(CAST((s.v - m.mu) *
+         |      cos(2 * pi() * CAST(s.idx % p.period AS DOUBLE) / p.period)
+         |      AS DECIMAL(38,18))) AS sc,
+         |    sum(CAST((s.v - m.mu) *
+         |      sin(2 * pi() * CAST(s.idx % p.period AS DOUBLE) / p.period)
+         |      AS DECIMAL(38,18))) AS ss
+         |  FROM slots s
+         |  JOIN means m ON m.event_type = s.event_type
+         |  CROSS JOIN (VALUES (CAST(144 AS BIGINT)),
+         |    (CAST(288 AS BIGINT))) AS p(period)
+         |  GROUP BY s.event_type, p.period, m.n_slots
+         |)
+         |SELECT event_type, period, n_slots,
+         |  floor((CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) +
+         |         CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) /
+         |        (n_slots * n_slots) * 1000000) / 1000000 AS power
+         |FROM proj ORDER BY event_type, period""".stripMargin,
 
     // oracle is the PLAIN single-window running max — proving the
     // 8-slice subsplit composition is exact, slice edges included

@@ -1275,6 +1275,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"KL needs no window:\n$p")
   }
 
+  test("doc_js_divergence: fact scanned once behind the (source,word) " +
+    "checkpoint; pair join token-bucketed; totals broadcast") {
+    val p = plan("doc_js_divergence")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the (source,word) checkpoint:\n$p")
+    // totals×2 + a side + b side all read the one checkpointed table
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 4,
+      s"both join sides + both totals must read the one count table:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-source totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pair stage went all-pairs:\n$p")
+    assert(!p.contains("Window"), s"JSD needs no window:\n$p")
+  }
+
+  test("quality_lexical_complexity: pure per-row lambdas — one scan, " +
+    "no explode, no join, no window") {
+    val p = plan("quality_lexical_complexity")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 1,
+      s"documents must scan exactly once:\n$p")
+    assert(!p.contains("Generate"), s"explode crept in:\n$p")
+    assert(!p.contains("Join"), s"join crept in:\n$p")
+    assert(!p.contains("Window"), s"window crept in:\n$p")
+  }
+
+  test("ts_spectral_power: slot grid materializes once; mean joins " +
+    "broadcast; constant x2 period fanout; no window") {
+    val p = plan("ts_spectral_power")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the slot-grid checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"mean + projection must read the one slot grid:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-series means must broadcast:\n$p")
+    assert(!p.contains("Window"), s"projection needs no window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("corpus_shard_balance: one agg pass behind the checkpoint; " +
     "total is a broadcast scalar, not a window") {
     val p = plan("corpus_shard_balance")
