@@ -1716,6 +1716,44 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Reliability diagram of the hashed-linear quality score against
+    // the Gopher rule label: decile-bucket the score's sigmoid, and
+    // per bucket compare mean predicted probability with the observed
+    // pass rate — the calibration audit a curator runs before trusting
+    // a learned filter's threshold. Shares the EXACT score construction
+    // with quality_linear_score (word weights are multiples of 2⁻¹¹,
+    // so the double sum is exact and associative) and the rule bundle
+    // with quality_gopher (one GopherRules definition). One exploded
+    // agg + one per-row pass + a doc-grain id join, then a 10-row agg.
+    "quality_calibration" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      val R = GopherRules
+      val score = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"),
+          ((conv(substring(md5(col("w")), 1, 3), 16, 10).cast("long")
+            - 2048).cast("double") / 2048d).as("wt"))
+        .groupBy("doc_id").agg(sum(col("wt")).as("score"))
+      val gop = docs(s, dir).select(col("doc_id"),
+        (R.nStop >= R.StopMin && R.alphaFrac >= R.AlphaMin &&
+          R.symbolFrac <= R.SymbolMax).as("pass"))
+      score.join(gop, "doc_id")
+        .withColumn("prob",
+          lit(1d) / (lit(1d) + exp(-col("score") / lit(8d))))
+        .withColumn("decile", floor(col("prob") * 10).cast("long"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("prob").cast(dec18)).as("psum"),
+          count(when(col("pass"), 1)).as("n_pass"))
+        .select(col("decile"), col("n_docs"),
+          t6(col("psum").cast("double") / col("n_docs")).as("avg_prob"),
+          t6(col("n_pass").cast("double") / col("n_docs")).as("pass_rate"),
+          t6(abs(col("psum").cast("double") / col("n_docs") -
+            col("n_pass").cast("double") / col("n_docs"))).as("calib_gap"))
+        .orderBy("decile")
+    }),
+
     // Per-doc unigram Shannon entropy (nats) + the type-normalized
     // variant — the token-diversity quality signal. H = ln n −
     // (Σ c·ln c)/n so the only cross-row float sum is Σ c·ln c, routed
@@ -4261,6 +4299,48 @@ object ExtQueries {
         |  floor(CAST(n_types AS DOUBLE) / n_words * 1000000) / 1000000
         |    AS type_token_ratio
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "quality_calibration" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, sum(
+        |    CAST((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1)
+        |       - 2048 AS DOUBLE) / 2048) AS score
+        |  FROM tok GROUP BY doc_id
+        |), gop AS (
+        |  SELECT doc_id,
+        |    (len(list_filter(string_split(text, ' '), t -> lower(t) IN
+        |       ('the','be','to','of','and','that','have','with'))) >= 2
+        |     AND CAST(len(list_filter(string_split(text, ' '),
+        |       t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+        |       / len(string_split(text, ' ')) >= 0.8
+        |     AND CAST(length(text) - length(replace(text, '#', ''))
+        |       AS DOUBLE) / len(string_split(text, ' ')) <= 0.1) AS pass
+        |  FROM documents
+        |), d AS (
+        |  SELECT s.doc_id, g.pass,
+        |    1.0 / (1.0 + exp(-s.score / 8)) AS prob
+        |  FROM sc s JOIN gop g ON g.doc_id = s.doc_id
+        |), b AS (
+        |  SELECT CAST(floor(prob * 10) AS BIGINT) AS decile,
+        |    count(*) AS n_docs,
+        |    sum(CAST(prob AS DECIMAL(38,18))) AS psum,
+        |    count(CASE WHEN pass THEN 1 END) AS n_pass
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT decile, n_docs,
+        |  floor(CAST(psum AS DOUBLE) / n_docs * 1000000) / 1000000
+        |    AS avg_prob,
+        |  floor(CAST(n_pass AS DOUBLE) / n_docs * 1000000) / 1000000
+        |    AS pass_rate,
+        |  floor(abs(CAST(psum AS DOUBLE) / n_docs
+        |    - CAST(n_pass AS DOUBLE) / n_docs) * 1000000) / 1000000
+        |    AS calib_gap
+        |FROM b ORDER BY decile""".stripMargin,
 
     "doc_ngram_entropy" ->
       """WITH tok AS (

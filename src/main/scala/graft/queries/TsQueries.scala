@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Grid, Tables}
@@ -645,6 +645,96 @@ object TsQueries {
             col("ss").cast("double") * col("ss").cast("double")) /
             (col("n_slots") * col("n_slots"))).as("power"))
         .orderBy("event_type", "period")
+    }),
+
+    // Ljung–Box portmanteau test per series: sequence-position ACF at
+    // lags 1–5 over the slot grid (the multi-lag generalization of
+    // ts_autocorr), Q = n(n+2)·Σ r_k²/(n−k), rejected against the
+    // fixed χ²₅ 95% critical value 11.0705. The "is this noise?"
+    // pre-check before fitting anything seasonal. ONE lead window on
+    // the bounded grid; numerator/denominator sums route through
+    // DECIMAL(38,18).
+    "ts_ljung_box" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("slot")
+      val slots = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("event_type", "slot")
+        .agg((sum(col("value").cast(dec6)).cast("double") /
+          count(lit(1))).as("v"))
+        .localCheckpoint(false) // mean + lead pass share the grid
+      val means = slots.groupBy("event_type")
+        .agg((sum(col("v").cast(dec6)).cast("double") /
+          count(lit(1))).as("mu"), count(lit(1)).as("n"))
+      var led = slots.join(broadcast(means), "event_type")
+        .withColumn("dv", col("v") - col("mu"))
+      (1 to 5).foreach { k =>
+        led = led.withColumn(s"d$k", lead(col("dv"), k).over(w))
+      }
+      val agged = led.groupBy("event_type", "n")
+        .agg(sum((col("dv") * col("dv")).cast(dec18)).as("den"),
+          sum((col("dv") * col("d1")).cast(dec18)).as("n1"),
+          sum((col("dv") * col("d2")).cast(dec18)).as("n2"),
+          sum((col("dv") * col("d3")).cast(dec18)).as("n3"),
+          sum((col("dv") * col("d4")).cast(dec18)).as("n4"),
+          sum((col("dv") * col("d5")).cast(dec18)).as("n5"))
+      def r(k: Int) = col(s"n$k").cast("double") / col("den").cast("double")
+      val q = col("n").cast("double") * (col("n") + 2) *
+        (1 to 5).map(k => r(k) * r(k) / (col("n") - k)).reduce(_ + _)
+      agged.select(col("event_type"), col("n").as("n_slots"),
+          t6(r(1)).as("r1"), t6(r(2)).as("r2"), t6(r(3)).as("r3"),
+          t6(r(4)).as("r4"), t6(r(5)).as("r5"),
+          t6(q).as("q_stat"), (q > 11.0705).as("reject_iid"))
+        .orderBy("event_type")
+    }),
+
+    // MACD crossover summary per series (fast trailing-8 EWMA α=½,
+    // slow trailing-16 α=¼, signal trailing-4 α=½ over the MACD line
+    // — all dyadic coefficients per the determinism rule, folded
+    // left-to-right exactly like Rolling.ewma so both engines replay
+    // the identical FP sequence). Output is the per-series crossover
+    // census a monitoring stack alerts on. Three bounded-frame windows
+    // + one lag share ONE sort (same partition/order spec); collect
+    // buffers are ≤16 rows (class-a in the buffer ledger).
+    "ts_macd" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec18 = org.apache.spark.sql.types.DecimalType(38, 18)
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("slot")
+      def fold(l: Column, alpha: Double): Column =
+        aggregate(slice(l, lit(2), size(l) - 1), element_at(l, 1),
+          (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha))
+      val slots = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("event_type", "slot")
+        .agg((sum(col("value").cast(dec6)).cast("double") /
+          count(lit(1))).as("v"))
+      val g = slots
+        .withColumn("l8",
+          collect_list(col("v")).over(w.rowsBetween(-7, 0)))
+        .withColumn("l16",
+          collect_list(col("v")).over(w.rowsBetween(-15, 0)))
+        .withColumn("macd", fold(col("l8"), 0.5) - fold(col("l16"), 0.25))
+        .drop("l8", "l16")
+      g.withColumn("l4",
+          collect_list(col("macd")).over(w.rowsBetween(-3, 0)))
+        .withColumn("hist", col("macd") - fold(col("l4"), 0.5))
+        .withColumn("ph", lag(col("hist"), 1).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_slots"),
+          count(when(col("ph") <= 0 && col("hist") > 0, 1))
+            .as("n_cross_up"),
+          count(when(col("ph") >= 0 && col("hist") < 0, 1))
+            .as("n_cross_down"),
+          sum(abs(col("hist")).cast(dec18)).as("ah"))
+        .select(col("event_type"), col("n_slots"), col("n_cross_up"),
+          col("n_cross_down"),
+          t6(col("ah").cast("double") / col("n_slots")).as("mean_abs_hist"))
+        .orderBy("event_type")
     }),
 
     // Bollinger bands over the slot-collapsed series: trailing-20-slot
@@ -1333,6 +1423,95 @@ object TsQueries {
          |         CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) /
          |        (n_slots * n_slots) * 1000000) / 1000000 AS power
          |FROM proj ORDER BY event_type, period""".stripMargin,
+
+    "ts_ljung_box" ->
+      s"""$BaseCte, slots AS (
+         |  SELECT event_type, slot,
+         |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS v
+         |  FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY event_type, slot
+         |), means AS (
+         |  SELECT event_type,
+         |    CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS mu,
+         |    count(*) AS n
+         |  FROM slots GROUP BY event_type
+         |), led AS (
+         |  SELECT s.event_type, m.n, s.v - m.mu AS dv,
+         |    lead(s.v - m.mu, 1) OVER w AS d1,
+         |    lead(s.v - m.mu, 2) OVER w AS d2,
+         |    lead(s.v - m.mu, 3) OVER w AS d3,
+         |    lead(s.v - m.mu, 4) OVER w AS d4,
+         |    lead(s.v - m.mu, 5) OVER w AS d5
+         |  FROM slots s JOIN means m ON m.event_type = s.event_type
+         |  WINDOW w AS (PARTITION BY s.event_type ORDER BY s.slot)
+         |), agged AS (
+         |  SELECT event_type, n,
+         |    sum(CAST(dv * dv AS DECIMAL(38,18))) AS den,
+         |    sum(CAST(dv * d1 AS DECIMAL(38,18))) AS n1,
+         |    sum(CAST(dv * d2 AS DECIMAL(38,18))) AS n2,
+         |    sum(CAST(dv * d3 AS DECIMAL(38,18))) AS n3,
+         |    sum(CAST(dv * d4 AS DECIMAL(38,18))) AS n4,
+         |    sum(CAST(dv * d5 AS DECIMAL(38,18))) AS n5
+         |  FROM led GROUP BY event_type, n
+         |), rs AS (
+         |  SELECT event_type, n,
+         |    CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+         |    CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+         |    CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3,
+         |    CAST(n4 AS DOUBLE) / CAST(den AS DOUBLE) AS r4,
+         |    CAST(n5 AS DOUBLE) / CAST(den AS DOUBLE) AS r5
+         |  FROM agged
+         |), qs AS (
+         |  SELECT *, CAST(n AS DOUBLE) * (n + 2) *
+         |    (r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3)
+         |     + r4*r4/(n-4) + r5*r5/(n-5)) AS q
+         |  FROM rs
+         |)
+         |SELECT event_type, n AS n_slots,
+         |  floor(r1 * 1000000) / 1000000 AS r1,
+         |  floor(r2 * 1000000) / 1000000 AS r2,
+         |  floor(r3 * 1000000) / 1000000 AS r3,
+         |  floor(r4 * 1000000) / 1000000 AS r4,
+         |  floor(r5 * 1000000) / 1000000 AS r5,
+         |  floor(q * 1000000) / 1000000 AS q_stat,
+         |  q > 11.0705 AS reject_iid
+         |FROM qs ORDER BY event_type""".stripMargin,
+
+    "ts_macd" ->
+      s"""$BaseCte, slots AS (
+         |  SELECT event_type, slot,
+         |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS v
+         |  FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY event_type, slot
+         |), g AS (
+         |  SELECT event_type, slot,
+         |    list_reduce(list(v) OVER (PARTITION BY event_type ORDER BY slot
+         |        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+         |      (acc, x) -> acc * CAST(0.5 AS DOUBLE)
+         |        + x * CAST(0.5 AS DOUBLE))
+         |    - list_reduce(list(v) OVER (PARTITION BY event_type ORDER BY slot
+         |        ROWS BETWEEN 15 PRECEDING AND CURRENT ROW),
+         |      (acc, x) -> acc * CAST(0.75 AS DOUBLE)
+         |        + x * CAST(0.25 AS DOUBLE)) AS macd
+         |  FROM slots
+         |), h AS (
+         |  SELECT event_type, slot, macd,
+         |    macd - list_reduce(list(macd) OVER (PARTITION BY event_type
+         |        ORDER BY slot ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+         |      (acc, x) -> acc * CAST(0.5 AS DOUBLE)
+         |        + x * CAST(0.5 AS DOUBLE)) AS hist
+         |  FROM g
+         |), lh AS (
+         |  SELECT event_type, hist,
+         |    lag(hist, 1) OVER (PARTITION BY event_type ORDER BY slot) AS ph
+         |  FROM h
+         |)
+         |SELECT event_type, count(*) AS n_slots,
+         |  count(CASE WHEN ph <= 0 AND hist > 0 THEN 1 END) AS n_cross_up,
+         |  count(CASE WHEN ph >= 0 AND hist < 0 THEN 1 END) AS n_cross_down,
+         |  floor(CAST(sum(CAST(abs(hist) AS DECIMAL(38,18))) AS DOUBLE)
+         |    / count(*) * 1000000) / 1000000 AS mean_abs_hist
+         |FROM lh GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // oracle is the PLAIN single-window running max — proving the
     // 8-slice subsplit composition is exact, slice edges included

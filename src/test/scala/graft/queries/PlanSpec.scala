@@ -1300,6 +1300,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window crept in:\n$p")
   }
 
+  test("ts_ljung_box: slot grid materializes once; means broadcast; " +
+    "all five leads ride one series-partitioned window") {
+    val p = plan("ts_ljung_box")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the slot-grid checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"means + lead pass must read the one slot grid:\n$p")
+    assert(p.linesIterator.count(l => l.trim.matches("""\(\d+\) Window""")) <= 1,
+      s"the five leads must share one window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-series means must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ts_macd: one events scan; the three fold windows and the lag " +
+    "share one series sort; no join") {
+    val p = plan("ts_macd")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"events must scan exactly once:\n$p")
+    assert(!p.contains("Join"), s"MACD needs no join:\n$p")
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Sort""")) <= 2,
+      s"fold windows must share the series sort (plus the output sort):\n$p")
+  }
+
+  test("quality_calibration: score + rule sides scan docs once each; " +
+    "doc-grain id join; 10-row decile agg, no window") {
+    val p = plan("quality_calibration")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 2,
+      s"exactly the score and rule sides may scan documents:\n$p")
+    assert(!p.contains("Window"), s"calibration needs no window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ts_spectral_power: slot grid materializes once; mean joins " +
     "broadcast; constant x2 period fanout; no window") {
     val p = plan("ts_spectral_power")
