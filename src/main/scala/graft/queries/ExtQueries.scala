@@ -1300,6 +1300,47 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Kneser–Ney smoothed bigram probabilities (absolute discount
+    // D=0.75, continuation back-off) for the corpus's top-20 bigrams —
+    // the modern-LM smoothing companion to doc_bigram_logprob's
+    // Jelinek–Mercer interpolation (JM backs off to raw unigram
+    // frequency; KN backs off to how many CONTEXTS a word completes).
+    // Everything derives from the ONE bigram count table: left/right
+    // continuation censuses are vocab-scale re-aggregations of it,
+    // size-gated broadcast back; the type total is a broadcast scalar.
+    // Each probability is one fixed-shape per-row float expression —
+    // no cross-row float accumulation at all.
+    "text_kneser_ney" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val toks = docs(s, dir)
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+      val bcount = toks
+        .select(explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i + 1).as("w1"),
+            element_at(col("w"), i + 2).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint(false) // censuses + final scan share one build
+      val left = bcount.groupBy("w1")
+        .agg(sum(col("c12")).as("c1tot"), count(lit(1)).as("n1_left"))
+      val right = bcount.groupBy("w2")
+        .agg(count(lit(1)).as("n1_right"))
+      val btypes = bcount.agg(count(lit(1)).as("b_types"))
+      bcount
+        .join(TextStats.gatedBroadcast(left), Seq("w1"))
+        .join(TextStats.gatedBroadcast(right), Seq("w2"))
+        .crossJoin(broadcast(btypes))
+        .select(col("w1"), col("w2"), col("c12"),
+          t6(col("c12").cast("double") / col("c1tot")).as("p_mle"),
+          t6(greatest(col("c12").cast("double") - lit(0.75d), lit(0d)) /
+            col("c1tot") +
+            lit(0.75d) * col("n1_left") / col("c1tot") *
+              col("n1_right") / col("b_types")).as("p_kn"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // Metadata-FILTERED ANN — the vector-DB serving pattern (filtered
     // search): top-k cosine among vectors satisfying a structured
     // predicate (label ≡ 0 mod 2), through the IVF cell probe. The
@@ -2322,6 +2363,39 @@ object ExtQueries {
           t6(col("mvn_raw")).as("mean_vec_norm"),
           t6(col("mvn_raw") / (col("s") / col("n"))).as("anisotropy"))
         .orderBy("label")
+    }),
+
+    // Per-dimension clipping audit: exact p01/p99 of every embedding
+    // coordinate plus how many values a clip at those bounds would
+    // touch — the preprocessing decision (clip? rescale? drop the
+    // dim?) a pipeline owner makes before quantizing vectors (the SQ
+    // codec in similar_sq_int8 assumes per-dim ranges; this key is
+    // the audit that VALIDATES that assumption against outliers). One
+    // posexplode pass shared by the percentile build and the count
+    // pass via checkpoint; the 64-row percentile table broadcasts
+    // back. Exact `percentile` (not approx) so both engines
+    // interpolate the same order statistics.
+    "embedding_clip_audit" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val ex = emb(s, dir)
+        .select(posexplode(col("embedding")))
+        .select(col("pos").cast("long").as("dim"),
+          col("col").cast("double").as("v"))
+        .localCheckpoint(false) // percentile build + count pass share it
+      val pct = ex.groupBy("dim")
+        .agg(percentile(col("v"), lit(0.01)).as("p01"),
+          percentile(col("v"), lit(0.99)).as("p99"))
+      ex.join(broadcast(pct), "dim")
+        .groupBy("dim", "p01", "p99")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("v") < col("p01"), 1)).as("n_below"),
+          count(when(col("v") > col("p99"), 1)).as("n_above"))
+        .select(col("dim"), col("n"),
+          t6(col("p01")).as("p01"), t6(col("p99")).as("p99"),
+          col("n_below"), col("n_above"),
+          t6((col("n_below") + col("n_above")).cast("double") /
+            col("n")).as("clip_frac"))
+        .orderBy("dim")
     }),
 
     // Epoch/repetition schedule for a token budget (Muennighoff et
@@ -3806,6 +3880,37 @@ object ExtQueries {
         |    AS mean_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "text_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), bg AS (
+        |  SELECT unnest(w[1:len(w) - 1]) AS w1,
+        |    unnest(w[2:len(w)]) AS w2
+        |  FROM toks
+        |), bcount AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+        |), lft AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1tot,
+        |    count(*) AS n1_left
+        |  FROM bcount GROUP BY w1
+        |), rgt AS (
+        |  SELECT w2, count(*) AS n1_right FROM bcount GROUP BY w2
+        |), bt AS (SELECT count(*) AS b_types FROM bcount)
+        |SELECT b.w1, b.w2, b.c12,
+        |  floor(CAST(b.c12 AS DOUBLE) / l.c1tot * 1000000) / 1000000
+        |    AS p_mle,
+        |  floor((greatest(CAST(b.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+        |      CAST(0 AS DOUBLE)) / l.c1tot
+        |    + CAST(0.75 AS DOUBLE) * l.n1_left / l.c1tot * r.n1_right
+        |      / bt.b_types)
+        |    * 1000000) / 1000000 AS p_kn
+        |FROM bcount b
+        |JOIN lft l ON l.w1 = b.w1
+        |JOIN rgt r ON r.w2 = b.w2
+        |CROSS JOIN bt
+        |ORDER BY b.c12 DESC, b.w1, b.w2 LIMIT 20""".stripMargin,
+
     "similar_filtered_topk" ->
       s"""WITH cents AS (
          |  SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
@@ -4549,6 +4654,29 @@ object ExtQueries {
          |  floor(mvn_raw / (s / n) * 1000000) / 1000000 AS anisotropy
          |FROM st JOIN mvn ON st.label = mvn.label
          |ORDER BY st.label""".stripMargin,
+
+    "embedding_clip_audit" ->
+      """WITH ex AS (
+        |  SELECT CAST(unnest(generate_series(0, len(embedding) - 1))
+        |      AS BIGINT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings
+        |), pct AS (
+        |  SELECT dim, quantile_cont(v, 0.01) AS p01,
+        |    quantile_cont(v, 0.99) AS p99
+        |  FROM ex GROUP BY dim
+        |)
+        |SELECT e.dim, count(*) AS n,
+        |  floor(p.p01 * 1000000) / 1000000 AS p01,
+        |  floor(p.p99 * 1000000) / 1000000 AS p99,
+        |  count(CASE WHEN e.v < p.p01 THEN 1 END) AS n_below,
+        |  count(CASE WHEN e.v > p.p99 THEN 1 END) AS n_above,
+        |  floor(CAST(count(CASE WHEN e.v < p.p01 THEN 1 END)
+        |    + count(CASE WHEN e.v > p.p99 THEN 1 END) AS DOUBLE)
+        |    / count(*) * 1000000) / 1000000 AS clip_frac
+        |FROM ex e JOIN pct p ON p.dim = e.dim
+        |GROUP BY e.dim, p.p01, p.p99
+        |ORDER BY e.dim""".stripMargin,
 
     "corpus_epoch_schedule" ->
       """WITH src AS (

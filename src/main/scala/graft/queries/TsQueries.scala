@@ -737,6 +737,60 @@ object TsQueries {
         .orderBy("event_type")
     }),
 
+    // Single-changepoint binary segmentation per series: the split
+    // position k maximizing the SSE reduction
+    //   gain(k) = S_k²/k + (S_n−S_k)²/(n−k) − S_n²/n
+    // over the slot grid (ts_level_shift detects WHETHER adjacent
+    // trailing means differ; this finds WHERE the global best split
+    // is — the first step of the classic recursive segmentation).
+    // Prefix sums run through DECIMAL(28,6) cumulative windows (exact,
+    // engine-order-independent); the argmax is a struct-max with slot
+    // tie-break; segments are floored at 16 slots so the objective
+    // never divides by a tiny run.
+    "ts_changepoint" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val minSeg = 16
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("slot")
+      val wcum = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val slots = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("event_type", "slot")
+        .agg((sum(col("value").cast(dec6)).cast("double") /
+          count(lit(1))).as("v"))
+      val pre = slots
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("sk", sum(col("v").cast(dec6)).over(wcum))
+        .localCheckpoint(false) // totals + candidate scan share the pass
+      val tot = pre.groupBy("event_type")
+        .agg(max(col("k")).as("n"), sum(col("v").cast(dec6)).as("sn"))
+      val sk = col("sk").cast("double")
+      val sn = col("sn").cast("double")
+      val gain = sk * sk / col("k") +
+        (sn - sk) * (sn - sk) / (col("n") - col("k")) -
+        sn * sn / col("n")
+      pre.join(broadcast(tot), "event_type")
+        .filter(col("k") >= minSeg && col("k") <= col("n") - minSeg)
+        .groupBy("event_type")
+        .agg(max(struct(gain.as("g"), (-col("slot")).as("ns"),
+          col("k").as("k"), col("sk").as("sk_d"), col("n").as("n2"),
+          col("sn").as("sn_d"))).as("best"))
+        .select(col("event_type"),
+          col("best.n2").as("n_slots"),
+          col("best.k").as("split_k"),
+          (-col("best.ns")).as("split_slot"),
+          t6(col("best.g")).as("gain"),
+          t6(col("best.sk_d").cast("double") / col("best.k"))
+            .as("mean_left"),
+          t6((col("best.sn_d").cast("double") -
+            col("best.sk_d").cast("double")) /
+            (col("best.n2") - col("best.k"))).as("mean_right"))
+        .orderBy("event_type")
+    }),
+
     // Bollinger bands over the slot-collapsed series: trailing-20-slot
     // mean ± 2σ with DECIMAL frame sums (the STL moving-average
     // discipline — float frame re-aggregation order can differ across
@@ -1512,6 +1566,43 @@ object TsQueries {
          |  floor(CAST(sum(CAST(abs(hist) AS DECIMAL(38,18))) AS DOUBLE)
          |    / count(*) * 1000000) / 1000000 AS mean_abs_hist
          |FROM lh GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ts_changepoint" ->
+      s"""$BaseCte, slots AS (
+         |  SELECT event_type, slot,
+         |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS v
+         |  FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY event_type, slot
+         |), pre AS (
+         |  SELECT event_type, slot,
+         |    CAST(row_number() OVER w AS BIGINT) AS k,
+         |    sum(CAST(v AS DECIMAL(28,6))) OVER w AS sk
+         |  FROM slots
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY slot
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |), tot AS (
+         |  SELECT event_type, count(*) AS n,
+         |    sum(CAST(v AS DECIMAL(28,6))) AS sn
+         |  FROM slots GROUP BY event_type
+         |), cand AS (
+         |  SELECT p.event_type, p.slot, p.k, t.n,
+         |    CAST(p.sk AS DOUBLE) AS skd, CAST(t.sn AS DOUBLE) AS snd,
+         |    CAST(p.sk AS DOUBLE) * CAST(p.sk AS DOUBLE) / p.k
+         |    + (CAST(t.sn AS DOUBLE) - CAST(p.sk AS DOUBLE))
+         |      * (CAST(t.sn AS DOUBLE) - CAST(p.sk AS DOUBLE)) / (t.n - p.k)
+         |    - CAST(t.sn AS DOUBLE) * CAST(t.sn AS DOUBLE) / t.n AS gain
+         |  FROM pre p JOIN tot t ON t.event_type = p.event_type
+         |  WHERE p.k >= 16 AND p.k <= t.n - 16
+         |), best AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY gain DESC, slot ASC) AS rn
+         |  FROM cand
+         |)
+         |SELECT event_type, n AS n_slots, k AS split_k, slot AS split_slot,
+         |  floor(gain * 1000000) / 1000000 AS gain,
+         |  floor(skd / k * 1000000) / 1000000 AS mean_left,
+         |  floor((snd - skd) / (n - k) * 1000000) / 1000000 AS mean_right
+         |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     // oracle is the PLAIN single-window running max — proving the
     // 8-slice subsplit composition is exact, slice edges included

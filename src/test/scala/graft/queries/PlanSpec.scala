@@ -1300,6 +1300,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window crept in:\n$p")
   }
 
+  test("ts_changepoint: prefix pass materializes once; totals " +
+    "broadcast; argmax is a struct-max, no second window") {
+    val p = plan("ts_changepoint")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the prefix checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"totals + candidate scan must read the one prefix pass:\n$p")
+    assert(!p.contains("Window"),
+      s"the argmax must be a struct-max over the candidates:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"totals not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_kneser_ney: censuses re-aggregate the one checkpointed " +
+    "bigram table; no doc-grain work, no window") {
+    val p = plan("text_kneser_ney")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the bigram checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 4,
+      s"left/right censuses + type total + final scan must read the one bigram table:\n$p")
+    assert(!p.contains("Window"), s"KN needs no window:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not global-sort:\n$p")
+  }
+
+  test("embedding_clip_audit: one posexplode pass; the 64-row " +
+    "percentile table broadcasts back; no window") {
+    val p = plan("embedding_clip_audit")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("embeddings.parquet")) == 0,
+      s"embeddings leaked past the posexplode checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"percentile build + count pass must share the exploded frame:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the percentile table must broadcast:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("ts_ljung_box: slot grid materializes once; means broadcast; " +
     "all five leads ride one series-partitioned window") {
     val p = plan("ts_ljung_box")
