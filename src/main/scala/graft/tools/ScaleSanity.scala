@@ -106,7 +106,16 @@ object ScaleSanity {
       "ts_hurst",
       // round-11: forecast backtest — per-series folds, one grouped
       // collect, no window
-      "ts_forecast_backtest")
+      "ts_forecast_backtest",
+      // round-11 closing: Goertzel projection — grid pass + broadcast
+      // means, constant x2 period fanout
+      "ts_spectral_power",
+      // round-11 closing: ACF lags 1-5 — one lead window on the grid
+      "ts_ljung_box",
+      // round-11 closing: dyadic EWMA folds — bounded frames, one sort
+      "ts_macd",
+      // round-11 closing: binary segmentation — prefix window + argmax
+      "ts_changepoint")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -259,7 +268,16 @@ object ScaleSanity {
       "corpus_dup_inflation", "doc_boilerplate_prefix",
       // round-11 closing: rule-impact attribution — one verdict
       // projection + constant explode + one agg
-      "quality_rule_impact")
+      "quality_rule_impact",
+      // round-11 closing: intersection-only pair JSD — vocab-scale
+      // join x bounded source pairs (the jaccard_sources shape)
+      "doc_js_divergence",
+      // round-11 closing: pure per-row lambdas
+      "quality_lexical_complexity",
+      // round-11 closing: score agg + per-row rules + id join
+      "quality_calibration",
+      // round-11 closing: bigram-table re-aggregations, TakeOrdered 20
+      "text_kneser_ney")
     // (similar_ivf_probe_curve rides the embeddings substrate — its
     // arms are checkpoint-shared; the embeddings family sweep lives in
     // the dedicated embeddings section of prior rounds)
@@ -419,7 +437,10 @@ object ScaleSanity {
       "decontaminate_semantic",
       // round-11 closing: broadcast query probe + struct-min argmax
       // (query side grows 10x under replication too)
-      "similar_hard_negatives"))
+      "similar_hard_negatives",
+      // round-11 closing: one posexplode pass + broadcast percentile
+      // table (exact percentile sorts per-dim groups — 10x rows each)
+      "embedding_clip_audit"))
     if (embPicks.nonEmpty) {
       val embT = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
       val ne = embT.count()
@@ -490,6 +511,15 @@ object ScaleSanity {
         val h10 = time(fhn(spark, edir).count())
         println(f"[scale] similar_hard_negatives  1x=${h1}%6.2fs " +
           f"10x=${h10}%6.2fs ratio=${h10 / h1}%5.2f")
+      }
+      // round-11: per-dim clip audit — one posexplode pass; the exact
+      // percentile sorts each of the 64 per-dim groups (10x rows each)
+      if (embPicks.contains("embedding_clip_audit")) {
+        val fca = graft.SparkEntry.queries("embedding_clip_audit")
+        val c1 = time(fca(spark, "/root/testdata/sf0.1").count())
+        val c10 = time(fca(spark, edir).count())
+        println(f"[scale] embedding_clip_audit    1x=${c1}%6.2fs " +
+          f"10x=${c10}%6.2fs ratio=${c10 / c1}%5.2f")
       }
     }
     spark.stop()
