@@ -627,6 +627,48 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // Common-neighbor link prediction over the LSH candidate graph:
+    // for non-adjacent doc pairs, how many near-dup neighborhoods they
+    // BOTH touch (the classic CN score, with neighbor-set Jaccard as
+    // the tiebreak column) — "these two docs aren't candidate dups
+    // yet, but their neighborhoods say they will be", the curator's
+    // shortlist for raising recall without lowering the band
+    // threshold. Pair generation goes THROUGH each intermediate node,
+    // capped at degree ≤ 32 (hub suppression — boilerplate hubs carry
+    // no signal and would quadratically dominate); existing edges
+    // leave via a left anti join; top-20 is TakeOrdered on the exact
+    // integer CN count.
+    "graph_link_pred" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val cand = candsOf(s, dir)
+      val edges = cand.select(col("a_id").as("u"), col("b_id").as("v"))
+        .unionByName(
+          cand.select(col("b_id").as("u"), col("a_id").as("v")))
+        .localCheckpoint(false) // degrees + pair stage + anti join share
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      val mids = edges
+        .join(TextStats.gatedBroadcast(
+          deg.filter(col("deg") <= 32).select("u")), Seq("u"))
+        .select(col("u").as("mid"), col("v"))
+      val pairs = mids.select(col("mid"), col("v").as("a_id"))
+        .join(mids.select(col("mid"), col("v").as("b_id")), "mid")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("cn"))
+      pairs
+        .join(cand.select(col("a_id"), col("b_id")),
+          Seq("a_id", "b_id"), "left_anti")
+        .join(TextStats.gatedBroadcast(deg.select(col("u").as("a_id"),
+          col("deg").as("deg_a"))), "a_id")
+        .join(TextStats.gatedBroadcast(deg.select(col("u").as("b_id"),
+          col("deg").as("deg_b"))), "b_id")
+        .select(col("a_id"), col("b_id"), col("cn"), col("deg_a"),
+          col("deg_b"),
+          t6(col("cn").cast("double") /
+            (col("deg_a") + col("deg_b") - col("cn"))).as("nbr_jaccard"))
+        .orderBy(col("cn").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    }),
+
     // BPE tokenizer training (3 merge steps) over the corpus word
     // table: each step is one weighted pair-count aggregation + a
     // 1-row broadcast argmax + a narrow re-segmentation — the
@@ -2853,6 +2895,32 @@ object ExtQueries {
           t6(lit(1d) - col("n_tokens").cast("double") /
             (col("n_chunks") * col("ctx_len"))).as("pad_frac"))
         .orderBy("ctx_len")
+    }),
+
+    // Per-source document-length distribution: exact p10/p50/p90 of
+    // token counts plus mean — the packing/chunking input
+    // corpus_pack_waste assumes (its pad fraction depends on THIS
+    // shape), and the first histogram a curator reads per feed. One
+    // narrow tokenize projection → one hash aggregate; exact
+    // `percentile` (both engines interpolate the same order
+    // statistics), mean through DECIMAL.
+    "corpus_length_percentiles" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      docs(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks").cast(dec)).as("tsum"),
+          percentile(col("toks"), lit(0.1)).as("p10"),
+          percentile(col("toks"), lit(0.5)).as("p50"),
+          percentile(col("toks"), lit(0.9)).as("p90"))
+        .select(col("source"), col("n_docs"),
+          t6(col("tsum").cast("double") / col("n_docs")).as("mean_toks"),
+          t6(col("p10")).as("p10"), t6(col("p50")).as("p50"),
+          t6(col("p90")).as("p90"))
+        .orderBy("source")
     }),
   )
 
@@ -5229,6 +5297,48 @@ object ExtQueries {
         |    (CAST(sum(chunks) AS BIGINT) * ctx_len)) * 1000000) / 1000000
         |    AS pad_frac
         |FROM x GROUP BY ctx_len ORDER BY ctx_len""".stripMargin,
+
+    "graph_link_pred" ->
+      s"""$ShingleCtes, e AS (
+         |  SELECT a_id AS u, b_id AS v FROM cand
+         |  UNION ALL
+         |  SELECT b_id AS u, a_id AS v FROM cand
+         |), deg AS (
+         |  SELECT u, count(*) AS deg FROM e GROUP BY u
+         |), mids AS (
+         |  SELECT e.u AS mid, e.v FROM e
+         |  JOIN deg ON deg.u = e.u AND deg.deg <= 32
+         |), pairs AS (
+         |  SELECT a.v AS a_id, b.v AS b_id, count(*) AS cn
+         |  FROM mids a JOIN mids b ON a.mid = b.mid AND a.v < b.v
+         |  GROUP BY a.v, b.v
+         |), np AS (
+         |  SELECT p.* FROM pairs p
+         |  WHERE NOT EXISTS (SELECT 1 FROM cand c
+         |    WHERE c.a_id = p.a_id AND c.b_id = p.b_id)
+         |)
+         |SELECT np.a_id, np.b_id, np.cn,
+         |  da.deg AS deg_a, db.deg AS deg_b,
+         |  floor(CAST(np.cn AS DOUBLE) / (da.deg + db.deg - np.cn)
+         |    * 1000000) / 1000000 AS nbr_jaccard
+         |FROM np
+         |JOIN deg da ON da.u = np.a_id
+         |JOIN deg db ON db.u = np.b_id
+         |ORDER BY np.cn DESC, np.a_id, np.b_id LIMIT 20""".stripMargin,
+
+    "corpus_length_percentiles" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  floor(CAST(sum(CAST(toks AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*) * 1000000) / 1000000 AS mean_toks,
+        |  floor(quantile_cont(toks, 0.1) * 1000000) / 1000000 AS p10,
+        |  floor(quantile_cont(toks, 0.5) * 1000000) / 1000000 AS p50,
+        |  floor(quantile_cont(toks, 0.9) * 1000000) / 1000000 AS p90
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
   )
 
   /** Shared simhash CTE: `sh(doc_id, simhash)` — byte-identical to

@@ -1452,6 +1452,65 @@ object PipeQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Kaplan–Meier repeat-purchase survival: the probability a
+    // customer has NOT yet reordered by day h, with the last
+    // order→observation-end gap entering as a CENSORED observation —
+    // the estimator orders_interorder_gap's plain mean cannot give
+    // (means over only completed gaps are biased low; KM uses the
+    // censored mass correctly). Survival at the fixed horizons
+    // {7,14,30,60,90}: S(h) = Π_{t≤h} (1 − d_t/n_t). One lead window
+    // on orders; everything after runs on the ≤|distinct gap|
+    // aggregate: at-risk counts via a broadcast strictly-before
+    // self-join (no global window), the log-product through
+    // DECIMAL(38,18), horizons as a broadcast 5-row table.
+    "orders_survival_km" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec18 = DecimalType(38, 18)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val o = Tables.load(s, dir, "orders")
+      val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
+      val obs = o
+        .withColumn("nxt", lead(col("o_orderdate"), 1).over(w))
+        .crossJoin(broadcast(maxd))
+        .select(
+          when(col("nxt").isNotNull,
+            datediff(col("nxt"), col("o_orderdate")))
+            .otherwise(datediff(col("maxd"), col("o_orderdate")))
+            .cast("long").as("dur"),
+          col("nxt").isNotNull.as("event"))
+        .filter(col("dur") > 0)
+        .localCheckpoint(false) // total + the duration table share it
+      val total = obs.agg(count(lit(1)).as("n_total"))
+      val times = obs.groupBy("dur")
+        .agg(count(when(col("event"), 1)).as("d"),
+          count(lit(1)).as("c_all"))
+        .localCheckpoint(false) // at-risk self-join reads it twice
+      val before = broadcast(times.select(col("dur").as("b_dur"),
+        col("c_all").as("b_c")))
+      val ev = times
+        .join(before, col("b_dur") < col("dur"), "left")
+        .groupBy("dur", "d")
+        .agg(coalesce(sum(col("b_c")), lit(0L)).as("n_before"))
+        .crossJoin(broadcast(total))
+        .withColumn("n_risk", col("n_total") - col("n_before"))
+        .filter(col("d") > 0 && col("d") < col("n_risk"))
+        .select(col("dur"), col("d"), col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk"))
+            .cast(dec18).as("lnterm"))
+      val horizons = obs.sparkSession.range(1)
+        .select(explode(array(lit(7L), lit(14L), lit(30L), lit(60L),
+          lit(90L))).as("horizon_days"))
+      ev.crossJoin(broadcast(horizons))
+        .filter(col("dur") <= col("horizon_days"))
+        .groupBy("horizon_days")
+        .agg(count(lit(1)).as("n_event_times"), sum(col("d")).as("d_total"),
+          sum(col("lnterm")).as("lnsum"))
+        .select(col("horizon_days"), col("n_event_times"), col("d_total"),
+          t6(exp(col("lnsum").cast("double"))).as("survival"))
+        .orderBy("horizon_days")
+    }),
+
     // Cohort LTV triangle: customers bucketed by first-order year, per
     // (cohort, order-year) revenue and the running per-customer LTV.
     // The cohort tag is a customer-partitioned window min (ONE orders
@@ -3003,6 +3062,52 @@ object PipeQueries {
         |FROM gaps JOIN customer ON o_custkey = c_custkey
         |WHERE gap_days IS NOT NULL
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "orders_survival_km" ->
+      """WITH md AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        |nx AS (
+        |  SELECT o_orderdate,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS nxt
+        |  FROM orders
+        |), obs AS (
+        |  SELECT CAST(CASE WHEN nxt IS NOT NULL
+        |      THEN date_diff('day', CAST(o_orderdate AS DATE),
+        |        CAST(nxt AS DATE))
+        |      ELSE date_diff('day', CAST(o_orderdate AS DATE),
+        |        CAST(md.maxd AS DATE)) END AS BIGINT) AS dur,
+        |    nxt IS NOT NULL AS event
+        |  FROM nx CROSS JOIN md
+        |), obs2 AS (SELECT * FROM obs WHERE dur > 0),
+        |tot AS (SELECT count(*) AS n_total FROM obs2),
+        |times AS (
+        |  SELECT dur, count(CASE WHEN event THEN 1 END) AS d,
+        |    count(*) AS c_all
+        |  FROM obs2 GROUP BY dur
+        |), ev AS (
+        |  SELECT t.dur, t.d,
+        |    tot.n_total - coalesce(sum(b.c_all), 0) AS n_risk
+        |  FROM times t
+        |  LEFT JOIN times b ON b.dur < t.dur
+        |  CROSS JOIN tot
+        |  GROUP BY t.dur, t.d, tot.n_total
+        |), terms AS (
+        |  SELECT dur, d, n_risk,
+        |    CAST(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+        |      AS DECIMAL(38,18)) AS lnterm
+        |  FROM ev WHERE d > 0 AND d < n_risk
+        |), hz AS (
+        |  SELECT CAST(unnest([7, 14, 30, 60, 90]) AS BIGINT)
+        |    AS horizon_days
+        |)
+        |SELECT h.horizon_days, count(*) AS n_event_times,
+        |  CAST(sum(t.d) AS BIGINT) AS d_total,
+        |  floor(exp(CAST(sum(t.lnterm) AS DOUBLE)) * 1000000) / 1000000
+        |    AS survival
+        |FROM terms t CROSS JOIN hz h
+        |WHERE t.dur <= h.horizon_days
+        |GROUP BY h.horizon_days
+        |ORDER BY h.horizon_days""".stripMargin,
 
     "orders_cohort_ltv" ->
       """WITH o AS (

@@ -1300,6 +1300,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window crept in:\n$p")
   }
 
+  test("orders_survival_km: orders reduce behind the observation " +
+    "checkpoint; at-risk + horizons are broadcast joins, no window") {
+    val p = plan("orders_survival_km")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("orders.parquet")) == 0,
+      s"orders leaked past the observation checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 3,
+      s"total + both duration-table readers must hit the checkpoints:\n$p")
+    assert(!p.contains("Window"),
+      s"the lead window must stay inside the checkpointed lineage:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"at-risk/horizon joins over tiny tables must broadcast:\n$p")
+  }
+
+  test("graph_link_pred: hub-capped pair stage, anti-join on edges, " +
+    "TakeOrdered top-20 — no cartesian, no window") {
+    val p = plan("graph_link_pred")
+    assert(!p.contains("CartesianProduct"),
+      s"pair stage went all-pairs:\n$p")
+    assert(!p.contains("Window"), s"CN scoring needs no window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not global-sort:\n$p")
+    assert(p.contains("LeftAnti"), s"existing edges must anti-join:\n$p")
+  }
+
+  test("corpus_length_percentiles: one narrow scan, one hash agg — " +
+    "no join, no window, no explode") {
+    val p = plan("corpus_length_percentiles")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 1,
+      s"documents must scan exactly once:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
   test("ts_changepoint: prefix pass materializes once; totals " +
     "broadcast; argmax is a struct-max, no second window") {
     val p = plan("ts_changepoint")
