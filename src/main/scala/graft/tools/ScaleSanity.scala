@@ -277,7 +277,13 @@ object ScaleSanity {
       // round-11 closing: score agg + per-row rules + id join
       "quality_calibration",
       // round-11 closing: bigram-table re-aggregations, TakeOrdered 20
-      "text_kneser_ney")
+      "text_kneser_ney",
+      // round-11 closing: CN link prediction — hub-capped pair stage
+      // over the memoized candidate graph
+      "graph_link_pred",
+      // round-11 closing: one narrow scan + hash agg with exact
+      // percentiles (per-source sort groups grow 10x)
+      "corpus_length_percentiles")
     // (similar_ivf_probe_curve rides the embeddings substrate — its
     // arms are checkpoint-shared; the embeddings family sweep lives in
     // the dedicated embeddings section of prior rounds)
@@ -348,7 +354,10 @@ object ScaleSanity {
       // replica, so quartile-table cardinality grows with rows and
       // per-customer history stays put — and the cohort LTV triangle
       // (customer-window tag, cohort count grows with replicas)
-      "orders_rfm_segments", "orders_cohort_ltv"))
+      "orders_rfm_segments", "orders_cohort_ltv",
+      // round-11 closing: KM survival — per-customer lead window (same
+      // partition discipline), then the bounded duration table
+      "orders_survival_km"))
     if (ordPicks.nonEmpty) {
       val no = ord.count()
       val bigOrd = (0 until 10).map { i =>
