@@ -791,6 +791,64 @@ object TsQueries {
         .orderBy("event_type")
     }),
 
+    // Generalized-ESD anomaly extraction (3 rounds) per series: each
+    // round removes the max-|z| slot and RECOMPUTES the moments
+    // without it — the masking-resistant outlier test plain z-scores
+    // fail (one huge spike inflates σ and hides the second; ESD peels
+    // them). The bpe_train_merges discipline: 3 unrolled rounds, each
+    // one broadcast-moments join + a struct-max argmax + an anti join;
+    // moments update by DECIMAL subtraction (exact), never a rescan;
+    // every round's frames are lazily checkpointed so the slot grid
+    // materializes once. Flag threshold is the fixed critical 3.5
+    // (the λ_i t-quantile needs no per-row data, and a constant keeps
+    // the oracle engine-closed).
+    "ts_anomaly_esd" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val slots = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy("event_type", "slot")
+        .agg((sum(col("value").cast(dec6)).cast("double") /
+          count(lit(1))).as("v"))
+        .localCheckpoint(false) // all three rounds read this grid
+      var mom = slots.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(dec6)).as("s"),
+          sum((col("v") * col("v")).cast(dec12)).as("ss"))
+        .localCheckpoint(false)
+      var cur = slots
+      val rounds = (1 to 3).map { i =>
+        val mu = col("s").cast("double") / col("n")
+        val sd = sqrt(greatest(
+          col("ss").cast("double") / col("n") - mu * mu, lit(0.0)))
+        val z = cur.join(broadcast(mom), "event_type")
+          .withColumn("r", abs(col("v") - mu) / sd)
+          .filter(col("r").isNotNull)
+        val top = z.groupBy("event_type")
+          .agg(max(struct(col("r").as("r"), (-col("slot")).as("ns"),
+            col("v").as("tv"))).as("b"))
+          .select(col("event_type"), (-col("b.ns")).as("slot"),
+            col("b.tv").as("v"), col("b.r").as("r"))
+          .localCheckpoint(false) // output + removal + moment update
+        cur = cur.join(top.select("event_type", "slot"),
+          Seq("event_type", "slot"), "left_anti")
+          .localCheckpoint(false)
+        mom = mom.join(top.select(col("event_type"), col("v").as("tv")),
+            "event_type")
+          .select(col("event_type"), (col("n") - 1).as("n"),
+            (col("s") - col("tv").cast(dec6)).as("s"),
+            (col("ss") - (col("tv") * col("tv")).cast(dec12)).as("ss"))
+          .localCheckpoint(false)
+        top.withColumn("iter", lit(i.toLong))
+      }
+      rounds.reduce(_ unionByName _)
+        .select(col("event_type"), col("iter"), col("slot"),
+          t6(col("v")).as("v"), t6(col("r")).as("r_stat"),
+          (col("r") > 3.5).as("flagged"))
+        .orderBy("event_type", "iter")
+    }),
+
     // Bollinger bands over the slot-collapsed series: trailing-20-slot
     // mean ± 2σ with DECIMAL frame sums (the STL moving-average
     // discipline — float frame re-aggregation order can differ across
@@ -1603,6 +1661,58 @@ object TsQueries {
          |  floor(skd / k * 1000000) / 1000000 AS mean_left,
          |  floor((snd - skd) / (n - k) * 1000000) / 1000000 AS mean_right
          |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "ts_anomaly_esd" -> {
+      // one unrolled ESD round: z-scores vs the round's moments, the
+      // struct-max winner, the survivor set, and the subtracted moments
+      def round(i: Int, src: String, m: String) =
+        s"""z$i AS (
+           |  SELECT sl.event_type, sl.slot, sl.v,
+           |    abs(sl.v - CAST(m.s AS DOUBLE) / m.n) /
+           |    sqrt(greatest(CAST(m.ss AS DOUBLE) / m.n
+           |      - (CAST(m.s AS DOUBLE) / m.n) * (CAST(m.s AS DOUBLE) / m.n),
+           |      CAST(0 AS DOUBLE))) AS r
+           |  FROM $src sl JOIN $m m ON m.event_type = sl.event_type
+           |), t$i AS (
+           |  SELECT event_type, slot, v, r FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY event_type
+           |      ORDER BY r DESC, slot) AS rn FROM z$i) q
+           |  WHERE rn = 1
+           |), s${i + 1} AS (
+           |  SELECT a.event_type, a.slot, a.v FROM $src a
+           |  LEFT JOIN t$i t ON t.event_type = a.event_type
+           |    AND t.slot = a.slot
+           |  WHERE t.slot IS NULL
+           |), m${i + 1} AS (
+           |  SELECT m.event_type, m.n - 1 AS n,
+           |    m.s - CAST(t.v AS DECIMAL(28,6)) AS s,
+           |    m.ss - CAST(t.v * t.v AS DECIMAL(38,12)) AS ss
+           |  FROM $m m JOIN t$i t ON t.event_type = m.event_type
+           |)""".stripMargin
+      s"""$BaseCte, s1 AS (
+         |  SELECT event_type, slot,
+         |    CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / count(*) AS v
+         |  FROM base WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY event_type, slot
+         |), m1 AS (
+         |  SELECT event_type, count(*) AS n,
+         |    sum(CAST(v AS DECIMAL(28,6))) AS s,
+         |    sum(CAST(v * v AS DECIMAL(38,12))) AS ss
+         |  FROM s1 GROUP BY event_type
+         |), ${round(1, "s1", "m1")}, ${round(2, "s2", "m2")},
+         |${round(3, "s3", "m3")}
+         |SELECT event_type, iter, slot,
+         |  floor(v * 1000000) / 1000000 AS v,
+         |  floor(r * 1000000) / 1000000 AS r_stat,
+         |  r > 3.5 AS flagged
+         |FROM (
+         |  SELECT event_type, CAST(1 AS BIGINT) AS iter, slot, v, r FROM t1
+         |  UNION ALL
+         |  SELECT event_type, CAST(2 AS BIGINT), slot, v, r FROM t2
+         |  UNION ALL
+         |  SELECT event_type, CAST(3 AS BIGINT), slot, v, r FROM t3
+         |) u ORDER BY event_type, iter""".stripMargin
+    },
 
     // oracle is the PLAIN single-window running max — proving the
     // 8-slice subsplit composition is exact, slice edges included

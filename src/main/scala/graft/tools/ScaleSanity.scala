@@ -115,7 +115,9 @@ object ScaleSanity {
       // round-11 closing: dyadic EWMA folds — bounded frames, one sort
       "ts_macd",
       // round-11 closing: binary segmentation — prefix window + argmax
-      "ts_changepoint")
+      "ts_changepoint",
+      // round-11 closing: 3 unrolled ESD rounds on the bounded grid
+      "ts_anomaly_esd")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()

@@ -1300,6 +1300,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window crept in:\n$p")
   }
 
+  test("ts_anomaly_esd: three unrolled rounds each end in a " +
+    "checkpointed 5-row winner — the union reads exactly those three") {
+    val p = plan("ts_anomaly_esd")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the round checkpoints:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 3,
+      s"the final union must read the three winner frames only:\n$p")
+    assert(!p.contains("Window"),
+      s"argmaxes must be struct-max aggregates, not windows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("orders_survival_km: orders reduce behind the observation " +
     "checkpoint; at-risk + horizons are broadcast joins, no window") {
     val p = plan("orders_survival_km")
