@@ -2922,6 +2922,133 @@ object ExtQueries {
           t6(col("p90")).as("p90"))
         .orderBy("source")
     }),
+
+    // Corpus-balance Gini: how unequally tokens (and docs) spread
+    // across sources — the one-number imbalance summary next to
+    // corpus_shard_balance's per-shard census. Sorted-rank formula
+    // G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over the per-source totals; the
+    // fact collapses to |sources| rows in one map-side-combinable agg,
+    // and both ranks run as broadcast before-or-equal self-joins on
+    // that tiny frame (the doc_zipf_alpha recipe — no global window).
+    "corpus_source_gini" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      val t6 = TextStats.trunc6 _
+      val per = docs(s, dir)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks").cast(dec)).cast("long").as("n_toks"))
+        .localCheckpoint(false) // one fact pass; both ranks read the stub
+      val bt = broadcast(per.select(col("n_toks").as("b_toks"),
+        col("source").as("b_src")))
+      val rankTok = per.join(bt,
+          col("b_toks") < col("n_toks") ||
+            (col("b_toks") === col("n_toks") &&
+              col("b_src") <= col("source")))
+        .groupBy("source", "n_toks")
+        .agg(count(lit(1)).as("rk"))
+        .agg(count(lit(1)).as("n_sources"),
+          sum(col("n_toks")).as("total_tokens"),
+          sum(col("rk") * col("n_toks")).as("rx"))
+        .select(col("n_sources"), col("total_tokens"),
+          t6(lit(2.0) * col("rx") /
+            (col("n_sources") * col("total_tokens")) -
+            (col("n_sources") + lit(1.0)) / col("n_sources"))
+            .as("gini_tokens"))
+      val bd = broadcast(per.select(col("n_docs").as("b_docs"),
+        col("source").as("b_src")))
+      val rankDoc = per.join(bd,
+          col("b_docs") < col("n_docs") ||
+            (col("b_docs") === col("n_docs") &&
+              col("b_src") <= col("source")))
+        .groupBy("source", "n_docs")
+        .agg(count(lit(1)).as("rk"))
+        .agg(sum(col("n_docs")).as("total_docs"),
+          sum(col("rk") * col("n_docs")).as("rx"),
+          count(lit(1)).as("nn"))
+        .select(col("total_docs"),
+          t6(lit(2.0) * col("rx") / (col("nn") * col("total_docs")) -
+            (col("nn") + lit(1.0)) / col("nn")).as("gini_docs"))
+      rankTok.crossJoin(broadcast(rankDoc))
+        .select(col("n_sources"), col("total_docs"), col("total_tokens"),
+          col("gini_docs"), col("gini_tokens"))
+    }),
+
+    // Chi-square discriminative terms per source: which words are
+    // statistically over-represented in each source's documents (2×2
+    // doc-frequency contingency per word×source) — the classic feature
+    // selection / domain-signature pass a mixture-aware pipeline runs
+    // to characterize sources. The word×source census and the per-word
+    // marginal are vocab-scale and join co-partitioned on `word`; the
+    // per-source marginal and N broadcast. Top-5 per source via a
+    // rank-filtered window that Spark pushes down as a map-side
+    // WindowGroupLimit (the events_top_paths shape).
+    "doc_chi2_terms" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t6 = TextStats.trunc6 _
+      val minDf = 5L
+      val wdf = docs(s, dir)
+        .select(col("source"),
+          explode(array_distinct(split(col("text"), " "))).as("word"))
+        .groupBy("word", "source").agg(count(lit(1)).as("a"))
+        .localCheckpoint(false) // census feeds both the marginal + join
+      val wt = wdf.groupBy("word").agg(sum(col("a")).as("wt"))
+      val sd = docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("sd"))
+        .localCheckpoint(false) // |sources| rows; N derives from it
+      val nTot = sd.agg(sum(col("sd")).as("n_total"))
+      val j = wdf.join(wt, "word").filter(col("wt") >= minDf)
+        .join(broadcast(sd), "source")
+        .crossJoin(broadcast(nTot))
+      // every product routes through double BEFORE multiplying: the
+      // 2x2 margins are corpus-scale, so long products would overflow
+      // at 100 TB (the differences stay long — each is <= N, exact)
+      val ad = col("a").cast("double") *
+        (col("n_total") - col("wt") - col("sd") + col("a")).cast("double")
+      val bc = (col("wt") - col("a")).cast("double") *
+        (col("sd") - col("a")).cast("double")
+      val chi2 = col("n_total").cast("double") * (ad - bc) * (ad - bc) /
+        (col("wt").cast("double") *
+          (col("n_total") - col("wt")).cast("double") *
+          col("sd").cast("double") *
+          (col("n_total") - col("sd")).cast("double"))
+      val scored = j.select(col("source"), col("word"),
+        col("a").as("df_in"), col("wt").as("df_total"),
+        chi2.as("chi2_raw"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("chi2_raw").desc, col("word"))
+      scored.withColumn("term_rank", row_number().over(w))
+        .filter(col("term_rank") <= 5)
+        .select(col("source"), col("term_rank"), col("word"),
+          col("df_in"), col("df_total"), t6(col("chi2_raw")).as("chi2"))
+        .orderBy("source", "term_rank")
+    }),
+
+    // Quality-aware canonical selection: within each near-dup cluster,
+    // keep the HIGHEST-QUALITY member (most words, ties to the lower
+    // doc_id) instead of dedup_collapse's arbitrary min-id — the
+    // selection rule a curation pipeline actually wants when near-dups
+    // differ (one is truncated, one is clean). Reuses the memoized LSH
+    // candidate graph; per-cluster argmax is ONE struct-max aggregate.
+    "dedup_canonical_quality" -> ((s, dir) => {
+      val members = Dedup.connectedComponents(candsOf(s, dir))
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .join(docs(s, dir).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words")),
+          "doc_id")
+      members.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("canonical_naive"),
+          max(struct(col("n_words").as("w"), (-col("doc_id")).as("ni")))
+            .as("best"))
+        .select(col("cluster_id"), col("n_members"),
+          col("canonical_naive"),
+          (-col("best.ni")).as("canonical_quality"),
+          col("best.w").as("canonical_words"),
+          (col("canonical_naive") =!= -col("best.ni")).as("differs"))
+        .orderBy("cluster_id")
+    }),
   )
 
   // ---- oracles -------------------------------------------------------
@@ -5339,6 +5466,119 @@ object ExtQueries {
         |  floor(quantile_cont(toks, 0.5) * 1000000) / 1000000 AS p50,
         |  floor(quantile_cont(toks, 0.9) * 1000000) / 1000000 AS p90
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "corpus_source_gini" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(CAST(len(string_split(text, ' '))
+        |      AS DECIMAL(18,6))) AS BIGINT) AS n_toks
+        |  FROM documents GROUP BY source
+        |), rt AS (
+        |  SELECT p.source, p.n_toks, count(*) AS rk
+        |  FROM per p JOIN per b
+        |    ON b.n_toks < p.n_toks
+        |    OR (b.n_toks = p.n_toks AND b.source <= p.source)
+        |  GROUP BY p.source, p.n_toks
+        |), gt AS (
+        |  SELECT count(*) AS n_sources,
+        |    CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |    floor((2.0 * sum(rk * n_toks)
+        |      / (count(*) * sum(n_toks))
+        |      - (count(*) + 1.0) / count(*)) * 1000000) / 1000000
+        |      AS gini_tokens
+        |  FROM rt
+        |), rd AS (
+        |  SELECT p.source, p.n_docs, count(*) AS rk
+        |  FROM per p JOIN per b
+        |    ON b.n_docs < p.n_docs
+        |    OR (b.n_docs = p.n_docs AND b.source <= p.source)
+        |  GROUP BY p.source, p.n_docs
+        |), gd AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+        |    floor((2.0 * sum(rk * n_docs)
+        |      / (count(*) * sum(n_docs))
+        |      - (count(*) + 1.0) / count(*)) * 1000000) / 1000000
+        |      AS gini_docs
+        |  FROM rd
+        |)
+        |SELECT n_sources, total_docs, total_tokens, gini_docs,
+        |  gini_tokens
+        |FROM gt CROSS JOIN gd""".stripMargin,
+
+    "doc_chi2_terms" ->
+      """WITH wdf AS (
+        |  SELECT source, w AS word, count(*) AS a FROM (
+        |    SELECT DISTINCT doc_id, source,
+        |      unnest(string_split(text, ' ')) AS w
+        |    FROM documents)
+        |  GROUP BY source, w
+        |), wt AS (
+        |  SELECT word, CAST(sum(a) AS BIGINT) AS wt FROM wdf GROUP BY word
+        |), sd AS (
+        |  SELECT source, count(*) AS sd FROM documents GROUP BY source
+        |), nt AS (SELECT count(*) AS n_total FROM documents),
+        |sc AS (
+        |  SELECT source, word, df_in, df_total,
+        |    nd * (ad - bc) * (ad - bc)
+        |      / (wtd * nwt * sdd * nsd) AS chi2_raw
+        |  FROM (
+        |    SELECT f.source, f.word, f.a AS df_in, wt.wt AS df_total,
+        |      CAST(nt.n_total AS DOUBLE) AS nd,
+        |      CAST(f.a AS DOUBLE)
+        |        * CAST(nt.n_total - wt.wt - sd.sd + f.a AS DOUBLE) AS ad,
+        |      CAST(wt.wt - f.a AS DOUBLE)
+        |        * CAST(sd.sd - f.a AS DOUBLE) AS bc,
+        |      CAST(wt.wt AS DOUBLE) AS wtd,
+        |      CAST(nt.n_total - wt.wt AS DOUBLE) AS nwt,
+        |      CAST(sd.sd AS DOUBLE) AS sdd,
+        |      CAST(nt.n_total - sd.sd AS DOUBLE) AS nsd
+        |    FROM wdf f JOIN wt USING (word) JOIN sd USING (source)
+        |    CROSS JOIN nt
+        |    WHERE wt.wt >= 5
+        |  )
+        |), rk AS (
+        |  SELECT source, word, df_in, df_total, chi2_raw,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY chi2_raw DESC, word) AS term_rank
+        |  FROM sc
+        |)
+        |SELECT source, term_rank, word, df_in, df_total,
+        |  floor(chi2_raw * 1000000) / 1000000 AS chi2
+        |FROM rk WHERE term_rank <= 5 ORDER BY source, term_rank""".stripMargin,
+
+    "dedup_canonical_quality" ->
+      s"""WITH RECURSIVE $ShingleBody, edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION
+         |  SELECT b_id AS src, a_id AS dst FROM cand
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), lab AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), mem AS (
+         |  SELECT l.doc_id, l.cluster_id,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
+         |  FROM lab l JOIN documents d USING (doc_id)
+         |), best AS (
+         |  SELECT cluster_id, doc_id AS canonical_quality,
+         |    n_words AS canonical_words
+         |  FROM (SELECT cluster_id, doc_id, n_words,
+         |          row_number() OVER (PARTITION BY cluster_id
+         |            ORDER BY n_words DESC, doc_id) AS rn
+         |        FROM mem) WHERE rn = 1
+         |), agg AS (
+         |  SELECT cluster_id, count(*) AS n_members,
+         |    min(doc_id) AS canonical_naive
+         |  FROM mem GROUP BY cluster_id
+         |)
+         |SELECT a.cluster_id, a.n_members, a.canonical_naive,
+         |  b.canonical_quality, b.canonical_words,
+         |  a.canonical_naive <> b.canonical_quality AS differs
+         |FROM agg a JOIN best b USING (cluster_id)
+         |ORDER BY a.cluster_id""".stripMargin,
   )
 
   /** Shared simhash CTE: `sh(doc_id, simhash)` — byte-identical to

@@ -1695,6 +1695,230 @@ object PipeQueries {
           (col("cv") < 0.3).as("bot_like"))
         .orderBy("user_id")
     }),
+
+    // Benford first-significant-digit audit over order totals — the
+    // standard fabricated-data / ingestion-defect screen for any
+    // financial fact. The digit comes from the INTEGER-cast total's
+    // string head (double→string formatting differs across engines;
+    // bigint→string is byte-identical), expected shares are the
+    // log10(1+1/d) law, and each digit row carries its chi-square
+    // contribution. One map-side-combinable 9-group agg + a broadcast
+    // 1-row total: nothing here changes shape at 100 TB.
+    "orders_benford" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      // log10(1+1/d), d=1..9, 9 dp (matches the oracle's literal table)
+      val benford = Seq(0.301029996, 0.176091259, 0.124938737,
+        0.096910013, 0.079181246, 0.06694679, 0.057991947, 0.051152522,
+        0.045757491)
+      val byDigit = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") >= 1.0)
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // one fact pass; total reads the 9-row stub
+      val tot = broadcast(byDigit.agg(sum(col("n")).as("n_total")))
+      byDigit.crossJoin(tot)
+        .withColumn("expected",
+          col("n_total") * element_at(array(benford.map(lit): _*),
+            col("digit")))
+        .select(col("digit"), col("n"),
+          t6(col("n").cast("double") / col("n_total")).as("obs_share"),
+          t6(element_at(array(benford.map(lit): _*), col("digit")))
+            .as("exp_share"),
+          t6((col("n") - col("expected")) * (col("n") - col("expected")) /
+            col("expected")).as("chi2_term"))
+        .orderBy("digit")
+    }),
+
+    // k-anonymity audit: treat (event_type, props-k decade) as the
+    // quasi-identifier and measure each equivalence class's distinct
+    // user count — the privacy screen a pipeline runs before releasing
+    // behavioral data. Classes under k=5 are re-identification risks.
+    // One distinct-agg pass over a narrow projection; class count is
+    // bounded by |event_type| × 10 regardless of data volume.
+    "events_k_anonymity" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      Tables.load(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          floor(get_json_object(col("props"), "$.k").cast("long") / 10)
+            .as("k_decade"))
+        .groupBy("event_type", "k_decade")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_rows"))
+        .select(col("event_type"), col("k_decade"), col("n_users"),
+          col("n_rows"),
+          t6(col("n_rows").cast("double") / col("n_users"))
+            .as("rows_per_user"),
+          (col("n_users") < 5).as("reident_risk"))
+        .orderBy("event_type", "k_decade")
+    }),
+
+    // Always-valid sequential A/B test (mixture SPRT, normal mixture
+    // τ²=1): per event_type and day, the running log mixture-likelihood
+    // ratio over the CUMULATIVE day-ordered arm stats, and the
+    // always-valid p-value (running min of 1/Λ, capped at 1) a team can
+    // peek at daily without inflating false positives — the streaming
+    // counterpart of events_holm_correction's fixed-horizon test. The
+    // fact collapses to ≤ |event_type|×|day| rows in ONE decimal-routed
+    // agg; the cumulative windows run on that tiny checkpointed frame.
+    // Λ is reported in log space so a decisive experiment can't
+    // overflow the double range.
+    "events_msprt" -> ((s, dir) => {
+      val dec = DecimalType(28, 6)
+      val d12 = DecimalType(38, 12)
+      val t6 = graft.ext.TextStats.trunc6 _
+      val tau2 = 1.0
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+        .select(col("event_type"),
+          (col("sec") - (col("sec") % 86400L)).as("day_slot"),
+          (col("user_id") % 2 === 0).as("arm_a"),
+          (col("value") +
+            when(col("user_id") % 2 === 0 &&
+              col("event_type") === "purchase", lit(11.0))
+              .otherwise(lit(0.0))).as("value"))
+      val daily = b.groupBy("event_type", "day_slot").agg(
+        count(when(col("arm_a"), lit(1))).as("d_na"),
+        sum(when(col("arm_a"), col("value").cast(dec))).as("d_sa"),
+        sum(when(col("arm_a"), (col("value") * col("value")).cast(d12)))
+          .as("d_ssa"),
+        count(when(!col("arm_a"), lit(1))).as("d_nb"),
+        sum(when(!col("arm_a"), col("value").cast(dec))).as("d_sb"),
+        sum(when(!col("arm_a"), (col("value") * col("value")).cast(d12)))
+          .as("d_ssb"))
+        .localCheckpoint(false) // fact agg once; windows read the stub
+      val wcum = Window.partitionBy("event_type").orderBy("day_slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily
+        .withColumn("n_a", sum(col("d_na")).over(wcum))
+        .withColumn("s_a", sum(col("d_sa")).over(wcum).cast("double"))
+        .withColumn("ss_a", sum(col("d_ssa")).over(wcum).cast("double"))
+        .withColumn("n_b", sum(col("d_nb")).over(wcum))
+        .withColumn("s_b", sum(col("d_sb")).over(wcum).cast("double"))
+        .withColumn("ss_b", sum(col("d_ssb")).over(wcum).cast("double"))
+      val vn =
+        (col("ss_a") - col("s_a") * col("s_a") / col("n_a")) /
+          (col("n_a") - 1) / col("n_a") +
+        (col("ss_b") - col("s_b") * col("s_b") / col("n_b")) /
+          (col("n_b") - 1) / col("n_b")
+      val delta = col("s_a") / col("n_a") - col("s_b") / col("n_b")
+      val valid = col("n_a") > 1 && col("n_b") > 1 && vn > 0
+      val logLambda = lit(0.5) * log(vn / (vn + lit(tau2))) +
+        delta * delta * lit(tau2) / (lit(2.0) * vn * (vn + lit(tau2)))
+      val scored = cum.select(col("event_type"), col("day_slot"),
+        col("n_a"), col("n_b"),
+        when(valid, t6(delta)).as("delta"),
+        when(valid, t6(logLambda)).as("log_lambda"),
+        when(valid, exp(least(lit(0.0), -logLambda))).as("p_now"))
+      val wmin = Window.partitionBy("event_type").orderBy("day_slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored
+        .withColumn("p_seq", t6(min(coalesce(col("p_now"), lit(1.0)))
+          .over(wmin)))
+        .select(col("event_type"), col("day_slot"), col("n_a"),
+          col("n_b"), col("delta"), col("log_lambda"), col("p_seq"))
+        .orderBy("event_type", "day_slot")
+    }),
+
+    // Poisson bootstrap CI for the per-event-type mean — THE bootstrap
+    // that works at cluster scale: instead of resampling n rows with
+    // replacement (needs a global index), every row independently
+    // draws a Poisson(1) count per replicate from a hash of
+    // (event_id, replicate), so the 32-replicate expansion is map-side
+    // and feeds straight into a partially-aggregated (event_type,
+    // replicate) grid; nothing but that grid ever shuffles. Counts
+    // come from the md5 ladder (first 8 hex chars vs the Poisson CDF
+    // thresholds) — the same portable-hash trick corpus_split_assign
+    // pins, so Spark and the oracle draw identical resamples.
+    "events_bootstrap_ci" -> ((s, dir) => {
+      val dec = DecimalType(28, 6)
+      val t6 = graft.ext.TextStats.trunc6 _
+      val nReps = 32
+      // cumulative Poisson(1) thresholds as 8-hex-char strings:
+      // floor(CDF(k) · 16^8), k = 0..6; ≥ t6 ⇒ count 7 (P ≈ 8e-5)
+      val th = Seq("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797",
+        "ff1025f5", "ffd90f3b", "fffa8b71")
+      val u = substring(md5(concat(col("event_id").cast("string"),
+        lit(":"), col("rep").cast("string"))), 1, 8)
+      val cnt = when(u < th(0), 0).when(u < th(1), 1).when(u < th(2), 2)
+        .when(u < th(3), 3).when(u < th(4), 4).when(u < th(5), 5)
+        .when(u < th(6), 6).otherwise(7)
+      val reps = Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+        .select(col("event_id"), col("event_type"), col("value"),
+          explode(sequence(lit(0), lit(nReps - 1))).as("rep"))
+        .select(col("event_type"), col("rep"), col("value"),
+          cnt.as("cnt"))
+        .groupBy("event_type", "rep")
+        .agg(sum(col("cnt")).as("m"),
+          sum((col("value") * col("cnt")).cast(dec)).as("sv"),
+          count(lit(1)).as("n_rows"),
+          sum(col("value").cast(dec)).as("sv_plain"))
+      reps
+        .withColumn("rep_mean", t6(when(col("m") > 0,
+          col("sv").cast("double") / col("m"))))
+        .groupBy("event_type")
+        .agg(count(col("rep_mean")).as("n_reps"),
+          max(col("n_rows")).as("n_rows"),
+          t6(max(col("sv_plain")).cast("double") / max(col("n_rows")))
+            .as("point_mean"),
+          sum(col("rep_mean").cast(dec)).cast("double").as("sr"),
+          sum((col("rep_mean") * col("rep_mean"))
+            .cast(DecimalType(38, 12))).cast("double").as("srr"))
+        .select(col("event_type"), col("n_rows"), col("n_reps"),
+          col("point_mean"),
+          t6(sqrt(greatest(lit(0.0),
+            (col("srr") - col("sr") * col("sr") / col("n_reps")) /
+              (col("n_reps") - 1)))).as("boot_se"),
+          t6(col("point_mean") - lit(1.959964) *
+            sqrt(greatest(lit(0.0),
+              (col("srr") - col("sr") * col("sr") / col("n_reps")) /
+                (col("n_reps") - 1)))).as("ci_lo"),
+          t6(col("point_mean") + lit(1.959964) *
+            sqrt(greatest(lit(0.0),
+              (col("srr") - col("sr") * col("sr") / col("n_reps")) /
+                (col("n_reps") - 1)))).as("ci_hi"))
+        .orderBy("event_type")
+    }),
+
+    // Next-event entropy per antecedent state — how predictable is the
+    // event stream after each event type. The behavioral-sequence
+    // counterpart of a language model's per-context entropy: computed
+    // from the SAME lag-window transition counts as
+    // events_markov_transitions, with the per-row p·ln p terms routed
+    // through DECIMAL(38,12) before summing so the 5-term sums are
+    // order-independent. Output is |event_type| rows.
+    "events_path_entropy" -> ((s, dir) => {
+      val d12 = DecimalType(38, 12)
+      val t6 = graft.ext.TextStats.trunc6 _
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val trans = TsQueries.base(s, dir)
+        .select(col("user_id"), col("sec"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // |types|² rows; marginal + join share it
+      val fromTotals = trans.groupBy("prev_type")
+        .agg(sum(col("n")).as("n_from"))
+      trans.join(fromTotals, Seq("prev_type"))
+        .withColumn("p", col("n").cast("double") / col("n_from"))
+        .groupBy("prev_type")
+        .agg(max(col("n_from")).as("n_from"),
+          count(lit(1)).as("n_next_types"),
+          sum((-col("p") * log(col("p"))).cast(d12)).cast("double")
+            .as("h"))
+        .select(col("prev_type"), col("n_from"), col("n_next_types"),
+          t6(col("h")).as("entropy_nats"),
+          t6(when(col("n_next_types") > 1,
+            col("h") / log(col("n_next_types").cast("double"))))
+            .as("entropy_norm"))
+        .orderBy("prev_type")
+    }),
   )
 
   // ---- oracles --------------------------------------------------------
@@ -3261,5 +3485,183 @@ object PipeQueries {
          |  floor(cv * 1000000) / 1000000 AS gap_cv,
          |  cv < 0.3 AS bot_like
          |FROM f ORDER BY user_id""".stripMargin,
+
+    "orders_benford" ->
+      """WITH e(digit, exp_share) AS (VALUES
+        |  (1, 0.301029996), (2, 0.176091259), (3, 0.124938737),
+        |  (4, 0.096910013), (5, 0.079181246), (6, 0.06694679),
+        |  (7, 0.057991947), (8, 0.051152522), (9, 0.045757491)
+        |), d AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 1.0
+        |), g AS (
+        |  SELECT digit, count(*) AS n FROM d GROUP BY digit
+        |), t AS (SELECT sum(n) AS n_total FROM g)
+        |SELECT g.digit, g.n,
+        |  floor(CAST(g.n AS DOUBLE) / t.n_total * 1000000) / 1000000
+        |    AS obs_share,
+        |  floor(e.exp_share * 1000000) / 1000000 AS exp_share,
+        |  floor((g.n - t.n_total * e.exp_share)
+        |    * (g.n - t.n_total * e.exp_share)
+        |    / (t.n_total * e.exp_share) * 1000000) / 1000000 AS chi2_term
+        |FROM g CROSS JOIN t JOIN e ON e.digit = g.digit
+        |ORDER BY g.digit""".stripMargin,
+
+    "events_k_anonymity" ->
+      """WITH b AS (
+        |  SELECT event_type, user_id,
+        |    CAST(floor(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)
+        |      / 10) AS BIGINT) AS k_decade
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, k_decade,
+        |    count(DISTINCT user_id) AS n_users, count(*) AS n_rows
+        |  FROM b GROUP BY 1, 2
+        |)
+        |SELECT event_type, k_decade, n_users, n_rows,
+        |  floor(CAST(n_rows AS DOUBLE) / n_users * 1000000) / 1000000
+        |    AS rows_per_user,
+        |  n_users < 5 AS reident_risk
+        |FROM g ORDER BY event_type, k_decade""".stripMargin,
+
+    "events_msprt" ->
+      s"""$BaseCte, v AS (
+         |  SELECT event_type, sec - (sec % 86400) AS day_slot,
+         |    user_id % 2 = 0 AS arm_a,
+         |    value + CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+         |                 THEN 11.0 ELSE 0.0 END AS value
+         |  FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |), daily AS (
+         |  SELECT event_type, day_slot,
+         |    count(CASE WHEN arm_a THEN 1 END) AS d_na,
+         |    sum(CASE WHEN arm_a THEN CAST(value AS DECIMAL(28,6)) END)
+         |      AS d_sa,
+         |    sum(CASE WHEN arm_a
+         |             THEN CAST(value * value AS DECIMAL(38,12)) END)
+         |      AS d_ssa,
+         |    count(CASE WHEN NOT arm_a THEN 1 END) AS d_nb,
+         |    sum(CASE WHEN NOT arm_a
+         |             THEN CAST(value AS DECIMAL(28,6)) END) AS d_sb,
+         |    sum(CASE WHEN NOT arm_a
+         |             THEN CAST(value * value AS DECIMAL(38,12)) END)
+         |      AS d_ssb
+         |  FROM v GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT event_type, day_slot,
+         |    CAST(sum(d_na) OVER w AS BIGINT) AS n_a,
+         |    CAST(sum(d_sa) OVER w AS DOUBLE) AS s_a,
+         |    CAST(sum(d_ssa) OVER w AS DOUBLE) AS ss_a,
+         |    CAST(sum(d_nb) OVER w AS BIGINT) AS n_b,
+         |    CAST(sum(d_sb) OVER w AS DOUBLE) AS s_b,
+         |    CAST(sum(d_ssb) OVER w AS DOUBLE) AS ss_b
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day_slot
+         |               ROWS UNBOUNDED PRECEDING)
+         |), sc AS (
+         |  SELECT event_type, day_slot, n_a, n_b,
+         |    (ss_a - s_a * s_a / n_a) / (n_a - 1) / n_a +
+         |    (ss_b - s_b * s_b / n_b) / (n_b - 1) / n_b AS vn,
+         |    s_a / n_a - s_b / n_b AS delta
+         |  FROM cum
+         |), sc2 AS (
+         |  SELECT event_type, day_slot, n_a, n_b, delta, vn,
+         |    n_a > 1 AND n_b > 1 AND vn > 0 AS valid,
+         |    0.5 * ln(vn / (vn + 1.0)) +
+         |      delta * delta * 1.0 / (2.0 * vn * (vn + 1.0)) AS ll
+         |  FROM sc
+         |), sc3 AS (
+         |  SELECT event_type, day_slot, n_a, n_b,
+         |    CASE WHEN valid
+         |         THEN floor(delta * 1000000) / 1000000 END AS delta,
+         |    CASE WHEN valid
+         |         THEN floor(ll * 1000000) / 1000000 END AS log_lambda,
+         |    CASE WHEN valid THEN exp(least(0.0, -ll)) END AS p_now
+         |  FROM sc2
+         |)
+         |SELECT event_type, day_slot, n_a, n_b, delta, log_lambda,
+         |  floor(min(coalesce(p_now, 1.0)) OVER (
+         |    PARTITION BY event_type ORDER BY day_slot
+         |    ROWS UNBOUNDED PRECEDING) * 1000000) / 1000000 AS p_seq
+         |FROM sc3 ORDER BY event_type, day_slot""".stripMargin,
+
+    "events_bootstrap_ci" ->
+      """WITH reps AS (
+        |  SELECT event_type, rep, value,
+        |    CASE WHEN u < '5e2d58d8' THEN 0 WHEN u < 'bc5ab1b1' THEN 1
+        |         WHEN u < 'eb715e1d' THEN 2 WHEN u < 'fb239797' THEN 3
+        |         WHEN u < 'ff1025f5' THEN 4 WHEN u < 'ffd90f3b' THEN 5
+        |         WHEN u < 'fffa8b71' THEN 6 ELSE 7 END AS cnt
+        |  FROM (
+        |    SELECT e.event_type, r.rep, e.value,
+        |      substr(md5(CAST(e.event_id AS VARCHAR) || ':' ||
+        |        CAST(r.rep AS VARCHAR)), 1, 8) AS u
+        |    FROM events e
+        |    CROSS JOIN (SELECT unnest(range(0, 32)) AS rep) r
+        |    WHERE e.value IS NOT NULL AND NOT isnan(e.value)
+        |      AND abs(e.value) < 1e12
+        |  )
+        |), g AS (
+        |  SELECT event_type, rep, sum(cnt) AS m,
+        |    sum(CAST(value * cnt AS DECIMAL(28,6))) AS sv,
+        |    count(*) AS n_rows,
+        |    sum(CAST(value AS DECIMAL(28,6))) AS sv_plain
+        |  FROM reps GROUP BY 1, 2
+        |), rm AS (
+        |  SELECT event_type, n_rows, sv_plain,
+        |    CASE WHEN m > 0 THEN floor(CAST(sv AS DOUBLE) / m * 1000000)
+        |      / 1000000 END AS rep_mean
+        |  FROM g
+        |), o AS (
+        |  SELECT event_type, count(rep_mean) AS n_reps,
+        |    max(n_rows) AS n_rows,
+        |    floor(CAST(max(sv_plain) AS DOUBLE) / max(n_rows) * 1000000)
+        |      / 1000000 AS point_mean,
+        |    CAST(sum(CAST(rep_mean AS DECIMAL(28,6))) AS DOUBLE) AS sr,
+        |    CAST(sum(CAST(rep_mean * rep_mean AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS srr
+        |  FROM rm GROUP BY event_type
+        |)
+        |SELECT event_type, n_rows, n_reps, point_mean,
+        |  floor(sqrt(greatest(0.0, (srr - sr * sr / n_reps)
+        |    / (n_reps - 1))) * 1000000) / 1000000 AS boot_se,
+        |  floor((point_mean - 1.959964 * sqrt(greatest(0.0,
+        |    (srr - sr * sr / n_reps) / (n_reps - 1)))) * 1000000)
+        |    / 1000000 AS ci_lo,
+        |  floor((point_mean + 1.959964 * sqrt(greatest(0.0,
+        |    (srr - sr * sr / n_reps) / (n_reps - 1)))) * 1000000)
+        |    / 1000000 AS ci_hi
+        |FROM o ORDER BY event_type""".stripMargin,
+
+    "events_path_entropy" ->
+      s"""$BaseCte, seq AS (
+         |  SELECT user_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY sec, event_id) AS prev_type
+         |  FROM base
+         |), trans AS (
+         |  SELECT prev_type, event_type, count(*) AS n
+         |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+         |), ft AS (
+         |  SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+         |  FROM trans GROUP BY 1
+         |), terms AS (
+         |  SELECT t.prev_type, ft.n_from,
+         |    CAST(t.n AS DOUBLE) / ft.n_from AS p
+         |  FROM trans t JOIN ft ON t.prev_type = ft.prev_type
+         |), h AS (
+         |  SELECT prev_type, max(n_from) AS n_from,
+         |    count(*) AS n_next_types,
+         |    CAST(sum(CAST(-p * ln(p) AS DECIMAL(38,12))) AS DOUBLE) AS h
+         |  FROM terms GROUP BY prev_type
+         |)
+         |SELECT prev_type, n_from, n_next_types,
+         |  floor(h * 1000000) / 1000000 AS entropy_nats,
+         |  CASE WHEN n_next_types > 1
+         |       THEN floor(h / ln(CAST(n_next_types AS DOUBLE))
+         |         * 1000000) / 1000000 END AS entropy_norm
+         |FROM h ORDER BY prev_type""".stripMargin,
   )
 }

@@ -920,6 +920,45 @@ object TsQueries {
             .as("p99_return_level"))
         .orderBy("event_type")
     }),
+
+    // Time-weighted average per (series, day): each slot's value is
+    // weighted by its holding interval (gap to the next slot in the
+    // same day), the finance/metering aggregate plain means get wrong
+    // on irregular grids — a sensor that reports rarely while flat and
+    // densely while spiking biases the plain mean toward the spike;
+    // TWAP doesn't. Slot collapse first (map-side combinable), ONE
+    // lead window on the series-scale frame, weighted sums in DECIMAL.
+    "ts_twap" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("slot")
+      val ser = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+        .groupBy("event_type", "slot")
+        .agg(t6(sum(col("value").cast(dec6)).cast("double") /
+          count(lit(1))).as("v"))
+        .withColumn("day_slot", col("slot") - (col("slot") % 86400L))
+        .withColumn("nxt", lead(col("slot"), 1).over(w))
+        .withColumn("ivl",
+          when(col("nxt").isNotNull &&
+            col("nxt") - (col("nxt") % 86400L) === col("day_slot"),
+            col("nxt") - col("slot")))
+      ser.groupBy("event_type", "day_slot")
+        .agg(count(lit(1)).as("n_slots"),
+          count(col("ivl")).as("n_intervals"),
+          sum(col("ivl")).as("w_total"),
+          sum((col("v") * col("ivl")).cast(dec6)).cast("double")
+            .as("wv"),
+          sum(col("v").cast(dec6)).cast("double").as("sv"))
+        .select(col("event_type"), col("day_slot"), col("n_slots"),
+          col("n_intervals"),
+          t6(when(col("w_total") > 0, col("wv") / col("w_total")))
+            .as("twap"),
+          t6(col("sv") / col("n_slots")).as("plain_mean"))
+        .orderBy("event_type", "day_slot")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1788,5 +1827,37 @@ object TsQueries {
          |  floor((mu - beta * ln(-ln(CAST(0.99 AS DOUBLE)))) * 1000000)
          |    / 1000000 AS p99_return_level
          |FROM p ORDER BY event_type""".stripMargin,
+
+    "ts_twap" ->
+      s"""$BaseCte, ser AS (
+         |  SELECT event_type, slot,
+         |    floor(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+         |      / count(*) * 1000000) / 1000000 AS v
+         |  FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |  GROUP BY event_type, slot
+         |), iv AS (
+         |  SELECT event_type, slot, v,
+         |    slot - (slot % 86400) AS day_slot,
+         |    CASE WHEN nxt IS NOT NULL
+         |           AND nxt - (nxt % 86400) = slot - (slot % 86400)
+         |         THEN nxt - slot END AS ivl
+         |  FROM (SELECT event_type, slot, v,
+         |          lead(slot) OVER (PARTITION BY event_type
+         |            ORDER BY slot) AS nxt
+         |        FROM ser)
+         |), g AS (
+         |  SELECT event_type, day_slot, count(*) AS n_slots,
+         |    count(ivl) AS n_intervals, sum(ivl) AS w_total,
+         |    CAST(sum(CAST(v * ivl AS DECIMAL(28,6))) AS DOUBLE) AS wv,
+         |    CAST(sum(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS sv
+         |  FROM iv GROUP BY event_type, day_slot
+         |)
+         |SELECT event_type, day_slot, n_slots, n_intervals,
+         |  CASE WHEN w_total > 0
+         |       THEN floor(wv / w_total * 1000000) / 1000000 END AS twap,
+         |  floor(sv / n_slots * 1000000) / 1000000 AS plain_mean
+         |FROM g ORDER BY event_type, day_slot""".stripMargin,
   )
 }

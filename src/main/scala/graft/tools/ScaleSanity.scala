@@ -117,7 +117,17 @@ object ScaleSanity {
       // round-11 closing: binary segmentation — prefix window + argmax
       "ts_changepoint",
       // round-11 closing: 3 unrolled ESD rounds on the bounded grid
-      "ts_anomaly_esd")
+      "ts_anomaly_esd",
+      // round-11 final: one distinct-agg pass over bounded classes
+      "events_k_anonymity",
+      // round-11 final: daily checkpoint + cumulative windows on it
+      "events_msprt",
+      // round-11 final: 32x map-side Poisson fanout into partial aggs
+      "events_bootstrap_ci",
+      // round-11 final: transition census checkpoint + entropy agg
+      "events_path_entropy",
+      // round-11 final: slot collapse + one lead window + day agg
+      "ts_twap")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -285,7 +295,15 @@ object ScaleSanity {
       "graph_link_pred",
       // round-11 closing: one narrow scan + hash agg with exact
       // percentiles (per-source sort groups grow 10x)
-      "corpus_length_percentiles")
+      "corpus_length_percentiles",
+      // round-11 final: one fact pass + broadcast rank self-joins on
+      // the |sources|-row checkpoint
+      "corpus_source_gini",
+      // round-11 final: word-key census joins + WindowGroupLimit top-5
+      "doc_chi2_terms",
+      // round-11 final: struct-max canonical over the memoized
+      // candidate clusters (the graph_link_pred substrate)
+      "dedup_canonical_quality")
     // (similar_ivf_probe_curve rides the embeddings substrate — its
     // arms are checkpoint-shared; the embeddings family sweep lives in
     // the dedicated embeddings section of prior rounds)
@@ -359,7 +377,9 @@ object ScaleSanity {
       "orders_rfm_segments", "orders_cohort_ltv",
       // round-11 closing: KM survival — per-customer lead window (same
       // partition discipline), then the bounded duration table
-      "orders_survival_km"))
+      "orders_survival_km",
+      // round-11 final: Benford digit census — one agg to 9 rows
+      "orders_benford"))
     if (ordPicks.nonEmpty) {
       val no = ord.count()
       val bigOrd = (0 until 10).map { i =>

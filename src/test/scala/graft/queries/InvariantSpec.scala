@@ -313,4 +313,80 @@ class InvariantSpec extends SparkSpec {
         s"cohort $cohort ltv not monotone: ${ltvs.mkString(",")}")
     }
   }
+
+  test("benford shares each sum to ~1 and chi2 terms are nonnegative") {
+    val rows = run("orders_benford").collect()
+    assert(rows.map(_.getInt(0)).toSeq.sorted == (1 to 9),
+      "all nine leading digits must appear")
+    val obs = rows.map(_.getDouble(2)).sum
+    val exp = rows.map(_.getDouble(3)).sum
+    assert(obs > 1.0 - 9e-6 && obs <= 1.0 + 1e-9, s"obs shares sum $obs")
+    assert(exp > 1.0 - 9e-6 && exp <= 1.0 + 1e-9, s"exp shares sum $exp")
+    rows.foreach(r => assert(r.getDouble(4) >= 0, "negative chi2 term"))
+  }
+
+  test("bootstrap CI brackets the point mean; se is nonnegative") {
+    run("events_bootstrap_ci").collect().foreach { r =>
+      val (pm, se, lo, hi) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(se >= 0, s"${r.getString(0)}: negative se")
+      // lo/hi are pm -/+ 1.96·se, each floor-truncated separately
+      assert(lo <= pm + 1e-6 && pm <= hi + 1e-6,
+        s"${r.getString(0)}: CI [$lo,$hi] does not bracket $pm")
+    }
+  }
+
+  test("always-valid p is nonincreasing per event_type and in (0,1]") {
+    run("events_msprt").collect()
+      .groupBy(_.getString(0)).foreach { case (et, rs) =>
+        val ps = rs.sortBy(_.getLong(1)).map(_.getDouble(6))
+        ps.foreach(p => assert(p >= 0.0 && p <= 1.0, s"$et: p=$p"))
+        assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-9 },
+          s"$et: p_seq not nonincreasing: ${ps.mkString(",")}")
+      }
+  }
+
+  test("path entropy is bounded by ln(branching); norm in [0,1]") {
+    run("events_path_entropy").collect().foreach { r =>
+      val (k, h) = (r.getLong(2), r.getDouble(3))
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-6,
+        s"${r.getString(0)}: H=$h outside [0, ln($k)]")
+      if (k > 1) {
+        val hn = r.getDouble(4)
+        assert(hn >= -1e-9 && hn <= 1.0 + 1e-9,
+          s"${r.getString(0)}: norm=$hn")
+      }
+    }
+  }
+
+  test("source ginis are in [0,1) and totals are positive") {
+    val r = run("corpus_source_gini").collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getLong(2) > 0)
+    Seq(3, 4).foreach { i =>
+      val g = r.getDouble(i)
+      assert(g >= -1e-6 && g < 1.0, s"gini col $i = $g")
+    }
+  }
+
+  test("quality canonical has the most words in its cluster") {
+    val m = run("dedup_canonical_quality").collect()
+    m.foreach { r =>
+      assert(r.getLong(1) >= 2, "singleton cluster leaked in")
+      // differs ⇒ the quality canonical is not the naive min id
+      if (r.getBoolean(5))
+        assert(r.getLong(2) != r.getLong(3))
+      else
+        assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
+  test("twap and plain mean agree on dense days; nulls only when no " +
+    "interval exists") {
+    run("ts_twap").collect().foreach { r =>
+      val (nSlots, nIvl) = (r.getLong(2), r.getLong(3))
+      assert(nIvl <= nSlots - 1 || (nIvl == 0 && nSlots >= 1))
+      if (nIvl == 0) assert(r.isNullAt(4), "twap must be null w/o intervals")
+      else assert(!r.isNullAt(4))
+    }
+  }
 }

@@ -1640,4 +1640,87 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
     assert(p.contains("Aggregate"), p)
   }
+
+  test("orders_benford: one orders scan behind the 9-row digit " +
+    "checkpoint; total is a broadcast — no window, no SMJ") {
+    val p = plan("orders_benford")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("orders.parquet")) == 0,
+      s"orders leaked past the digit checkpoint:\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("events_k_anonymity: one events scan, one distinct-agg pass — " +
+    "no join, no window") {
+    val p = plan("events_k_anonymity")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("events_msprt: fact collapses behind the daily checkpoint; " +
+    "cumulative windows run on the stub only") {
+    val p = plan("events_msprt")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the daily checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 1,
+      s"exactly one reader of the daily stub:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("events_bootstrap_ci: one events scan; the 32x Poisson fanout " +
+    "feeds straight into partial aggregation — no join, no window") {
+    val p = plan("events_bootstrap_ci")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1, p)
+    assert(p.contains("Generate"),
+      s"replicate fanout must be an explode, not a join:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("events_path_entropy: transition census checkpointed; marginal " +
+    "+ entropy join read the stub, join broadcasts") {
+    val p = plan("events_path_entropy")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the transition checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"census read twice (fact side + marginal), nothing else:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("corpus_source_gini: one docs pass behind the per-source " +
+    "checkpoint; both rank joins are broadcast inequality joins on " +
+    "the stub — no window") {
+    val p = plan("corpus_source_gini")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the per-source checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 4,
+      s"per-source stub read 4x (2 rank fact sides + 2 broadcast):\n$p")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("doc_chi2_terms: census + source marginal checkpointed, top-5 " +
+    "pushes down as WindowGroupLimit") {
+    val p = plan("doc_chi2_terms")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=5 must push below the shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents must hide behind the census/marginal checkpoints:\n$p")
+  }
+
+  test("dedup_canonical_quality: cluster argmax is a struct-max " +
+    "aggregate — no window, no cartesian") {
+    val p = plan("dedup_canonical_quality")
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Aggregate"), p)
+  }
+
+  test("ts_twap: slot collapse precedes the single lead window; " +
+    "weighted sums are decimal") {
+    val p = plan("ts_twap")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1, p)
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1,
+      s"exactly one window operator:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }
