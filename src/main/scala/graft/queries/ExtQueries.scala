@@ -3049,6 +3049,107 @@ object ExtQueries {
           (col("canonical_naive") =!= -col("best.ni")).as("differs"))
         .orderBy("cluster_id")
     }),
+
+    // Cross-dimension correlation audit of the embedding space: the
+    // top-10 |corr| off-diagonal pairs — highly correlated coordinates
+    // mean the space wastes capacity and PQ/SQ codebooks train on
+    // redundant axes (the check run before choosing a whitening / PCA
+    // step). The upper triangle materializes in ONE pass (explode dim
+    // i, then a second explode of the tail slice — no self-join), into
+    // a fixed d(d−1)/2-cell partial agg; per-dim moments are 64 rows
+    // and broadcast back onto the cells.
+    "embedding_corr_audit" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val dim = 64
+      val e = emb(s, dir).select(col("embedding"))
+      val dims = e.select(posexplode(col("embedding")))
+        .select((col("pos") + 1).cast("int").as("d"),
+          col("col").cast("double").as("x"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d12)).cast("double").as("sx"),
+          sum((col("x") * col("x")).cast(d12)).cast("double").as("sxx"))
+        .select(col("d"), col("n"), (col("sx") / col("n")).as("mu"),
+          sqrt(greatest(col("sxx") / col("n") -
+            (col("sx") / col("n")) * (col("sx") / col("n")), lit(0.0)))
+            .as("sd"))
+        .localCheckpoint(false) // 64 rows; both broadcast joins read it
+      val cells = e
+        .select(col("embedding"), posexplode(col("embedding")))
+        .select(col("embedding"), (col("pos") + 1).cast("int").as("di"),
+          col("col").cast("double").as("xi"))
+        .select(col("di"), col("xi"),
+          posexplode(slice(col("embedding"), col("di") + 1,
+            lit(dim) - col("di"))))
+        .select(col("di"), (col("di") + col("pos") + 1).cast("int")
+          .as("dj"),
+          (col("xi") * col("col").cast("double")).as("xy"))
+        .groupBy("di", "dj")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("xy").cast(d12)).cast("double").as("sxy"))
+      val da = broadcast(dims.select(col("d").as("di"),
+        col("mu").as("mu_i"), col("sd").as("sd_i")))
+      val db = broadcast(dims.select(col("d").as("dj"),
+        col("mu").as("mu_j"), col("sd").as("sd_j")))
+      val cov = col("sxy") / col("n_vecs") - col("mu_i") * col("mu_j")
+      val corr = when(col("sd_i") > 0 && col("sd_j") > 0,
+        cov / (col("sd_i") * col("sd_j")))
+      cells.join(da, "di").join(db, "dj")
+        .select(col("di"), col("dj"), col("n_vecs"),
+          t6(cov).as("cov"), t6(corr).as("corr"),
+          abs(corr).as("__a"))
+        .orderBy(col("__a").desc, col("di"), col("dj"))
+        .limit(10)
+        .drop("__a")
+    }),
+
+    // Tokens-per-word histogram of the trained BPE vocabulary (census
+    // at 1/2/3/4/5+ tokens, word-type and occurrence-weighted shares)
+    // — the "how much longer must training run / how big must the
+    // vocab grow" readout next to bpe_fertility's per-language means.
+    // Same train+encode chain as bpe_encode_count; the census is one
+    // vocab-scale agg + broadcast totals.
+    "bpe_token_length_hist" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val d = docs(s, dir)
+      val words = d.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val merges = graft.ext.Bpe.fit(words, "w", "c", steps = 3)
+      val hist = graft.ext.Bpe.encode(words, "w", merges)
+        .select(least(col("n_tokens"), lit(5L)).as("token_len"),
+          col("c"))
+        .groupBy("token_len")
+        .agg(count(lit(1)).as("n_words"), sum(col("c")).as("n_occ"))
+        .localCheckpoint(false) // ≤5 rows; totals broadcast back
+      val tot = broadcast(hist.agg(sum(col("n_words")).as("tw"),
+        sum(col("n_occ")).as("to")))
+      hist.crossJoin(tot)
+        .select(col("token_len"), col("n_words"), col("n_occ"),
+          t6(col("n_words").cast("double") / col("tw"))
+            .as("word_share"),
+          t6(col("n_occ").cast("double") / col("to")).as("occ_share"))
+        .orderBy("token_len")
+    }),
+
+    // Near-dup cluster size histogram: how duplication mass distributes
+    // across cluster sizes (many pairs vs few giant clusters decides
+    // whether collapse or per-cluster sampling is the right removal
+    // strategy). One agg over the memoized components; output is
+    // bounded by the largest cluster size.
+    "dedup_cluster_stats" -> ((s, dir) => {
+      Dedup.connectedComponents(candsOf(s, dir))
+        .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"),
+          col("n_docs").cast("long").as("n_docs"),
+          (col("n_docs") - col("n_clusters")).cast("long")
+            .as("n_removable"))
+        .orderBy("cluster_size")
+    }),
   )
 
   // ---- oracles -------------------------------------------------------
@@ -5579,6 +5680,110 @@ object ExtQueries {
          |  a.canonical_naive <> b.canonical_quality AS differs
          |FROM agg a JOIN best b USING (cluster_id)
          |ORDER BY a.cluster_id""".stripMargin,
+
+    "embedding_corr_audit" ->
+      """WITH dims AS (
+        |  SELECT i AS d, count(*) AS n,
+        |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+        |      AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+        |      * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS sxx
+        |  FROM embeddings, range(1, 65) t(i)
+        |  GROUP BY i
+        |), dstats AS (
+        |  SELECT d, n, sx / n AS mu,
+        |    sqrt(greatest(sxx / n - (sx / n) * (sx / n),
+        |      CAST(0 AS DOUBLE))) AS sd
+        |  FROM dims
+        |), cells AS (
+        |  SELECT i AS di, j AS dj, count(*) AS n_vecs,
+        |    CAST(sum(CAST(CAST(embedding[i] AS DOUBLE)
+        |      * CAST(embedding[j] AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS sxy
+        |  FROM embeddings, range(1, 65) ti(i), range(1, 65) tj(j)
+        |  WHERE j > i
+        |  GROUP BY i, j
+        |), sc AS (
+        |  SELECT c.di, c.dj, c.n_vecs,
+        |    c.sxy / c.n_vecs - a.mu * b.mu AS cov_raw,
+        |    CASE WHEN a.sd > 0 AND b.sd > 0
+        |         THEN (c.sxy / c.n_vecs - a.mu * b.mu) / (a.sd * b.sd)
+        |    END AS corr_raw
+        |  FROM cells c JOIN dstats a ON a.d = c.di
+        |  JOIN dstats b ON b.d = c.dj
+        |)
+        |SELECT di, dj, n_vecs,
+        |  floor(cov_raw * 1000000) / 1000000 AS cov,
+        |  floor(corr_raw * 1000000) / 1000000 AS corr
+        |FROM sc ORDER BY abs(corr_raw) DESC, di, dj
+        |LIMIT 10""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $ShingleBody, edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION
+         |  SELECT b_id AS src, a_id AS dst FROM cand
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), lab AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src
+         |), sizes AS (
+         |  SELECT cluster_id, count(*) AS sz FROM lab GROUP BY cluster_id
+         |)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(sum(sz) - count(*) AS BIGINT) AS n_removable
+         |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
+    "bpe_token_length_hist" -> {
+      // the bpe_encode_count training chain, rolled up to the
+      // tokens-per-word census with type- and occurrence-weighted shares
+      val stepCtes = (1 to 3).map { i =>
+        s"""p$i AS (
+           |  SELECT sy[i] AS s1, sy[i+1] AS s2, CAST(sum(c) AS BIGINT) AS pc
+           |  FROM (SELECT c, string_split(seg, ' ') AS sy FROM seg$i) q,
+           |       unnest(range(1, len(sy))) AS t(i)
+           |  GROUP BY s1, s2
+           |), b$i AS (
+           |  SELECT s1, s2, pc,
+           |    '·' || replace(s1, '·', '') || replace(s2, '·', '') || '·' AS m
+           |  FROM p$i ORDER BY pc DESC, s1, s2 LIMIT 1
+           |), seg${i + 1} AS (
+           |  SELECT w, c, replace(seg, (SELECT s1 || ' ' || s2 FROM b$i),
+           |                       (SELECT m FROM b$i)) AS seg
+           |  FROM seg$i
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) > 0 GROUP BY w
+         |), seg1 AS (
+         |  SELECT w, c, array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> '·' || w[i] || '·'), ' ') AS seg
+         |  FROM words
+         |), $stepCtes, wt AS (
+         |  SELECT w, c, len(string_split(seg, ' ')) AS t FROM seg4
+         |), h AS (
+         |  SELECT least(t, 5) AS token_len, count(*) AS n_words,
+         |    CAST(sum(c) AS BIGINT) AS n_occ
+         |  FROM wt GROUP BY 1
+         |), tt AS (
+         |  SELECT CAST(sum(n_words) AS BIGINT) AS tw,
+         |    CAST(sum(n_occ) AS BIGINT) AS t_occ
+         |  FROM h
+         |)
+         |SELECT token_len, n_words, n_occ,
+         |  floor(CAST(n_words AS DOUBLE) / tw * 1000000) / 1000000
+         |    AS word_share,
+         |  floor(CAST(n_occ AS DOUBLE) / t_occ * 1000000) / 1000000
+         |    AS occ_share
+         |FROM h CROSS JOIN tt ORDER BY token_len""".stripMargin
+    },
   )
 
   /** Shared simhash CTE: `sh(doc_id, simhash)` — byte-identical to

@@ -1919,6 +1919,88 @@ object PipeQueries {
             .as("entropy_norm"))
         .orderBy("prev_type")
     }),
+
+    // Weibull fit of the inter-order gap distribution by median-rank
+    // regression (Bernard's approximation F̂ᵢ = (i−0.3)/(n+0.4), then
+    // OLS of ln(−ln(1−F̂)) on ln(gap)): shape k < 1 means churn risk
+    // decays with tenure, k > 1 means it accumulates — the parametric
+    // companion to orders_survival_km. The global rank comes from
+    // Quantiles.bucketedRank (fixed day-gap grid — no single-task
+    // window anywhere); the OLS moments are one DECIMAL-routed agg.
+    "orders_weibull_fit" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val d12 = DecimalType(38, 12)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = Tables.load(s, dir, "orders")
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), col("prev")).cast("long")
+            .as("gap_days"))
+        .filter(col("gap_days") >= 1) // ln needs a positive gap
+      val ranked = graft.operators.Quantiles.bucketedRank(
+        gaps.withColumn("gd", col("gap_days").cast("double")),
+        Seq.empty, "gd", "o_orderkey", range = Some((0.0, 4000.0)))
+      val pts = ranked.select(
+        log(col("gap_days").cast("double")).as("x"),
+        log(-log(lit(1.0) -
+          (col("__rank") - lit(0.3)) / (col("__n") + lit(0.4)))).as("y"))
+      pts.agg(count(lit(1)).as("n"),
+          sum(col("x").cast(d12)).cast("double").as("sx"),
+          sum(col("y").cast(d12)).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast(d12)).cast("double").as("sxx"),
+          sum((col("x") * col("y")).cast(d12)).cast("double").as("sxy"))
+        .select(col("n").as("n_gaps"),
+          t6((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+            .as("shape_k"),
+          t6(exp(-(col("sy") / col("n") -
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("sx") / col("n"))) /
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * col("sxx") - col("sx") * col("sx")))))
+            .as("scale_days"))
+    }),
+
+    // Quantile treatment effects: the arm-quantile differences at
+    // p10/p50/p90 — where in the outcome distribution an experiment
+    // moves mass (a mean lift that is all p90 is a different product
+    // story than a uniform shift). Quantiles come from
+    // Quantiles.interpByRank (the pinned-shape interpolation both
+    // engines replay byte-identically — built-in `percentile` vs
+    // `quantile_cont` diverge by 1 ulp on interpolation boundaries);
+    // the per-arm frames are |types|×2 rows and broadcast-join.
+    "events_qte" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val b = TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+        .select(col("event_type"), col("event_id"),
+          (col("user_id") % 2 === 0).as("arm_a"),
+          (col("value") +
+            when(col("user_id") % 2 === 0 &&
+              col("event_type") === "purchase", lit(11.0))
+              .otherwise(lit(0.0))).as("value"))
+      val q = graft.operators.Quantiles.interpByRank(
+        b, Seq("event_type", "arm_a"), "value", "event_id",
+        Seq(10, 50, 90))
+        .localCheckpoint(false) // one fact pass; both arm readers share
+      val qa = q.filter(col("arm_a")).select(col("event_type"),
+        col("q10").as("qa10"), col("q50").as("qa50"),
+        col("q90").as("qa90"))
+      val qb = q.filter(!col("arm_a")).select(col("event_type"),
+        col("q10").as("qb10"), col("q50").as("qb50"),
+        col("q90").as("qb90"))
+      qa.join(broadcast(qb), "event_type")
+        .select(col("event_type"),
+          t6(col("qa50")).as("median_a"), t6(col("qb50")).as("median_b"),
+          t6(col("qa10") - col("qb10")).as("qte_p10"),
+          t6(col("qa50") - col("qb50")).as("qte_p50"),
+          t6(col("qa90") - col("qb90")).as("qte_p90"))
+        .orderBy("event_type")
+    }),
   )
 
   // ---- oracles --------------------------------------------------------
@@ -3663,5 +3745,89 @@ object PipeQueries {
          |       THEN floor(h / ln(CAST(n_next_types AS DOUBLE))
          |         * 1000000) / 1000000 END AS entropy_norm
          |FROM h ORDER BY prev_type""".stripMargin,
+
+    "orders_weibull_fit" ->
+      """WITH gaps AS (
+        |  SELECT o_orderkey,
+        |    CAST(datediff('day', prev, o_orderdate) AS BIGINT)
+        |      AS gap_days
+        |  FROM (SELECT o_orderkey, o_orderdate,
+        |          lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |            ORDER BY o_orderdate, o_orderkey) AS prev
+        |        FROM orders)
+        |  WHERE prev IS NOT NULL
+        |    AND datediff('day', prev, o_orderdate) >= 1
+        |), rk AS (
+        |  SELECT gap_days,
+        |    row_number() OVER (ORDER BY CAST(gap_days AS DOUBLE),
+        |      o_orderkey) AS r,
+        |    count(*) OVER () AS n
+        |  FROM gaps
+        |), pts AS (
+        |  SELECT ln(CAST(gap_days AS DOUBLE)) AS x,
+        |    ln(-ln(1.0 - (r - 0.3) / (n + 0.4))) AS y
+        |  FROM rk
+        |), m AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,12))) AS DOUBLE) AS sxy
+        |  FROM pts
+        |)
+        |SELECT n AS n_gaps,
+        |  floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000)
+        |    / 1000000 AS shape_k,
+        |  floor(exp(-(sy / n - (n * sxy - sx * sy)
+        |      / (n * sxx - sx * sx) * (sx / n))
+        |    / ((n * sxy - sx * sy) / (n * sxx - sx * sx))) * 1000000)
+        |    / 1000000 AS scale_days
+        |FROM m""".stripMargin,
+
+    "events_qte" -> {
+      val pcts = Seq(10, 50, 90)
+      val aggCols = pcts.map { p =>
+        s"""    max(CASE WHEN rn = ($p * (n - 1)) // 100 + 1 THEN value END)
+           |      AS lo$p,
+           |    max(CASE WHEN rn = ($p * (n - 1)) // 100 + 2 THEN value END)
+           |      AS hi$p,
+           |    max((($p * (n - 1)) % 100) / CAST(100 AS DOUBLE)) AS f$p"""
+          .stripMargin
+      }.mkString(",\n")
+      val outCols = pcts.map { p =>
+        s"  lo$p + (coalesce(hi$p, lo$p) - lo$p) * f$p AS q$p"
+      }.mkString(",\n")
+      s"""$BaseCte, v AS (
+         |  SELECT event_type, event_id, user_id % 2 = 0 AS arm_a,
+         |    value + CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+         |                 THEN 11.0 ELSE 0.0 END AS value
+         |  FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |), r AS (
+         |  SELECT event_type, arm_a, value,
+         |    row_number() OVER (PARTITION BY event_type, arm_a
+         |                       ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type, arm_a) AS n
+         |  FROM v
+         |), a AS (
+         |  SELECT event_type, arm_a,
+         |$aggCols
+         |  FROM r GROUP BY event_type, arm_a
+         |), q AS (
+         |  SELECT event_type, arm_a,
+         |$outCols
+         |  FROM a
+         |)
+         |SELECT qa.event_type,
+         |  floor(qa.q50 * 1000000) / 1000000 AS median_a,
+         |  floor(qb.q50 * 1000000) / 1000000 AS median_b,
+         |  floor((qa.q10 - qb.q10) * 1000000) / 1000000 AS qte_p10,
+         |  floor((qa.q50 - qb.q50) * 1000000) / 1000000 AS qte_p50,
+         |  floor((qa.q90 - qb.q90) * 1000000) / 1000000 AS qte_p90
+         |FROM q qa JOIN q qb
+         |  ON qa.event_type = qb.event_type AND qa.arm_a AND NOT qb.arm_a
+         |ORDER BY qa.event_type""".stripMargin
+    },
   )
 }

@@ -959,6 +959,48 @@ object TsQueries {
           t6(col("sv") / col("n_slots")).as("plain_mean"))
         .orderBy("event_type", "day_slot")
     }),
+
+    // EWMA volatility (RiskMetrics recursion σ²ₜ = λσ²ₜ₋₁ + (1−λ)r²ₜ)
+    // per series, reported at day grain — the vol-clustering readout
+    // behind every adaptive alert threshold. λ = 15/16 keeps the fold
+    // factors dyadic (the ts_ewma/ts_macd determinism rule: both
+    // engines replay the identical left-to-right double fold). The
+    // recursion runs over a trailing 32-diff frame (ts_macd's bounded
+    // collect pattern — class-a buffer, λ³² ≈ 0.13 tail truncation).
+    "ts_ewm_volatility" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("slot")
+      def fold(l: Column): Column =
+        aggregate(slice(l, lit(2), size(l) - 1), element_at(l, 1),
+          (acc, x) => acc * lit(0.9375) + x * lit(0.0625))
+      val ser = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+        .groupBy("event_type", "slot")
+        .agg(t6(sum(col("value").cast(dec6)).cast("double") /
+          count(lit(1))).as("v"))
+        .withColumn("r", col("v") - lag(col("v"), 1).over(w))
+        .filter(col("r").isNotNull)
+      val sig = ser
+        .withColumn("rr32",
+          collect_list(col("r") * col("r")).over(w.rowsBetween(-31, 0)))
+        .withColumn("sigma", sqrt(fold(col("rr32"))))
+        .drop("rr32")
+      sig.groupBy(col("event_type"),
+          (col("slot") - (col("slot") % 86400L)).as("day_slot"))
+        .agg(count(lit(1)).as("n_diffs"),
+          max(struct(col("slot"), col("sigma"))).as("eod"),
+          t6(max(col("sigma"))).as("max_sigma"),
+          t6(sum(col("sigma").cast(d12)).cast("double") /
+            count(lit(1))).as("mean_sigma"))
+        .select(col("event_type"), col("day_slot"), col("n_diffs"),
+          t6(col("eod.sigma")).as("eod_sigma"), col("max_sigma"),
+          col("mean_sigma"))
+        .orderBy("event_type", "day_slot")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1858,6 +1900,40 @@ object TsQueries {
          |  CASE WHEN w_total > 0
          |       THEN floor(wv / w_total * 1000000) / 1000000 END AS twap,
          |  floor(sv / n_slots * 1000000) / 1000000 AS plain_mean
+         |FROM g ORDER BY event_type, day_slot""".stripMargin,
+
+    "ts_ewm_volatility" ->
+      s"""$BaseCte, ser AS (
+         |  SELECT event_type, slot,
+         |    floor(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+         |      / count(*) * 1000000) / 1000000 AS v
+         |  FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |  GROUP BY event_type, slot
+         |), dif AS (
+         |  SELECT event_type, slot,
+         |    v - lag(v) OVER (PARTITION BY event_type ORDER BY slot) AS r
+         |  FROM ser
+         |), sg AS (
+         |  SELECT event_type, slot,
+         |    sqrt(list_reduce(list(r * r) OVER (PARTITION BY event_type
+         |        ORDER BY slot ROWS BETWEEN 31 PRECEDING AND CURRENT ROW),
+         |      (acc, x) -> acc * CAST(0.9375 AS DOUBLE)
+         |        + x * CAST(0.0625 AS DOUBLE))) AS sigma
+         |  FROM dif WHERE r IS NOT NULL
+         |), g AS (
+         |  SELECT event_type, slot - (slot % 86400) AS day_slot,
+         |    count(*) AS n_diffs,
+         |    max_by(sigma, slot) AS eod_sigma_raw,
+         |    floor(max(sigma) * 1000000) / 1000000 AS max_sigma,
+         |    floor(CAST(sum(CAST(sigma AS DECIMAL(38,12))) AS DOUBLE)
+         |      / count(*) * 1000000) / 1000000 AS mean_sigma
+         |  FROM sg GROUP BY 1, 2
+         |)
+         |SELECT event_type, day_slot, n_diffs,
+         |  floor(eod_sigma_raw * 1000000) / 1000000 AS eod_sigma,
+         |  max_sigma, mean_sigma
          |FROM g ORDER BY event_type, day_slot""".stripMargin,
   )
 }

@@ -127,7 +127,11 @@ object ScaleSanity {
       // round-11 final: transition census checkpoint + entropy agg
       "events_path_entropy",
       // round-11 final: slot collapse + one lead window + day agg
-      "ts_twap")
+      "ts_twap",
+      // round-11 final: lag + trailing-32 fold share one series sort
+      "ts_ewm_volatility",
+      // round-11 final: interpByRank per (type, arm), broadcast meet
+      "events_qte")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -303,7 +307,11 @@ object ScaleSanity {
       "doc_chi2_terms",
       // round-11 final: struct-max canonical over the memoized
       // candidate clusters (the graph_link_pred substrate)
-      "dedup_canonical_quality")
+      "dedup_canonical_quality",
+      // round-11 final: train+encode chain into a <=5-row census
+      "bpe_token_length_hist",
+      // round-11 final: two chained aggs over the components
+      "dedup_cluster_stats")
     // (similar_ivf_probe_curve rides the embeddings substrate — its
     // arms are checkpoint-shared; the embeddings family sweep lives in
     // the dedicated embeddings section of prior rounds)
@@ -379,7 +387,10 @@ object ScaleSanity {
       // partition discipline), then the bounded duration table
       "orders_survival_km",
       // round-11 final: Benford digit census — one agg to 9 rows
-      "orders_benford"))
+      "orders_benford",
+      // round-11 final: per-customer lag window + global bucketed rank
+      // + one OLS moment agg
+      "orders_weibull_fit"))
     if (ordPicks.nonEmpty) {
       val no = ord.count()
       val bigOrd = (0 until 10).map { i =>
@@ -471,7 +482,10 @@ object ScaleSanity {
       "similar_hard_negatives",
       // round-11 closing: one posexplode pass + broadcast percentile
       // table (exact percentile sorts per-dim groups — 10x rows each)
-      "embedding_clip_audit"))
+      "embedding_clip_audit",
+      // round-11 final: two-explode upper triangle into a fixed
+      // d(d-1)/2-cell partial agg; dim stats broadcast back
+      "embedding_corr_audit"))
     if (embPicks.nonEmpty) {
       val embT = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
       val ne = embT.count()

@@ -389,4 +389,57 @@ class InvariantSpec extends SparkSpec {
       else assert(!r.isNullAt(4))
     }
   }
+
+  test("ewm volatility is nonnegative and eod never exceeds the day max") {
+    run("ts_ewm_volatility").collect().foreach { r =>
+      val (eod, mx, mean) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(eod >= 0 && mx >= 0 && mean >= 0, s"negative sigma in $r")
+      assert(eod <= mx + 1e-6 && mean <= mx + 1e-6,
+        s"eod/mean above day max: $r")
+    }
+  }
+
+  test("weibull fit yields positive shape and scale") {
+    val r = run("orders_weibull_fit").collect().head
+    assert(r.getLong(0) > 100, "too few gaps to fit")
+    assert(r.getDouble(1) > 0, s"shape ${r.getDouble(1)}")
+    assert(r.getDouble(2) > 0, s"scale ${r.getDouble(2)}")
+  }
+
+  test("qte sees the injected purchase lift at the median") {
+    val rows = run("events_qte").collect()
+    val p = rows.find(_.getString(0) == "purchase").get
+    assert(p.getDouble(5) > 5.0,
+      s"purchase median QTE ${p.getDouble(5)} misses the +11 lift")
+    // (no bound on the other types: at sf0.001 the per-arm samples are
+    // small enough that genuine median gaps exceed the lift size)
+  }
+
+  test("embedding correlations are in [-1,1], upper triangle, 10 rows") {
+    val rows = run("embedding_corr_audit").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getInt(0) < r.getInt(1), s"not upper triangle: $r")
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-6, s"corr out of range: $r")
+    }
+  }
+
+  test("bpe token-length shares each sum to ~1") {
+    val rows = run("bpe_token_length_hist").collect()
+    rows.foreach(r => assert(r.getLong(0) >= 1 && r.getLong(0) <= 5))
+    val ws = rows.map(_.getDouble(3)).sum
+    val os = rows.map(_.getDouble(4)).sum
+    assert(ws > 1.0 - 5e-6 && ws <= 1.0 + 1e-9, s"word shares $ws")
+    assert(os > 1.0 - 5e-6 && os <= 1.0 + 1e-9, s"occ shares $os")
+  }
+
+  test("cluster stats are internally consistent") {
+    run("dedup_cluster_stats").collect().foreach { r =>
+      val (sz, nc, nd, rem) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sz >= 2, "singleton cluster leaked in")
+      assert(nd == sz * nc, s"docs $nd != $sz x $nc")
+      assert(rem == nd - nc, s"removable $rem != $nd - $nc")
+    }
+  }
 }

@@ -1723,4 +1723,54 @@ class PlanSpec extends SparkSpec {
       s"exactly one window operator:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("ts_ewm_volatility: one events scan; lag + trailing collect " +
+    "share the series sort — no join") {
+    val p = plan("ts_ewm_volatility")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1, p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("orders_weibull_fit: orders hide behind the bucketed-rank " +
+    "checkpoint; the offsets join broadcasts") {
+    val p = plan("orders_weibull_fit")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("orders.parquet")) == 0,
+      s"orders leaked past the rank checkpoint:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("events_qte: one fact pass behind the quantile checkpoint; " +
+    "both arm readers broadcast-join the stub") {
+    val p = plan("events_qte")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the quantile checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"both arm frames must read the one checkpoint:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("embedding_corr_audit: one embeddings scan into the two-explode " +
+    "upper triangle; dim stats broadcast; top-10 is TakeOrdered") {
+    val p = plan("embedding_corr_audit")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("embeddings.parquet")) == 1,
+      s"cells must be the only embeddings reader (dims checkpointed):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must not be a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("bpe_token_length_hist: everything reads the <=5-row census " +
+    "checkpoint; totals broadcast") {
+    val p = plan("bpe_token_length_hist")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the census checkpoint:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_cluster_stats: two chained aggs over the collected " +
+    "components — no join, no window") {
+    val p = plan("dedup_cluster_stats")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("Aggregate"), p)
+  }
 }
