@@ -566,6 +566,16 @@ object ScaleSanity {
         println(f"[scale] embedding_clip_audit    1x=${c1}%6.2fs " +
           f"10x=${c10}%6.2fs ratio=${c10 / c1}%5.2f")
       }
+      // round-11 final: upper-triangle correlation cells — the two
+      // explodes fan each row into a FIXED d(d-1)/2 set of partial-agg
+      // cells, so cost must track rows; the cell table never grows
+      if (embPicks.contains("embedding_corr_audit")) {
+        val fcr = graft.SparkEntry.queries("embedding_corr_audit")
+        val r1 = time(fcr(spark, "/root/testdata/sf0.1").count())
+        val r10 = time(fcr(spark, edir).count())
+        println(f"[scale] embedding_corr_audit    1x=${r1}%6.2fs " +
+          f"10x=${r10}%6.2fs ratio=${r10 / r1}%5.2f")
+      }
     }
     spark.stop()
   }
