@@ -3133,6 +3133,117 @@ object ExtQueries {
         .orderBy("token_len")
     }),
 
+    // Quality-vs-quantity tradeoff curve: rank the corpus by the cheap
+    // quality score, cut into global deciles, and report each decile's
+    // token mass and mean quality plus the cumulative token share —
+    // the "keep the top X%, lose how many tokens?" table every
+    // curation budget decision reads. Global decile via bucketedRank
+    // (fixed score grid — no single-task window over the corpus);
+    // the cumulative share is a broadcast before-or-equal self-join on
+    // the 10-row decile frame.
+    "corpus_quality_tradeoff" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      val scored = TextStats.qualityColumns(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_words").cast("long").as("toks"),
+          col("quality"), negate(col("quality")).as("negq"))
+      val ranked = graft.operators.Quantiles.bucketedRank(
+        scored, Seq.empty, "negq", "doc_id", range = Some((-1.0, 0.0)))
+      val byDec = ranked
+        .withColumn("decile", graft.operators.Quantiles
+          .ntileFromRank(col("__rank"), col("__n"), 10))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("d_toks"),
+          sum(col("quality").cast(dec)).as("qsum"))
+        .localCheckpoint(false) // 10 rows; cum + total read the stub
+      val bSide = broadcast(byDec.select(col("decile").as("b_dec"),
+        col("d_toks").as("b_toks")))
+      val tot = broadcast(byDec.agg(sum(col("d_toks")).as("t_toks")))
+      byDec.join(bSide, col("b_dec") <= col("decile"))
+        .groupBy("decile", "n_docs", "d_toks", "qsum")
+        .agg(sum(col("b_toks")).as("cum_toks"))
+        .crossJoin(tot)
+        .select(col("decile"), col("n_docs"),
+          t6(col("qsum").cast("double") / col("n_docs"))
+            .as("mean_quality"),
+          t6(col("d_toks").cast("double") / col("t_toks"))
+            .as("token_share"),
+          t6(col("cum_toks").cast("double") / col("t_toks"))
+            .as("cum_token_share"))
+        .orderBy("decile")
+    }),
+
+    // Robust per-source length outliers (median ± 3·1.4826·MAD): the
+    // screen that catches truncated/concatenated ingestion defects a
+    // mean±σ rule misses when the defect itself inflates σ. Both the
+    // median and the MAD come from the pinned-shape interpByRank (the
+    // engine-portable interpolation), each over the checkpointed token
+    // frame; the flags are one final broadcast-join pass.
+    "corpus_length_outliers" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val toks = docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .localCheckpoint(false) // one tokenize; med, dev, flags share it
+      val med = graft.operators.Quantiles.interpByRank(
+        toks, Seq("source"), "toks", "doc_id", Seq(50))
+        .select(col("source"), col("q50").as("med"))
+      val dev = toks.join(broadcast(med), "source")
+        .select(col("source"), col("doc_id"),
+          abs(col("toks") - col("med")).as("d"))
+      val mad = graft.operators.Quantiles.interpByRank(
+        dev, Seq("source"), "d", "doc_id", Seq(50))
+        .select(col("source"), col("q50").as("mad"))
+      val cut = lit(3.0) * lit(1.4826)
+      toks.join(broadcast(med), "source").join(broadcast(mad), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("med")).as("med_raw"), max(col("mad")).as("mad_raw"),
+          count(when(abs(col("toks") - col("med")) > cut * col("mad"),
+            lit(1))).as("n_outliers"))
+        .select(col("source"), col("n_docs"),
+          t6(col("med_raw")).as("median_toks"),
+          t6(col("mad_raw")).as("mad_toks"), col("n_outliers"),
+          t6(col("n_outliers").cast("double") / col("n_docs"))
+            .as("outlier_frac"))
+        .orderBy("source")
+    }),
+
+    // Embedding drift by label: each label group's centroid norm and
+    // its cosine to the global centroid — the model-monitoring readout
+    // that catches a label subpopulation drifting away from the
+    // training distribution. One posexplode pass to (label, dim) sums
+    // (checkpointed); the global centroid re-aggregates those sums;
+    // the cosine is a dim-key join of two bounded tables.
+    "embedding_label_drift" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val byLab = emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos"), col("col").cast("double").as("x"))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"), sum(col("x").cast(d12)).as("sx"))
+        .localCheckpoint(false) // labels×64 rows; global re-aggregates
+      val glob = byLab.groupBy("pos")
+        .agg((sum(col("sx")).cast("double") / sum(col("n"))).as("g"))
+      byLab
+        .select(col("label"), col("pos"), col("n"),
+          (col("sx").cast("double") / col("n")).as("c"))
+        .join(broadcast(glob), "pos")
+        .groupBy("label")
+        .agg(max(col("n")).as("n_vecs"),
+          sum((col("c") * col("c")).cast(d12)).cast("double").as("cc"),
+          sum((col("g") * col("g")).cast(d12)).cast("double").as("gg"),
+          sum((col("c") * col("g")).cast(d12)).cast("double").as("cg"))
+        .select(col("label"), col("n_vecs"),
+          t6(sqrt(col("cc"))).as("centroid_norm"),
+          t6(when(col("cc") > 0 && col("gg") > 0,
+            col("cg") / (sqrt(col("cc")) * sqrt(col("gg")))))
+            .as("cos_to_global"))
+        .orderBy("label")
+    }),
+
     // Near-dup cluster size histogram: how duplication mass distributes
     // across cluster sizes (many pairs vs few giant clusters decides
     // whether collapse or per-cluster sampling is the right removal
@@ -5738,6 +5849,126 @@ object ExtQueries {
          |  CAST(sum(sz) AS BIGINT) AS n_docs,
          |  CAST(sum(sz) - count(*) AS BIGINT) AS n_removable
          |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
+    "corpus_quality_tradeoff" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    floor((least(1.0, (len(string_split(text, ' ')) * 1.0) / 64.0)
+        |        * 0.5
+        |      + least(1.0, (len(list_filter(string_split(text, ' '),
+        |          x -> list_contains(['the','a','of','and','to','in','is'],
+        |                             x))) * 1.0
+        |          / len(string_split(text, ' '))) * 5.0) * 0.25
+        |      + least(1.0, ((length(text) - (len(string_split(text, ' '))
+        |          - 1)) * 1.0 / len(string_split(text, ' '))) / 8.0)
+        |        * 0.25) * 1000000) / 1000000 AS quality
+        |  FROM documents
+        |), r AS (
+        |  SELECT toks, quality,
+        |    ntile(10) OVER (ORDER BY quality DESC, doc_id) AS decile
+        |  FROM f
+        |), g AS (
+        |  SELECT decile, count(*) AS n_docs,
+        |    CAST(sum(toks) AS BIGINT) AS d_toks,
+        |    CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS qs
+        |  FROM r GROUP BY decile
+        |), c AS (
+        |  SELECT decile, n_docs, d_toks, qs,
+        |    CAST(sum(d_toks) OVER (ORDER BY decile
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(d_toks) OVER () AS BIGINT) AS tot
+        |  FROM g
+        |)
+        |SELECT decile, n_docs,
+        |  floor(qs / n_docs * 1000000) / 1000000 AS mean_quality,
+        |  floor(CAST(d_toks AS DOUBLE) / tot * 1000000) / 1000000
+        |    AS token_share,
+        |  floor(CAST(cum AS DOUBLE) / tot * 1000000) / 1000000
+        |    AS cum_token_share
+        |FROM c ORDER BY decile""".stripMargin,
+
+    "corpus_length_outliers" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |), r1 AS (
+        |  SELECT source, toks,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY toks, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM t
+        |), a1 AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN toks END)
+        |      AS lo,
+        |    max(CASE WHEN rn = (50 * (n - 1)) // 100 + 2 THEN toks END)
+        |      AS hi,
+        |    max(((50 * (n - 1)) % 100) / CAST(100 AS DOUBLE)) AS f
+        |  FROM r1 GROUP BY source
+        |), m1 AS (
+        |  SELECT source, lo + (coalesce(hi, lo) - lo) * f AS med FROM a1
+        |), d1 AS (
+        |  SELECT t.source, t.doc_id, abs(t.toks - m1.med) AS d
+        |  FROM t JOIN m1 USING (source)
+        |), r2 AS (
+        |  SELECT source, d,
+        |    row_number() OVER (PARTITION BY source ORDER BY d, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM d1
+        |), a2 AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN d END)
+        |      AS lo,
+        |    max(CASE WHEN rn = (50 * (n - 1)) // 100 + 2 THEN d END)
+        |      AS hi,
+        |    max(((50 * (n - 1)) % 100) / CAST(100 AS DOUBLE)) AS f
+        |  FROM r2 GROUP BY source
+        |), m2 AS (
+        |  SELECT source, lo + (coalesce(hi, lo) - lo) * f AS mad FROM a2
+        |), g AS (
+        |  SELECT t.source, count(*) AS n_docs,
+        |    max(m1.med) AS med_raw, max(m2.mad) AS mad_raw,
+        |    count(CASE WHEN abs(t.toks - m1.med) > 3.0 * 1.4826 * m2.mad
+        |               THEN 1 END) AS n_outliers
+        |  FROM t JOIN m1 USING (source) JOIN m2 USING (source)
+        |  GROUP BY t.source
+        |)
+        |SELECT source, n_docs,
+        |  floor(med_raw * 1000000) / 1000000 AS median_toks,
+        |  floor(mad_raw * 1000000) / 1000000 AS mad_toks,
+        |  n_outliers,
+        |  floor(CAST(n_outliers AS DOUBLE) / n_docs * 1000000) / 1000000
+        |    AS outlier_frac
+        |FROM g ORDER BY source""".stripMargin,
+
+    "embedding_label_drift" ->
+      """WITH bl AS (
+        |  SELECT label, i AS pos, count(*) AS n,
+        |    sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12)))
+        |      AS sx
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY label, i
+        |), gl AS (
+        |  SELECT pos, CAST(sum(sx) AS DOUBLE) / sum(n) AS g
+        |  FROM bl GROUP BY pos
+        |), j AS (
+        |  SELECT bl.label, bl.n, CAST(bl.sx AS DOUBLE) / bl.n AS c, gl.g
+        |  FROM bl JOIN gl USING (pos)
+        |), a AS (
+        |  SELECT label, max(n) AS n_vecs,
+        |    CAST(sum(CAST(c * c AS DECIMAL(38,12))) AS DOUBLE) AS cc,
+        |    CAST(sum(CAST(g * g AS DECIMAL(38,12))) AS DOUBLE) AS gg,
+        |    CAST(sum(CAST(c * g AS DECIMAL(38,12))) AS DOUBLE) AS cg
+        |  FROM j GROUP BY label
+        |)
+        |SELECT label, n_vecs,
+        |  floor(sqrt(cc) * 1000000) / 1000000 AS centroid_norm,
+        |  CASE WHEN cc > 0 AND gg > 0
+        |       THEN floor(cg / (sqrt(cc) * sqrt(gg)) * 1000000) / 1000000
+        |  END AS cos_to_global
+        |FROM a ORDER BY label""".stripMargin,
 
     "bpe_token_length_hist" -> {
       // the bpe_encode_count training chain, rolled up to the

@@ -2001,6 +2001,38 @@ object PipeQueries {
           t6(col("qa90") - col("qb90")).as("qte_p90"))
         .orderBy("event_type")
     }),
+
+    // Treatment-effect decay: the weekly lift series per event_type —
+    // a launch whose lift fades week over week is a novelty effect,
+    // not a product win; the fixed-horizon readouts (ab_lift, holm)
+    // can't see the difference. One decimal-routed grouped pass to the
+    // (type, week) grid; no window, no join.
+    "events_lift_decay" -> ((s, dir) => {
+      val dec = DecimalType(28, 6)
+      val t6 = graft.ext.TextStats.trunc6 _
+      TsQueries.base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")) &&
+          abs(col("value")) < lit(1e12))
+        .select(col("event_type"),
+          expr("sec div 604800").as("week"),
+          (col("user_id") % 2 === 0).as("arm_a"),
+          (col("value") +
+            when(col("user_id") % 2 === 0 &&
+              col("event_type") === "purchase", lit(11.0))
+              .otherwise(lit(0.0))).as("value"))
+        .groupBy("event_type", "week")
+        .agg(count(when(col("arm_a"), lit(1))).as("n_a"),
+          count(when(!col("arm_a"), lit(1))).as("n_b"),
+          sum(when(col("arm_a"), col("value").cast(dec)))
+            .cast("double").as("s_a"),
+          sum(when(!col("arm_a"), col("value").cast(dec)))
+            .cast("double").as("s_b"))
+        .select(col("event_type"), col("week"), col("n_a"), col("n_b"),
+          t6(when(col("n_a") > 0 && col("n_b") > 0,
+            col("s_a") / col("n_a") - col("s_b") / col("n_b")))
+            .as("lift"))
+        .orderBy("event_type", "week")
+    }),
   )
 
   // ---- oracles --------------------------------------------------------
@@ -3829,5 +3861,32 @@ object PipeQueries {
          |  ON qa.event_type = qb.event_type AND qa.arm_a AND NOT qb.arm_a
          |ORDER BY qa.event_type""".stripMargin
     },
+
+    "events_lift_decay" ->
+      s"""$BaseCte, v AS (
+         |  SELECT event_type, sec // 604800 AS week,
+         |    user_id % 2 = 0 AS arm_a,
+         |    value + CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+         |                 THEN 11.0 ELSE 0.0 END AS value
+         |  FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND abs(value) < 1e12
+         |), g AS (
+         |  SELECT event_type, week,
+         |    count(CASE WHEN arm_a THEN 1 END) AS n_a,
+         |    count(CASE WHEN NOT arm_a THEN 1 END) AS n_b,
+         |    CAST(sum(CASE WHEN arm_a
+         |             THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+         |      AS s_a,
+         |    CAST(sum(CASE WHEN NOT arm_a
+         |             THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+         |      AS s_b
+         |  FROM v GROUP BY 1, 2
+         |)
+         |SELECT event_type, week, n_a, n_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0
+         |       THEN floor((s_a / n_a - s_b / n_b) * 1000000) / 1000000
+         |  END AS lift
+         |FROM g ORDER BY event_type, week""".stripMargin,
   )
 }

@@ -477,4 +477,19 @@ object StreamIngest {
         ()
       }
   }
+
+  /** Streaming exact dedup bounded by the watermark: duplicate points
+    * (same key columns) arriving within the watermark horizon are
+    * dropped; state for a key is freed once the watermark passes it,
+    * so state size is bounded by the horizon's row count — the
+    * streaming counterpart of the batch `dedup_exact` key (an
+    * at-least-once ingest in front of the store needs exactly this to
+    * keep retried frames from double-writing). The frame must carry
+    * the event-time `ts` column.
+    */
+  def dedupWithinWatermark(points: DataFrame, keyCols: Seq[String],
+                           watermark: String): DataFrame =
+    points
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

@@ -131,7 +131,9 @@ object ScaleSanity {
       // round-11 final: lag + trailing-32 fold share one series sort
       "ts_ewm_volatility",
       // round-11 final: interpByRank per (type, arm), broadcast meet
-      "events_qte")
+      "events_qte",
+      // round-11 final: one grouped pass to the (type, week) grid
+      "events_lift_decay")
     val picks = sel(allPicks)
     if (picks.nonEmpty) {
       val n = ev.count()
@@ -311,7 +313,11 @@ object ScaleSanity {
       // round-11 final: train+encode chain into a <=5-row census
       "bpe_token_length_hist",
       // round-11 final: two chained aggs over the components
-      "dedup_cluster_stats")
+      "dedup_cluster_stats",
+      // round-11 final: global bucketed rank + 10-row decile frame
+      "corpus_quality_tradeoff",
+      // round-11 final: one tokenize checkpoint + two interp passes
+      "corpus_length_outliers")
     // (similar_ivf_probe_curve rides the embeddings substrate — its
     // arms are checkpoint-shared; the embeddings family sweep lives in
     // the dedicated embeddings section of prior rounds)
@@ -470,6 +476,8 @@ object ScaleSanity {
     // they don't manufacture sim=1.0 own-cell bests that would prune
     // unrealistically well.
     val embPicks = sel(Seq("exactNN", "dedup_semantic",
+      // round-11 final: (label, dim) sum pass + bounded cosine join
+      "embedding_label_drift",
       "similar_filtered_topk",
       // round-11 closing: two linear passes + broadcast meet
       "embedding_norm_stats",
@@ -575,6 +583,15 @@ object ScaleSanity {
         val r10 = time(fcr(spark, edir).count())
         println(f"[scale] embedding_corr_audit    1x=${r1}%6.2fs " +
           f"10x=${r10}%6.2fs ratio=${r10 / r1}%5.2f")
+      }
+      // round-11 final: one posexplode pass to (label, dim) sums;
+      // global marginal + cosine join run on that bounded table
+      if (embPicks.contains("embedding_label_drift")) {
+        val fld = graft.SparkEntry.queries("embedding_label_drift")
+        val l1 = time(fld(spark, "/root/testdata/sf0.1").count())
+        val l10 = time(fld(spark, edir).count())
+        println(f"[scale] embedding_label_drift   1x=${l1}%6.2fs " +
+          f"10x=${l10}%6.2fs ratio=${l10 / l1}%5.2f")
       }
     }
     spark.stop()

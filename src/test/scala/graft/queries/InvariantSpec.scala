@@ -442,4 +442,44 @@ class InvariantSpec extends SparkSpec {
       assert(rem == nd - nc, s"removable $rem != $nd - $nc")
     }
   }
+
+  test("quality tradeoff: decile means nonincreasing, cum share ends ~1") {
+    val rows = run("corpus_quality_tradeoff").collect()
+      .sortBy(_.getInt(0))
+    val means = rows.map(_.getDouble(2))
+    assert(means.zip(means.tail).forall { case (a, b) => b <= a + 2e-6 },
+      s"decile quality not nonincreasing: ${means.mkString(",")}")
+    val cums = rows.map(_.getDouble(4))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"cum share not monotone: ${cums.mkString(",")}")
+    assert(cums.last >= 1.0 - 1e-5 && cums.last <= 1.0)
+  }
+
+  test("length outliers: fractions bounded, mad nonnegative") {
+    run("corpus_length_outliers").collect().foreach { r =>
+      assert(r.getDouble(3) >= 0, s"negative MAD: $r")
+      val frac = r.getDouble(5)
+      assert(frac >= 0 && frac < 0.5, s"implausible outlier frac: $r")
+      assert(r.getLong(4) <= r.getLong(1))
+    }
+  }
+
+  test("label drift cosines are in [-1,1] with positive norms") {
+    run("embedding_label_drift").collect().foreach { r =>
+      assert(r.getDouble(2) >= 0, s"negative norm: $r")
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-6, s"cos out of range: $r")
+    }
+  }
+
+  test("lift decay sees the constant purchase lift in well-fed weeks") {
+    val rows = run("events_lift_decay").collect()
+      .filter(_.getString(0) == "purchase")
+    assert(rows.nonEmpty)
+    // per-week means are noisy when a boundary week has a handful of
+    // rows — the lift signal is only asserted where both arms have mass
+    rows.filter(r => r.getLong(2) >= 200 && r.getLong(3) >= 200)
+      .foreach(r =>
+        assert(r.getDouble(4) > 3.0,
+          s"week ${r.getLong(1)}: purchase lift ${r.get(4)} lost the +11"))
+  }
 }

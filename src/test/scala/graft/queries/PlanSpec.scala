@@ -1773,4 +1773,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
     assert(p.contains("Aggregate"), p)
   }
+
+  test("corpus_quality_tradeoff: docs hide behind the bucketed-rank " +
+    "checkpoint; decile cum-join broadcasts the 10-row frame") {
+    val p = plan("corpus_quality_tradeoff")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the rank checkpoint:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("corpus_length_outliers: one tokenize pass; med, dev, and the " +
+    "flag pass all read the checkpoint") {
+    val p = plan("corpus_length_outliers")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the token checkpoint:\n$p")
+    // every reader is the materialized stub (interpByRank's internal
+    // count+join passes re-read it, so the exact count is an
+    // implementation detail — the invariant is ZERO parquet re-scans)
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size >= 3,
+      s"stub readers missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("embedding_label_drift: one posexplode pass behind the " +
+    "(label, dim) checkpoint; global re-aggregates it; join broadcasts") {
+    val p = plan("embedding_label_drift")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("embeddings.parquet")) == 0,
+      s"embeddings leaked past the (label, dim) checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"fact side + global marginal = exactly two stub readers:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("events_lift_decay: one events scan, one grouped pass — " +
+    "no join, no window") {
+    val p = plan("events_lift_decay")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }

@@ -668,4 +668,36 @@ class StreamIngestSpec extends SparkSpec {
     assert(byTs == Map(t0 -> 1.0f, (t0 + 10) -> 2.0f, (t0 + 20) -> 3.0f),
       s"restart lost or duplicated a batch: $byTs")
   }
+
+  test("watermarked streaming dedup drops in-batch and retried duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1704067200L
+    val src = MemoryStream[String]
+    val points = StreamIngest.parse(
+      src.toDF().withColumnRenamed("value", "line"), "line", "test", "d1")
+    val dd = StreamIngest.dedupWithinWatermark(points, Seq("metric", "ts"),
+      "10 minutes")
+    val query = dd.writeStream.outputMode("append")
+      .format("memory").queryName("ddup").start()
+    try {
+      src.addData(
+        s"test,circuit=d1 v=1 ${t0}000000000",
+        s"test,circuit=d1 v=1 ${t0}000000000", // in-batch duplicate
+        s"test,circuit=d1 v=2 ${t0 + 60}000000000")
+      query.processAllAvailable()
+      src.addData(
+        s"test,circuit=d1 v=1 ${t0}000000000", // cross-batch retry
+        s"test,circuit=d1 v=3 ${t0 + 120}000000000")
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val rows = spark.sql("SELECT metric, ts, value FROM ddup ORDER BY ts")
+      .collect()
+    assert(rows.length == 3,
+      s"expected the 3 distinct points, got: ${rows.mkString("; ")}")
+    assert(rows.map(_.getTimestamp(1).toInstant.getEpochSecond).toSeq ==
+      Seq(t0, t0 + 60, t0 + 120))
+  }
 }
