@@ -386,6 +386,79 @@ object Multimodal {
     * batching, partitioning, and the executor-side lifecycle stay
     * exactly as tested.
     */
+  /** RMS + peak of a PCM16LE WAV's `data` chunk — the first
+    * BODY-reading byte expression in the family ([[avMeta]] reads only
+    * chunk/box sizes; this one proves the same codegen'd machinery can
+    * run the data plane). Two sequential bounded folds:
+    *
+    *   1. a RIFF chunk walk (state = (pos, dataPos, dataLen)) that
+    *      skips chunks by their declared little-endian sizes until
+    *      `data` — fixed-offset peeking cannot pass, callers put
+    *      variable-length chunks in front;
+    *   2. ONE `aggregate` over the first `maxSamples` sample words,
+    *      decoding each signed little-endian int16 and carrying
+    *      (sum of squares, peak |s|) in its state.
+    *
+    * Per-row cost is bounded by `maxChunks + maxSamples` regardless of
+    * payload size. Returns struct(n_samples, sum_sq, peak), nulls for
+    * truncated/unrecognized payloads. Same plan-size contract as
+    * [[avMeta]]: consume through a projection barrier; the walk output
+    * is referenced a bounded handful of times.
+    */
+  def audioRms(payload: Column, maxChunks: Int = 8,
+               maxSamples: Int = 256): Column = {
+    val isWav = fourcc(payload, lit(1L)) === lit("52494646") && // RIFF
+      fourcc(payload, lit(9L)) === lit("57415645")              // WAVE
+    // ONE fold (the avMeta plan-size contract — a second fold reading
+    // this one's output would re-inline it per reference and pay the
+    // duplicated tree in Catalyst AND per interpreted element): the
+    // state machine walks chunks (ph 0), then consumes one sample per
+    // step (ph 1), then freezes (ph 2). n = samples expected, ns =
+    // samples read, ss/mx = running sum-of-squares / peak.
+    val steps = maxChunks + maxSamples + 1
+    def mk(ph: Column, pos: Column, n: Column, ns: Column, ss: Column,
+           mx: Column) =
+      struct(ph.as("ph"), pos.as("pos"), n.as("n"), ns.as("ns"),
+        ss.as("ss"), mx.as("mx"))
+    val fold = aggregate(
+      sequence(lit(1), lit(steps)),
+      mk(lit(0), lit(13L), NullL, lit(0L), lit(0L), lit(0L)),
+      (st, _) => {
+        val ph = st.getField("ph")
+        val pos = st.getField("pos")
+        val id = fourcc(payload, pos)
+        val size = leInt(payload, pos + 4, 4)
+        val u = leInt(payload, pos, 2)
+        val s = when(u >= 32768L, u - 65536L).otherwise(u)
+        val n = st.getField("n")
+        val ns = st.getField("ns")
+        when(ph === 2, st)
+          .when(ph === 0 && (pos.isNull || size.isNull),
+            mk(lit(2), pos, NullL, lit(0L), lit(0L), lit(0L)))
+          .when(ph === 0 && id === lit("64617461"), // "data"
+            mk(lit(1), pos + 8,
+              least(size / 2, lit(maxSamples.toLong)).cast(LongType),
+              lit(0L), lit(0L), lit(0L)))
+          .when(ph === 0,
+            mk(lit(0), pos + 8 + size + pmod(size, lit(2)), NullL,
+              lit(0L), lit(0L), lit(0L)))
+          .when(ns >= n || u.isNull, // ph 1 exhausted (or truncated)
+            mk(lit(2), pos, n, ns, st.getField("ss"), st.getField("mx")))
+          .otherwise( // ph 1: consume one sample word
+            mk(lit(1), pos + 2, n, ns + 1,
+              st.getField("ss") + s * s,
+              greatest(st.getField("mx"), abs(s))))
+      })
+    // all samples present and read: truncation inside the data chunk
+    // (ns < n) and a missing data chunk (n null) both yield null
+    when(isWav && fold.getField("n").isNotNull &&
+        fold.getField("ns") === fold.getField("n") &&
+        fold.getField("n") > 0,
+      struct(fold.getField("n").as("n_samples"),
+        fold.getField("ss").as("sum_sq"),
+        fold.getField("mx").as("peak")))
+  }
+
   def decodeBatch(media: Dataset[MediaRecord], thumbSize: Int = 16,
                   nFrames: Int = 4): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._

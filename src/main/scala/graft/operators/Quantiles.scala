@@ -265,4 +265,68 @@ object Quantiles {
           (col(s"__b_$m") * binWidth).as(s"${m}_p$pct")): _*)
       .orderBy("ts")
   }
+
+  /** Exact GLOBAL running sum of a DECIMAL column in (valueCol,
+    * tieCol) order WITHOUT a global window — the prefix-sum sibling of
+    * [[bucketedRank]]'s global path, for cumulative-share statistics
+    * (Pareto/ABC curves) over arbitrarily large inputs:
+    *
+    *   1. bucket rows on the valueCol grid (caller-supplied fixed
+    *      range, same monotonicity-only contract as bucketedRank);
+    *   2. per-bucket DECIMAL sums — a bounded ≤ nBuckets table —
+    *      folded into prefix offsets on the driver (decimal addition
+    *      is exact and associative, so the fold order is immaterial)
+    *      and broadcast back;
+    *   3. within each bucket, one well-distributed window cumsum
+    *      ordered by (valueCol, tieCol), plus the bucket's offset.
+    *
+    * Result columns: `__cumsum` (exact running sum INCLUDING the
+    * current row) and `__total`. `sumCol` must be a DecimalType column
+    * — double sums would be order-dependent and break the exactness
+    * this exists to provide. Like bucketedRank's global path this is
+    * EAGER (the bucket-sum pass runs at call time) and lazily
+    * checkpoints the bucketed frame so both passes read one scan.
+    */
+  def bucketedPrefixSum(df: DataFrame, valueCol: String, sumCol: String,
+                        tieCol: String, range: (Double, Double),
+                        nBuckets: Int = 4096): DataFrame = {
+    require(df.schema(sumCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.DecimalType],
+      s"$sumCol must be DECIMAL for an exact, order-free prefix sum")
+    val v = col(valueCol).cast("double")
+    val (lo, hi) = range
+    val width = math.max((hi - lo) / nBuckets, 1e-9)
+    val b = df.withColumn("__bucket",
+      least(greatest(floor((v - lit(lo)) / lit(width)), lit(0)),
+        lit(nBuckets - 1)).cast("int"))
+      .localCheckpoint(false)
+    val sums = b.groupBy(col("__bucket"))
+      .agg(sum(col(sumCol)).as("__bs"))
+      .select(col("__bucket"), col("__bs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDecimal(1))).sortBy(_._1)
+    val total = sums.map(_._2)
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).setScale(6)
+    var off = java.math.BigDecimal.ZERO
+    val entries = sums.toSeq.map { case (bk, s) =>
+      val o = off; off = off.add(s); (bk, o.setScale(6), total)
+    }
+    val sparkSession = df.sparkSession
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("__bucket", IntegerType),
+      StructField("__off", DecimalType(38, 6)),
+      StructField("__total", DecimalType(38, 6))))
+    val offsets = sparkSession.createDataFrame(
+      sparkSession.sparkContext.parallelize(entries.map {
+        case (bk, o, t) => org.apache.spark.sql.Row(bk, o, t)
+      }, 1), schema)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bucket"))
+      .orderBy(col(valueCol), col(tieCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    b.join(broadcast(offsets), "__bucket")
+      .withColumn("__cumsum", col("__off") + sum(col(sumCol)).over(wIn))
+      .drop("__bucket", "__off")
+  }
 }

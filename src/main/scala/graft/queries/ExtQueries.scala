@@ -3244,6 +3244,80 @@ object ExtQueries {
         .orderBy("label")
     }),
 
+    // PCM16 audio RMS/peak from synthesized WAV payloads — the DATA
+    // PLANE companion of multimodal_av_meta (which reads only chunk
+    // sizes): the sample words themselves are decoded and reduced by
+    // one bounded fold. The WAV layout is real (a variable-length LIST
+    // chunk precedes data, so the chunk walk must follow declared
+    // sizes), samples are a deterministic function of doc_id (so the
+    // oracle predicts the answer without parsing bytes), and every
+    // 7th payload is truncated to exercise the null guards. Same
+    // projection-barrier discipline as av_meta.
+    "multimodal_audio_rms" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val nS = 64
+      def le(c: Column, n: Int) = concat((0 until n).map(i =>
+        unhex(lpad(hex(pmod(shiftright(c.cast("long"), 8 * i),
+          lit(256))), 2, "0"))): _*)
+      val sampleBytes = concat((0 until nS).map(i =>
+        le(pmod(col("doc_id") * 31 + lit(i * 17), lit(4096)), 2)): _*)
+      val padLen = (lit(10) + pmod(col("doc_id"), lit(7)) * 2).cast("int")
+      val wav = concat(
+        encode(lit("RIFF"), "UTF-8"), le(lit(1000L), 4),
+        encode(lit("WAVE"), "UTF-8"),
+        encode(lit("LIST"), "UTF-8"), le(padLen, 4),
+        encode(repeat(lit("x"), padLen), "UTF-8"),
+        encode(lit("fmt "), "UTF-8"), le(lit(16L), 4),
+        le(lit(1L), 2), le(lit(1L), 2), le(lit(8000L), 4),
+        le(lit(16000L), 4), le(lit(2L), 2), le(lit(16L), 2),
+        encode(lit("data"), "UTF-8"), le(lit(nS * 2L), 4), sampleBytes)
+      val payload = when(pmod(col("doc_id"), lit(7)) === 0,
+        wav.substr(lit(1), lit(20))).otherwise(wav)
+      docs(s, dir)
+        .select(col("doc_id").as("media_id"), payload.as("payload"))
+        // HARD plan cut between fixture synthesis and parsing (the r10
+        // av_meta prescription): the fold references the payload many
+        // times, and any optimizer merge would re-inline the whole
+        // byte-synthesis tree per reference — interpreted per fold
+        // step, that turned a seconds-pass into a 17-minute one
+        .localCheckpoint(false)
+        .select(col("media_id"),
+          Multimodal.audioRms(col("payload")).as("a"))
+        .select(col("media_id"),
+          col("a.n_samples").as("n_samples"),
+          t6(sqrt(col("a.sum_sq").cast("double") / col("a.n_samples")))
+            .as("rms"),
+          col("a.peak").as("peak"))
+        .orderBy("media_id")
+    }),
+
+    // Duplication × quality cross-census: are near-dups lower quality
+    // than unique docs? (If yes, dedup doubles as a quality filter and
+    // the curation order matters.) Joins the memoized LSH components
+    // against the shared rule bundle; output is a 2×2 census with
+    // within-group and overall shares.
+    "dedup_quality_cross" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val dupIds = Dedup.connectedComponents(candsOf(s, dir))
+        .select(col("id").as("doc_id")).distinct()
+        .withColumn("isd", lit(true))
+      val q = graft.ext.Pipeline.qualityRules(docs(s, dir), "text")
+        .select(col("doc_id"), col("pass").as("q_pass"))
+      val cls = q.join(dupIds, Seq("doc_id"), "left")
+        .select(col("q_pass"),
+          coalesce(col("isd"), lit(false)).as("is_dup"))
+        .groupBy("is_dup", "q_pass").agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(false) // 4 rows; group + overall totals share
+      val gt = cls.groupBy("is_dup").agg(sum(col("n_docs")).as("gn"))
+      val tot = broadcast(cls.agg(sum(col("n_docs")).as("tn")))
+      cls.join(broadcast(gt), "is_dup").crossJoin(tot)
+        .select(col("is_dup"), col("q_pass"), col("n_docs"),
+          t6(col("n_docs").cast("double") / col("gn")).as("group_share"),
+          t6(col("n_docs").cast("double") / col("tn"))
+            .as("overall_share"))
+        .orderBy("is_dup", "q_pass")
+    }),
+
     // Near-dup cluster size histogram: how duplication mass distributes
     // across cluster sizes (many pairs vs few giant clusters decides
     // whether collapse or per-cluster sampling is the right removal
@@ -5849,6 +5923,66 @@ object ExtQueries {
          |  CAST(sum(sz) AS BIGINT) AS n_docs,
          |  CAST(sum(sz) - count(*) AS BIGINT) AS n_removable
          |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
+    "multimodal_audio_rms" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(sum(((doc_id * 31 + i * 17) % 4096)
+        |      * ((doc_id * 31 + i * 17) % 4096)) AS BIGINT) AS ss,
+        |    CAST(max((doc_id * 31 + i * 17) % 4096) AS BIGINT) AS pk
+        |  FROM documents, range(0, 64) t(i) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 7 <> 0 THEN CAST(64 AS BIGINT) END
+        |    AS n_samples,
+        |  CASE WHEN d.doc_id % 7 <> 0
+        |       THEN floor(sqrt(CAST(s.ss AS DOUBLE) / 64) * 1000000)
+        |         / 1000000 END AS rms,
+        |  CASE WHEN d.doc_id % 7 <> 0 THEN s.pk END AS peak
+        |FROM documents d JOIN s USING (doc_id)
+        |ORDER BY media_id""".stripMargin,
+
+    "dedup_quality_cross" ->
+      s"""WITH RECURSIVE $ShingleBody, edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM cand
+         |  UNION
+         |  SELECT b_id AS src, a_id AS dst FROM cand
+         |), reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |), dup AS (
+         |  SELECT DISTINCT src AS doc_id FROM reach
+         |), wr AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), st AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(length(array_to_string(w, '')) AS DOUBLE) / len(w)
+         |      AS mean_len,
+         |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS dratio
+         |  FROM wr
+         |), q AS (
+         |  SELECT st.doc_id,
+         |    (n_words >= 50 AND n_words <= 100000)
+         |      AND (mean_len >= 3.0 AND mean_len <= 10.0)
+         |      AND dratio > 0.3 AS q_pass,
+         |    dup.doc_id IS NOT NULL AS is_dup
+         |  FROM st LEFT JOIN dup ON st.doc_id = dup.doc_id
+         |), cls AS (
+         |  SELECT is_dup, q_pass, count(*) AS n_docs FROM q GROUP BY 1, 2
+         |), gt AS (
+         |  SELECT is_dup, CAST(sum(n_docs) AS BIGINT) AS gn
+         |  FROM cls GROUP BY 1
+         |), tt AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS tn FROM cls
+         |)
+         |SELECT c.is_dup, c.q_pass, c.n_docs,
+         |  floor(CAST(c.n_docs AS DOUBLE) / gt.gn * 1000000) / 1000000
+         |    AS group_share,
+         |  floor(CAST(c.n_docs AS DOUBLE) / tt.tn * 1000000) / 1000000
+         |    AS overall_share
+         |FROM cls c JOIN gt USING (is_dup) CROSS JOIN tt
+         |ORDER BY c.is_dup, c.q_pass""".stripMargin,
 
     "corpus_quality_tradeoff" ->
       """WITH f AS (

@@ -2033,6 +2033,60 @@ object PipeQueries {
             .as("lift"))
         .orderBy("event_type", "week")
     }),
+
+    // ABC classification of parts by revenue (A = first 80% of the
+    // cumulative revenue curve, B = next 15%, C = tail) — the
+    // inventory/catalog segmentation behind stocking and dedup-effort
+    // decisions. The EXACT cumulative revenue in rank order comes from
+    // Quantiles.bucketedPrefixSum (bucket-grid DECIMAL prefix sums +
+    // driver-folded offsets — no global window anywhere), so the curve
+    // is bit-identical to `sum() OVER (ORDER BY ...)` at any scale.
+    "orders_abc_classification" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val rev = Tables.load(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(Dec)).as("rev"))
+        .withColumn("negrev", negate(col("rev").cast("double")))
+      val cum = graft.operators.Quantiles.bucketedPrefixSum(
+        rev, "negrev", "rev", "l_partkey", range = (-1e7, 0.0))
+      val share = col("__cumsum").cast("double") /
+        col("__total").cast("double")
+      cum
+        .withColumn("abc_class",
+          when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("rev")).as("crev"), max(col("__total")).as("tot"))
+        .select(col("abc_class"), col("n_parts"),
+          t6(col("crev").cast("double") / col("tot").cast("double"))
+            .as("rev_share"))
+        .orderBy("abc_class")
+    }),
+
+    // Churn label generation: the supervised-learning label a
+    // retention model trains on — churned = no order in the dataset's
+    // last 90 days — alongside the RFM features at the same grain, so
+    // the output IS the training table. One grouped pass + a broadcast
+    // 1-row horizon; no window.
+    "orders_churn_labels" -> ((s, dir) => {
+      val t6 = graft.ext.TextStats.trunc6 _
+      val per = Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("o_orderdate")).as("lastd"),
+          sum(col("o_totalprice").cast(Dec)).as("mon"))
+        .localCheckpoint(false) // one fact pass; horizon derives from it
+      val horizon = broadcast(per.agg(max(col("lastd")).as("maxd")))
+      per
+        .crossJoin(horizon)
+        .select(col("o_custkey"), col("n_orders"),
+          datediff(col("maxd"), col("lastd")).cast("long")
+            .as("recency_days"),
+          t6(col("mon").cast("double")).as("monetary"),
+          (datediff(col("maxd"), col("lastd")) > 90).as("churned"))
+        .orderBy("o_custkey")
+    }),
   )
 
   // ---- oracles --------------------------------------------------------
@@ -3888,5 +3942,45 @@ object PipeQueries {
          |       THEN floor((s_a / n_a - s_b / n_b) * 1000000) / 1000000
          |  END AS lift
          |FROM g ORDER BY event_type, week""".stripMargin,
+
+    "orders_abc_classification" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,6))) AS rev
+        |  FROM lineitem GROUP BY l_partkey
+        |), c AS (
+        |  SELECT l_partkey, rev,
+        |    sum(rev) OVER (ORDER BY -CAST(rev AS DOUBLE), l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(rev) OVER () AS tot
+        |  FROM rev
+        |), cl AS (
+        |  SELECT rev, tot,
+        |    CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.8
+        |           THEN 'A'
+        |         WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.95
+        |           THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM c
+        |)
+        |SELECT abc_class, count(*) AS n_parts,
+        |  floor(CAST(sum(rev) AS DOUBLE) / CAST(max(tot) AS DOUBLE)
+        |    * 1000000) / 1000000 AS rev_share
+        |FROM cl GROUP BY abc_class ORDER BY abc_class""".stripMargin,
+
+    "orders_churn_labels" ->
+      """WITH h AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        |g AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    max(o_orderdate) AS lastd,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS mon
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT o_custkey, n_orders,
+        |  CAST(datediff('day', lastd, maxd) AS BIGINT) AS recency_days,
+        |  floor(CAST(mon AS DOUBLE) * 1000000) / 1000000 AS monetary,
+        |  datediff('day', lastd, maxd) > 90 AS churned
+        |FROM g CROSS JOIN h ORDER BY o_custkey""".stripMargin,
   )
 }

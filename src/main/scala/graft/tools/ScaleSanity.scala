@@ -312,6 +312,11 @@ object ScaleSanity {
       "dedup_canonical_quality",
       // round-11 final: train+encode chain into a <=5-row census
       "bpe_token_length_hist",
+      // round-11 final: one-fold WAV body decode behind the synthesis
+      // checkpoint (cost is docs x bounded fold steps)
+      "multimodal_audio_rms",
+      // round-11 final: components x rule bundle into a 2x2 census
+      "dedup_quality_cross",
       // round-11 final: two chained aggs over the components
       "dedup_cluster_stats",
       // round-11 final: global bucketed rank + 10-row decile frame
@@ -396,7 +401,9 @@ object ScaleSanity {
       "orders_benford",
       // round-11 final: per-customer lag window + global bucketed rank
       // + one OLS moment agg
-      "orders_weibull_fit"))
+      "orders_weibull_fit",
+      // round-11 final: one grouped pass + broadcast horizon
+      "orders_churn_labels"))
     if (ordPicks.nonEmpty) {
       val no = ord.count()
       val bigOrd = (0 until 10).map { i =>
@@ -441,7 +448,10 @@ object ScaleSanity {
       // (per-order fanout constant under replication), and the HHI
       // rollup (brand×supplier aggregate cardinality fixed)
       "orders_interorder_gap", "basket_brand_affinity",
-      "supplier_share_hhi"))
+      "supplier_share_hhi",
+      // round-11 final: part-revenue prefix sum (bucket-grid DECIMAL
+      // offsets; part cardinality fixed under replication, revenue 10x)
+      "orders_abc_classification"))
     if (tpchPicks.nonEmpty) {
       val li0 = graft.core.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
       val nl = li0.count()

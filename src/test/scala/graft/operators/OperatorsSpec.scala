@@ -226,4 +226,38 @@ class OperatorsSpec extends SparkSpec {
       Seq("g"), "sec", "event_id", "v", 2000000000L).collect()(0)
     assert(tie.getDouble(2) == 40.0 && tie.getDouble(5) == 20.0)
   }
+
+  test("bucketedPrefixSum equals the plain global window cumsum, " +
+    "including ties and edge-bucket clamps") {
+    import spark.implicits._
+    val df = (1 to 500).map { i =>
+      // values collide (i % 40) so tie-break matters; sums land in
+      // many buckets plus both clamp edges via the narrow range below
+      (i.toLong, (i % 40).toDouble, BigDecimal(i).setScale(6))
+    }.toDF("id", "v", "x")
+      .withColumn("x",
+        col("x").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    val got = Quantiles.bucketedPrefixSum(df, "v", "x", "id",
+      range = (5.0, 30.0), nBuckets = 16)
+      .select(col("id"), col("__cumsum").cast("string"),
+        col("__total").cast("string"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val want = df
+      .withColumn("c", sum(col("x")).over(w))
+      .select(col("id"), col("c").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val total = (1 to 500).sum
+    (1 to 500).foreach { i =>
+      val (c, t) = got(i.toLong)
+      assert(BigDecimal(c) == BigDecimal(want(i.toLong)),
+        s"id $i: cumsum $c != window ${want(i.toLong)}")
+      assert(BigDecimal(t) == BigDecimal(total), s"total $t")
+    }
+  }
 }

@@ -471,6 +471,49 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("audio rms matches a direct recomputation of the sample formula") {
+    run("multimodal_audio_rms").collect().foreach { r =>
+      val id = r.getLong(0)
+      if (id % 7 == 0) assert(r.isNullAt(1), s"truncated $id must be null")
+      else {
+        val samples = (0 until 64).map(i => (id * 31 + i * 17) % 4096)
+        val rms = math.sqrt(samples.map(s => s * s).sum.toDouble / 64)
+        assert(r.getLong(1) == 64)
+        assert(math.abs(r.getDouble(2) - rms) <= 1e-6,
+          s"$id: rms ${r.getDouble(2)} != $rms")
+        assert(r.getLong(3) == samples.max, s"$id: peak mismatch")
+      }
+    }
+  }
+
+  test("abc classes cover the catalog and shares sum to ~1") {
+    val rows = run("orders_abc_classification").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("A", "B", "C"))
+    val s = rows.map(_.getDouble(2)).sum
+    assert(s > 1.0 - 3e-6 && s <= 1.0 + 1e-9, s"shares sum $s")
+    // A's revenue share dominates by construction of the 80% cut
+    val a = rows.find(_.getString(0) == "A").get.getDouble(2)
+    assert(a >= 0.5, s"A share $a implausibly small")
+  }
+
+  test("churn labels: churned iff recency exceeds 90 days") {
+    run("orders_churn_labels").collect().foreach { r =>
+      assert(r.getBoolean(4) == (r.getLong(2) > 90), s"label mismatch: $r")
+      assert(r.getLong(1) > 0 && r.getDouble(3) > 0)
+    }
+  }
+
+  test("dup-quality census shares are consistent") {
+    val rows = run("dedup_quality_cross").collect()
+    val overall = rows.map(_.getDouble(4)).sum
+    assert(overall > 1.0 - 4e-6 && overall <= 1.0 + 1e-9,
+      s"overall shares sum $overall")
+    rows.groupBy(_.getBoolean(0)).foreach { case (g, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(s > 1.0 - 2e-6 && s <= 1.0 + 1e-9, s"group $g shares $s")
+    }
+  }
+
   test("lift decay sees the constant purchase lift in well-fed weeks") {
     val rows = run("events_lift_decay").collect()
       .filter(_.getString(0) == "purchase")

@@ -413,7 +413,7 @@ class PlanSpec extends SparkSpec {
     def exprSize(e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
       graft.tools.PlanDump.exprSize(e)
     for (key <- Seq("multimodal_dims", "multimodal_av_meta",
-        "multimodal_image_formats")) {
+        "multimodal_image_formats", "multimodal_audio_rms")) {
       ExtQueries.clearMemo()
       val t0 = System.nanoTime()
       val qe = graft.SparkEntry.queries(key)(spark, dir).queryExecution
@@ -1811,5 +1811,40 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1, p)
     assert(!p.contains("Join") && !p.contains("Window"), p)
     assert(p.contains("HashAggregate"), p)
+  }
+
+  test("multimodal_audio_rms: synthesis is hard-cut from the fold " +
+    "(one stub read), no join, no window") {
+    val p = plan("multimodal_audio_rms")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the synthesis checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("orders_abc_classification: lineitem hides behind the " +
+    "prefix-sum checkpoint; the offsets join broadcasts") {
+    val p = plan("orders_abc_classification")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("lineitem.parquet")) == 0,
+      s"lineitem leaked past the prefix-sum checkpoint:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("orders_churn_labels: one orders pass behind the per-customer " +
+    "checkpoint; horizon is a broadcast 1-row derivation") {
+    val p = plan("orders_churn_labels")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("orders.parquet")) == 0,
+      s"orders leaked past the per-customer checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"fact side + horizon = exactly two stub readers:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_quality_cross: the 2x2 census is checkpointed; shares " +
+    "join broadcasts only") {
+    val p = plan("dedup_quality_cross")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the census checkpoint:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
   }
 }
