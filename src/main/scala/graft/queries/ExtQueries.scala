@@ -3318,6 +3318,37 @@ object ExtQueries {
         .orderBy("is_dup", "q_pass")
     }),
 
+    // Language mix per source: distribution entropy + majority-lang
+    // share — the multilingual-balance census a mixture-aware sampler
+    // reads next to corpus_source_gini. One (source, lang) agg (grain
+    // bounded by sources × langs); the majority pick is a rank-1
+    // window over that bounded table, entropy terms DECIMAL-routed.
+    "corpus_lang_mix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t6 = TextStats.trunc6 _
+      val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val g = docs(s, dir).groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // bounded census; totals + rank share
+      val tot = g.groupBy("source").agg(sum(col("n")).as("sn"))
+      val j = g.join(broadcast(tot), "source")
+        .withColumn("p", col("n").cast("double") / col("sn"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("n").desc, col("lang"))
+      j.withColumn("rk", row_number().over(w))
+        .groupBy("source")
+        .agg(max(col("sn")).as("n_docs"),
+          count(lit(1)).as("n_langs"),
+          max(when(col("rk") === 1, col("lang"))).as("majority_lang"),
+          max(when(col("rk") === 1, col("p"))).as("mp"),
+          sum((-col("p") * log(col("p"))).cast(d12)).cast("double")
+            .as("h"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("majority_lang"), t6(col("mp")).as("majority_share"),
+          t6(col("h")).as("lang_entropy"))
+        .orderBy("source")
+    }),
+
     // Near-dup cluster size histogram: how duplication mass distributes
     // across cluster sizes (many pairs vs few giant clusters decides
     // whether collapse or per-cluster sampling is the right removal
@@ -5923,6 +5954,28 @@ object ExtQueries {
          |  CAST(sum(sz) AS BIGINT) AS n_docs,
          |  CAST(sum(sz) - count(*) AS BIGINT) AS n_removable
          |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
+    "corpus_lang_mix" ->
+      """WITH g AS (
+        |  SELECT source, lang, count(*) AS n FROM documents
+        |  GROUP BY source, lang
+        |), tot AS (
+        |  SELECT source, CAST(sum(n) AS BIGINT) AS sn FROM g
+        |  GROUP BY source
+        |), j AS (
+        |  SELECT g.source, g.lang, g.n, tot.sn,
+        |    CAST(g.n AS DOUBLE) / tot.sn AS p,
+        |    row_number() OVER (PARTITION BY g.source
+        |      ORDER BY g.n DESC, g.lang) AS rk
+        |  FROM g JOIN tot USING (source)
+        |)
+        |SELECT source, max(sn) AS n_docs, count(*) AS n_langs,
+        |  max(CASE WHEN rk = 1 THEN lang END) AS majority_lang,
+        |  floor(max(CASE WHEN rk = 1 THEN p END) * 1000000) / 1000000
+        |    AS majority_share,
+        |  floor(CAST(sum(CAST(-p * ln(p) AS DECIMAL(38,12))) AS DOUBLE)
+        |    * 1000000) / 1000000 AS lang_entropy
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "multimodal_audio_rms" ->
       """WITH s AS (

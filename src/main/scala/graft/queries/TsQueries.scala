@@ -1001,6 +1001,47 @@ object TsQueries {
           col("mean_sigma"))
         .orderBy("event_type", "day_slot")
     }),
+
+    // Peak concurrency: the maximum number of simultaneously-open
+    // sessions (capacity planning's first question). Sessions become
+    // ±1 boundary deltas at second grain; the EXACT running
+    // concurrency over the one global boundary series comes from
+    // PrefixSplit.runningAggSubsplit("sum") — integer deltas, so the
+    // subsplit reassociation is exact — never a single-task global
+    // window, no matter how many sessions 100 TB of events open.
+    "events_peak_concurrency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val sess = base(s, dir)
+        .withColumn("prev_sec", lag(col("sec"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_sec").isNull ||
+            col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("sec")).as("start_sec"),
+          max(col("sec")).as("end_sec"))
+        .localCheckpoint(false) // session build once; count + deltas
+      val deltas = sess.select(explode(array(
+          struct(col("start_sec").as("sec"), lit(1L).as("d")),
+          struct((col("end_sec") + 1).as("sec"), lit(-1L).as("d"))))
+          .as("b"))
+        .select(col("b.sec").as("sec"), col("b.d").as("d"))
+        .groupBy("sec").agg(sum(col("d")).as("delta"))
+        .withColumn("g", lit(1))
+      val run = graft.operators.PrefixSplit.runningAggSubsplit(
+        deltas, Seq("g"), "sec", "delta", "sum")
+      val nSess = broadcast(sess.agg(count(lit(1)).as("n_sessions")))
+      run.agg(count(lit(1)).as("n_boundary_secs"),
+          max(struct(col("__run").as("c"), (-col("sec")).as("ns")))
+            .as("best"))
+        .crossJoin(nSess)
+        .select(col("n_sessions"), col("n_boundary_secs"),
+          col("best.c").as("peak_concurrency"),
+          (-col("best.ns")).as("peak_sec"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1935,5 +1976,46 @@ object TsQueries {
          |  floor(eod_sigma_raw * 1000000) / 1000000 AS eod_sigma,
          |  max_sigma, mean_sigma
          |FROM g ORDER BY event_type, day_slot""".stripMargin,
+
+    "events_peak_concurrency" ->
+      s"""$BaseCte, lagged AS (
+         |  SELECT user_id, sec, event_id,
+         |    lag(sec) OVER (PARTITION BY user_id
+         |      ORDER BY sec, event_id) AS prev_sec
+         |  FROM base
+         |), marked AS (
+         |  SELECT user_id, sec,
+         |    CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM lagged
+         |), sid AS (
+         |  SELECT user_id, sec,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec
+         |      ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM marked
+         |), s AS (
+         |  SELECT user_id, session_id, min(sec) AS start_sec,
+         |    max(sec) AS end_sec
+         |  FROM sid GROUP BY user_id, session_id
+         |), b AS (
+         |  SELECT sec, CAST(sum(d) AS BIGINT) AS delta FROM (
+         |    SELECT start_sec AS sec, 1 AS d FROM s
+         |    UNION ALL
+         |    SELECT end_sec + 1 AS sec, -1 AS d FROM s)
+         |  GROUP BY sec
+         |), r AS (
+         |  SELECT sec,
+         |    sum(delta) OVER (ORDER BY sec ROWS UNBOUNDED PRECEDING)
+         |      AS c
+         |  FROM b
+         |), p AS (
+         |  SELECT CAST(c AS BIGINT) AS peak_concurrency,
+         |    sec AS peak_sec
+         |  FROM r ORDER BY c DESC, sec LIMIT 1
+         |)
+         |SELECT (SELECT count(*) FROM s) AS n_sessions,
+         |  (SELECT count(*) FROM b) AS n_boundary_secs,
+         |  peak_concurrency, peak_sec
+         |FROM p""".stripMargin,
   )
 }

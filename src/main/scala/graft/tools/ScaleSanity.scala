@@ -130,6 +130,8 @@ object ScaleSanity {
       "ts_twap",
       // round-11 final: lag + trailing-32 fold share one series sort
       "ts_ewm_volatility",
+      // round-11 final: session checkpoint + subsplit running sum
+      "events_peak_concurrency",
       // round-11 final: interpByRank per (type, arm), broadcast meet
       "events_qte",
       // round-11 final: one grouped pass to the (type, week) grid
@@ -321,6 +323,8 @@ object ScaleSanity {
       "dedup_cluster_stats",
       // round-11 final: global bucketed rank + 10-row decile frame
       "corpus_quality_tradeoff",
+      // round-11 final: bounded (source, lang) census + rank-1 window
+      "corpus_lang_mix",
       // round-11 final: one tokenize checkpoint + two interp passes
       "corpus_length_outliers")
     // (similar_ivf_probe_curve rides the embeddings substrate — its

@@ -514,6 +514,23 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("peak concurrency is within [1, n_sessions]") {
+    val r = run("events_peak_concurrency").collect().head
+    val (ns, peak) = (r.getLong(0), r.getLong(2))
+    assert(ns > 0 && peak >= 1 && peak <= ns,
+      s"peak $peak outside [1, $ns]")
+    assert(r.getLong(3) > 0, "peak_sec must be a real boundary second")
+  }
+
+  test("lang mix: majority dominates uniform; entropy <= ln(n_langs)") {
+    run("corpus_lang_mix").collect().foreach { r =>
+      val (k, share, h) = (r.getLong(2), r.getDouble(4), r.getDouble(5))
+      assert(share >= 1.0 / k - 1e-6, s"majority below uniform: $r")
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-6,
+        s"entropy out of bounds: $r")
+    }
+  }
+
   test("lift decay sees the constant purchase lift in well-fed weeks") {
     val rows = run("events_lift_decay").collect()
       .filter(_.getString(0) == "purchase")

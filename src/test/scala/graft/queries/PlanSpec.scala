@@ -1847,4 +1847,27 @@ class PlanSpec extends SparkSpec {
       s"documents leaked past the census checkpoint:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("events_peak_concurrency: events hide behind the session " +
+    "checkpoint; the running sum is the subsplit, not a global window") {
+    val p = plan("events_peak_concurrency")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
+      s"events leaked past the session checkpoint:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the subsplit's local window partitions on (g, __slice) — a plan
+    // with a window partitioned on nothing would be the single-task
+    // global cumsum this key exists to avoid
+    assert(!p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(") && !l.contains("__slice") &&
+        l.contains("unboundedpreceding") && l.contains("currentrow") &&
+        !l.contains("user_id") && !l.contains("g#")),
+      s"unpartitioned running-sum window crept in:\n$p")
+  }
+
+  test("corpus_lang_mix: bounded census checkpoint; totals broadcast") {
+    val p = plan("corpus_lang_mix")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the census checkpoint:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
