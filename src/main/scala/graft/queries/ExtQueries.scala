@@ -3349,6 +3349,36 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // Within-source redundancy: the expected pairwise Jaccard of two
+    // random docs in a source, ESTIMATED from the shared MinHash index
+    // (for one hash, P[collision] = E[Jaccard]; averaging the 8 hashes'
+    // collision rates gives the estimator) — the "how much of this
+    // source is self-similar filler" diversity readout, priced at one
+    // re-aggregation of the memoized signature table instead of any
+    // pair join. Collision mass Σc(c−1) per (source, hash, value) is
+    // exact integer arithmetic.
+    "corpus_source_diversity" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      val joined = minhashOf(s, dir).join(src, "doc_id")
+        .localCheckpoint(false) // signature join once; census + n share
+      val longSig = joined.select(col("source"),
+        explode(array((0 until NumHashes).map(h =>
+          struct(lit(h).as("h"), col(s"mh$h").as("v"))): _*)).as("e"))
+        .select(col("source"), col("e.h").as("h"), col("e.v").as("v"))
+      val cc = longSig.groupBy("source", "h", "v")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(col("c") * (col("c") - 1)).as("tcc"))
+      val n = joined.groupBy("source").agg(count(lit(1)).as("nd"))
+      cc.join(broadcast(n), "source")
+        .select(col("source"), col("nd").as("n_docs_sig"),
+          t6(when(col("nd") > 1, col("tcc").cast("double") /
+            (lit(NumHashes.toDouble) * col("nd") * (col("nd") - 1))))
+            .as("est_pairwise_jaccard"))
+        .orderBy("source")
+    }),
+
     // Near-dup cluster size histogram: how duplication mass distributes
     // across cluster sizes (many pairs vs few giant clusters decides
     // whether collapse or per-cluster sampling is the right removal
@@ -5954,6 +5984,29 @@ object ExtQueries {
          |  CAST(sum(sz) AS BIGINT) AS n_docs,
          |  CAST(sum(sz) - count(*) AS BIGINT) AS n_removable
          |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
+    "corpus_source_diversity" ->
+      s"""WITH $ShingleBody, j AS (
+         |  SELECT d.source, m.h, m.minhash
+         |  FROM mh m JOIN documents d USING (doc_id)
+         |), nd AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS nd FROM (
+         |    SELECT DISTINCT d.source, m.doc_id
+         |    FROM mh m JOIN documents d USING (doc_id))
+         |  GROUP BY source
+         |), cc AS (
+         |  SELECT source, CAST(sum(c * (c - 1)) AS BIGINT) AS tcc FROM (
+         |    SELECT source, h, minhash, count(*) AS c
+         |    FROM j GROUP BY 1, 2, 3)
+         |  GROUP BY source
+         |)
+         |SELECT cc.source, nd.nd AS n_docs_sig,
+         |  CASE WHEN nd.nd > 1
+         |       THEN floor(CAST(cc.tcc AS DOUBLE)
+         |         / (8.0 * nd.nd * (nd.nd - 1)) * 1000000) / 1000000
+         |  END AS est_pairwise_jaccard
+         |FROM cc JOIN nd USING (source)
+         |ORDER BY cc.source""".stripMargin,
 
     "corpus_lang_mix" ->
       """WITH g AS (

@@ -1042,6 +1042,47 @@ object TsQueries {
           col("best.c").as("peak_concurrency"),
           (-col("best.ns")).as("peak_sec"))
     }),
+
+    // Croston's method for intermittent demand: separate EWMAs of the
+    // nonzero demand SIZES and of the INTERVALS between demand days
+    // (α = 1/4, dyadic — the determinism rule), forecast = size/interval
+    // per day. The standard forecaster where plain EWMA biases toward
+    // zero-heavy periods. The per-type series is grid-bounded (≤ the
+    // day count), so one ordered collect per type is a class-a buffer;
+    // both folds replay left-to-right identically on both engines.
+    "events_croston" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t6 = graft.ext.TextStats.trunc6 _
+      val daily = base(s, dir)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .groupBy(col("event_type"),
+          (col("sec") - (col("sec") % 86400L)).as("day"))
+        .agg(count(lit(1)).as("q"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val pts = daily
+        .withColumn("prev", lag(col("day"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("day"),
+          col("q").cast("double").as("q"),
+          ((col("day") - col("prev")) / lit(86400)).cast("long")
+            .cast("double").as("ivl"))
+      def fold(l: Column): Column =
+        aggregate(slice(l, lit(2), size(l) - 1), element_at(l, 1),
+          (acc, x) => acc * lit(0.75) + x * lit(0.25))
+      pts.groupBy("event_type")
+        .agg(count(lit(1)).as("n_demands"),
+          sort_array(collect_list(struct(col("day"), col("q"),
+            col("ivl")))).as("ser"))
+        .select(col("event_type"), col("n_demands"),
+          t6(fold(transform(col("ser"), e => e.getField("q"))))
+            .as("ewma_size"),
+          t6(fold(transform(col("ser"), e => e.getField("ivl"))))
+            .as("ewma_interval_days"),
+          t6(fold(transform(col("ser"), e => e.getField("q"))) /
+            fold(transform(col("ser"), e => e.getField("ivl"))))
+            .as("croston_daily_rate"))
+        .orderBy("event_type")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -2017,5 +2058,36 @@ object TsQueries {
          |  (SELECT count(*) FROM b) AS n_boundary_secs,
          |  peak_concurrency, peak_sec
          |FROM p""".stripMargin,
+
+    "events_croston" ->
+      s"""$BaseCte, daily AS (
+         |  SELECT event_type, sec - (sec % 86400) AS day,
+         |    count(*) AS q
+         |  FROM base
+         |  WHERE value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY 1, 2
+         |), pts AS (
+         |  SELECT event_type, day, CAST(q AS DOUBLE) AS q,
+         |    CAST((day - prev) // 86400 AS DOUBLE) AS ivl
+         |  FROM (SELECT event_type, day, q,
+         |          lag(day) OVER (PARTITION BY event_type ORDER BY day)
+         |            AS prev
+         |        FROM daily)
+         |  WHERE prev IS NOT NULL
+         |), g AS (
+         |  SELECT event_type, count(*) AS n_demands,
+         |    list_reduce(list(q ORDER BY day),
+         |      (a, x) -> a * CAST(0.75 AS DOUBLE)
+         |        + x * CAST(0.25 AS DOUBLE)) AS z,
+         |    list_reduce(list(ivl ORDER BY day),
+         |      (a, x) -> a * CAST(0.75 AS DOUBLE)
+         |        + x * CAST(0.25 AS DOUBLE)) AS p
+         |  FROM pts GROUP BY event_type
+         |)
+         |SELECT event_type, n_demands,
+         |  floor(z * 1000000) / 1000000 AS ewma_size,
+         |  floor(p * 1000000) / 1000000 AS ewma_interval_days,
+         |  floor(z / p * 1000000) / 1000000 AS croston_daily_rate
+         |FROM g ORDER BY event_type""".stripMargin,
   )
 }

@@ -132,6 +132,8 @@ object ScaleSanity {
       "ts_ewm_volatility",
       // round-11 final: session checkpoint + subsplit running sum
       "events_peak_concurrency",
+      // round-11 final: day collapse + lag + grid-bounded type collect
+      "events_croston",
       // round-11 final: interpByRank per (type, arm), broadcast meet
       "events_qte",
       // round-11 final: one grouped pass to the (type, week) grid
@@ -325,6 +327,8 @@ object ScaleSanity {
       "corpus_quality_tradeoff",
       // round-11 final: bounded (source, lang) census + rank-1 window
       "corpus_lang_mix",
+      // round-11 final: one re-aggregation of the memoized signatures
+      "corpus_source_diversity",
       // round-11 final: one tokenize checkpoint + two interp passes
       "corpus_length_outliers")
     // (similar_ivf_probe_curve rides the embeddings substrate — its

@@ -514,6 +514,27 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("croston components are positive; rate = size/interval") {
+    run("events_croston").collect().foreach { r =>
+      val (z, p, rate) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(z > 0 && p >= 1.0 - 1e-6,
+        s"${r.getString(0)}: size $z interval $p")
+      // z and p are truncated separately from the reported rate: the
+      // propagated truncation error scales with z/p², not a constant
+      assert(math.abs(rate - z / p) <= 1e-5 * (1 + z),
+        s"${r.getString(0)}: rate $rate != $z/$p")
+    }
+  }
+
+  test("source diversity estimates are valid Jaccard expectations") {
+    run("corpus_source_diversity").collect().foreach { r =>
+      if (!r.isNullAt(2)) {
+        val e = r.getDouble(2)
+        assert(e >= 0 && e <= 1.0 + 1e-9, s"${r.getString(0)}: est $e")
+      }
+    }
+  }
+
   test("peak concurrency is within [1, n_sessions]") {
     val r = run("events_peak_concurrency").collect().head
     val (ns, peak) = (r.getLong(0), r.getLong(2))

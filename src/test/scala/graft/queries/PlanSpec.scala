@@ -1870,4 +1870,19 @@ class PlanSpec extends SparkSpec {
       s"documents leaked past the census checkpoint:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("events_croston: slot collapse then one lag window then the " +
+    "bounded per-type collect — no join") {
+    val p = plan("events_croston")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 1, p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("corpus_source_diversity: census + n both read the joined " +
+    "signature checkpoint; n broadcasts back") {
+    val p = plan("corpus_source_diversity")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
+      s"census + n = exactly two stub readers:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
