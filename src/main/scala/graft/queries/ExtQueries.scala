@@ -3379,6 +3379,52 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    // algorithm): hash every 5-word gram, then in each sliding window
+    // of 4 gram hashes keep the RIGHTMOST MINIMUM — the selection with
+    // the guarantee that any match of ≥ w+k−1 words shares a
+    // fingerprint, at expected density 2/(w+1). The document-
+    // fingerprinting scheme plagiarism/near-dup indexes actually
+    // deploy (doc_fingerprint's rolling hash has no window guarantee).
+    // Per-row array lambdas only; the gram array is checkpointed so
+    // the fingerprint fold reads an attribute, never a re-synthesized
+    // tree (the audio_rms lesson).
+    "doc_winnowing" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val k = 5
+      val w = 4
+      // the greatest(...,1) floor keeps the sequence ascending for
+      // tiny docs (Spark's sequence(1,0) would DESCEND); their ≤1-gram
+      // arrays fall to the size>=w filter on both engines
+      val grams = transform(
+        sequence(lit(1), greatest(size(split(col("text"), " ")) -
+          lit(k - 1), lit(1))),
+        i => substring(md5(array_join(
+          slice(split(col("text"), " "), i, lit(k)), " ")), 1, 8))
+      val base = docs(s, dir)
+        .select(col("doc_id"), grams.as("g"))
+        .filter(size(col("g")) >= w)
+        .localCheckpoint(false) // gram arrays once; the fold reads attrs
+      val fps = transform(
+        sequence(lit(1), size(col("g")) - lit(w - 1)),
+        st => aggregate(sequence(st, st + lit(w - 1)),
+          struct(lit("~").as("h"), lit(0).as("p")), // '~' > any hex char
+          (acc, j) => when(element_at(col("g"), j) <= acc.getField("h"),
+            struct(element_at(col("g"), j).as("h"), j.as("p")))
+            .otherwise(acc)))
+      base
+        .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
+          array_distinct(transform(fps,
+            f => concat(f.getField("h"), lit(":"),
+              f.getField("p").cast("string")))).as("fp"))
+        .select(col("doc_id"), col("n_grams"),
+          (col("n_grams") - lit(w - 1)).as("n_windows"),
+          size(col("fp")).cast("long").as("n_fingerprints"),
+          t6(size(col("fp")).cast("double") /
+            (col("n_grams") - lit(w - 1))).as("density"))
+        .orderBy("doc_id")
+    }),
+
     // Near-dup cluster size histogram: how duplication mass distributes
     // across cluster sizes (many pairs vs few giant clusters decides
     // whether collapse or per-cluster sampling is the right removal
@@ -5984,6 +6030,35 @@ object ExtQueries {
          |  CAST(sum(sz) AS BIGINT) AS n_docs,
          |  CAST(sum(sz) - count(*) AS BIGINT) AS n_removable
          |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
+
+    "doc_winnowing" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(string_split(text, ' ')) - 3),
+        |      i -> substr(md5(array_to_string(
+        |        string_split(text, ' ')[i:i+4], ' ')), 1, 8)) AS g
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+        |    list_distinct(list_transform(range(1, len(g) - 2),
+        |      s -> struct_extract(list_reduce(
+        |          list_transform(range(s, s + 4),
+        |            j -> struct_pack(h := g[j], p := j)),
+        |          (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END), 'h')
+        |        || ':' ||
+        |        CAST(struct_extract(list_reduce(
+        |          list_transform(range(s, s + 4),
+        |            j -> struct_pack(h := g[j], p := j)),
+        |          (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END), 'p')
+        |          AS VARCHAR))) AS fp
+        |  FROM g WHERE len(g) >= 4
+        |)
+        |SELECT doc_id, n_grams,
+        |  n_grams - 3 AS n_windows,
+        |  CAST(len(fp) AS BIGINT) AS n_fingerprints,
+        |  floor(CAST(len(fp) AS DOUBLE) / (n_grams - 3) * 1000000)
+        |    / 1000000 AS density
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "corpus_source_diversity" ->
       s"""WITH $ShingleBody, j AS (

@@ -329,6 +329,8 @@ object ScaleSanity {
       "corpus_lang_mix",
       // round-11 final: one re-aggregation of the memoized signatures
       "corpus_source_diversity",
+      // round-11 final: pure per-row array lambdas (gram checkpoint)
+      "doc_winnowing",
       // round-11 final: one tokenize checkpoint + two interp passes
       "corpus_length_outliers")
     // (similar_ivf_probe_curve rides the embeddings substrate — its

@@ -514,6 +514,24 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("winnowing density is near 2/(w+1) and bounded by the guarantee") {
+    val rows = run("doc_winnowing").collect()
+    assert(rows.nonEmpty)
+    var dsum = 0.0
+    rows.foreach { r =>
+      val (ng, nw, nf, d) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nw == ng - 3)
+      // at least one fingerprint per window-disjoint block; at most
+      // one per window
+      assert(nf >= 1 && nf <= nw, s"${r.getLong(0)}: $nf of $nw")
+      dsum += d
+    }
+    val mean = dsum / rows.length
+    // expected density 2/(w+1) = 0.4 for w=4 (random hashes)
+    assert(mean > 0.25 && mean < 0.55, s"mean density $mean off 0.4")
+  }
+
   test("croston components are positive; rate = size/interval") {
     run("events_croston").collect().foreach { r =>
       val (z, p, rate) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))

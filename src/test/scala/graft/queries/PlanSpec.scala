@@ -1878,6 +1878,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("doc_winnowing: pure per-row array lambdas behind the gram " +
+    "checkpoint — no join, no window, no explode") {
+    val p = plan("doc_winnowing")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the gram checkpoint:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("Generate"), p)
+  }
+
   test("corpus_source_diversity: census + n both read the joined " +
     "signature checkpoint; n broadcasts back") {
     val p = plan("corpus_source_diversity")
