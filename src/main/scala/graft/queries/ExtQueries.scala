@@ -1226,22 +1226,34 @@ object ExtQueries {
         "vec_id", "embedding", col("qvec"), minSim = 0.1)
     }),
 
-    // Inverted index: token → document-frequency + ordered posting
-    // list (string-joined for engine-portable hashing). Buffer note
-    // (COVERAGE.md aggregation-buffer ledger): the per-token posting
-    // collect is output-grain — at corpus scale the index is the
-    // (doc_id, token) exploded table itself (shuffled + spillable);
-    // the single-row string emit is the bounded-SF hash surface.
-    "doc_inverted_index" -> ((s, dir) =>
-      docs(s, dir)
+    // Inverted index: token → document-frequency + the FIRST 1,000
+    // doc_ids of the posting list + an overflow count. The cap closes
+    // the r11 ledger residual: a stop-word's posting row was O(corpus)
+    // in ONE output row (and one collect buffer) — a task/row OOM at
+    // 100 TB. Now the per-token state is bounded BEFORE aggregation: a
+    // sort-based (spillable) window ranks postings per token, only the
+    // first `cap` reach the collect, and `df`/`n_overflow` carry the
+    // true totals from the same window pass. One shuffle on token; the
+    // groupBy reuses the window's hash partitioning.
+    "doc_inverted_index" -> ((s, dir) => {
+      val cap = 1000
+      import org.apache.spark.sql.expressions.Window
+      val t = docs(s, dir)
         .select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("token"))
-        .groupBy("token")
-        .agg(count(lit(1)).as("df"),
-          array_join(transform(sort_array(collect_set(col("doc_id"))),
-            _.cast("string")), ",").as("postings"))
+      t.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("token")))
         .filter(col("df") >= 3)
-        .orderBy("token")),
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("token").orderBy("doc_id")))
+        .filter(col("rn") <= cap)
+        .groupBy("token", "df")
+        .agg(array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+        .select(col("token"), col("df"), col("postings"),
+          greatest(col("df") - lit(cap.toLong), lit(0L)).as("n_overflow"))
+        .orderBy("token")
+    }),
 
     "similar_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -3054,40 +3066,31 @@ object ExtQueries {
     // top-10 |corr| off-diagonal pairs — highly correlated coordinates
     // mean the space wastes capacity and PQ/SQ codebooks train on
     // redundant axes (the check run before choosing a whitening / PCA
-    // step). The upper triangle materializes in ONE pass (explode dim
-    // i, then a second explode of the tail slice — no self-join), into
-    // a fixed d(d−1)/2-cell partial agg; per-dim moments are 64 rows
-    // and broadcast back onto the cells.
+    // step). ONE corpus pass: a fixed-size TypedImperativeAggregate
+    // ([[graft.expr.GramStats]]) folds per-dim moments AND the full
+    // d(d−1)/2 Gram triangle into a constant ~55 KB buffer per task —
+    // no posexplode, no d²-rows-per-vector materialization (the r11
+    // formulation exploded 2,016 product rows per vector and was the
+    // board's slowest key); the shuffle is one buffer per partition.
     "embedding_corr_audit" -> ((s, dir) => {
       val t6 = TextStats.trunc6 _
-      val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
       val dim = 64
       val e = emb(s, dir).select(col("embedding"))
-      val dims = e.select(posexplode(col("embedding")))
-        .select((col("pos") + 1).cast("int").as("d"),
-          col("col").cast("double").as("x"))
-        .groupBy("d")
-        .agg(count(lit(1)).as("n"),
-          sum(col("x").cast(d12)).cast("double").as("sx"),
-          sum((col("x") * col("x")).cast(d12)).cast("double").as("sxx"))
+      val g = e.agg(graft.expr.GramStats.gram_stats(col("embedding"), dim)
+          .as("g"))
+        .localCheckpoint(false) // 1 row; dims and cells both read it
+      val dims = g.select(explode(col("g.dims")).as("t"))
+        .select(col("t.d").as("d"), col("t.n").as("n"),
+          col("t.sx").cast("double").as("sx"),
+          col("t.sxx").cast("double").as("sxx"))
         .select(col("d"), col("n"), (col("sx") / col("n")).as("mu"),
           sqrt(greatest(col("sxx") / col("n") -
             (col("sx") / col("n")) * (col("sx") / col("n")), lit(0.0)))
             .as("sd"))
-        .localCheckpoint(false) // 64 rows; both broadcast joins read it
-      val cells = e
-        .select(col("embedding"), posexplode(col("embedding")))
-        .select(col("embedding"), (col("pos") + 1).cast("int").as("di"),
-          col("col").cast("double").as("xi"))
-        .select(col("di"), col("xi"),
-          posexplode(slice(col("embedding"), col("di") + 1,
-            lit(dim) - col("di"))))
-        .select(col("di"), (col("di") + col("pos") + 1).cast("int")
-          .as("dj"),
-          (col("xi") * col("col").cast("double")).as("xy"))
-        .groupBy("di", "dj")
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(col("xy").cast(d12)).cast("double").as("sxy"))
+      val cells = g.select(explode(col("g.cells")).as("t"))
+        .select(col("t.di").as("di"), col("t.dj").as("dj"),
+          col("t.n_vecs").as("n_vecs"),
+          col("t.sxy").cast("double").as("sxy"))
       val da = broadcast(dims.select(col("d").as("di"),
         col("mu").as("mu_i"), col("sd").as("sd_i")))
       val db = broadcast(dims.select(col("d").as("dj"),
@@ -4376,11 +4379,18 @@ object ExtQueries {
         |  FROM documents
         |), t AS (
         |  SELECT DISTINCT doc_id, token FROM tok
+        |), r AS (
+        |  SELECT token, doc_id,
+        |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY token) AS df
+        |  FROM t
         |)
-        |SELECT token, count(*) AS df,
+        |SELECT token, df,
         |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
-        |    AS postings
-        |FROM t GROUP BY token HAVING count(*) >= 3
+        |    AS postings,
+        |  CAST(greatest(df - 1000, 0) AS BIGINT) AS n_overflow
+        |FROM r WHERE df >= 3 AND rn <= 1000
+        |GROUP BY token, df
         |ORDER BY token""".stripMargin,
 
     "similar_ann_lsh" ->

@@ -1749,14 +1749,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("embedding_corr_audit: one embeddings scan into the two-explode " +
-    "upper triangle; dim stats broadcast; top-10 is TakeOrdered") {
+  test("embedding_corr_audit: moments + Gram triangle come from the " +
+    "one-pass gram_stats checkpoint — no posexplode anywhere; top-10 " +
+    "is TakeOrdered") {
     val p = plan("embedding_corr_audit")
-    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("embeddings.parquet")) == 1,
-      s"cells must be the only embeddings reader (dims checkpointed):\n$p")
+    // the single embeddings scan lives inside the gram_stats checkpoint;
+    // the visible plan reads the 1-row ExistingRDD twice (dims + cells)
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("embeddings.parquet")) == 0,
+      s"embeddings leaked past the gram_stats checkpoint:\n$p")
+    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 3,
+      s"cells + the two dim broadcasts must all read the one 1-row " +
+        s"checkpoint:\n$p")
+    assert(!p.contains("posexplode"),
+      s"the moment aggregate must not be fed by row explosion:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-10 must not be a global sort:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("gram_stats aggregates the raw embeddings scan directly: a " +
+    "single ObjectHashAggregate pair, no Generate between scan and agg") {
+    import org.apache.spark.sql.functions.col
+    val p = spark.read.parquet(s"$dir/embeddings.parquet")
+      .agg(graft.expr.GramStats.gram_stats(col("embedding"), 64).as("g"))
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("gram_stats"), p)
+    assert(!p.contains("Generate"),
+      s"no explode may feed the gram aggregate:\n$p")
+    // partial + final imperative aggregate — the shuffle carries one
+    // fixed-size buffer per task, nothing row-shaped
+    assert("ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
   }
 
   test("bpe_token_length_hist: everything reads the <=5-row census " +
@@ -1765,6 +1787,19 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
       s"documents leaked past the census checkpoint:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("doc_inverted_index: the rn<=cap filter sits between the window " +
+    "and the collect — the posting buffer is bounded before aggregation") {
+    val p = plan("doc_inverted_index")
+    assert(p.contains("Window"), s"posting cap needs the rank window:\n$p")
+    // WindowGroupLimit pushes the rn<=1000 cut into the window sort
+    // itself, so not even the ranked rows materialize past the cap
+    assert(p.contains("WindowGroupLimit"),
+      s"rn cap must push into the window (bounded collect input):\n$p")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2,
+      s"window and groupBy must share the token partitioning:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"), p)
   }
 
   test("dedup_cluster_stats: two chained aggs over the collected " +
