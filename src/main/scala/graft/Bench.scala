@@ -106,11 +106,18 @@ object Bench {
     val totals = passes.map(_.map(_._2).sum)
     val best = passes(totals.indexOf(totals.min))
     val total = totals.min
+    // variance-proof headline (r11 verdict ask #2): Σ over keys of the
+    // per-key MIN across passes. A transient hiccup in any single pass
+    // inflates best-of-N (whole-pass min) but not the per-key steady
+    // sum, so gate comparisons quote this number.
+    val steadyTotal =
+      names.indices.map(i => passes.map(_(i)._2).min).sum
     val spreadPct =
       if (totals.min > 0) (totals.max - totals.min) / totals.min * 100 else 0.0
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val evidence =
       s""""runs":${totals.map(r3).mkString("[", ",", "]")}""" +
+        s""","steady_total":${r3(steadyTotal)}""" +
         s""","spread_pct":${r3(spreadPct)}""" +
         s""","load_avg":[${r3(loadStart)},${r3(loadEnd)}]""" +
         s""","load_gate":{"threshold":${r3(loadMax)},"pre":${r3(gatePre)},"waited_s":$waited,"contended":$contended}""" +

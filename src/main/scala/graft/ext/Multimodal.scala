@@ -268,7 +268,17 @@ object Multimodal {
             coalesce(st.getField("br"),
               when(isFmt, leInt(payload, pos + 16, 4))).as("br"),
             coalesce(st.getField("ds"), when(isData, size)).as("ds")))
-      })
+      },
+      // finish lambda (r12, same contract as audioRms): synthesize the
+      // FINAL output struct here, where the state is a 1-node
+      // LambdaVariable — the r11 shape read sr/br/ds through four
+      // external getFields, re-inlining the whole walk per reference
+      st => struct(lit("wav").as("format"),
+        st.getField("sr").as("sample_rate"),
+        when(st.getField("br") > 0,
+          floor(st.getField("ds") * lit(1000.0) / st.getField("br"))
+            .cast(LongType)).as("duration_ms"),
+        NullL.as("width"), NullL.as("height")))
 
     // ISO-BMFF box walk: ONE fold, descending state machine.
     // mode 0 = top-level scan for moov; 1 = inside moov (mvhd fields
@@ -342,21 +352,20 @@ object Multimodal {
                 .when(ver === 1, beInt(payload, pos + 100, 2))))
           .otherwise( // opaque box (ftyp/free/mdat/udta/…): skip by size
             same(mFalse, mode, pos + size, lim, st.getField("ret")))
-      })
+      },
+      // finish lambda: final mp4 struct synthesized over 1-node state
+      // refs (five external getFields used to re-inline the walk 5×)
+      st => struct(lit("mp4").as("format"),
+        NullL.as("sample_rate"),
+        when(st.getField("ts") > 0,
+          floor(st.getField("dur") * lit(1000.0) / st.getField("ts"))
+            .cast(LongType)).as("duration_ms"),
+        st.getField("w").as("width"), st.getField("h").as("height")))
 
-    val wavDur = when(wavWalk.getField("br") > 0,
-      floor(wavWalk.getField("ds") * lit(1000.0) /
-        wavWalk.getField("br")).cast(LongType))
-    val mp4Dur = when(mp4Walk.getField("ts") > 0,
-      floor(mp4Walk.getField("dur") * lit(1000.0) /
-        mp4Walk.getField("ts")).cast(LongType))
-
-    when(isWav, struct(lit("wav").as("format"),
-      wavWalk.getField("sr").as("sample_rate"), wavDur.as("duration_ms"),
-      NullL.as("width"), NullL.as("height")))
-      .when(isMp4, struct(lit("mp4").as("format"),
-        NullL.as("sample_rate"), mp4Dur.as("duration_ms"),
-        mp4Walk.getField("w").as("width"), mp4Walk.getField("h").as("height")))
+    // each walk appears EXACTLY once; CaseWhen's lazy branches also
+    // skip the mp4 walk entirely on wav rows and vice versa
+    when(isWav, wavWalk)
+      .when(isMp4, mp4Walk)
       .otherwise(struct(lit("unknown").as("format"),
         NullL.as("sample_rate"), NullL.as("duration_ms"),
         NullL.as("width"), NullL.as("height")))

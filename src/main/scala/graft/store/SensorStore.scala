@@ -876,6 +876,28 @@ class SensorStore(spark: SparkSession, baseDir: String) {
   }
 
   /** D-1 verify: per-chunk usage statistics. */
+  /** Per-chunk integrity audit for the CLI `verify` subcommand
+    * (reference `__main__.py:101-109` + the verify walk in
+    * `fileutils.py:429-524`): recompute the row nansum and count rows
+    * whose STORED checksum is present but outside the C-2 tolerance —
+    * the parquet-era analog of the corrupt-chunk scan (file-level
+    * truncation can't survive parquet's atomic commit, so value
+    * integrity is the only corruption class left). Null stored
+    * checksums pass, matching `read(validateChecksums = true)`.
+    */
+  def checksumAudit(db: String, sensor: String): DataFrame = {
+    val all = config(db, sensor).metricNames
+    val bad = col("checksum").isNotNull &&
+      !RowChecksum.isClose(
+        RowChecksum.nansum(all.map(graft.core.Cols.q)), col("checksum"),
+        rtol = 1e-5, atol = 1e-3)
+    readRaw(db, sensor, all)
+      .groupBy(col("chunk_start"))
+      .agg(count(lit(1)).as("rows_total"),
+        count(when(bad, 1)).as("rows_corrupt"))
+      .orderBy("chunk_start")
+  }
+
   def verifyStats(db: String, sensor: String): DataFrame = {
     val cfg = config(db, sensor)
     val tick = cfg.tickSeconds

@@ -700,4 +700,96 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows.map(_.getTimestamp(1).toInstant.getEpochSecond).toSeq ==
       Seq(t0, t0 + 60, t0 + 120))
   }
+
+  test("streaming lambda near-dup pipeline reproduces the batch " +
+    "dedup_incremental_near verdicts at sf0.01 (batch ≡ stream)") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // same data split as the oracled batch key: batch = doc_id % 7 == 3
+    // streamed in doc_id order, corpus band index persisted at rest
+    val dir = "/root/testdata/sf0.01"
+    val nh = graft.queries.ExtQueries.NumHashes
+    val d = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpusBands = Dedup.bands(
+        Dedup.minhash(Dedup.shingles(
+          d.filter(col("doc_id") % 7 =!= 3), "doc_id", "text", 3),
+          "doc_id", nh), "doc_id", nh, 1)
+      .select(col("band"), col("band_key"), col("doc_id").as("corpus_id"))
+      .localCheckpoint()
+    val bloom = StreamIngest.bandBloom(corpusBands, expectedItems = 100000L)
+
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.bands(Dedup.minhash(
+        Dedup.shingles(df, "doc_id", "text", 3), "doc_id", nh),
+        "doc_id", nh, 1)
+
+    // the stream job: stateless Bloom screen per micro-batch, then the
+    // exact confirm in foreachBatch — corpus probe ONLY for flagged
+    // docs (the screen is load-bearing, not advisory), within-stream
+    // first-wins against the accumulated index of earlier stream docs
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long)]
+    var prevBands: Option[org.apache.spark.sql.DataFrame] = None
+    val src = MemoryStream[(Long, String)]
+    val screened = StreamIngest.nearDupScreen(
+      src.toDF().toDF("doc_id", "text"), bloom, "doc_id", "text",
+      nh, 1, 3)
+    val query = screened.writeStream.outputMode("append")
+      .foreachBatch { (mb: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = bandsOf(mb.select("doc_id", "text")).localCheckpoint()
+        val corpusNn = b
+          .join(mb.filter(col("maybe_near_dup")).select("doc_id"), "doc_id")
+          .join(corpusBands, Seq("band", "band_key"))
+          .groupBy("doc_id").agg(min("corpus_id").as("corpus_nn"))
+        val seen = prevBands
+          .map(_.unionByName(b)).getOrElse(b)
+          .select(col("doc_id").as("__a"), col("band"), col("band_key"))
+        val earlier = b.join(seen, Seq("band", "band_key"))
+          .filter(col("__a") < col("doc_id"))
+          .groupBy("doc_id").agg(min("__a").as("batch_first"))
+        val verdicts = mb.select("doc_id")
+          .join(corpusNn, Seq("doc_id"), "left")
+          .join(earlier, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("corpus_nn").isNotNull, lit("near_dup_of_corpus"))
+              .when(col("batch_first").isNotNull, lit("near_dup_in_batch"))
+              .otherwise(lit("new")).as("verdict"),
+            coalesce(col("corpus_nn"), col("batch_first"), col("doc_id"))
+              .as("canonical_id"))
+          .collect()
+        results ++= verdicts.map(r =>
+          (r.getLong(0), r.getString(1), r.getLong(2)))
+        prevBands = Some(prevBands.map(_.unionByName(b)).getOrElse(b)
+          .localCheckpoint())
+        ()
+      }
+      .start()
+    try {
+      val batchDocs = d.filter(col("doc_id") % 7 === 3)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // three micro-batches in doc_id order ("earlier in stream" =
+      // smaller doc_id = the batch key's first-wins order)
+      batchDocs.grouped((batchDocs.length + 2) / 3).foreach { chunk =>
+        src.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    val streamVerdicts = results.sortBy(_._1).toSeq
+    val batchVerdicts = graft.queries.ExtQueries
+      .queries("dedup_incremental_near")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(streamVerdicts.nonEmpty &&
+      streamVerdicts.exists(_._2 != "new"),
+      "fixture must exercise non-trivial verdicts")
+    assert(streamVerdicts == batchVerdicts,
+      s"stream and batch verdicts diverge:\n" +
+        streamVerdicts.zip(batchVerdicts)
+          .filter { case (a, b) => a != b }.take(10).mkString("\n"))
+  }
 }
