@@ -68,6 +68,47 @@ object ExtQueries {
     memo.getOrElseUpdate((s, dir, "shingles"),
       Dedup.shingles(docs(s, dir), "doc_id", "text", 3).persist())
 
+  /** Shared BM25 scored frame — (doc_id, bm25 [6-dec truncated],
+    * n_terms) for the fixed 3-term query; `doc_bm25_topk` serves its
+    * top-10 cut and `similar_hybrid_rrf` fuses its ranks with the
+    * vector ranks. Lucene-form idf, k1=1.2, b=0.75; one corpus pass
+    * behind a lazy checkpoint (the query-term filter runs inside that
+    * projection), df + (N, Σlen) broadcast, per-doc term fold in
+    * DECIMAL (order-exact). avgdl is the exact Σlen/N — an integer sum
+    * then ONE double division, engine-portable where `avg()`'s double
+    * fold is not.
+    */
+  private def bm25Frame(s: SparkSession, dir: String): DataFrame = {
+    val t6 = TextStats.trunc6 _
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val qTerms = Seq("spark", "merge", "vector")
+    val k1 = 1.2
+    val b = 0.75
+    val base = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        filter(col("toks"), t => t.isInCollection(qTerms)).as("qt"))
+      .localCheckpoint(false) // one corpus pass; stats + tf share it
+    val stats = broadcast(base.agg(
+      sum(col("dl")).cast("double").as("sum_dl"),
+      count(lit(1)).cast("double").as("n")))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("qt")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = broadcast(tf.groupBy("term").agg(count(lit(1)).as("df")))
+    val idf = log((col("n") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val score = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) +
+        lit(b) * col("dl") / (col("sum_dl") / col("n"))))
+    tf.join(df, "term").crossJoin(stats)
+      .groupBy("doc_id")
+      .agg(sum(score.cast(d12)).cast("double").as("raw"),
+        count(lit(1)).as("n_terms"))
+      .select(col("doc_id"), t6(col("raw")).as("bm25"), col("n_terms"))
+  }
+
   /** The minhash signature table is part of the same shared index: the
     * band/candidate build AND the estimate-vs-exact audit both read it,
     * so computing the k-min aggregation once per (session, dir) halves
@@ -1499,6 +1540,61 @@ object ExtQueries {
     "doc_top_tfidf" -> ((s, dir) =>
       TextStats.topTfidfTerm(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // BM25 retrieval (Robertson/Spärck Jones; the Lucene-form idf
+    // ln((N−df+0.5)/(df+0.5)+1), k1=1.2, b=0.75): top-10 docs for a
+    // fixed query — the canonical lexical-retrieval scorer next to the
+    // embedding top-k family. Scale shape (in bm25Frame): ONE documents
+    // pass emits (doc len, query-term hits) per doc — the query-term
+    // filter runs INSIDE that projection, so only matching-term rows
+    // ever reach an aggregate (at 100 TB this becomes an inverted-index
+    // probe on the query terms: same per-term row volume, no
+    // full-corpus tokenize); df and the (N, Σlen) scalars are
+    // broadcast; top-10 is TakeOrdered. Per-doc scores sum in DECIMAL
+    // so the 3-term fold is order-exact.
+    "doc_bm25_topk" -> ((s, dir) =>
+      bm25Frame(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)),
+
+    // Hybrid retrieval — reciprocal-rank fusion (Cormack/Clarke/
+    // Büttcher, k=60) of the BM25 lexical top-20 and the cosine vector
+    // top-20 for the same query intent (the fixed 3-term query; vec 0
+    // as the query vector; doc 0 excluded on both sides as the query
+    // doc). The standard RAG serving shape: two independent bounded
+    // retrievals, fused on rank alone — scores never need calibrating
+    // against each other. Both rank frames are ≤20 rows, so the rank
+    // windows and the outer join are driver-trivial at ANY corpus
+    // size; the heavy lifting is the two retrievals, each already
+    // scale-shaped (BM25 above; cosine = one codegen'd ArrayDot scan +
+    // TakeOrdered).
+    "similar_hybrid_rrf" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val kR = 60
+      import org.apache.spark.sql.expressions.Window
+      val lex = bm25Frame(s, dir)
+        .filter(col("doc_id") =!= 0)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id")))
+          .cast("long").as("r_lex")) // long: DuckDB row_number is BIGINT
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val vec = Similarity.topK(
+          e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", col("qvec"), 20)
+        .select(col("vec_id").as("doc_id"), row_number().over(
+          Window.orderBy(col("sim").desc, col("vec_id")))
+          .cast("long").as("r_vec"))
+      lex.join(vec, Seq("doc_id"), "outer")
+        .select(col("doc_id"), col("r_lex"), col("r_vec"),
+          t6(coalesce(lit(1.0) / (lit(kR) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(kR) + col("r_vec")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    }),
 
     // Per-row-rate (length-weighted) deterministic sampling: longer
     // docs keep with higher probability; pure narrow filter.
@@ -4921,6 +5017,94 @@ object ExtQueries {
         |SELECT doc_id, w AS top_term,
         |  floor(score * 1000000) / 1000000 AS tfidf
         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "doc_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        |), stats AS (
+        |  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM dl
+        |), tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'merge', 'vector')
+        |  GROUP BY doc_id, tok
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+        |      * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+        |      / (tf.tf + CAST(1.2 AS DOUBLE) * ((1 - 0.75)
+        |          + 0.75 * dl.dl / (s.sum_dl / s.n))) AS sc
+        |  FROM tf JOIN dfreq d ON tf.term = d.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats s
+        |)
+        |SELECT doc_id,
+        |  floor(CAST(sum(CAST(sc AS DECIMAL(38,12))) AS DOUBLE)
+        |    * 1000000) / 1000000 AS bm25,
+        |  count(*) AS n_terms
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "similar_hybrid_rrf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents
+         |), dl AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), stats AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+         |    CAST(count(*) AS DOUBLE) AS n
+         |  FROM dl
+         |), tf AS (
+         |  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+         |  WHERE tok IN ('spark', 'merge', 'vector')
+         |  GROUP BY doc_id, tok
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.doc_id,
+         |    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+         |      * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+         |      / (tf.tf + CAST(1.2 AS DOUBLE) * ((1 - 0.75)
+         |          + 0.75 * dl.dl / (s.sum_dl / s.n))) AS sc
+         |  FROM tf JOIN dfreq d ON tf.term = d.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN stats s
+         |), bm AS (
+         |  SELECT doc_id,
+         |    floor(CAST(sum(CAST(sc AS DECIMAL(38,12))) AS DOUBLE)
+         |      * 1000000) / 1000000 AS bm25
+         |  FROM scored GROUP BY doc_id
+         |), lex AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+         |  FROM bm WHERE doc_id <> 0
+         |  QUALIFY r_lex <= 20
+         |), q AS (
+         |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+         |), sims AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(${cosineSql("e.embedding", "q.qvec")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |), vec AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY sim DESC, doc_id) AS r_vec
+         |  FROM sims QUALIFY r_vec <= 20
+         |)
+         |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |  l.r_lex, v.r_vec,
+         |  floor((coalesce(CAST(1 AS DOUBLE) / (60 + l.r_lex),
+         |      CAST(0 AS DOUBLE))
+         |    + coalesce(CAST(1 AS DOUBLE) / (60 + v.r_vec),
+         |      CAST(0 AS DOUBLE))) * 1000000) / 1000000 AS rrf
+         |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "kmeans_fit_assign" ->
       s"""$KmeansCtes

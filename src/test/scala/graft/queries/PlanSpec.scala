@@ -1789,6 +1789,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("doc_bm25_topk: one corpus pass behind the checkpoint; df and " +
+    "corpus stats broadcast; top-10 is TakeOrdered") {
+    val p = plan("doc_bm25_topk")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the tokenize checkpoint:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p)
+    // the 1-row stats frame rides a broadcast loop join, never a
+    // shuffling cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must not be a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("similar_hybrid_rrf: both retrievals stay bounded — lexical " +
+    "ranks behind the checkpoint, vector side one arraydot scan; the " +
+    "rank windows only ever see the 20-row cuts") {
+    val p = plan("similar_hybrid_rrf")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"documents leaked past the bm25 checkpoint:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("embeddings.parquet")) <= 2,
+      s"vector side must be the only embeddings reader(s):\n$p")
+    assert(p.contains("arraydot"), s"cosine must be the native dot:\n$p")
+    // the rank windows sit ABOVE GlobalLimit 20 cuts (driver-trivial),
+    // never over a corpus-scale frame
+    assert("""GlobalLimit""".r.findAllIn(p).size >= 2 ||
+      p.contains("TakeOrderedAndProject"), p)
+    // the fusion join is FULL OUTER (Spark cannot broadcast it) over
+    // the two ≤20-row rank frames — the one acceptable SMJ shape; pin
+    // that it is the ONLY one and that it joins above both limits
+    assert("SortMergeJoin FullOuter".r.findAllIn(p).size <= 1 &&
+      !"SortMergeJoin (?!FullOuter)".r.findAllIn(p).hasNext,
+      s"only the bounded fusion join may sort-merge:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("doc_inverted_index: the rn<=cap filter sits between the window " +
     "and the collect — the posting buffer is bounded before aggregation") {
     val p = plan("doc_inverted_index")
