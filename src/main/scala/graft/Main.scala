@@ -37,7 +37,7 @@ import graft.store.SensorStore
 object Main {
 
   private val usage =
-    """usage: graft.Main <verify|stats|migrate> [options]
+    """usage: graft.Main <verify|stats|migrate|serve> [options]
       |
       |  verify   Recompute row checksums over every chunk; list corrupt
       |           chunks; exit 1 if any row fails the tolerance.
@@ -56,6 +56,13 @@ object Main {
       |           --target CODEC   zstd (default) | gzip | snappy | none
       |           --force          actually rewrite (consent flag; there
       |                            is no interactive prompt)
+      |
+      |  serve    Start the HTTP server (reference `server.py` routes:
+      |           catalog, influx/msgpack ingest, read_df wire, Grafana).
+      |           --base-dir DIR      store root (required)
+      |           --admin-token TOK   admin key (required; per-sensor
+      |                               read/write keys come from configs)
+      |           --port N            listen port (default 5000)
       |
       |  There is no `repair`: the reference repairs truncated chunk
       |  files, a failure class parquet's atomic commit removes by
@@ -103,6 +110,22 @@ object Main {
     cmd match {
       case "verify" => verify(store, dbs, opts.corruptOnly, out)
       case "stats" => stats(store, dbs, out)
+      case "serve" =>
+        if (opts.adminToken.isEmpty) {
+          out.println("error: serve requires --admin-token"); 2
+        } else {
+          val srv = new graft.server.GraftServer(spark, baseDir,
+            opts.adminToken.get, opts.port)
+          srv.start()
+          out.println(s"[serve] listening on 127.0.0.1:${srv.boundPort} " +
+            s"over $baseDir (Ctrl-C to stop)")
+          // block until interrupted — the reference's WSGIServer
+          // serve_forever (`server.py:501-513`)
+          try Thread.currentThread().join()
+          catch { case _: InterruptedException => () }
+          srv.stop()
+          0
+        }
       case "migrate" => migrate(store, baseDir, dbs, opts.target,
         opts.force, out)
       case "repair" =>
@@ -121,7 +144,9 @@ object Main {
                           db: Option[String] = None,
                           target: String = "zstd",
                           corruptOnly: Boolean = false,
-                          force: Boolean = false)
+                          force: Boolean = false,
+                          adminToken: Option[String] = None,
+                          port: Int = 5000)
 
   private def parseOpts(args: Array[String]): Either[String, Opts] = {
     var o = Opts()
@@ -137,6 +162,12 @@ object Main {
           if (!Set("zstd", "gzip", "snappy", "none")(t))
             return Left(s"bad --target '$t' (zstd|gzip|snappy|none)")
           o = o.copy(target = t); i += 2
+        case "--admin-token" if i + 1 < args.length =>
+          o = o.copy(adminToken = Some(args(i + 1))); i += 2
+        case "--port" if i + 1 < args.length =>
+          val p = scala.util.Try(args(i + 1).toInt).getOrElse(-1)
+          if (p < 0 || p > 65535) return Left(s"bad --port '${args(i + 1)}'")
+          o = o.copy(port = p); i += 2
         case "--corrupt-only" => o = o.copy(corruptOnly = true); i += 1
         case "--force" => o = o.copy(force = true); i += 1
         case other => return Left(s"unknown option '$other'")

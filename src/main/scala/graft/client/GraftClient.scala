@@ -27,21 +27,30 @@ import graft.store.{MetricDef, SensorConfig, SensorStore}
   * Auth tokens are stored with the sensor for config parity but not
   * enforced — a library embeds in the caller's security context.
   */
-class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
+class GraftClient(spark: SparkSession, baseDir: String, token: String = "",
+                  adminKey: String = "") {
 
   val store = new SensorStore(spark, baseDir)
 
-  /** Reference auth model (`database.py:142-152` + server routes):
-    * writes need the sensor's write key; reads accept read OR write
-    * key. A sensor with empty keys is open (the library default).
+  /** Reference auth model (`database.py:142-152,170-187` + server
+    * routes): writes need the sensor's write key; reads accept read OR
+    * write key; an `adminKey` holder passes every gate (`database.py:
+    * 178` — "admin key is valid for any action"; the server embedding
+    * sets it, the library default leaves it disabled). A sensor with
+    * empty keys is open (the library default).
     */
+  private def isAdmin: Boolean =
+    adminKey.nonEmpty && store.keyOk(adminKey, token)
+
   private def authWrite(db: String, sensor: String): Unit = {
+    if (isAdmin) return
     val cfg = store.config(db, sensor)
     if (cfg.writeKey.nonEmpty && !store.keyOk(cfg.writeKey, token))
       throw new graft.core.NotAuthorizedException(s"write $db/$sensor")
   }
 
   private def authRead(db: String, sensor: String): Unit = {
+    if (isAdmin) return
     val cfg = store.config(db, sensor)
     if (cfg.readKey.nonEmpty &&
         !store.keyOk(cfg.readKey, token) && !store.keyOk(cfg.writeKey, token))
@@ -183,6 +192,17 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "") {
           fillValue)
       }
     } finally { parsed.unpersist(); () }
+  }
+
+  /** Long-format ingest for ONE sensor — the `write_point_list` inner
+    * grain (`server.py:215-266`): points `(ts, metric, value)` through
+    * the locked upsert. The binary ingest route lands here after
+    * [[graft.ingest.Msgpack.decodePointList]].
+    */
+  def writePoints(db: String, sensor: String, points: DataFrame,
+                  fillValue: Double = 0.0): Unit = {
+    authWrite(db, sensor)
+    store.writeLocked(db, sensor, points, fillValue)
   }
 
   /** Ingest a wide frame (`ts` + one column per metric) — reference

@@ -58,6 +58,10 @@ class MainSpec extends SparkSpec {
     val (rcRepair, repairOut) = run("repair", "--base-dir",
       Files.createTempDirectory("graft-cli").toString)
     assert(rcRepair == 2 && repairOut.contains("atomic commit"))
+    // serve requires the admin token before it binds anything
+    val (rcServe, serveOut) = run("serve", "--base-dir",
+      Files.createTempDirectory("graft-cli").toString)
+    assert(rcServe == 2 && serveOut.contains("--admin-token"))
   }
 
   test("verify exits 0 on a clean store and 1 after out-of-band " +

@@ -1,0 +1,269 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.Base64
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.SparkSpec
+import graft.client.GraftClient
+
+/** Drives the HTTP layer end-to-end over real sockets — the serving
+  * analog of the reference's client↔server suite (`tests/test_client
+  * .py` runs against a live server; `tests/test_remote_server.py:28`
+  * pins the read-token-cannot-create rule). Wire checks decode the
+  * exact byte shapes the reference client decodes
+  * (`client.py:536-556`).
+  */
+class GraftServerSpec extends SparkSpec {
+
+  private val Admin = "admin-tok"
+  private val WriteK = "write-tok"
+  private val ReadK = "read-tok"
+
+  private lazy val (server, base, dir) = {
+    val d = java.nio.file.Files.createTempDirectory("graft-http").toString
+    val s = new GraftServer(spark, d, Admin)
+    s.start()
+    (s, s"http://127.0.0.1:${s.boundPort}", d)
+  }
+  private val http = HttpClient.newHttpClient()
+
+  private def basic(tok: String) =
+    "Basic " + Base64.getEncoder.encodeToString(s"user:$tok".getBytes)
+
+  private def req(method: String, path: String, tok: Option[String],
+                  body: Option[Array[Byte]] = None,
+                  headers: Map[String, String] = Map.empty)
+      : HttpResponse[Array[Byte]] = {
+    var b = HttpRequest.newBuilder(URI.create(base + path))
+    tok.foreach(t => b = b.header("Authorization", basic(t)))
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    b = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofByteArray(
+        body.getOrElse(Array.empty)))
+    }
+    http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  private def js(r: HttpResponse[Array[Byte]]): JValue =
+    JsonMethods.parse(new String(r.body(), StandardCharsets.ISO_8859_1))
+
+  private def setupSensor(): Unit = {
+    if (js(req("GET", "/db/plant", Some(Admin))) \ "ok" == JBool(true))
+      return
+    assert(req("POST", "/db/plant", Some(Admin)).statusCode == 201)
+    val cfg = """{"period":"1s",
+      "metrics":["active","reactive"],
+      "read_key":"read-tok","write_key":"write-tok",
+      "metadata":{"site":"x"}}"""
+    assert(req("POST", "/db/plant/sensor/m1", Some(Admin),
+      Some(cfg.getBytes)).statusCode == 201)
+  }
+
+  test("hello needs no auth; protected routes 401 without the header " +
+    "(server.py:91-104); unknown route is the 404 shape") {
+    val hello = req("GET", "/", None)
+    assert(hello.statusCode == 200 &&
+      (js(hello) \ "ok") == JBool(true))
+    val noAuth = req("POST", "/db/x", None)
+    assert(noAuth.statusCode == 401 &&
+      (js(noAuth) \ "msg") == JString("Authorization header needed"))
+    val missing = req("GET", "/nope/nada/niente/x", Some(Admin))
+    assert(missing.statusCode == 404 &&
+      (js(missing) \ "http_code") == JInt(404))
+  }
+
+  test("catalog lifecycle: create 201 / repeat 406 / exists 200/404; " +
+    "read token cannot create (test_remote_server.py:28 rule)") {
+    setupSensor()
+    assert(req("POST", "/db/plant", Some(Admin)).statusCode == 406)
+    assert(req("GET", "/db/plant", Some(Admin)).statusCode == 200)
+    assert(req("GET", "/db/ghost", Some(Admin)).statusCode == 404)
+    // catalog mutation is admin-only
+    assert(req("POST", "/db/plant2", Some(ReadK)).statusCode == 401)
+    assert(req("POST", "/db/plant/sensor/m2", Some(WriteK),
+      Some("""{"period":"1s","metrics":["a"]}""".getBytes))
+      .statusCode == 401)
+    // sensor exists: needs a key valid for READ
+    assert(req("GET", "/db/plant/sensor/m1", Some(ReadK)).statusCode == 200)
+    assert(req("GET", "/db/plant/sensor/m1", Some("bogus")).statusCode == 401)
+    assert(req("GET", "/db/plant/sensor/ghost", Some(Admin)).statusCode == 404)
+    // set_metadata round-trips through the metadata read
+    assert(req("POST", "/db/plant/sensor/m1/set_metadata", Some(Admin),
+      Some("""{"site":"y","owner":"ops"}""".getBytes)).statusCode == 200)
+    val md = js(req("POST", "/plant/m1/metadata", Some(ReadK)))
+    assert((md \ "metadata" \ "site") == JString("y"))
+  }
+
+  test("influx write (plain + zlib 'gzip' body) through the write key; " +
+    "wrong key 401; read-back equality via the library client") {
+    setupSensor()
+    val t0 = 1704067200L
+    val lines =
+      s"plant,circuit=m1 active=9,reactive=10 ${t0}000000000\n" +
+        s"plant,circuit=m1 active=11 ${t0 + 1}000000000"
+    assert(req("POST", "/influx", Some(ReadK),
+      Some(lines.getBytes)).statusCode == 401)
+    val ok = req("POST", "/influx", Some(WriteK), Some(lines.getBytes))
+    assert(ok.statusCode == 200 &&
+      (js(ok) \ "msg") == JString("2 lines inserted ok"))
+
+    // zlib-compressed body with the reference's 'gzip' header name
+    val more = s"plant,circuit=m1 reactive=12 ${t0 + 2}000000000"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(more.getBytes); deflater.finish()
+    val buf = new Array[Byte](1024)
+    val n = deflater.deflate(buf)
+    assert(req("POST", "/influx", Some(WriteK),
+      Some(java.util.Arrays.copyOf(buf, n)),
+      Map("Content-Encoding" -> "gzip")).statusCode == 200)
+
+    val c = new GraftClient(spark, dir, WriteK)
+    val rows = c.read("plant", "m1", Some(t0), Some(t0 + 10)).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getFloat(1) == 9.0f && rows(2).getFloat(2) == 12.0f)
+
+    val lt = js(req("POST", "/plant/m1/last_timestamp", Some(ReadK)))
+    assert((lt \ "last_timestamp") == JDouble((t0 + 2).toDouble))
+  }
+
+  test("influx_binary msgpack body ingests (server.py:317-328)") {
+    setupSensor()
+    val t0 = 1704153600L
+    val bb = ByteBuffer.allocate(1024)
+    def pStr(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); bb.put((0xa0 | b.length).toByte); bb.put(b)
+    }
+    bb.put(0x91.toByte) // 1-row list
+    bb.put(0x95.toByte) // 5-tuple
+    pStr("plant"); pStr("m1")
+    bb.put(0x92.toByte); pStr("active"); pStr("reactive")
+    bb.put(0x92.toByte)
+    bb.put(0xcb.toByte); bb.putDouble(5.5)
+    bb.put(0xcb.toByte); bb.putDouble(6.5)
+    bb.put(0xcf.toByte); bb.putLong(t0 * 1000000000L)
+    val body = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val r = req("POST", "/influx_binary", Some(WriteK), Some(body))
+    assert(r.statusCode == 200, new String(r.body()))
+    val c = new GraftClient(spark, dir, ReadK)
+    val row = c.read("plant", "m1", Some(t0), Some(t0)).collect()
+    assert(row.length == 1 && row(0).getFloat(1) == 5.5f &&
+      row(0).getFloat(2) == 6.5f)
+  }
+
+  /** Decode the read_df wire exactly as `client.py:536-556` does. */
+  private def decodeReadDf(j: JValue): (Array[Double], Array[Float]) = {
+    val fields = j.asInstanceOf[JObject].obj.toMap
+    val datesLen = fields.keys.find(_.forall(_.isDigit)).get
+    var data = fields(datesLen).asInstanceOf[JString].s
+      .getBytes(StandardCharsets.ISO_8859_1)
+    if (fields("compressed") == JBool(true)) {
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      while (!inf.finished()) out.write(buf, 0, inf.inflate(buf))
+      data = out.toByteArray
+    }
+    val raw = Base64.getMimeDecoder.decode(data)
+    val nDates = datesLen.toInt
+    val db = ByteBuffer.wrap(raw, 0, nDates).order(ByteOrder.LITTLE_ENDIAN)
+    val dates = Array.fill(nDates / 8)(db.getDouble)
+    val vb = ByteBuffer.wrap(raw, nDates, raw.length - nDates)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val values = Array.fill((raw.length - nDates) / 4)(vb.getFloat)
+    (dates, values)
+  }
+
+  test("read_df speaks the reference wire: float64 dates ++ float32 " +
+    "values, MIME base64, len-keyed; compressed variant when the " +
+    "client advertises gzip and the payload clears the threshold") {
+    setupSensor()
+    val t0 = 1704240000L
+    // 200 rows → 1600 date bytes > the 1024 threshold
+    val lines = (0 until 200).map(i =>
+      s"plant,circuit=m1 active=${i}.5 ${t0 + i}000000000")
+    assert(req("POST", "/influx", Some(WriteK),
+      Some(lines.mkString("\n").getBytes)).statusCode == 200)
+    val payload =
+      s"""{"start_ts": $t0.0, "end_ts": ${t0 + 199}.0}"""
+
+    val plain = req("POST", "/plant/m1/read_df", Some(ReadK),
+      Some(payload.getBytes))
+    assert(plain.statusCode == 200)
+    val jPlain = js(plain)
+    assert((jPlain \ "compressed") == JBool(false))
+    val (dates, values) = decodeReadDf(jPlain)
+    assert(dates.length == 200 && values.length == 400)
+    assert(dates(0) == t0.toDouble && dates(199) == (t0 + 199).toDouble)
+    assert(values(0) == 0.5f && values(398) == 199.5f)
+    assert(values(1).isNaN && values(399).isNaN) // reactive never written
+    assert((jPlain \ "metrics") == JArray(List(JString("active"),
+      JString("reactive"))))
+
+    val gz = req("POST", "/plant/m1/read_df", Some(ReadK),
+      Some(payload.getBytes), Map("Content-Encoding" -> "gzip"))
+    val jGz = js(gz)
+    assert((jGz \ "compressed") == JBool(true),
+      "payload over threshold + gzip header must compress")
+    val (dates2, values2) = decodeReadDf(jGz)
+    assert(dates2.sameElements(dates))
+    // bit-level compare: the values carry NaNs (NaN != NaN under ==)
+    assert(values2.map(java.lang.Float.floatToIntBits)
+      .sameElements(values.map(java.lang.Float.floatToIntBits)))
+
+    val empty = req("POST", "/plant/m1/read_df", Some(ReadK),
+      Some(s"""{"start_ts": ${t0 - 500000}.0, "end_ts": ${t0 - 400000}.0}"""
+        .getBytes))
+    assert(empty.statusCode == 404, "no data must be the 404 shape")
+  }
+
+  test("grafana endpoints: index, search, and the query wire equals " +
+    "the engine-built JSON (server.py:399-484)") {
+    setupSensor()
+    val t0 = 1704326400L
+    val lines = (0 until 50).map(i =>
+      s"plant,circuit=m1 active=${i}.0,reactive=${100 - i}.0 ${t0 + i}000000000")
+    assert(req("POST", "/influx", Some(WriteK),
+      Some(lines.mkString("\n").getBytes)).statusCode == 200)
+
+    val idx = js(req("GET", "/plant/m1", Some(ReadK)))
+    assert((idx \ "db") == JString("plant") &&
+      (idx \ "sensor") == JString("m1"))
+
+    val search = req("POST", "/plant/m1/search", Some(ReadK))
+    assert(new String(search.body()) == """["active","reactive"]""")
+
+    val fromIso = java.time.Instant.ofEpochSecond(t0).toString
+    val toIso = java.time.Instant.ofEpochSecond(t0 + 49).toString
+    val q = s"""{"range":{"from":"$fromIso","to":"$toIso"},
+      "targets":[{"target":"active"}],"maxDataPoints":25}"""
+    val got = new String(
+      req("POST", "/plant/m1/query", Some(ReadK), Some(q.getBytes)).body(),
+      StandardCharsets.ISO_8859_1)
+    val want = new GraftClient(spark, dir, ReadK)
+      .readGrafanaJson("plant", "m1", t0, t0 + 49, 25, Some(Seq("active")))
+    assert(got == want, s"grafana wire diverged:\n$got\n$want")
+  }
+
+  test("get_md5 hashes files under the store root and blocks traversal " +
+    "(server.py:486-498)") {
+    setupSensor()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "plant", "probe.txt"), "hello")
+    val ok = js(req("GET", "/get_md5/plant/probe.txt", Some(Admin)))
+    assert((ok \ "md5") ==
+      JString("5d41402abc4b2a76b9719d911017c592")) // md5("hello")
+    assert(req("GET", "/get_md5/../etc/passwd", Some(Admin))
+      .statusCode != 200)
+    assert(req("GET", "/get_md5/plant/ghost.bin", Some(Admin))
+      .statusCode == 404)
+  }
+}
