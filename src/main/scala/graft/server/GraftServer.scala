@@ -61,11 +61,17 @@ class GraftServer(spark: SparkSession, baseDir: String,
   private val store = new SensorStore(spark, baseDir)
   private val http =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // without an executor the JDK server handles requests on ONE thread;
+  // Spark sessions are thread-safe for concurrent jobs (each request
+  // becomes an independent job), so give the handler a small pool —
+  // the gevent-pool analog of `server.py:501-513`
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  http.setExecutor(pool)
   http.createContext("/", (ex: HttpExchange) => handle(ex))
 
   def boundPort: Int = http.getAddress.getPort
   def start(): Unit = http.start()
-  def stop(): Unit = http.stop(0)
+  def stop(): Unit = { http.stop(0); pool.shutdown() }
 
   private def client(key: String) =
     new GraftClient(spark, baseDir, key, adminToken)

@@ -253,6 +253,29 @@ class GraftServerSpec extends SparkSpec {
     assert(got == want, s"grafana wire diverged:\n$got\n$want")
   }
 
+  test("concurrent requests run on the handler pool — 16 parallel " +
+    "reads all answer correctly (the gevent-pool analog)") {
+    setupSensor()
+    val t0 = 1704412800L
+    assert(req("POST", "/influx", Some(WriteK),
+      Some(s"plant,circuit=m1 active=7 ${t0}000000000".getBytes))
+      .statusCode == 200)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val ec = ExecutionContext.fromExecutorService(
+      Executors.newFixedThreadPool(16))
+    try {
+      implicit val iec: ExecutionContext = ec
+      val futures = (1 to 16).map { _ =>
+        Future(js(req("POST", "/plant/m1/last_timestamp", Some(ReadK))))
+      }
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      assert(results.forall(r =>
+        (r \ "last_timestamp") != JNothing && (r \ "ok") == JBool(true)))
+    } finally ec.shutdown()
+  }
+
   test("get_md5 hashes files under the store root and blocks traversal " +
     "(server.py:486-498)") {
     setupSensor()
