@@ -109,6 +109,33 @@ object ExtQueries {
       .select(col("doc_id"), t6(col("raw")).as("bm25"), col("n_terms"))
   }
 
+  /** The two bounded rank frames of the hybrid-retrieval pair
+    * (`similar_hybrid_rrf` + its audit): lexical BM25 top-20 and
+    * cosine top-20 for the shared query intent (doc/vec 0 excluded as
+    * the query doc), each ranked by its already-truncated score with
+    * id tie-breaks. Ranks are long — DuckDB's `row_number` is BIGINT.
+    */
+  private def hybridRanks(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Frame(s, dir)
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long").as("r_lex"))
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    val vec = Similarity.topK(
+        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", col("qvec"), 20)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        Window.orderBy(col("sim").desc, col("vec_id")))
+        .cast("long").as("r_vec"))
+    (lex, vec)
+  }
+
   /** The minhash signature table is part of the same shared index: the
     * band/candidate build AND the estimate-vs-exact audit both read it,
     * so computing the k-min aggregation once per (session, dir) halves
@@ -1571,22 +1598,7 @@ object ExtQueries {
     "similar_hybrid_rrf" -> ((s, dir) => {
       val t6 = TextStats.trunc6 _
       val kR = 60
-      import org.apache.spark.sql.expressions.Window
-      val lex = bm25Frame(s, dir)
-        .filter(col("doc_id") =!= 0)
-        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
-        .select(col("doc_id"), row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id")))
-          .cast("long").as("r_lex")) // long: DuckDB row_number is BIGINT
-      val e = emb(s, dir)
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qvec"))
-      val vec = Similarity.topK(
-          e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
-          "vec_id", "embedding", col("qvec"), 20)
-        .select(col("vec_id").as("doc_id"), row_number().over(
-          Window.orderBy(col("sim").desc, col("vec_id")))
-          .cast("long").as("r_vec"))
+      val (lex, vec) = hybridRanks(s, dir)
       lex.join(vec, Seq("doc_id"), "outer")
         .select(col("doc_id"), col("r_lex"), col("r_vec"),
           t6(coalesce(lit(1.0) / (lit(kR) + col("r_lex")), lit(0.0)) +
@@ -1594,6 +1606,40 @@ object ExtQueries {
             .as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // The audit beside the fusion heuristic (the board's rule: every
+    // approximate path carries a measured companion): how different
+    // the two retrievals actually are on this corpus and what the
+    // fused cut is made of — top-20 overlap between the lexical and
+    // vector lists, the fused top-10's source composition
+    // (both/lex-only/vec-only), and whether fusion kept BOTH heads
+    // (each retrieval's top-3 surviving into the fused 10). All
+    // integer outputs over the same bounded 20-row frames.
+    "similar_hybrid_audit" -> ((s, dir) => {
+      val kR = 60
+      val (lex, vec) = hybridRanks(s, dir)
+      val fused = lex.join(vec, Seq("doc_id"), "outer")
+        .select(col("doc_id"), col("r_lex"), col("r_vec"),
+          TextStats.trunc6(
+            coalesce(lit(1.0) / (lit(kR) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(kR) + col("r_vec")), lit(0.0)))
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+        .localCheckpoint(false) // 10 rows; all audit counts read it
+      val ov = lex.join(vec, Seq("doc_id"))
+        .agg(count(lit(1)).as("top20_overlap"))
+      fused.crossJoin(broadcast(ov)).agg(
+          first(col("top20_overlap")).as("top20_overlap"),
+          count(when(col("r_lex").isNotNull && col("r_vec").isNotNull, 1))
+            .as("fused_from_both"),
+          count(when(col("r_lex").isNotNull && col("r_vec").isNull, 1))
+            .as("fused_lex_only"),
+          count(when(col("r_lex").isNull && col("r_vec").isNotNull, 1))
+            .as("fused_vec_only"),
+          count(when(col("r_lex") <= 3, 1)).as("lex_top3_kept"),
+          count(when(col("r_vec") <= 3, 1)).as("vec_top3_kept"))
     }),
 
     // Per-row-rate (length-weighted) deterministic sampling: longer
@@ -5105,6 +5151,81 @@ object ExtQueries {
          |      CAST(0 AS DOUBLE))) * 1000000) / 1000000 AS rrf
          |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    "similar_hybrid_audit" -> {
+      val hybridBody =
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          |  FROM documents
+          |), dl AS (
+          |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+          |), stats AS (
+          |  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+          |    CAST(count(*) AS DOUBLE) AS n
+          |  FROM dl
+          |), tf AS (
+          |  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+          |  WHERE tok IN ('spark', 'merge', 'vector')
+          |  GROUP BY doc_id, tok
+          |), dfreq AS (
+          |  SELECT term, count(*) AS df FROM tf GROUP BY term
+          |), scored AS (
+          |  SELECT tf.doc_id,
+          |    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+          |      * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+          |      / (tf.tf + CAST(1.2 AS DOUBLE) * ((1 - 0.75)
+          |          + 0.75 * dl.dl / (s.sum_dl / s.n))) AS sc
+          |  FROM tf JOIN dfreq d ON tf.term = d.term
+          |  JOIN dl ON tf.doc_id = dl.doc_id
+          |  CROSS JOIN stats s
+          |), bm AS (
+          |  SELECT doc_id,
+          |    floor(CAST(sum(CAST(sc AS DECIMAL(38,12))) AS DOUBLE)
+          |      * 1000000) / 1000000 AS bm25
+          |  FROM scored GROUP BY doc_id
+          |), lex AS (
+          |  SELECT doc_id,
+          |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+          |  FROM bm WHERE doc_id <> 0
+          |  QUALIFY r_lex <= 20
+          |), q AS (
+          |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+          |), sims AS (
+          |  SELECT e.vec_id AS doc_id,
+          |    round(COSINE_SQL, 6) AS sim
+          |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+          |), vec AS (
+          |  SELECT doc_id,
+          |    row_number() OVER (ORDER BY sim DESC, doc_id) AS r_vec
+          |  FROM sims QUALIFY r_vec <= 20
+          |)""".stripMargin
+          .replace("COSINE_SQL", cosineSql("e.embedding", "q.qvec"))
+      hybridBody +
+        """, fused AS (
+          |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+          |    l.r_lex, v.r_vec,
+          |    floor((coalesce(CAST(1 AS DOUBLE) / (60 + l.r_lex),
+          |        CAST(0 AS DOUBLE))
+          |      + coalesce(CAST(1 AS DOUBLE) / (60 + v.r_vec),
+          |        CAST(0 AS DOUBLE))) * 1000000) / 1000000 AS rrf
+          |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+          |  ORDER BY rrf DESC, doc_id LIMIT 10
+          |), ov AS (
+          |  SELECT count(*) AS top20_overlap FROM lex JOIN vec USING (doc_id)
+          |)
+          |SELECT ov.top20_overlap,
+          |  count(CASE WHEN r_lex IS NOT NULL AND r_vec IS NOT NULL
+          |    THEN 1 END) AS fused_from_both,
+          |  count(CASE WHEN r_lex IS NOT NULL AND r_vec IS NULL
+          |    THEN 1 END) AS fused_lex_only,
+          |  count(CASE WHEN r_lex IS NULL AND r_vec IS NOT NULL
+          |    THEN 1 END) AS fused_vec_only,
+          |  count(CASE WHEN r_lex <= 3 THEN 1 END) AS lex_top3_kept,
+          |  count(CASE WHEN r_vec <= 3 THEN 1 END) AS vec_top3_kept
+          |FROM fused CROSS JOIN ov
+          |GROUP BY ov.top20_overlap
+          |ORDER BY ov.top20_overlap""".stripMargin
+    },
 
     "kmeans_fit_assign" ->
       s"""$KmeansCtes
