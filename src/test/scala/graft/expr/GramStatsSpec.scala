@@ -125,6 +125,82 @@ class GramStatsSpec extends SparkSpec {
       == Seq((1, 2, 2L, 2.0), (1, 3, 2L, 5.0), (2, 3, 2L, 6.0)))
   }
 
+  test("randomized: arbitrary arrays (nulls, ragged lengths, extreme " +
+    "magnitudes) agree with a driver-side BigDecimal reference and are " +
+    "partitioning-invariant") {
+    val rnd = new scala.util.Random(20260815L)
+    val dim = 5
+    // ragged lengths 0..7 (beyond dim exercises the cap), ~15% null
+    // elements, ~10% null arrays, magnitudes spanning 1e-6..1e4
+    val data: Seq[Array[java.lang.Float]] = (0 until 400).map { _ =>
+      if (rnd.nextDouble() < 0.1) null
+      else Array.fill(rnd.nextInt(8)) {
+        if (rnd.nextDouble() < 0.15) null.asInstanceOf[java.lang.Float]
+        else java.lang.Float.valueOf(
+          ((rnd.nextDouble() * 2 - 1) *
+            math.pow(10, rnd.nextInt(11) - 6)).toFloat)
+      }
+    }
+    // driver-side reference with the SAME dual-path scale-12 grain as
+    // GramStats.addScaled (long fast path; BigDecimal past 2^52 where
+    // the extreme-magnitude products land — this fixture exercises it)
+    def scaled(v: Double): java.math.BigDecimal = {
+      val mag = math.abs(v) * 1e12
+      if (mag <= 4.5e15) {
+        val r = math.floor(mag + 0.5).toLong
+        java.math.BigDecimal.valueOf(if (v < 0) -r else r, 12)
+      } else new java.math.BigDecimal(java.lang.Double.toString(v))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    }
+    val nC = dim * (dim - 1) / 2
+    val refN = new Array[Long](nC)
+    val refS = Array.fill(nC)(java.math.BigDecimal.ZERO)
+    val refNnz = new Array[Long](nC)
+    data.filter(_ != null).foreach { arr =>
+      val n = math.min(arr.length, dim)
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val idx = i * (2 * dim - i - 1) / 2 + (j - i - 1)
+          refN(idx) += 1
+          if (arr(i) != null && arr(j) != null) {
+            refNnz(idx) += 1
+            refS(idx) = refS(idx).add(
+              scaled(arr(i).doubleValue * arr(j).doubleValue))
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val rows = data.map(a => org.apache.spark.sql.Row(
+      if (a == null) null else a.toSeq))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = true))))
+    for (parts <- Seq(1, 11)) {
+      val got = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, parts), schema)
+        .agg(gram_stats(col("embedding"), dim).as("g"))
+        .select(explode(col("g.cells")).as("t"))
+        .select(col("t.di"), col("t.dj"), col("t.n_vecs"), col("t.sxy"))
+        .orderBy("t.di", "t.dj").collect()
+      assert(got.length == nC)
+      got.foreach { r =>
+        val idx = (r.getInt(0) - 1) * (2 * dim - r.getInt(0)) / 2 +
+          (r.getInt(1) - r.getInt(0) - 1)
+        assert(r.getLong(2) == refN(idx),
+          s"n_vecs mismatch at (${r.getInt(0)},${r.getInt(1)}) parts=$parts")
+        if (refNnz(idx) == 0) assert(r.isNullAt(3))
+        else assert(r.getDecimal(3).compareTo(refS(idx)) == 0,
+          s"sxy mismatch at (${r.getInt(0)},${r.getInt(1)}) " +
+            s"parts=$parts: got ${r.getDecimal(3)}, want ${refS(idx)}")
+      }
+    }
+  }
+
   test("long-lane spill keeps sums exact past the spill threshold") {
     val buf = new GramBuffer(2)
     // drive the single cell's long lane over SpillAt twice
