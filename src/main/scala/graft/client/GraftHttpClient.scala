@@ -88,7 +88,18 @@ class GraftHttpClient(spark: SparkSession, baseUrl: String,
                    metrics: Seq[String], readKey: String,
                    writeKey: String,
                    metadata: Map[String, String] = Map.empty): Boolean = {
-    def q(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+    // Full JSON string escaping (backslashes + control chars too, not
+    // just quotes): a metadata value containing `\` or a newline must
+    // still produce a well-formed request body (ADVICE r12).
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val md = metadata.map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")
     val body =

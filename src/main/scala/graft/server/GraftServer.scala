@@ -94,7 +94,13 @@ class GraftServer(spark: SparkSession, baseDir: String,
     case b: Boolean => b.toString
     case i: Int => i.toString
     case l: Long => l.toString
-    case d: Double => if (d == d.floor && d.abs < 1e15) f"$d%.1f" else d.toString
+    case d: Double =>
+      // Locale.ROOT: f"$d%.1f" uses the JVM default locale, which on
+      // comma-decimal locales (de_DE…) would emit `123,0` — invalid
+      // JSON (ADVICE r12).
+      if (d == d.floor && d.abs < 1e15)
+        String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+      else d.toString
     case m: Map[_, _] =>
       m.map { case (k, x) => jstr(k.toString) + ":" + renderJ(x) }
         .mkString("{", ",", "}")
@@ -135,17 +141,21 @@ class GraftServer(spark: SparkSession, baseDir: String,
     adminToken.nonEmpty && store.keyOk(adminToken, key)
 
   /** `database.py:170-187`: admin any action; write key → write+read;
-    * read key → read. Empty configured keys are open, like the client.
+    * read key → read. At the NETWORK boundary an empty configured key
+    * grants only on exact match (i.e. never for a non-admin caller) —
+    * the reference server's `_check_auth` admits only exact-key or
+    * admin, so a keyless sensor is admin-only over HTTP even though
+    * the in-process library client treats empty as open (ADVICE r12).
     */
   private def authSensor(key: String, db: String, sensor: String,
                          write: Boolean): Unit = {
     if (isAdmin(key)) return
     val cfg = store.config(db, sensor)
-    val okWrite = cfg.writeKey.isEmpty || store.keyOk(cfg.writeKey, key)
-    val okRead = cfg.readKey.isEmpty || store.keyOk(cfg.readKey, key)
+    val okWrite = cfg.writeKey.nonEmpty && store.keyOk(cfg.writeKey, key)
+    val okRead = cfg.readKey.nonEmpty && store.keyOk(cfg.readKey, key)
     if (write && !okWrite)
       throw new NotAuthorizedException(s"write $db/$sensor")
-    if (!write && !(okRead || store.keyOk(cfg.writeKey, key)))
+    if (!write && !(okRead || okWrite))
       throw new NotAuthorizedException(s"read $db/$sensor")
   }
 
@@ -334,8 +344,17 @@ class GraftServer(spark: SparkSession, baseDir: String,
       // ---- md5 (`server.py:486-498`) ----
       case ("GET", Seq("get_md5", rest @ _*)) =>
         val base = java.nio.file.Paths.get(baseDir).toRealPath()
-        val target = base.resolve(rest.mkString("/")).normalize()
-        if (!target.startsWith(base)) makeJs(ex, "Invalid path", 400)
+        val lexical = base.resolve(rest.mkString("/")).normalize()
+        // Containment on the REAL path (symlinks resolved), matching
+        // server.py's os.path.realpath — a symlink inside the store
+        // pointing outside it must not get hashed (ADVICE r12). The
+        // lexical pre-check keeps blatant `..` traversal a 400 even
+        // when the target does not exist.
+        val target =
+          try if (lexical.startsWith(base)) lexical.toRealPath() else lexical
+          catch { case _: java.nio.file.NoSuchFileException => null }
+        if (target == null) makeJs(ex, "File not found", 404)
+        else if (!target.startsWith(base)) makeJs(ex, "Invalid path", 400)
         else if (!java.nio.file.Files.isRegularFile(target))
           makeJs(ex, "File not found", 404)
         else {
@@ -378,10 +397,31 @@ class GraftServer(spark: SparkSession, baseDir: String,
 
   // ---- ingest bodies -------------------------------------------------
 
+  /** Server-boundary write gate for the ingest routes: the library
+    * client's empty-key-is-open semantic must not leak through HTTP
+    * (ADVICE r12) — every distinct (db, sensor) in the batch is
+    * checked with the exact-match `authSensor` rule BEFORE any write.
+    * Unknown sensors pass through; the write path raises its own
+    * not-found.
+    */
+  private def authWriteTargets(key: String,
+                               targets: Iterable[(String, String)]): Unit =
+    targets.foreach { case (db, sensor) =>
+      if (store.existsSensor(db, sensor))
+        authSensor(key, db, sensor, write = true)
+    }
+
   private def influxWrite(ex: HttpExchange, key: String,
                           fill: Double): Unit = {
     val lines = new String(body(ex), StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    // (db, sensor) of an influx line: `db,tag=sensor metrics… ts`
+    authWriteTargets(key, lines.flatMap { l =>
+      val head = l.split(" ", 2)(0).split(",")
+      if (head.length >= 2 && head(1).contains("="))
+        Some((head(0), head(1).split("=", 2)(1)))
+      else None
+    }.distinct)
     client(key).write(lines, fill)
     makeJs(ex, s"${lines.size} lines inserted ok", 200)
   }
@@ -390,6 +430,7 @@ class GraftServer(spark: SparkSession, baseDir: String,
                           fill: Double): Unit = {
     import org.apache.spark.sql.functions._
     val rows = Msgpack.decodePointList(body(ex))
+    authWriteTargets(key, rows.map(r => (r.db, r.sensor)).distinct)
     val c = client(key)
     rows.groupBy(r => (r.db, r.sensor)).foreach { case ((db, sensor), ps) =>
       import spark.implicits._

@@ -57,6 +57,20 @@ class GraftHttpClientSpec extends SparkSpec {
       "no-data window must map the 404 to None")
   }
 
+  test("createSensor JSON body survives hostile metadata values — " +
+    "backslashes, newlines, tabs, quotes, non-ASCII round-trip " +
+    "(ADVICE r12: q() escaped only double quotes)") {
+    val admin = new GraftHttpClient(spark, base, Admin)
+    if (!admin.existDb("plant")) assert(admin.createDb("plant"))
+    val hostile = Map(
+      "path" -> """C:\temp\new""",
+      "note" -> "line1\nline2\ttabbed \"quoted\"",
+      "site" -> "μ-grid ☂")
+    assert(admin.createSensor("plant", "esc1", "1s", Seq("a"),
+      readKey = "r", writeKey = "w", metadata = hostile))
+    assert(admin.updateToken("r").metadata("plant", "esc1") == hostile)
+  }
+
   test("token rules over the wire: read token cannot create " +
     "(test_remote_server.py:28); upgrading to admin can, then cleanup") {
     val reader = new GraftHttpClient(spark, base, "r")

@@ -288,5 +288,45 @@ class GraftServerSpec extends SparkSpec {
       .statusCode != 200)
     assert(req("GET", "/get_md5/plant/ghost.bin", Some(Admin))
       .statusCode == 404)
+    // Symlink escape: a link INSIDE the store pointing OUTSIDE it must
+    // be refused after realpath resolution (server.py realpaths the
+    // target; ADVICE r12), not hashed through the lexical check.
+    val outside = java.nio.file.Files.createTempFile("graft-md5-out", ".txt")
+    java.nio.file.Files.writeString(outside, "secret")
+    val link = java.nio.file.Paths.get(dir, "plant", "sneaky.txt")
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(link, outside)
+    assert(req("GET", "/get_md5/plant/sneaky.txt", Some(Admin))
+      .statusCode == 400)
+    // A symlink whose target is itself inside the store still hashes.
+    val inLink = java.nio.file.Paths.get(dir, "plant", "alias.txt")
+    java.nio.file.Files.deleteIfExists(inLink)
+    java.nio.file.Files.createSymbolicLink(inLink,
+      java.nio.file.Paths.get(dir, "plant", "probe.txt"))
+    assert((js(req("GET", "/get_md5/plant/alias.txt", Some(Admin))) \ "md5")
+      == JString("5d41402abc4b2a76b9719d911017c592"))
+  }
+
+  test("keyless sensor is admin-only over HTTP: empty read/write keys " +
+    "grant nothing to a non-admin caller (database.py:170-187 exact-" +
+    "match rule at the network boundary)") {
+    setupSensor()
+    val cfg = """{"period":"1s","metrics":["a"]}"""
+    assert(req("POST", "/db/plant/sensor/open1", Some(Admin),
+      Some(cfg.getBytes)).statusCode == 201)
+    // any non-admin token — including the empty password — is refused
+    // for both read and write
+    assert(req("POST", "/plant/open1/last_timestamp", Some("anything"))
+      .statusCode == 401)
+    assert(req("POST", "/plant/open1/last_timestamp", Some(""))
+      .statusCode == 401)
+    val line = "plant,circuit=open1 a=1 1704067200000000000"
+    assert(req("POST", "/influx", Some("anything"), Some(line.getBytes))
+      .statusCode == 401)
+    // admin still passes
+    assert(req("POST", "/influx", Some(Admin), Some(line.getBytes))
+      .statusCode == 200)
+    assert(req("POST", "/plant/open1/last_timestamp", Some(Admin))
+      .statusCode == 200)
   }
 }
