@@ -218,6 +218,137 @@ object TextStats {
           lit(size)), " ").as("chunk_text"))
   }
 
+  // ---- BM25 lexical retrieval ---------------------------------------
+
+  /** Shared BM25 scoring tail over a term-frequency frame
+    * `(idCol, dl, term, tf)` plus a one-row `(sum_dl, n)` corpus-stats
+    * frame: Lucene-form idf `ln((N−df+0.5)/(df+0.5)+1)`, per-doc term
+    * fold in DECIMAL (order-exact — decimal addition is associative,
+    * so corpus-scan and index-probe plans produce identical bits),
+    * 6-dec truncated. `df` is derived from the tf frame itself
+    * (restricted to the query terms, so the aggregate is tiny) and
+    * broadcast; `avgdl` is the exact Σlen/N — an integer sum then ONE
+    * double division, engine-portable where `avg()`'s double fold is
+    * not.
+    */
+  private def bm25Score(tf: DataFrame, stats: DataFrame, idCol: String,
+                        k1: Double, b: Double): DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val dfreq = broadcast(tf.groupBy("term").agg(count(lit(1)).as("df")))
+    val idf = log((col("n") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val score = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) +
+        lit(b) * col("dl") / (col("sum_dl") / col("n"))))
+    tf.join(dfreq, "term").crossJoin(stats)
+      .groupBy(idCol)
+      .agg(sum(score.cast(d12)).cast("double").as("raw"),
+        count(lit(1)).as("n_terms"))
+      .select(col(idCol), trunc6(col("raw")).as("bm25"), col("n_terms"))
+  }
+
+  /** BM25 retrieval scores (Robertson/Spärck Jones) for an arbitrary
+    * term set — every document containing ≥1 query term gets
+    * `(idCol, bm25, n_terms)`. Corpus-scan shape: ONE pass over `df`
+    * emits (doc len, query-term hits) per doc — the query-term filter
+    * runs INSIDE the tokenize projection, so only matching-term rows
+    * ever reach an aggregate; df and the (N, Σlen) scalars are
+    * broadcast. At 100 TB prefer [[bm25FromIndex]] over a persisted
+    * [[buildBm25Index]] artifact (same scores, no corpus tokenize);
+    * [[bm25Routed]] picks automatically.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = df
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("dl"),
+        filter(col("toks"), t => t.isInCollection(terms)).as("qt"))
+      .localCheckpoint(false) // one corpus pass; stats + tf share it
+    val stats = broadcast(base.agg(
+      sum(col("dl")).cast("double").as("sum_dl"),
+      count(lit(1)).cast("double").as("n")))
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("qt")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    bm25Score(tf, stats, idCol, k1, b)
+  }
+
+  /** Materialize the BM25 retrieval index: `postings/` =
+    * `(term, idCol, dl, tf)` clustered + sorted by term (so a probe's
+    * `term IN (…)` prunes parquet row groups via min/max stats —
+    * at 100 TB a query touches only its terms' postings, never the
+    * corpus), and `stats/` = the one-row exact `(sum_dl, n)`. One
+    * tokenize pass feeds both via a lazy checkpoint. This is the
+    * at-rest twin of the bounded `doc_inverted_index` catalog artifact:
+    * same structure, plus the (tf, dl) payload BM25 scoring needs.
+    */
+  def buildBm25Index(df: DataFrame, idCol: String, textCol: String,
+                     path: String): String = {
+    val toks = df
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("dl"),
+        col("toks"))
+      .localCheckpoint(false)
+    toks.agg(sum(col("dl")).cast("double").as("sum_dl"),
+        count(lit(1)).cast("double").as("n"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    toks.select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    path
+  }
+
+  /** True when a [[buildBm25Index]] artifact is COMPLETE at `path`
+    * (both parts committed — `_SUCCESS` markers, not mere directory
+    * existence, so a torn build never routes the probe).
+    */
+  def hasBm25Index(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("postings", "stats").forall { part =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$part/_SUCCESS")
+      p.getFileSystem(conf).exists(p)
+    }
+  }
+
+  /** BM25 by probing a persisted [[buildBm25Index]] artifact: read the
+    * query terms' postings (predicate pushed into the parquet scan —
+    * the corpus text is never touched), broadcast the exact stats row,
+    * and run the same decimal scoring tail. Bit-identical to [[bm25]]
+    * on the same corpus: tf/dl/df/N/Σlen are equal by construction and
+    * the decimal fold is order-independent.
+    */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, terms: Seq[String], k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isInCollection(terms))
+    val stats = broadcast(spark.read.parquet(s"$path/stats"))
+    bm25Score(tf, stats, idCol, k1, b)
+  }
+
+  /** Rollup-style routing for BM25 (the `readDistinct` gate, retrieval
+    * edition): probe the persisted index when a COMPLETE one exists at
+    * `indexPath`, else fall back to the one-pass corpus scan. Scores
+    * are identical either way — routing cannot change results, only
+    * whether the corpus text is re-tokenized.
+    */
+  def bm25Routed(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                 idCol: String, textCol: String, terms: Seq[String],
+                 indexPath: Option[String], k1: Double = 1.2,
+                 b: Double = 0.75): DataFrame =
+    indexPath.filter(p => hasBm25Index(spark, p)) match {
+      case Some(p) => bm25FromIndex(spark, p, idCol, terms, k1, b)
+      case None => bm25(df, idCol, textCol, terms, k1, b)
+    }
+
   /** Karp–Rabin polynomial rolling hash of the first `maxChars`
     * characters: fold `acc = (acc*31 + ascii(char)) mod 1e9+7`.
     * Deterministic content fingerprint with incremental-window

@@ -68,73 +68,68 @@ object ExtQueries {
     memo.getOrElseUpdate((s, dir, "shingles"),
       Dedup.shingles(docs(s, dir), "doc_id", "text", 3).persist())
 
-  /** Shared BM25 scored frame — (doc_id, bm25 [6-dec truncated],
-    * n_terms) for the fixed 3-term query; `doc_bm25_topk` serves its
-    * top-10 cut and `similar_hybrid_rrf` fuses its ranks with the
-    * vector ranks. Lucene-form idf, k1=1.2, b=0.75; one corpus pass
-    * behind a lazy checkpoint (the query-term filter runs inside that
-    * projection), df + (N, Σlen) broadcast, per-doc term fold in
-    * DECIMAL (order-exact). avgdl is the exact Σlen/N — an integer sum
-    * then ONE double division, engine-portable where `avg()`'s double
-    * fold is not.
+  /** The board's fixed retrieval query (3 lexical terms; vec 0 as the
+    * query vector) — the oracled keys are fixed-argument instantiations
+    * of the parameterized operators ([[TextStats.bm25]] /
+    * [[Similarity.hybridRrf]]), which RetrievalSpec drives with a
+    * SECOND query to prove the surface is an engine API, not three
+    * benchmark entries.
     */
-  private def bm25Frame(s: SparkSession, dir: String): DataFrame = {
-    val t6 = TextStats.trunc6 _
-    val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
-    val qTerms = Seq("spark", "merge", "vector")
-    val k1 = 1.2
-    val b = 0.75
-    val base = docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        filter(col("toks"), t => t.isInCollection(qTerms)).as("qt"))
-      .localCheckpoint(false) // one corpus pass; stats + tf share it
-    val stats = broadcast(base.agg(
-      sum(col("dl")).cast("double").as("sum_dl"),
-      count(lit(1)).cast("double").as("n")))
-    val tf = base
-      .select(col("doc_id"), col("dl"), explode(col("qt")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = broadcast(tf.groupBy("term").agg(count(lit(1)).as("df")))
-    val idf = log((col("n") - col("df") + lit(0.5)) /
-      (col("df") + lit(0.5)) + lit(1.0))
-    val score = idf * (col("tf") * lit(k1 + 1)) /
-      (col("tf") + lit(k1) * (lit(1 - b) +
-        lit(b) * col("dl") / (col("sum_dl") / col("n"))))
-    tf.join(df, "term").crossJoin(stats)
-      .groupBy("doc_id")
-      .agg(sum(score.cast(d12)).cast("double").as("raw"),
-        count(lit(1)).as("n_terms"))
-      .select(col("doc_id"), t6(col("raw")).as("bm25"), col("n_terms"))
-  }
+  private val QTerms = Seq("spark", "merge", "vector")
+
+  /** Session-scoped persisted BM25 index per corpus dir (the at-rest
+    * artifact [[TextStats.buildBm25Index]] writes): built ONCE per
+    * (session, dir) into a temp dir, then every retrieval key probes
+    * it — one corpus tokenize per session instead of one per key, and
+    * the probe plan never scans `documents` at all (PlanSpec pins it).
+    * The artifact survives [[clearMemo]]: a cleared memo re-routes
+    * through [[TextStats.bm25Routed]]'s gate and re-probes the intact
+    * index without rebuilding.
+    */
+  private val bm25Idx =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def bm25IndexOf(s: SparkSession, dir: String): String =
+    bm25Idx.getOrElseUpdate((s, dir),
+      TextStats.buildBm25Index(docs(s, dir), "doc_id", "text",
+        java.nio.file.Files.createTempDirectory("graft_bm25_idx")
+          .toString))
+
+  /** Shared BM25 scored frame — (doc_id, bm25 [6-dec truncated],
+    * n_terms) for the fixed query, memoized + persisted (three keys
+    * read it). Routed through the persisted index probe with the
+    * corpus-scan fallback — the `readDistinct` rollup gate, retrieval
+    * edition; scores are bit-identical either way (decimal fold).
+    */
+  private def bm25Of(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "bm25"),
+      TextStats.bm25Routed(s, docs(s, dir), "doc_id", "text", QTerms,
+        Some(bm25IndexOf(s, dir))).persist())
 
   /** The two bounded rank frames of the hybrid-retrieval pair
     * (`similar_hybrid_rrf` + its audit): lexical BM25 top-20 and
     * cosine top-20 for the shared query intent (doc/vec 0 excluded as
-    * the query doc), each ranked by its already-truncated score with
-    * id tie-breaks. Ranks are long — DuckDB's `row_number` is BIGINT.
+    * the query doc). Each is ≤20 rows, memoized + persisted — the
+    * fusion key and its audit read both without re-running either
+    * retrieval.
     */
-  private def hybridRanks(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val lex = bm25Frame(s, dir)
-      .filter(col("doc_id") =!= 0)
-      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
-      .select(col("doc_id"), row_number().over(
-        Window.orderBy(col("bm25").desc, col("doc_id")))
-        .cast("long").as("r_lex"))
-    val e = emb(s, dir)
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qvec"))
-    val vec = Similarity.topK(
-        e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
-        "vec_id", "embedding", col("qvec"), 20)
-      .select(col("vec_id").as("doc_id"), row_number().over(
-        Window.orderBy(col("sim").desc, col("vec_id")))
-        .cast("long").as("r_vec"))
-    (lex, vec)
-  }
+  private def hybridLexOf(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "hyb_lex"),
+      Similarity.rankTopK(bm25Of(s, dir).filter(col("doc_id") =!= 0),
+        "doc_id", "bm25", 20, "r_lex").persist())
+
+  private def hybridVecOf(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "hyb_vec"), {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      Similarity.rankTopK(
+        Similarity.topK(
+          e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", col("qvec"), 20)
+          .select(col("vec_id").as("doc_id"), col("sim")),
+        "doc_id", "sim", 20, "r_vec").persist()
+    })
 
   /** The minhash signature table is part of the same shared index: the
     * band/candidate build AND the estimate-vs-exact audit both read it,
@@ -270,7 +265,11 @@ object ExtQueries {
       timed("exact_nn") { exactNNOf(s, dir).count() },
       timed("ann_nn") { annNNOf(s, dir).count() },
       timed("semfit") { val (c, a) = semFitOf(s, dir); c.count(); a.count() },
-      timed("seminc") { semIncOf(s, dir)._3.count() })
+      timed("seminc") { semIncOf(s, dir)._3.count() },
+      timed("bm25_index") { bm25Of(s, dir).count() },
+      timed("hybrid_ranks") {
+        hybridLexOf(s, dir).count(); hybridVecOf(s, dir).count()
+      })
   }
 
   /** Exact and ANN within-label NN results, memoized: each backs its
@@ -1571,16 +1570,15 @@ object ExtQueries {
     // BM25 retrieval (Robertson/Spärck Jones; the Lucene-form idf
     // ln((N−df+0.5)/(df+0.5)+1), k1=1.2, b=0.75): top-10 docs for a
     // fixed query — the canonical lexical-retrieval scorer next to the
-    // embedding top-k family. Scale shape (in bm25Frame): ONE documents
-    // pass emits (doc len, query-term hits) per doc — the query-term
-    // filter runs INSIDE that projection, so only matching-term rows
-    // ever reach an aggregate (at 100 TB this becomes an inverted-index
-    // probe on the query terms: same per-term row volume, no
-    // full-corpus tokenize); df and the (N, Σlen) scalars are
-    // broadcast; top-10 is TakeOrdered. Per-doc scores sum in DECIMAL
-    // so the 3-term fold is order-exact.
+    // embedding top-k family. Scale shape: the score probes the
+    // PERSISTED inverted-index artifact (TextStats.bm25FromIndex —
+    // the query terms' postings are a row-group-pruned parquet read,
+    // the corpus text is never re-tokenized; r12 ask #1), with the
+    // one-pass corpus scan as the routed fallback; df and the
+    // (N, Σlen) scalars are broadcast; top-10 is TakeOrdered. Per-doc
+    // scores sum in DECIMAL so the 3-term fold is order-exact.
     "doc_bm25_topk" -> ((s, dir) =>
-      bm25Frame(s, dir)
+      bm25Of(s, dir)
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(10)),
 
@@ -1595,18 +1593,11 @@ object ExtQueries {
     // size; the heavy lifting is the two retrievals, each already
     // scale-shaped (BM25 above; cosine = one codegen'd ArrayDot scan +
     // TakeOrdered).
-    "similar_hybrid_rrf" -> ((s, dir) => {
-      val t6 = TextStats.trunc6 _
-      val kR = 60
-      val (lex, vec) = hybridRanks(s, dir)
-      lex.join(vec, Seq("doc_id"), "outer")
-        .select(col("doc_id"), col("r_lex"), col("r_vec"),
-          t6(coalesce(lit(1.0) / (lit(kR) + col("r_lex")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(kR) + col("r_vec")), lit(0.0)))
-            .as("rrf"))
+    "similar_hybrid_rrf" -> ((s, dir) =>
+      Similarity.rrfFuse(hybridLexOf(s, dir), hybridVecOf(s, dir),
+          "doc_id", kR = 60)
         .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(10)
-    }),
+        .limit(10)),
 
     // The audit beside the fusion heuristic (the board's rule: every
     // approximate path carries a measured companion): how different
@@ -1617,14 +1608,9 @@ object ExtQueries {
     // (each retrieval's top-3 surviving into the fused 10). All
     // integer outputs over the same bounded 20-row frames.
     "similar_hybrid_audit" -> ((s, dir) => {
-      val kR = 60
-      val (lex, vec) = hybridRanks(s, dir)
-      val fused = lex.join(vec, Seq("doc_id"), "outer")
-        .select(col("doc_id"), col("r_lex"), col("r_vec"),
-          TextStats.trunc6(
-            coalesce(lit(1.0) / (lit(kR) + col("r_lex")), lit(0.0)) +
-              coalesce(lit(1.0) / (lit(kR) + col("r_vec")), lit(0.0)))
-            .as("rrf"))
+      val lex = hybridLexOf(s, dir)
+      val vec = hybridVecOf(s, dir)
+      val fused = Similarity.rrfFuse(lex, vec, "doc_id", kR = 60)
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
         .localCheckpoint(false) // 10 rows; all audit counts read it
@@ -1640,6 +1626,27 @@ object ExtQueries {
             .as("fused_vec_only"),
           count(when(col("r_lex") <= 3, 1)).as("lex_top3_kept"),
           count(when(col("r_vec") <= 3, 1)).as("vec_top3_kept"))
+    }),
+
+    // MMR diversification (Carbonell & Goldstein 1998; λ=0.7, k=5) of
+    // the cosine top-20 for the fixed query — the rerank pass a RAG
+    // stack runs after retrieval. Scale shape: ONE corpus scan +
+    // TakeOrdered produces the 20-row candidate cut CARRYING its
+    // vectors (no second scan to re-fetch them); the n² pairwise table
+    // and the k greedy argmax steps then touch only those 20 rows —
+    // constant cost at any corpus size (Similarity.mmrRerank).
+    "similar_mmr_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val cands = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6)
+            .as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+      Similarity.mmrRerank(cands, "vec_id", "embedding", "rel",
+        lambda = 0.7, k = 5)
+        .select(col("sel_rank"), col("vec_id"), col("rel"), col("mmr"))
     }),
 
     // Per-row-rate (length-weighted) deterministic sampling: longer
@@ -4393,6 +4400,51 @@ object ExtQueries {
          |FROM embeddings e CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin,
+
+    "similar_mmr_rerank" -> {
+      // the greedy unrolled: step i picks the argmax of
+      // λ·rel − (1−λ)·max_{s∈selected} sim over the remaining
+      // candidates; λ and (1−λ) are the same DOUBLE values Spark
+      // computes (1.0 − 0.7 is NOT 0.3 in ieee754 — both engines use
+      // the subtraction)
+      val lam = "CAST(0.7 AS DOUBLE)"
+      val om = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+      def step(i: Int): String =
+        s"""s$i AS (
+           |  SELECT CAST($i AS BIGINT) AS sel_rank, c.vec_id, c.rel,
+           |    $lam * c.rel - $om * coalesce(
+           |      (SELECT max(p.ps) FROM pair p JOIN u${i - 1} u
+           |         ON p.pb = u.vec_id WHERE p.pa = c.vec_id),
+           |      CAST(0.0 AS DOUBLE)) AS mmr
+           |  FROM cand c
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM u${i - 1})
+           |  ORDER BY mmr DESC, c.vec_id LIMIT 1
+           |), u$i AS (
+           |  SELECT vec_id FROM u${i - 1}
+           |  UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |cand AS (
+         |  SELECT e.vec_id, e.embedding,
+         |    round(${cosineSql("e.embedding", "q.qvec")}, 6) AS rel
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, e.vec_id LIMIT 20
+         |), pair AS (
+         |  SELECT a.vec_id AS pa, b.vec_id AS pb,
+         |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS ps
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+         |), s1 AS (
+         |  SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel,
+         |    $lam * rel AS mmr
+         |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1
+         |), u1 AS (SELECT vec_id FROM s1),
+         |${(2 to 5).map(step).mkString(",\n")}
+         |SELECT sel_rank, vec_id, rel,
+         |  floor(mmr * 1000000) / 1000000 AS mmr
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+         |      UNION ALL SELECT * FROM s5)
+         |ORDER BY sel_rank""".stripMargin
+    },
 
     "doc_zipf_alpha" ->
       """WITH tok AS (

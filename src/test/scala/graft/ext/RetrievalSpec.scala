@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** The retrieval family as an ENGINE SURFACE (r12 ask #3): the oracled
+  * keys are fixed-argument instantiations of [[TextStats.bm25]] /
+  * [[Similarity.hybridRrf]] — this suite drives the same operators
+  * with a SECOND query (different terms, different query vector) and
+  * pins the corpus-scan ≡ index-probe equivalence the routing gate
+  * relies on.
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.load(spark, dir, "documents")
+  private lazy val emb = Tables.load(spark, dir, "embeddings")
+
+  // a second query, disjoint from the board's fixed one
+  private val terms2 = Seq("data", "model", "stream")
+
+  test("bm25 corpus scan and index probe score BIT-IDENTICALLY — for " +
+    "the board's query AND a second one (the routing gate cannot " +
+    "change results)") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    TextStats.buildBm25Index(docs, "doc_id", "text", idx)
+    assert(TextStats.hasBm25Index(spark, idx))
+    for (terms <- Seq(Seq("spark", "merge", "vector"), terms2)) {
+      val scan = TextStats.bm25(docs, "doc_id", "text", terms)
+        .orderBy("doc_id").collect().map(_.toString)
+      val probe = TextStats.bm25FromIndex(spark, idx, "doc_id", terms)
+        .orderBy("doc_id").collect().map(_.toString)
+      assert(scan.sameElements(probe),
+        s"scan vs probe diverged for $terms:\n" +
+          s"${scan.take(5).mkString("\n")}\nvs\n${probe.take(5).mkString("\n")}")
+      assert(scan.nonEmpty, s"second query $terms matched nothing — " +
+        "the equivalence test would be vacuous")
+    }
+  }
+
+  test("bm25Routed gates on a COMPLETE artifact: missing or torn index " +
+    "falls back to the corpus scan with equal results") {
+    val ghost = java.nio.file.Files.createTempDirectory("bm25ghost").toString
+    assert(!TextStats.hasBm25Index(spark, ghost))
+    // torn build: postings committed, stats missing
+    val torn = java.nio.file.Files.createTempDirectory("bm25torn").toString
+    TextStats.buildBm25Index(docs, "doc_id", "text", torn)
+    val statsSuccess = java.nio.file.Paths.get(torn, "stats", "_SUCCESS")
+    java.nio.file.Files.delete(statsSuccess)
+    assert(!TextStats.hasBm25Index(spark, torn))
+    val direct = TextStats.bm25(docs, "doc_id", "text", terms2)
+      .orderBy("doc_id").collect().map(_.toString)
+    for (p <- Seq(None, Some(ghost), Some(torn))) {
+      val routed = TextStats.bm25Routed(spark, docs, "doc_id", "text",
+        terms2, p).orderBy("doc_id").collect().map(_.toString)
+      assert(routed.sameElements(direct), s"fallback diverged for $p")
+    }
+  }
+
+  test("bm25 scores behave like BM25: present-term docs only, rarer " +
+    "term outranks a commoner one at equal tf, n_terms bounded") {
+    val rows = TextStats.bm25(docs, "doc_id", "text", terms2).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 3),
+      "n_terms must be in [1, |terms|]")
+    assert(rows.forall(_.getDouble(1) > 0.0),
+      "every scored doc contains >=1 query term, so bm25 > 0")
+  }
+
+  test("hybridRrf runs a SECOND query end-to-end: fused cut bounded, " +
+    "rrf consistent with the member ranks") {
+    val q2 = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").as("qvec"))
+    val lexScored = TextStats.bm25(docs, "doc_id", "text", terms2)
+    val vecScored = Similarity.topK(
+        emb.crossJoin(broadcast(q2)).filter(col("vec_id") =!= 7),
+        "vec_id", "embedding", col("qvec"), 20)
+      .select(col("vec_id").as("doc_id"), col("sim"))
+    val fused = Similarity.hybridRrf(lexScored, vecScored, "doc_id",
+      "bm25", "sim", kR = 60, topCut = 20, topN = 10).collect()
+    assert(fused.nonEmpty && fused.length <= 10)
+    for (r <- fused) {
+      val rLex = Option(r.get(1)).map(_.asInstanceOf[Long])
+      val rVec = Option(r.get(2)).map(_.asInstanceOf[Long])
+      assert(rLex.isDefined || rVec.isDefined)
+      val expect = rLex.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rVec.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      val t6 = math.floor(expect * 1e6) / 1e6
+      assert(math.abs(r.getDouble(3) - t6) < 1e-12,
+        s"rrf mismatch at $r: expected $t6")
+    }
+    // fused is sorted by (rrf desc, id asc)
+    val pairs = fused.map(r => (r.getDouble(3), r.getLong(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (s, id) => (-s, id) }))
+  }
+
+  test("mmrRerank greedy semantics on a SECOND parameterization " +
+    "(λ=0.5, k=3, different query vector): distinct picks, rank-1 = " +
+    "argmax rel, rank-2 matches a hand computation") {
+    val q = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").as("qvec"))
+    val cands = emb.crossJoin(broadcast(q)).filter(col("vec_id") =!= 3)
+      .select(col("vec_id"), col("embedding"),
+        round(Similarity.cosine(col("embedding"), col("qvec")), 6)
+          .as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(10)
+      .localCheckpoint(false)
+    val out = Similarity.mmrRerank(cands, "vec_id", "embedding", "rel",
+      lambda = 0.5, k = 3).collect()
+    assert(out.length == 3 &&
+      out.map(_.getLong(1)).distinct.length == 3)
+    val cd = cands.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray, r.getDouble(2)))
+    val top = cd.map(c => (c._1, c._3)).minBy { case (id, rel) => (-rel, id) }._1
+    assert(out(0).getLong(1) == top, "rank-1 must be the plain rel argmax")
+    // hand-compute step 2: 0.5·rel − 0.5·sim(d, s1), ties by id
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val s1vec = cd.find(_._1 == top).get._2
+    val want2 = cd.filter(_._1 != top)
+      .map { case (id, v, rel) =>
+        (id, 0.5 * rel - (1.0 - 0.5) * cos6(v, s1vec)) }
+      .minBy { case (id, m) => (-m, id) }._1
+    assert(out(1).getLong(1) == want2,
+      s"rank-2 diverged from the hand computation (got ${out(1)})")
+  }
+
+  test("rankTopK ranks 1..n by (score desc, id asc) and its window " +
+    "carries a NON-EMPTY partition spec (the r9 zero-warning standard: " +
+    "`No Partition Defined for Window` must never fire)") {
+    val scored = TextStats.bm25(docs, "doc_id", "text", terms2)
+    val ranked = Similarity.rankTopK(scored, "doc_id", "bm25", 5, "r")
+    val rows = ranked.orderBy("r").collect()
+    assert(rows.map(_.getLong(1)).sameElements(1L to rows.length.toLong))
+    val windows = ranked.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "rank must come from a window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "rank window lost its constant partition spec — the " +
+        "unpartitioned-window warning would fire again")
+  }
+}

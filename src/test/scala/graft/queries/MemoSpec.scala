@@ -52,6 +52,25 @@ class MemoSpec extends SparkSpec {
     }
   }
 
+  test("retrieval frames build once: the three bm25/hybrid keys share " +
+    "ONE memoized scored frame + ONE pair of rank frames (r12 ask #1 " +
+    "— no per-key corpus tokenize)") {
+    ExtQueries.clearMemo()
+    graft.SparkEntry.queries("doc_bm25_topk")(spark, dir)
+    val b1 = ExtQueries.memoEntry(spark, dir, "bm25")
+    assert(b1.isDefined, "doc_bm25_topk must populate the bm25 memo")
+    graft.SparkEntry.queries("similar_hybrid_rrf")(spark, dir)
+    assert(ExtQueries.memoEntry(spark, dir, "bm25").get eq b1.get,
+      "hybrid fusion rebuilt the bm25 frame instead of sharing it")
+    val l1 = ExtQueries.memoEntry(spark, dir, "hyb_lex")
+    val v1 = ExtQueries.memoEntry(spark, dir, "hyb_vec")
+    assert(l1.isDefined && v1.isDefined)
+    graft.SparkEntry.queries("similar_hybrid_audit")(spark, dir)
+    assert((ExtQueries.memoEntry(spark, dir, "hyb_lex").get eq l1.get) &&
+      (ExtQueries.memoEntry(spark, dir, "hyb_vec").get eq v1.get),
+      "the audit rebuilt a rank frame instead of sharing the memo")
+  }
+
   test("prebuildSharedIndexes forces every shared artifact and reports " +
     "a named per-index cost") {
     ExtQueries.clearMemo()

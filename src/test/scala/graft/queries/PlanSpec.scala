@@ -1965,4 +1965,32 @@ class PlanSpec extends SparkSpec {
       s"census + n = exactly two stub readers:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("doc_bm25_topk probes the PERSISTED index — no documents scan, " +
+    "term filter pushed into the postings read (SCALE.md's 100 TB " +
+    "claim as code, r12 ask #1)") {
+    val p = plan("doc_bm25_topk")
+    assert(p.linesIterator.count(l =>
+        l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"probe plan re-tokenizes the corpus:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("Location") && l.contains("postings")),
+      s"probe plan does not read the postings artifact:\n$p")
+    assert(p.contains("PushedFilters: [In(term,"),
+      s"query-term filter not pushed into the postings scan:\n$p")
+  }
+
+  test("hybrid rank windows carry a constant partition spec — the " +
+    "board emits zero `No Partition Defined for Window` warnings " +
+    "(r12 ask #2)") {
+    for (key <- Seq("similar_hybrid_rrf", "similar_hybrid_audit")) {
+      ExtQueries.clearMemo()
+      val df = graft.SparkEntry.queries(key)(spark, dir)
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        s"$key has an unpartitioned window")
+    }
+  }
 }
