@@ -59,6 +59,48 @@ object Stats {
         .as("corr")): _*)
   }
 
+  /** [[pearson]] computed from ONE Gram-aggregate pass
+    * ([[graft.expr.GramStats]] at dim = 2) instead of five decimal sum
+    * lanes: the per-group state is a single constant-size moment
+    * buffer (n, Σx, Σx² per dim + the Σxy cell), merged exactly in
+    * scale-12 fixed point. Same row filter, same moment VALUES (both
+    * routes accumulate exactly, so the doubles that reach the
+    * combination are identical bits), same closed-form finish —
+    * results are bit-identical to [[pearson]] whenever the inputs are
+    * exact at the decimal(18,6) grain (integers, money, counts —
+    * [[pearson]] quantizes inputs to 6 decimals; the Gram lane keeps
+    * 12). OperatorsSpec pins the equality on integer inputs; this is
+    * the Gram expression as a reusable engine surface beyond the
+    * embedding corr audit (r12 ask #7).
+    */
+  def pearsonGram(df: DataFrame, groupCols: Seq[String], xCol: String,
+                  yCol: String): DataFrame = {
+    val both = df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+      !isnan(col(xCol)) && !isnan(col(yCol)) &&
+      abs(col(xCol)) < DecRange && abs(col(yCol)) < DecRange)
+    val agg = both.groupBy(groupCols.map(col): _*)
+      .agg(graft.expr.GramStats.gram_stats(
+        array(col(xCol).cast("double"), col(yCol).cast("double")), 2)
+        .as("g"))
+      .select((groupCols.map(col) :+
+        col("g.dims")(0).getField("n").as("n") :+
+        col("g.dims")(0).getField("sx").cast("double").as("sx") :+
+        col("g.dims")(1).getField("sx").cast("double").as("sy") :+
+        col("g.cells")(0).getField("sxy").cast("double").as("sxy") :+
+        col("g.dims")(0).getField("sxx").cast("double").as("sxx") :+
+        col("g.dims")(1).getField("sxx").cast("double").as("syy")): _*)
+    val n = col("n").cast("double")
+    val covTerm = col("sxy") * n - col("sx") * col("sy")
+    val varX = col("sxx") * n - col("sx") * col("sx")
+    val varY = col("syy") * n - col("sy") * col("sy")
+    agg.select((groupCols.map(col) :+ col("n") :+
+      when(varX > 0 && varY > 0,
+        graft.ext.TextStats.trunc6(
+          least(greatest(covTerm / (sqrt(varX) * sqrt(varY)), lit(-1d)),
+            lit(1d))))
+        .as("corr")): _*)
+  }
+
   /** Fixed-width value histogram per group: bucket = floor(value /
     * width), count per (group, bucket). The value-distribution audit —
     * one map-side-combinable aggregation, shuffles one row per

@@ -422,19 +422,21 @@ object TsQueries {
         .select("slot", "user_id", "click", "click_interp")
         .orderBy("slot", "user_id")),
 
-    // Deterministic Pearson correlation from decimal-routed moment sums
-    // (built-in corr() is partition-order dependent in the last bits).
-    // Users pool into 10 cohorts so groups stay populated at every SF.
-    // Pearson over per-(user, day) click/view activity counts — dense
-    // at every SF. (The previous slot-level wide-cell pairing had no
-    // co-occurring cells below sf0.1, which made the driver's gate row
-    // a hollow 0-row match.)
+    // Deterministic Pearson correlation — the GramStats one-pass route
+    // (r12 ask #7: the fixed-buffer Gram aggregate as a reusable
+    // surface): per cohort ONE constant-size moment buffer replaces
+    // five decimal sum lanes; values are bit-identical to the decimal
+    // route on these integer counts (OperatorsSpec pins it; built-in
+    // corr() stays excluded — it is partition-order dependent in the
+    // last bits). Users pool into 10 cohorts so groups stay populated
+    // at every SF. Pearson over per-(user, day) click/view activity
+    // counts — dense at every SF.
     "metrics_correlation" -> ((s, dir) => {
       val daily = base(s, dir)
         .groupBy(col("user_id"), expr("sec div 86400").as("day"))
         .agg(count(when(col("event_type") === "click", 1)).as("clicks"),
           count(when(col("event_type") === "view", 1)).as("views"))
-      graft.operators.Stats.pearson(
+      graft.operators.Stats.pearsonGram(
         daily.withColumn("cohort", pmod(col("user_id"), lit(10L))),
         Seq("cohort"), "clicks", "views")
         .filter(col("n") >= 2)
@@ -1030,7 +1032,13 @@ object TsQueries {
           .as("b"))
         .select(col("b.sec").as("sec"), col("b.d").as("d"))
         .groupBy("sec").agg(sum(col("d")).as("delta"))
-        .withColumn("g", lit(1))
+        // one whole-corpus series: the dummy group key must be
+        // CONSTANT-VALUED but NON-FOLDABLE — Catalyst folds a plain
+        // lit() out of window partition specs, and the subsplit's
+        // carry window then logs `No Partition Defined` (the r9
+        // zero-warning standard). pmod(hash(sec),1) is 0 on every row
+        // and opaque to the constant folder; grouping is unchanged.
+        .withColumn("g", pmod(hash(col("sec")), lit(1)))
       val run = graft.operators.PrefixSplit.runningAggSubsplit(
         deltas, Seq("g"), "sec", "delta", "sum")
       val nSess = broadcast(sess.agg(count(lit(1)).as("n_sessions")))

@@ -190,6 +190,27 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b) // bit-identical, not approximately equal
   }
 
+  test("pearsonGram ≡ pearson bit-identically on integer-valued input " +
+    "(r12 ask #7: the Gram aggregate as a reusable surface), incl. " +
+    "degenerate groups, the range guard, and repartition invariance") {
+    import spark.implicits._
+    val df = ((0 until 500).map(i =>
+        (s"g${i % 7}", (i * 37 % 101).toDouble, ((i * 53 + 7) % 97).toDouble)) ++
+      Seq(("flat", 1.0, 5.0), ("flat", 2.0, 5.0),        // zero variance
+          ("wild", 1.0, 2.0), ("wild", 2.0, 4.0), ("wild", 3.0, 6.0),
+          ("wild", 5.0e12, 1.0)))                        // range-guarded row
+      .toDF("k", "x", "y")
+    val a = Stats.pearson(df, Seq("k"), "x", "y")
+      .orderBy("k").collect().map(_.toString)
+    val b = Stats.pearsonGram(df, Seq("k"), "x", "y")
+      .orderBy("k").collect().map(_.toString)
+    assert(a.sameElements(b),
+      s"gram route diverged:\n${a.mkString("\n")}\nvs\n${b.mkString("\n")}")
+    val c = Stats.pearsonGram(df.repartition(13), Seq("k"), "x", "y")
+      .orderBy("k").collect().map(_.toString)
+    assert(b.sameElements(c), "pearsonGram not partition-invariant")
+  }
+
   test("histogram buckets by floor(value/width), skips null and NaN") {
     import spark.implicits._
     val df = Seq(("a", 5.0), ("a", 9.9), ("a", 10.0), ("a", -0.1),
