@@ -792,4 +792,58 @@ class StreamIngestSpec extends SparkSpec {
         streamVerdicts.zip(batchVerdicts)
           .filter { case (a, b) => a != b }.take(10).mkString("\n"))
   }
+
+  test("streaming session analytics reproduces the batch " +
+    "events_session_window frame at sf0.01 volume (batch ≡ stream; " +
+    "r12 ask #4 — the session path gets the near-dup treatment)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = "/root/testdata/sf0.01"
+    // the full events fixture, streamed in event-time order (monotone
+    // watermark ⇒ nothing is dropped as late) across several
+    // micro-batches; a far-future sentinel advances the watermark past
+    // every real session so append mode finalizes them all
+    val events = graft.queries.TsQueries.base(spark, dir)
+      .select(col("sec"), col("user_id"), col("value"))
+      .orderBy("sec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sentinelUser = -1L
+    val sentinelSec = events.map(_._1).max + 1000000L
+
+    val src = MemoryStream[(Long, Long, Double)]
+    val points = src.toDF().toDF("sec", "user_id", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"),
+        col("user_id"), col("value"))
+    val query = StreamIngest.sessionStats(points, "user_id",
+        "1800 seconds", "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions")
+      .start()
+    try {
+      events.grouped((events.length + 3) / 4).foreach { chunk =>
+        src.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      src.addData((sentinelSec, sentinelUser, 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val stream = spark.table("stream_sessions")
+      .filter(col("user_id") =!= sentinelUser)
+      .select(col("user_id"),
+        col("session_start").cast("long").as("start_sec"),
+        col("session_end").cast("long").as("end_sec"),
+        col("n").as("n_events"))
+      .orderBy("user_id", "start_sec")
+      .collect().map(_.toString)
+    val batch = graft.SparkEntry.queries("events_session_window")(spark, dir)
+      .collect().map(_.toString)
+    assert(stream.nonEmpty && stream.length == batch.length,
+      s"session counts diverge: stream=${stream.length} batch=${batch.length}")
+    assert(stream.sameElements(batch),
+      s"stream and batch sessions diverge:\n" +
+        stream.zip(batch).filter { case (a, b) => a != b }
+          .take(10).mkString("\n"))
+  }
 }
