@@ -25,6 +25,43 @@ class SensorStoreSpec extends SparkSpec {
   private def cfg1s = SensorConfig("test", "s1", "1s",
     Seq(MetricDef(Seq("active")), MetricDef(Seq("reactive"))))
 
+  test("read PRUNES chunk partitions end-to-end: a bounded range read " +
+    "over a 5-chunk sensor carries PartitionFilters and scans exactly " +
+    "the intersecting chunk (database.py:676-717 chunk pruning, " +
+    "Catalyst edition — r12 ask #5)") {
+    import spark.implicits._
+    val st = freshStore()
+    st.createSensor(SensorConfig("pl", "s1", "1s", Seq(MetricDef(Seq("v")))))
+    val chunkDur = graft.core.Freq.ChunkRows // 1s tick ⇒ 16384 s/chunk
+    val t0 = 1704067200L - 1704067200L % chunkDur
+    val pts = (0 until 5).flatMap(i => Seq(
+        (t0 + i * chunkDur + 10, "v", i.toDouble),
+        (t0 + i * chunkDur + 20, "v", i + 0.5)))
+      .toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"),
+        col("metric"), col("value"))
+    st.write("pl", "s1", pts)
+    assert(st.listChunks("pl", "s1").length == 5,
+      "fixture must span 5 chunk partitions")
+
+    val rd = st.read("pl", "s1",
+      Some(t0 + 2 * chunkDur), Some(t0 + 2 * chunkDur + 100))
+    // sparkPlan, not executedPlan: AQE wraps the executed tree in an
+    // AdaptiveSparkPlanExec whose collect() cannot see the scan
+    val scans = rd.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "range read must be a parquet file scan")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "chunk_start bounds did not reach the scan as partition filters")
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"bounded read scanned ${scans.head.selectedPartitions.partitionCount}" +
+        " of 5 chunk partitions — pruning regressed")
+    // and the pruned read still returns exactly the in-range rows
+    val vals = rd.collect().map(_.getFloat(1))
+    assert(vals.sorted.sameElements(Array(2.0f, 2.5f)))
+  }
+
   test("catalog: create / exists / list / config round-trip / delete") {
     val st = freshStore()
     st.createSensor(cfg1s)
