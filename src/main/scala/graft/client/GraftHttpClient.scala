@@ -84,26 +84,50 @@ class GraftHttpClient(spark: SparkSession, baseUrl: String,
     orAuthFail(r)(r.statusCode == 200)
   }
 
+  // Full JSON string escaping (backslashes + control chars too, not
+  // just quotes): a metadata value containing `\` or a newline must
+  // still produce a well-formed request body (ADVICE r12).
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def createSensor(db: String, sensor: String, period: String,
                    metrics: Seq[String], readKey: String,
                    writeKey: String,
-                   metadata: Map[String, String] = Map.empty): Boolean = {
-    // Full JSON string escaping (backslashes + control chars too, not
-    // just quotes): a metadata value containing `\` or a newline must
-    // still produce a well-formed request body (ADVICE r12).
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val md = metadata.map { case (k, v) => q(k) + ":" + q(v) }
+                   metadata: Map[String, String] = Map.empty): Boolean =
+    createSensorMulti(db, sensor, period, metrics.map(Seq(_)),
+      readKey, writeKey, levelNames = Seq.empty, metadata = metadata)
+
+  /** MultiIndex create (reference `create_sensor(metrics=[[...]],
+    * level_names=...)`, `client.py` → `test_client.py:172-190`):
+    * metric level-tuples ride the wire as nested JSON arrays;
+    * `level_names` goes into the metadata dict like the reference's
+    * `dict(level_names=...)`.
+    */
+  def createSensorMulti(db: String, sensor: String, period: String,
+                        metrics: Seq[Seq[String]], readKey: String,
+                        writeKey: String,
+                        levelNames: Seq[String] = Seq.empty,
+                        metadata: Map[String, String] = Map.empty)
+      : Boolean = {
+    val names =
+      if (levelNames.nonEmpty)
+        Seq(s""""level_names":[${levelNames.map(q).mkString(",")}]""")
+      else Seq.empty
+    val md = (metadata.map { case (k, v) => q(k) + ":" + q(v) } ++ names)
       .mkString("{", ",", "}")
+    val ms = metrics.map {
+      case Seq(one) => q(one)
+      case levels => levels.map(q).mkString("[", ",", "]")
+    }
     val body =
-      s"""{"period":${q(period)},"metrics":[${metrics.map(q).mkString(",")}],
+      s"""{"period":${q(period)},"metrics":[${ms.mkString(",")}],
          |"read_key":${q(readKey)},"write_key":${q(writeKey)},
          |"metadata":$md}""".stripMargin
     val r = send("POST", s"/db/$db/sensor/$sensor", Some(body.getBytes))
