@@ -114,6 +114,16 @@ object Bench {
       names.indices.map(i => passes.map(_(i)._2).min).sum
     val spreadPct =
       if (totals.min > 0) (totals.max - totals.min) / totals.min * 100 else 0.0
+    // per-key spike flag (r12 verdict ask #8): keys whose worst pass
+    // exceeds 3× their best (and by an absolute margin that matters)
+    // are contention artifacts by construction — a REAL regression
+    // shifts every pass. Listing them makes a contended pass
+    // machine-readably distinguishable from a regression.
+    val spikes = names.indices.flatMap { i =>
+      val ts = passes.map(_(i)._2)
+      if (ts.max > 3 * ts.min && ts.max - ts.min > 0.5)
+        Some(names(i)._1) else None
+    }
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val evidence =
       s""""runs":${totals.map(r3).mkString("[", ",", "]")}""" +
@@ -123,6 +133,7 @@ object Bench {
         s""","load_gate":{"threshold":${r3(loadMax)},"pre":${r3(gatePre)},"waited_s":$waited,"contended":$contended}""" +
         s""","prebuild_s":${r3(prebuildTotal)}""" +
         (if (prebuildFailed) s""","prebuild_failed":true""" else "") +
+        s""","pass_spikes":${spikes.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
         s""","cpus":$cpus"""
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
