@@ -1628,6 +1628,43 @@ object ExtQueries {
           count(when(col("r_vec") <= 3, 1)).as("vec_top3_kept"))
     }),
 
+    // Retrieval evaluation harness — precision@10 / recall@10 / MRR /
+    // binary nDCG@10 of the FUSED hybrid top-10 scored against the
+    // vector top-20 as the relevance set ("how much vector relevance
+    // survives fusion" — the standard IR metrics a retrieval stack
+    // reports, next to the composition audit; the fused list always
+    // carries ≥4 vector docs by construction, so the metrics are
+    // non-trivial at every SF where the raw lex∩vec overlap is 0).
+    // Everything computes over the two memoized ≤20-row rank frames —
+    // constant cost at any corpus size; DCG terms sum in DECIMAL so
+    // the fold is order-exact, and the ideal DCG is the same
+    // range-fold both engines compute.
+    "retrieval_eval_metrics" -> ((s, dir) => {
+      val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val t6 = TextStats.trunc6 _
+      val fused = Similarity.rrfFuse(hybridLexOf(s, dir),
+        hybridVecOf(s, dir), "doc_id", kR = 60)
+      val sys = Similarity.rankTopK(fused, "doc_id", "rrf", 10, "r_sys")
+        .join(hybridVecOf(s, dir), Seq("doc_id"), "left")
+        .localCheckpoint(false) // ≤10 rows; all aggregates read it
+      val log2 = (c: Column) => log(c) / log(lit(2.0))
+      val dcgTerm = when(col("r_vec").isNotNull,
+        lit(1.0) / log2(col("r_sys") + lit(1.0))).otherwise(lit(0.0))
+      val idcg = s.range(1, 11).select(
+        sum((lit(1.0) / log2(col("id") + lit(1.0))).cast(d12)).as("idcg"))
+      sys.agg(
+          count(when(col("r_vec").isNotNull, 1)).as("n_rel_in_10"),
+          sum(dcgTerm.cast(d12)).as("dcg"),
+          min(when(col("r_vec").isNotNull, col("r_sys"))).as("first_rel"))
+        .crossJoin(broadcast(idcg))
+        .select(col("n_rel_in_10"),
+          t6(col("n_rel_in_10") / lit(10.0)).as("precision10"),
+          t6(col("n_rel_in_10") / lit(20.0)).as("recall10"),
+          t6(coalesce(lit(1.0) / col("first_rel"), lit(0.0))).as("mrr"),
+          t6(col("dcg").cast("double") / col("idcg").cast("double"))
+            .as("ndcg10"))
+    }),
+
     // MMR diversification (Carbonell & Goldstein 1998; λ=0.7, k=5) of
     // the cosine top-20 for the fixed query — the rerank pass a RAG
     // stack runs after retrieval. Scale shape: ONE corpus scan +
@@ -4400,6 +4437,91 @@ object ExtQueries {
          |FROM embeddings e CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin,
+
+    "retrieval_eval_metrics" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents
+         |), dl AS (
+         |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+         |), stats AS (
+         |  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+         |    CAST(count(*) AS DOUBLE) AS n
+         |  FROM dl
+         |), tf AS (
+         |  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+         |  WHERE tok IN ('spark', 'merge', 'vector')
+         |  GROUP BY doc_id, tok
+         |), dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |), scored AS (
+         |  SELECT tf.doc_id,
+         |    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+         |      * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+         |      / (tf.tf + CAST(1.2 AS DOUBLE) * ((1 - 0.75)
+         |          + 0.75 * dl.dl / (s.sum_dl / s.n))) AS sc
+         |  FROM tf JOIN dfreq d ON tf.term = d.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  CROSS JOIN stats s
+         |), bm AS (
+         |  SELECT doc_id,
+         |    floor(CAST(sum(CAST(sc AS DECIMAL(38,12))) AS DOUBLE)
+         |      * 1000000) / 1000000 AS bm25
+         |  FROM scored GROUP BY doc_id
+         |), lex AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+         |  FROM bm WHERE doc_id <> 0
+         |  QUALIFY r_lex <= 20
+         |), q AS (
+         |  SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0
+         |), sims AS (
+         |  SELECT e.vec_id AS doc_id,
+         |    round(${cosineSql("e.embedding", "q.qvec")}, 6) AS sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |), vec AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY sim DESC, doc_id) AS r_vec
+         |  FROM sims QUALIFY r_vec <= 20
+         |), fused AS (
+         |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    floor((coalesce(CAST(1 AS DOUBLE) / (60 + l.r_lex),
+         |        CAST(0 AS DOUBLE))
+         |      + coalesce(CAST(1 AS DOUBLE) / (60 + v.r_vec),
+         |        CAST(0 AS DOUBLE))) * 1000000) / 1000000 AS rrf
+         |  FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+         |), sys AS (
+         |  SELECT f.doc_id,
+         |    row_number() OVER (ORDER BY f.rrf DESC, f.doc_id) AS r_sys,
+         |    v.r_vec
+         |  FROM fused f LEFT JOIN vec v ON f.doc_id = v.doc_id
+         |  QUALIFY r_sys <= 10
+         |), idcg AS (
+         |  SELECT CAST(sum(CAST(
+         |      CAST(1.0 AS DOUBLE) / (ln(i + CAST(1.0 AS DOUBLE))
+         |        / ln(CAST(2.0 AS DOUBLE)))
+         |    AS DECIMAL(38,12))) AS DOUBLE) AS idcg
+         |  FROM range(1, 11) t(i)
+         |), agg AS (
+         |  SELECT count(CASE WHEN r_vec IS NOT NULL THEN 1 END)
+         |      AS n_rel_in_10,
+         |    CAST(sum(CAST(CASE WHEN r_vec IS NOT NULL
+         |        THEN CAST(1.0 AS DOUBLE) / (ln(r_sys + CAST(1.0 AS DOUBLE))
+         |          / ln(CAST(2.0 AS DOUBLE)))
+         |        ELSE CAST(0.0 AS DOUBLE) END
+         |      AS DECIMAL(38,12))) AS DOUBLE) AS dcg,
+         |    min(CASE WHEN r_vec IS NOT NULL THEN r_sys END) AS first_rel
+         |  FROM sys)
+         |SELECT n_rel_in_10,
+         |  floor(n_rel_in_10 / CAST(10.0 AS DOUBLE) * 1000000) / 1000000
+         |    AS precision10,
+         |  floor(n_rel_in_10 / CAST(20.0 AS DOUBLE) * 1000000) / 1000000
+         |    AS recall10,
+         |  floor(coalesce(CAST(1.0 AS DOUBLE) / first_rel,
+         |    CAST(0.0 AS DOUBLE)) * 1000000) / 1000000 AS mrr,
+         |  floor(dcg / i.idcg * 1000000) / 1000000 AS ndcg10
+         |FROM agg CROSS JOIN idcg i
+         |ORDER BY n_rel_in_10""".stripMargin,
 
     "similar_mmr_rerank" -> {
       // the greedy unrolled: step i picks the argmax of
