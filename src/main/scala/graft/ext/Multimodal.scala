@@ -396,87 +396,25 @@ object Multimodal {
     * exactly as tested.
     */
   /** RMS + peak of a PCM16LE WAV's `data` chunk — the first
-    * BODY-reading byte expression in the family ([[avMeta]] reads only
-    * chunk/box sizes; this one proves the same codegen'd machinery can
-    * run the data plane). Two sequential bounded folds:
+    * BODY-reading operator in the family ([[avMeta]] reads only
+    * chunk/box sizes; this one runs the data plane). Since r13 the
+    * walk is the NATIVE [[graft.expr.WavRms]] expression: the previous
+    * `aggregate`-fold state machine evaluated its per-step when-chain
+    * interpreted per element, and the data plane (one step per sample)
+    * made that the family's steady hot spot; the native port keeps the
+    * fold's semantics bit-for-bit — step budget, chunk-pad and
+    * truncation rules, the `min(size/2, maxSamples)` cap (WavRmsSpec
+    * pins native ≡ fold on fixtures + edges).
     *
-    *   1. a RIFF chunk walk (state = (pos, dataPos, dataLen)) that
-    *      skips chunks by their declared little-endian sizes until
-    *      `data` — fixed-offset peeking cannot pass, callers put
-    *      variable-length chunks in front;
-    *   2. ONE `aggregate` over the first `maxSamples` sample words,
-    *      decoding each signed little-endian int16 and carrying
-    *      (sum of squares, peak |s|) in its state.
-    *
-    * Per-row cost is bounded by `maxChunks + maxSamples` regardless of
-    * payload size. Returns struct(n_samples, sum_sq, peak), nulls for
-    * truncated/unrecognized payloads. Same plan-size contract as
-    * [[avMeta]]: consume through a projection barrier; the walk output
-    * is referenced a bounded handful of times.
+    * Per-row cost stays bounded by `maxChunks + maxSamples` regardless
+    * of payload size. Returns struct(n_samples, sum_sq, peak), nulls
+    * for truncated/unrecognized payloads. Same consumption contract as
+    * [[avMeta]]: read the struct through a projection barrier so its
+    * fields are attribute refs.
     */
   def audioRms(payload: Column, maxChunks: Int = 8,
-               maxSamples: Int = 256): Column = {
-    val isWav = fourcc(payload, lit(1L)) === lit("52494646") && // RIFF
-      fourcc(payload, lit(9L)) === lit("57415645")              // WAVE
-    // ONE fold (the avMeta plan-size contract — a second fold reading
-    // this one's output would re-inline it per reference and pay the
-    // duplicated tree in Catalyst AND per interpreted element): the
-    // state machine walks chunks (ph 0), then consumes one sample per
-    // step (ph 1), then freezes (ph 2). n = samples expected, ns =
-    // samples read, ss/mx = running sum-of-squares / peak.
-    val steps = maxChunks + maxSamples + 1
-    def mk(ph: Column, pos: Column, n: Column, ns: Column, ss: Column,
-           mx: Column) =
-      struct(ph.as("ph"), pos.as("pos"), n.as("n"), ns.as("ns"),
-        ss.as("ss"), mx.as("mx"))
-    val fold = aggregate(
-      sequence(lit(1), lit(steps)),
-      mk(lit(0), lit(13L), NullL, lit(0L), lit(0L), lit(0L)),
-      (st, _) => {
-        val ph = st.getField("ph")
-        val pos = st.getField("pos")
-        val id = fourcc(payload, pos)
-        val size = leInt(payload, pos + 4, 4)
-        val u = leInt(payload, pos, 2)
-        val s = when(u >= 32768L, u - 65536L).otherwise(u)
-        val n = st.getField("n")
-        val ns = st.getField("ns")
-        when(ph === 2, st)
-          .when(ph === 0 && (pos.isNull || size.isNull),
-            mk(lit(2), pos, NullL, lit(0L), lit(0L), lit(0L)))
-          .when(ph === 0 && id === lit("64617461"), // "data"
-            mk(lit(1), pos + 8,
-              least(size / 2, lit(maxSamples.toLong)).cast(LongType),
-              lit(0L), lit(0L), lit(0L)))
-          .when(ph === 0,
-            // RIFF pad: odd sizes take one extra byte — written as
-            // 2·⌈size/2⌉ so `size` (a ~45-node byte-read subtree) is
-            // referenced once, not twice (plan-size ask, r11 #3)
-            mk(lit(0), pos + 8 +
-              shiftleft(shiftright(size + lit(1L), 1), 1), NullL,
-              lit(0L), lit(0L), lit(0L)))
-          .when(ns >= n || u.isNull, // ph 1 exhausted (or truncated)
-            mk(lit(2), pos, n, ns, st.getField("ss"), st.getField("mx")))
-          .otherwise( // ph 1: consume one sample word
-            mk(lit(1), pos + 2, n, ns + 1,
-              st.getField("ss") + s * s,
-              greatest(st.getField("mx"), abs(s))))
-      },
-      // finish lambda: the accumulated state is a LambdaVariable here,
-      // so its six consumption sites are 1-node refs — consuming the
-      // fold OUTSIDE the aggregate re-inlined the whole ~700-node walk
-      // per reference and was most of the key's 7.8k-node plan.
-      // All samples present and read: truncation inside the data chunk
-      // (ns < n) and a missing data chunk (n null) both yield null.
-      st => when(st.getField("n").isNotNull &&
-          st.getField("ns") === st.getField("n") &&
-          st.getField("n") > 0,
-        struct(st.getField("n").as("n_samples"),
-          st.getField("ss").as("sum_sq"),
-          st.getField("mx").as("peak"))))
-    // non-WAV payloads: null out without ever running the walk
-    when(isWav, fold)
-  }
+               maxSamples: Int = 256): Column =
+    graft.expr.WavRms.wav_rms(payload, maxChunks, maxSamples)
 
   def decodeBatch(media: Dataset[MediaRecord], thumbSize: Int = 16,
                   nFrames: Int = 4): Dataset[MediaFeatures] = {

@@ -3580,37 +3580,28 @@ object ExtQueries {
     // tree (the audio_rms lesson).
     "doc_winnowing" -> ((s, dir) => {
       val t6 = TextStats.trunc6 _
-      val k = 5
       val w = 4
-      // the greatest(...,1) floor keeps the sequence ascending for
-      // tiny docs (Spark's sequence(1,0) would DESCEND); their ≤1-gram
-      // arrays fall to the size>=w filter on both engines
-      val grams = transform(
-        sequence(lit(1), greatest(size(split(col("text"), " ")) -
-          lit(k - 1), lit(1))),
-        i => substring(md5(array_join(
-          slice(split(col("text"), " "), i, lit(k)), " ")), 1, 8))
+      // ONE native pass per row (expr/Winnow.scala): k-gram md5
+      // prefixes + the rightmost-min w-window selection + distinct
+      // selected positions, as a flat byte loop. Values identical to
+      // the composable transform/aggregate-fold formulation (the
+      // distinct "hash:pos" census equals the distinct selected
+      // positions — pos determines its hash; WinnowSpec pins the
+      // equivalence, the DuckDB oracle pins the numbers), but the
+      // interpreted per-element HOF dispatch — the board's #2 steady
+      // cost at sf0.1 — is gone. NULL = fewer than w grams (the old
+      // size(g) >= w pre-filter).
       val base = docs(s, dir)
-        .select(col("doc_id"), grams.as("g"))
-        .filter(size(col("g")) >= w)
-        .localCheckpoint(false) // gram arrays once; the fold reads attrs
-      val fps = transform(
-        sequence(lit(1), size(col("g")) - lit(w - 1)),
-        st => aggregate(sequence(st, st + lit(w - 1)),
-          struct(lit("~").as("h"), lit(0).as("p")), // '~' > any hex char
-          (acc, j) => when(element_at(col("g"), j) <= acc.getField("h"),
-            struct(element_at(col("g"), j).as("h"), j.as("p")))
-            .otherwise(acc)))
+        .select(col("doc_id"),
+          graft.expr.Winnow.winnow_stats(col("text"), 5, w).as("ws"))
+        .filter(col("ws").isNotNull)
+        .localCheckpoint(false) // one eval; both field reads are attrs
       base
-        .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
-          array_distinct(transform(fps,
-            f => concat(f.getField("h"), lit(":"),
-              f.getField("p").cast("string")))).as("fp"))
-        .select(col("doc_id"), col("n_grams"),
-          (col("n_grams") - lit(w - 1)).as("n_windows"),
-          size(col("fp")).cast("long").as("n_fingerprints"),
-          t6(size(col("fp")).cast("double") /
-            (col("n_grams") - lit(w - 1))).as("density"))
+        .select(col("doc_id"), col("ws.n_grams").as("n_grams"),
+          (col("ws.n_grams") - lit(w - 1)).as("n_windows"),
+          col("ws.n_fingerprints").as("n_fingerprints"),
+          t6(col("ws.n_fingerprints").cast("double") /
+            (col("ws.n_grams") - lit(w - 1))).as("density"))
         .orderBy("doc_id")
     }),
 
