@@ -739,27 +739,37 @@ object RelQueries {
     }),
 
     // Market-basket affinity at the brand grain: brand pairs that
-    // co-occur in one order, with support and lift. The pair stage
-    // joins on the ORDER key — fanout per order is bounded by basket
-    // size squared (≈ 4 parts/order), never a global brand×brand
-    // expansion; brand supports and the order total are one hash
-    // aggregate + a broadcast scalar. Top-20 is TakeOrdered.
+    // co-occur in one order, with support and lift. r13 shape: ONE
+    // shuffle — the fact collapses to a per-order sorted brand SET
+    // (collect_set is bounded by the brand cardinality, ~25, never by
+    // basket size), pairs expand NARROWLY from each set (k(k−1)/2 ≤
+    // 300 structs per order), and the pair/support/total aggregates
+    // all read that one grouped pass. The previous shape self-joined
+    // the (order, brand) table on the ORDER key — a second shuffle of
+    // the whole fact plus join fanout, which at sf1 made this the
+    // board's slowest key (8.9 s). Values are identical: the sorted
+    // set expansion enumerates exactly the a<b distinct pairs the
+    // join+filter produced. Top-20 is TakeOrdered.
     "basket_brand_affinity" -> ((s, dir) => {
       val t6 = graft.ext.TextStats.trunc6 _
-      val ob = Tables.load(s, dir, "lineitem")
+      val sets = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .join(broadcast(Tables.load(s, dir, "part")
           .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
           "l_partkey")
-        .select(col("l_orderkey"), col("p_brand"))
-        .distinct()
-        .localCheckpoint(false) // supports + pair join share it
-      val nOrders = ob.select("l_orderkey").distinct()
-        .agg(count(lit(1)).as("n_orders"))
-      val supp = ob.groupBy("p_brand").agg(count(lit(1)).as("n"))
-      val a = ob.select(col("l_orderkey"), col("p_brand").as("a_brand"))
-      val b = ob.select(col("l_orderkey"), col("p_brand").as("b_brand"))
-      a.join(b, "l_orderkey").filter(col("a_brand") < col("b_brand"))
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("p_brand"))).as("bs"))
+        .select("bs")
+        .localCheckpoint(false) // pairs + supports + total share it
+      val nOrders = sets.agg(count(lit(1)).as("n_orders"))
+      val supp = sets.select(explode(col("bs")).as("p_brand"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      sets
+        .select(explode(flatten(transform(col("bs"), (a, i) =>
+          transform(slice(col("bs"), i + lit(2), size(col("bs"))),
+            b => struct(a.as("a_brand"), b.as("b_brand")))))).as("pr"))
+        .select(col("pr.a_brand").as("a_brand"),
+          col("pr.b_brand").as("b_brand"))
         .groupBy("a_brand", "b_brand").agg(count(lit(1)).as("pair_n"))
         .join(broadcast(supp.select(col("p_brand").as("a_brand"),
           col("n").as("na"))), "a_brand")
