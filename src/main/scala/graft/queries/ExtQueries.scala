@@ -131,6 +131,28 @@ object ExtQueries {
         "doc_id", "sim", 20, "r_vec").persist()
     })
 
+  /** The MMR candidate cut (cosine top-20 for the fixed query,
+    * CARRYING embeddings) and the greedy selection over it — memoized:
+    * the rerank key and its audit read the same bounded frames.
+    */
+  private def mmrCandsOf(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "mmr_cands"), {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          round(Similarity.cosine(col("embedding"), col("qvec")), 6)
+            .as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .persist()
+    })
+
+  private def mmrSelOf(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "mmr_sel"),
+      Similarity.mmrRerank(mmrCandsOf(s, dir), "vec_id", "embedding",
+        "rel", lambda = 0.7, k = 5).persist())
+
   /** The minhash signature table is part of the same shared index: the
     * band/candidate build AND the estimate-vs-exact audit both read it,
     * so computing the k-min aggregation once per (session, dir) halves
@@ -303,6 +325,48 @@ object ExtQueries {
 
   private def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Shared MMR CTE chain (candidates, the n² pair sims, the unrolled
+    * greedy s1..s5/u1..u5) — `similar_mmr_rerank` and its audit read
+    * the same selection, like their Spark sides share the memo. The
+    * greedy: step i picks the argmax of λ·rel − (1−λ)·max sim to the
+    * selected set over the remaining candidates; λ and (1−λ) are the
+    * same DOUBLE values Spark computes (1.0 − 0.7 is NOT 0.3 in
+    * ieee754 — both engines use the subtraction).
+    */
+  private lazy val mmrCteSql: String = {
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val om = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+    def step(i: Int): String =
+      s"""s$i AS (
+         |  SELECT CAST($i AS BIGINT) AS sel_rank, c.vec_id, c.rel,
+         |    $lam * c.rel - $om * coalesce(
+         |      (SELECT max(p.ps) FROM pair p JOIN u${i - 1} u
+         |         ON p.pb = u.vec_id WHERE p.pa = c.vec_id),
+         |      CAST(0.0 AS DOUBLE)) AS mmr
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM u${i - 1})
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1
+         |), u$i AS (
+         |  SELECT vec_id FROM u${i - 1}
+         |  UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+    s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id, e.embedding,
+       |    round(${cosineSql("e.embedding", "q.qvec")}, 6) AS rel
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT 20
+       |), pair AS (
+       |  SELECT a.vec_id AS pa, b.vec_id AS pb,
+       |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS ps
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+       |), s1 AS (
+       |  SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel,
+       |    $lam * rel AS mmr
+       |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1
+       |), u1 AS (SELECT vec_id FROM s1),
+       |${(2 to 5).map(step).mkString(",\n")}""".stripMargin
+  }
 
   /** L2-normalize a list expression to doubles (zero vectors pass
     * through) — byte-identical to Similarity.normalized.
@@ -1671,19 +1735,54 @@ object ExtQueries {
     // TakeOrdered produces the 20-row candidate cut CARRYING its
     // vectors (no second scan to re-fetch them); the n² pairwise table
     // and the k greedy argmax steps then touch only those 20 rows —
-    // constant cost at any corpus size (Similarity.mmrRerank).
-    "similar_mmr_rerank" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qvec"))
-      val cands = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("embedding"),
-          round(Similarity.cosine(col("embedding"), col("qvec")), 6)
-            .as("rel"))
-        .orderBy(col("rel").desc, col("vec_id")).limit(20)
-      Similarity.mmrRerank(cands, "vec_id", "embedding", "rel",
-        lambda = 0.7, k = 5)
+    // constant cost at any corpus size (Similarity.mmrRerank). The
+    // candidate cut and the selection are memoized — the audit key
+    // reads the same frames.
+    "similar_mmr_rerank" -> ((s, dir) =>
+      mmrSelOf(s, dir)
         .select(col("sel_rank"), col("vec_id"), col("rel"), col("mmr"))
+        .orderBy("sel_rank")),
+
+    // The audit beside the MMR heuristic (the board's rule: every
+    // approximate/heuristic path carries a measured companion): what
+    // diversity did the rerank BUY and what relevance did it PAY —
+    // mean query-relevance and mean pairwise similarity of the MMR-5
+    // vs the plain top-5, plus how many picks the two lists share.
+    // All over the memoized ≤20-row frames; sums route through
+    // DECIMAL so the 5- and 10-term folds are order-exact.
+    "similar_mmr_audit" -> ((s, dir) => {
+      val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
+      val t6 = TextStats.trunc6 _
+      val cands = mmrCandsOf(s, dir)
+      val top5 = cands.orderBy(col("rel").desc, col("vec_id")).limit(5)
+        .localCheckpoint(false) // rel mean + pair mean + overlap read it
+      val mmr5 = mmrSelOf(s, dir)
+        .join(cands.select("vec_id", "embedding"), Seq("vec_id"))
+        .localCheckpoint(false)
+      def meanRel(df: DataFrame, name: String) = broadcast(df.agg(
+        (sum(col("rel").cast(d12)).cast("double") / count(lit(1)))
+          .as(name)))
+      def meanPairSim(df: DataFrame, name: String) = broadcast {
+        val a = df.select(col("vec_id").as("pa"), col("embedding").as("va"))
+        val b = df.select(col("vec_id").as("pb"), col("embedding").as("vb"))
+        a.join(broadcast(b), col("pa") < col("pb"))
+          .select(round(Similarity.cosine(col("va"), col("vb")), 6)
+            .as("ps"))
+          .agg((sum(col("ps").cast(d12)).cast("double") / count(lit(1)))
+            .as(name))
+      }
+      top5.select(col("vec_id"))
+        .join(mmr5.select(col("vec_id")), Seq("vec_id"))
+        .agg(count(lit(1)).as("n_common"))
+        .crossJoin(meanRel(top5, "rt"))
+        .crossJoin(meanRel(mmr5, "rm"))
+        .crossJoin(meanPairSim(top5, "pt"))
+        .crossJoin(meanPairSim(mmr5, "pm"))
+        .select(col("n_common"),
+          t6(col("rt")).as("mean_rel_top"),
+          t6(col("rm")).as("mean_rel_mmr"),
+          t6(col("pt")).as("mean_pairsim_top"),
+          t6(col("pm")).as("mean_pairsim_mmr"))
     }),
 
     // Per-row-rate (length-weighted) deterministic sampling: longer
@@ -4514,50 +4613,51 @@ object ExtQueries {
          |FROM agg CROSS JOIN idcg i
          |ORDER BY n_rel_in_10""".stripMargin,
 
-    "similar_mmr_rerank" -> {
-      // the greedy unrolled: step i picks the argmax of
-      // λ·rel − (1−λ)·max_{s∈selected} sim over the remaining
-      // candidates; λ and (1−λ) are the same DOUBLE values Spark
-      // computes (1.0 − 0.7 is NOT 0.3 in ieee754 — both engines use
-      // the subtraction)
-      val lam = "CAST(0.7 AS DOUBLE)"
-      val om = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
-      def step(i: Int): String =
-        s"""s$i AS (
-           |  SELECT CAST($i AS BIGINT) AS sel_rank, c.vec_id, c.rel,
-           |    $lam * c.rel - $om * coalesce(
-           |      (SELECT max(p.ps) FROM pair p JOIN u${i - 1} u
-           |         ON p.pb = u.vec_id WHERE p.pa = c.vec_id),
-           |      CAST(0.0 AS DOUBLE)) AS mmr
-           |  FROM cand c
-           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM u${i - 1})
-           |  ORDER BY mmr DESC, c.vec_id LIMIT 1
-           |), u$i AS (
-           |  SELECT vec_id FROM u${i - 1}
-           |  UNION ALL SELECT vec_id FROM s$i)""".stripMargin
-      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-         |cand AS (
-         |  SELECT e.vec_id, e.embedding,
-         |    round(${cosineSql("e.embedding", "q.qvec")}, 6) AS rel
-         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
-         |  ORDER BY rel DESC, e.vec_id LIMIT 20
-         |), pair AS (
-         |  SELECT a.vec_id AS pa, b.vec_id AS pb,
-         |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS ps
-         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
-         |), s1 AS (
-         |  SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel,
-         |    $lam * rel AS mmr
-         |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1
-         |), u1 AS (SELECT vec_id FROM s1),
-         |${(2 to 5).map(step).mkString(",\n")}
+    "similar_mmr_rerank" ->
+      s"""$mmrCteSql
          |SELECT sel_rank, vec_id, rel,
          |  floor(mmr * 1000000) / 1000000 AS mmr
          |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
          |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
          |      UNION ALL SELECT * FROM s5)
-         |ORDER BY sel_rank""".stripMargin
-    },
+         |ORDER BY sel_rank""".stripMargin,
+
+    "similar_mmr_audit" ->
+      s"""$mmrCteSql,
+         |msel AS (
+         |  SELECT vec_id, rel FROM s1 UNION ALL SELECT vec_id, rel FROM s2
+         |  UNION ALL SELECT vec_id, rel FROM s3
+         |  UNION ALL SELECT vec_id, rel FROM s4
+         |  UNION ALL SELECT vec_id, rel FROM s5
+         |), top5 AS (
+         |  SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 5
+         |), trel AS (
+         |  SELECT CAST(sum(CAST(rel AS DECIMAL(38,12))) AS DOUBLE)
+         |    / count(*) AS v FROM top5
+         |), mrel AS (
+         |  SELECT CAST(sum(CAST(rel AS DECIMAL(38,12))) AS DOUBLE)
+         |    / count(*) AS v FROM msel
+         |), tpair AS (
+         |  SELECT CAST(sum(CAST(p.ps AS DECIMAL(38,12))) AS DOUBLE)
+         |    / count(*) AS v
+         |  FROM pair p JOIN top5 x ON p.pa = x.vec_id
+         |  JOIN top5 y ON p.pb = y.vec_id WHERE p.pa < p.pb
+         |), mpair AS (
+         |  SELECT CAST(sum(CAST(p.ps AS DECIMAL(38,12))) AS DOUBLE)
+         |    / count(*) AS v
+         |  FROM pair p JOIN msel x ON p.pa = x.vec_id
+         |  JOIN msel y ON p.pb = y.vec_id WHERE p.pa < p.pb
+         |), comm AS (
+         |  SELECT count(*) AS n_common
+         |  FROM top5 t JOIN msel m ON t.vec_id = m.vec_id)
+         |SELECT c.n_common,
+         |  floor(trel.v * 1000000) / 1000000 AS mean_rel_top,
+         |  floor(mrel.v * 1000000) / 1000000 AS mean_rel_mmr,
+         |  floor(tpair.v * 1000000) / 1000000 AS mean_pairsim_top,
+         |  floor(mpair.v * 1000000) / 1000000 AS mean_pairsim_mmr
+         |FROM comm c CROSS JOIN trel CROSS JOIN mrel
+         |CROSS JOIN tpair CROSS JOIN mpair
+         |ORDER BY c.n_common""".stripMargin,
 
     "doc_zipf_alpha" ->
       """WITH tok AS (
