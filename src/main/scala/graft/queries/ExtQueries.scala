@@ -291,7 +291,8 @@ object ExtQueries {
       timed("bm25_index") { bm25Of(s, dir).count() },
       timed("hybrid_ranks") {
         hybridLexOf(s, dir).count(); hybridVecOf(s, dir).count()
-      })
+      },
+      timed("mmr") { mmrSelOf(s, dir).count() })
   }
 
   /** Exact and ANN within-label NN results, memoized: each backs its
