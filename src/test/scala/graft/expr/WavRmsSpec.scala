@@ -130,6 +130,36 @@ class WavRmsSpec extends SparkSpec {
     check(rows.toDF("id", "payload"))
   }
 
+  test("RANDOMIZED native ≡ fold: 200 scalacheck chunk layouts — " +
+    "random pre-data chunks (odd/even/zero sizes), lying declared " +
+    "sizes, random sample counts across the cap, random truncation") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val preChunk = for {
+      id <- Gen.oneOf("LIST", "JUNK", "fmt ", "bad")
+      bodyLen <- Gen.chooseNum(0, 9)
+      lie <- Gen.oneOf(0L, 0L, 0L, 1L, 3L, 0xFFFFFFF0L) // mostly honest
+    } yield chunk(id, Array.fill(bodyLen)(0x42.toByte),
+      declared = if (lie == 0L) None else Some(lie))
+    val payload = for {
+      pre <- Gen.chooseNum(0, 10).flatMap(Gen.listOfN(_, preChunk))
+      nSamp <- Gen.chooseNum(0, 300)
+      vals <- Gen.listOfN(nSamp, Gen.chooseNum(-32768, 32767))
+      dataLie <- Gen.oneOf[Option[Long]](None, None, Some(nSamp * 2L + 5),
+        Some(7L))
+      cut <- Gen.chooseNum(0, 100) // percent kept
+    } yield {
+      val full = wav(pre :+ chunk("data", samples(vals),
+        declared = dataLie): _*)
+      full.take(math.max(1, full.length * cut / 100))
+    }
+    val cases = Gen.listOfN(200, payload)
+      .apply(Gen.Parameters.default, Seed(777L)).get
+    check(cases.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("id", "payload"))
+  }
+
   test("native ≡ fold on adversarial payloads: non-WAV, missing data, " +
     "sample-cap overflow, hostile 4GiB chunk size, odd data size, " +
     "signed samples, empty data, budget exhaustion") {

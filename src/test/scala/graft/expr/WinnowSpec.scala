@@ -65,6 +65,24 @@ class WinnowSpec extends SparkSpec {
     assert(native(docs).count() > 0, "fixture must exercise the path")
   }
 
+  test("RANDOMIZED native ≡ composable: 300 scalacheck texts — tiny " +
+    "vocab (max tie pressure), repeats, empty tokens, lengths across " +
+    "the w-gram boundary") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "ab", "ba", "", "x", "same", "q1")
+    val text = for {
+      n <- Gen.chooseNum(0, 40)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val texts = Gen.listOfN(300, text)
+      .apply(Gen.Parameters.default, Seed(1313L)).get
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    check(df)
+  }
+
   test("native winnow ≡ composable fold on edge shapes: consecutive " +
     "spaces, exactly-w grams, identical grams (tie pressure), short " +
     "docs filtered on both sides") {
