@@ -1993,4 +1993,26 @@ class PlanSpec extends SparkSpec {
         s"$key has an unpartitioned window")
     }
   }
+
+  test("MMR family: everything past the TakeOrdered candidate cut is " +
+    "bounded — no sort-merge join, no unhinted cartesian anywhere") {
+    for (key <- Seq("similar_mmr_rerank", "similar_mmr_audit")) {
+      val p = plan(key)
+      assert(!p.contains("SortMergeJoin"),
+        s"$key grew a shuffle join over the bounded frames:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$key grew an unhinted cartesian:\n$p")
+    }
+  }
+
+  test("retrieval_eval_metrics never touches the corpus text: the lex " +
+    "side rides the persisted index probe, so the whole key reads " +
+    "zero documents.parquet locations") {
+    val p = plan("retrieval_eval_metrics")
+    assert(p.linesIterator.count(l =>
+        l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"eval metrics re-tokenized the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"eval metrics grew an unbounded join:\n$p")
+  }
 }

@@ -846,4 +846,67 @@ class StreamIngestSpec extends SparkSpec {
         stream.zip(batch).filter { case (a, b) => a != b }
           .take(10).mkString("\n"))
   }
+
+  test("streaming windowed stats finalize COMPLETELY and equal the " +
+    "batch tumbling-window aggregation at sf0.01 volume (append mode " +
+    "drops nothing, duplicates nothing)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = "/root/testdata/sf0.01"
+    val events = graft.queries.TsQueries.base(spark, dir)
+      .select(col("sec"), col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .orderBy("sec").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val sentinelSec = events.map(_._1).max + 1000000L
+
+    val src = MemoryStream[(Long, String, Double)]
+    val points = src.toDF().toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"),
+        col("metric"), col("value"))
+    val query = StreamIngest.windowedStats(points, "1 hour", "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_windows")
+      .start()
+    try {
+      events.grouped((events.length + 2) / 3).foreach { chunk =>
+        src.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      src.addData((sentinelSec, "__sentinel", 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val stream = spark.table("stream_windows")
+      .filter(col("metric") =!= "__sentinel")
+      .select(col("window_start").cast("long").as("w"), col("metric"),
+        col("n"), col("min_value"), col("max_value"), col("avg_value"))
+      .orderBy("w", "metric").collect()
+    val batch = graft.queries.TsQueries.base(spark, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(window(timestamp_seconds(col("sec")), "1 hour"),
+        col("event_type").as("metric"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"), avg(col("value")).as("avg_value"))
+      .select(col("window.start").cast("long").as("w"), col("metric"),
+        col("n"), col("min_value"), col("max_value"), col("avg_value"))
+      .orderBy("w", "metric").collect()
+    assert(stream.length == batch.length && stream.nonEmpty,
+      s"window counts diverge: stream=${stream.length} batch=${batch.length}")
+    stream.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) &&
+        s.getString(1) == b.getString(1) &&
+        s.getLong(2) == b.getLong(2) &&
+        s.getDouble(3) == b.getDouble(3) &&
+        s.getDouble(4) == b.getDouble(4),
+        s"window frame diverged: $s vs $b")
+      // avg is a float fold — micro-batched partial merges may
+      // reassociate the additions vs the batch hash aggregate, so the
+      // comparison is ulp-tolerant, unlike the exact integer/min/max
+      assert(math.abs(s.getDouble(5) - b.getDouble(5)) <=
+        1e-9 * math.max(1.0, math.abs(b.getDouble(5))),
+        s"window avg diverged: $s vs $b")
+    }
+  }
 }
