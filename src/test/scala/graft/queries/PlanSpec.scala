@@ -2005,6 +2005,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("metrics_correlation runs ONE gram_stats aggregate per group — " +
+    "no five-lane decimal moment sums, no extra pass (r12 ask #7: the " +
+    "Gram expression as a reusable surface)") {
+    val p = plan("metrics_correlation")
+    assert(p.contains("gram_stats"),
+      s"pearson no longer routes through the Gram aggregate:\n$p")
+    assert("gram_stats\\(".r.findAllIn(p).size <= 4, // partial+final × plan sections
+      s"gram_stats evaluated more than once per aggregation level:\n$p")
+    assert(p.linesIterator.count(l =>
+        l.contains("Location") && l.contains("events.parquet")) <= 1,
+      s"metrics_correlation scans events more than once:\n$p")
+  }
+
   test("retrieval_eval_metrics never touches the corpus text: the lex " +
     "side rides the persisted index probe, so the whole key reads " +
     "zero documents.parquet locations") {
