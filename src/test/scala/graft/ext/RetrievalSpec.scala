@@ -135,6 +135,56 @@ class RetrievalSpec extends SparkSpec {
       s"rank-2 diverged from the hand computation (got ${out(1)})")
   }
 
+  test("RANDOMIZED mmrRerank ≡ a driver-side reference greedy: 40 " +
+    "scalacheck candidate sets (random dims, duplicate vectors for " +
+    "tie pressure, random λ/k)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val cases = Gen.listOfN(40, for {
+      n <- Gen.chooseNum(2, 12)
+      dim <- Gen.chooseNum(2, 4)
+      base <- Gen.listOfN(n, Gen.listOfN(dim,
+        Gen.chooseNum(-5, 5).map(_.toFloat / 4f + 0.1f)))
+      lam <- Gen.oneOf(0.3, 0.5, 0.7, 0.9)
+      k <- Gen.chooseNum(1, 5)
+    } yield (base, lam, k))
+      .apply(Gen.Parameters.default, Seed(99L)).get
+
+    def cos6(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (((vecs, lam, k), ci) <- cases.zipWithIndex) {
+      // rel = cosine to the first vector (acting as the query)
+      val cands = vecs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.toArray, cos6(v, vecs.head)) }
+      val df = cands.toDF("vec_id", "embedding", "rel")
+      val got = Similarity.mmrRerank(df, "vec_id", "embedding", "rel",
+        lam, k).collect().map(_.getLong(1)).toSeq
+      // driver-side reference greedy with the same tie rules
+      var sel = Vector.empty[Long]
+      for (_ <- 1 to k if sel.size < cands.size) {
+        val rem = cands.filterNot(c => sel.contains(c._1))
+        val best = rem.map { case (id, v, rel) =>
+          val pen = if (sel.isEmpty) 0.0
+            else sel.map(sid =>
+              cos6(v.toSeq, cands(sid.toInt)._2.toSeq)).max
+          (id, lam * rel - (1.0 - lam) * pen)
+        }.minBy { case (id, m) => (-m, id) }._1
+        sel :+= best
+      }
+      assert(got == sel,
+        s"case $ci (λ=$lam k=$k n=${cands.size}): spark=$got ref=$sel")
+    }
+  }
+
   test("rankTopK ranks 1..n by (score desc, id asc) and its window " +
     "carries a NON-EMPTY partition spec (the r9 zero-warning standard: " +
     "`No Partition Defined for Window` must never fire)") {
