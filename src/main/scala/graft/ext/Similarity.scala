@@ -665,56 +665,109 @@ object Similarity {
             coalesce(lit(1.0) / (lit(kR) + col("r_vec")), lit(0.0)))
           .as("rrf"))
 
+  /** Tie-break ordering on a candidate id of whatever type the caller's
+    * id column carries (long/int/string/...), matching Spark's natural
+    * ascending sort on that column.
+    */
+  private val idAscOrd: Ordering[Any] = new Ordering[Any] {
+    def compare(x: Any, y: Any): Int = (x, y) match {
+      case (a: java.lang.Long, b: java.lang.Long) => a.compareTo(b)
+      case (a: java.lang.Integer, b: java.lang.Integer) => a.compareTo(b)
+      case (a: String, b: String) => a.compareTo(b)
+      case (a: java.lang.Number, b: java.lang.Number) =>
+        java.lang.Double.compare(a.doubleValue, b.doubleValue)
+      case _ => x.toString.compareTo(y.toString)
+    }
+  }
+
   /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998) of
     * a BOUNDED candidate frame `(idCol, vecCol, relCol)` — greedy
     * selection of `k` results maximizing
     * `λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)` (first pick: penalty 0),
     * ties broken by id. The diversification pass a RAG serving stack
     * runs AFTER retrieval: candidates are already a top-N cut, so the
-    * n² pairwise-cosine table and the k greedy steps are constant-cost
-    * at ANY corpus size — the corpus-scale work stays in the retrieval
-    * that produced the candidates. Each step is one bounded
-    * join+argmax (lazy-checkpointed so the unrolled plan stays flat);
-    * similarities are 6-dec rounded before the greedy compare, so the
-    * selection is engine-portable (RetrievalSpec + the DuckDB oracle
-    * pin it). Output: `(sel_rank 1..k, idCol, relCol, mmr [trunc6])`.
+    * corpus-scale work stays in the retrieval that produced them. The
+    * n² pairwise 6-dec cosines are computed DISTRIBUTED (one bounded
+    * broadcast crossJoin — the only Spark job here), then COLLECTED
+    * (≤ n² scalar rows, a bounded model artifact per the repo's
+    * `Bpe.encode` precedent) and the k greedy argmax steps run on the
+    * driver — one job total instead of k sequential join+limit(1)
+    * jobs burning a scheduler round each (VERDICT r13 ask #7). Score
+    * comparisons are `java.lang.Double.compare` (Spark's NaN-largest
+    * sort order); similarities are 6-dec rounded before the greedy
+    * compare, so the selection is engine-portable (RetrievalSpec's
+    * randomized reference-greedy property + the DuckDB oracle pin
+    * it). Output: `(sel_rank 1..k, idCol, relCol, mmr [trunc6])`.
     */
   def mmrRerank(cands: DataFrame, idCol: String, vecCol: String,
                 relCol: String, lambda: Double, k: Int): DataFrame = {
     require(k >= 1, s"mmr needs k >= 1, got $k")
-    val oneMinus = lit(1.0) - lit(lambda)
+    import scala.jdk.CollectionConverters._
+    val spark = cands.sparkSession
     val c = cands.localCheckpoint(false) // bounded candidate cut
-    val pair = c.select(col(idCol).as("__a"), col(vecCol).as("__va"))
-      .crossJoin(broadcast(
-        c.select(col(idCol).as("__b"), col(vecCol).as("__vb"))))
-      .filter(col("__a") =!= col("__b"))
-      .select(col("__a"), col("__b"),
-        round(cosine(col("__va"), col("__vb")), 6).as("__s"))
-      .localCheckpoint(false) // n² bounded; every greedy step reads it
-    var sel = c
-      .select(col(idCol), col(relCol),
-        (lit(lambda) * col(relCol)).as("__mmr"))
-      .orderBy(col("__mmr").desc, col(idCol)).limit(1)
-      .select(lit(1L).as("sel_rank"), col(idCol), col(relCol),
-        col("__mmr"))
-    for (i <- 2 to k) {
-      val pen = pair
-        .join(broadcast(sel.select(col(idCol).as("__b"))), Seq("__b"))
-        .groupBy(col("__a")).agg(max(col("__s")).as("__pen"))
-      val next = c
-        .join(sel.select(col(idCol)), Seq(idCol), "left_anti")
-        .join(pen.withColumnRenamed("__a", idCol), Seq(idCol), "left")
-        .select(col(idCol), col(relCol),
-          (lit(lambda) * col(relCol) -
-            oneMinus * coalesce(col("__pen"), lit(0.0))).as("__mmr"))
-        .orderBy(col("__mmr").desc, col(idCol)).limit(1)
-        .select(lit(i.toLong).as("sel_rank"), col(idCol), col(relCol),
-          col("__mmr"))
-      sel = sel.unionByName(next).localCheckpoint(false) // ≤ k rows
+    val candRows = c.select(col(idCol), col(relCol),
+      col(relCol).cast("double").as("__rel_d")).collect()
+    val pairSim: Map[(Any, Any), Double] =
+      if (k == 1 || candRows.length < 2) Map.empty
+      else c.select(col(idCol).as("__a"), col(vecCol).as("__va"))
+        .crossJoin(broadcast(
+          c.select(col(idCol).as("__b"), col(vecCol).as("__vb"))))
+        .filter(col("__a") =!= col("__b"))
+        .select(col("__a"), col("__b"),
+          round(cosine(col("__va"), col("__vb")), 6).as("__s"))
+        .collect()
+        .map(r => (r.get(0), r.get(1)) -> r.getDouble(2)).toMap
+    // (score desc NULLS LAST, id asc) — exactly Spark's
+    // `orderBy(col.desc, id)` on a nullable double
+    def beats(sA: java.lang.Double, iA: Any,
+              sB: java.lang.Double, iB: Any): Boolean =
+      if (sA == null && sB == null) idAscOrd.lt(iA, iB)
+      else if (sA == null) false
+      else if (sB == null) true
+      else {
+        val cmp = java.lang.Double.compare(sA, sB)
+        if (cmp != 0) cmp > 0 else idAscOrd.lt(iA, iB)
+      }
+    var selected = Vector.empty[(Any, Any, java.lang.Double)]
+    var remaining = candRows.toVector.map(r =>
+      (r.get(0), r.get(1),
+        if (r.isNullAt(2)) null
+        else java.lang.Double.valueOf(r.getDouble(2))))
+    for (_ <- 1 to k if remaining.nonEmpty) {
+      var bId: Any = null; var bRel: Any = null
+      var bScore: java.lang.Double = null; var first = true
+      remaining.foreach { case (id, rel, relD) =>
+        val score: java.lang.Double =
+          if (relD == null) null
+          else if (selected.isEmpty) lambda * relD
+          else {
+            val pen = selected.iterator
+              .map(s => pairSim.getOrElse((id, s._1), 0.0))
+              .reduce((a, b) =>
+                if (java.lang.Double.compare(a, b) >= 0) a else b)
+            lambda * relD - (1.0 - lambda) * pen
+          }
+        if (first || beats(score, id, bScore, bId)) {
+          bId = id; bRel = rel; bScore = score; first = false
+        }
+      }
+      selected :+= ((bId, bRel, bScore))
+      remaining = remaining.filterNot(_._1 == bId)
     }
-    sel.select(col("sel_rank"), col(idCol), col(relCol),
-        TextStats.trunc6(col("__mmr")).as("mmr"))
-      .orderBy("sel_rank")
+    val outRows: java.util.List[org.apache.spark.sql.Row] =
+      selected.zipWithIndex.map { case ((id, rel, mmr), i) =>
+        org.apache.spark.sql.Row(i + 1L, id, rel,
+          if (mmr == null) null
+          else math.floor(mmr * 1000000d) / 1000000d)
+      }.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sel_rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      c.schema(idCol).copy(name = idCol),
+      c.schema(relCol).copy(name = relCol),
+      org.apache.spark.sql.types.StructField("mmr",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(outRows, schema).orderBy("sel_rank")
   }
 
   /** Hybrid retrieval: fuse a lexical scored frame (e.g.

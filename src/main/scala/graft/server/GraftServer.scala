@@ -141,11 +141,14 @@ class GraftServer(spark: SparkSession, baseDir: String,
     adminToken.nonEmpty && store.keyOk(adminToken, key)
 
   /** `database.py:170-187`: admin any action; write key → write+read;
-    * read key → read. At the NETWORK boundary an empty configured key
-    * grants only on exact match (i.e. never for a non-admin caller) —
-    * the reference server's `_check_auth` admits only exact-key or
-    * admin, so a keyless sensor is admin-only over HTTP even though
-    * the in-process library client treats empty as open (ADVICE r12).
+    * read key → read. At the NETWORK boundary a keyless sensor is
+    * admin-only — a DELIBERATE hardening over the reference: its
+    * `_check_auth` runs `hmac.compare_digest(stored, key)`, which
+    * returns True for stored='' vs a presented empty basic-auth
+    * password, so the reference DOES grant empty==empty. We reject
+    * that (`nonEmpty && keyOk`) because an empty password is
+    * indistinguishable from "no credentials supplied" on the wire;
+    * GraftServerSpec pins Some("") → 401 (ADVICE r12/r13).
     */
   private def authSensor(key: String, db: String, sensor: String,
                          write: Boolean): Unit = {
@@ -349,10 +352,14 @@ class GraftServer(spark: SparkSession, baseDir: String,
         // server.py's os.path.realpath — a symlink inside the store
         // pointing outside it must not get hashed (ADVICE r12). The
         // lexical pre-check keeps blatant `..` traversal a 400 even
-        // when the target does not exist.
+        // when the target does not exist. Catch ALL IOExceptions, not
+        // just NoSuchFile: a symlink cycle (FileSystemLoopException)
+        // or unreadable entry planted inside the store must surface
+        // as the route's 404, never a 500 (ADVICE r13; Python's
+        // os.path.realpath never raises on loops).
         val target =
           try if (lexical.startsWith(base)) lexical.toRealPath() else lexical
-          catch { case _: java.nio.file.NoSuchFileException => null }
+          catch { case _: java.io.IOException => null }
         if (target == null) makeJs(ex, "File not found", 404)
         else if (!target.startsWith(base)) makeJs(ex, "Invalid path", 400)
         else if (!java.nio.file.Files.isRegularFile(target))
@@ -404,6 +411,12 @@ class GraftServer(spark: SparkSession, baseDir: String,
     * Unknown sensors pass through; the write path raises its own
     * not-found.
     */
+  /** Header→sensor capture, identical to `Influx.parseLines`'s
+    * `regexp_extract(header, ",[^=]+=(.+)$", 1)` so the auth gate and
+    * the write path can never disagree on the target sensor.
+    */
+  private val InfluxHeaderSensor = """,[^=]+=(.+)$""".r
+
   private def authWriteTargets(key: String,
                                targets: Iterable[(String, String)]): Unit =
     targets.foreach { case (db, sensor) =>
@@ -415,12 +428,17 @@ class GraftServer(spark: SparkSession, baseDir: String,
                           fill: Double): Unit = {
     val lines = new String(body(ex), StandardCharsets.UTF_8)
       .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-    // (db, sensor) of an influx line: `db,tag=sensor metrics… ts`
+    // (db, sensor) of an influx line: `db,tag=sensor metrics… ts`.
+    // The sensor MUST come from the same capture the write path uses
+    // (Influx.parseLines' `,[^=]+=(.+)$` over the pre-space header) —
+    // an ad-hoc split(",") would read `db,tag=s1,rest …` as sensor
+    // "s1" while the write lands on "s1,rest", letting a
+    // comma-named sensor bypass the gate (ADVICE r13).
     authWriteTargets(key, lines.flatMap { l =>
-      val head = l.split(" ", 2)(0).split(",")
-      if (head.length >= 2 && head(1).contains("="))
-        Some((head(0), head(1).split("=", 2)(1)))
-      else None
+      val header = l.split(" ", 2)(0)
+      InfluxHeaderSensor.findFirstMatchIn(header).map { m =>
+        (header.split(",", 2)(0), m.group(1))
+      }
     }.distinct)
     client(key).write(lines, fill)
     makeJs(ex, s"${lines.size} lines inserted ok", 200)

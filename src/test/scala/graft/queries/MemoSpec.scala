@@ -71,6 +71,31 @@ class MemoSpec extends SparkSpec {
       "the audit rebuilt a rank frame instead of sharing the memo")
   }
 
+  test("clearIndexes: the persisted BM25 index artifact is deleted " +
+    "from disk and unregistered; the next touch rebuilds a working " +
+    "probe (VERDICT r13 'wrong' #1 — no orphaned /tmp trees)") {
+    ExtQueries.clearMemo()
+    ExtQueries.clearIndexes()
+    assert(ExtQueries.indexEntry(spark, dir).isEmpty)
+    val before =
+      graft.SparkEntry.queries("doc_bm25_topk")(spark, dir).collect()
+    val path1 = ExtQueries.indexEntry(spark, dir)
+    assert(path1.isDefined, "doc_bm25_topk must register the index")
+    val p1 = java.nio.file.Paths.get(path1.get)
+    assert(java.nio.file.Files.exists(p1), "artifact must be on disk")
+    ExtQueries.clearIndexes()
+    assert(!java.nio.file.Files.exists(p1),
+      "clearIndexes must DELETE the temp parquet tree, not just " +
+        "unregister it")
+    assert(ExtQueries.indexEntry(spark, dir).isEmpty)
+    ExtQueries.clearMemo() // drop the memoized scored frame too
+    val after =
+      graft.SparkEntry.queries("doc_bm25_topk")(spark, dir).collect()
+    assert(before.sameElements(after),
+      "rebuild after clearIndexes must be identical")
+    ExtQueries.clearIndexes()
+  }
+
   test("prebuildSharedIndexes forces every shared artifact and reports " +
     "a named per-index cost") {
     ExtQueries.clearMemo()

@@ -329,4 +329,30 @@ class GraftServerSpec extends SparkSpec {
     assert(req("POST", "/plant/open1/last_timestamp", Some(Admin))
       .statusCode == 200)
   }
+
+  test("influx write gate parses the target sensor EXACTLY like the " +
+    "write path: a comma-named keyless sensor ('s1,rest') cannot slip " +
+    "past the auth gate via the header's first comma field (ADVICE " +
+    "r13)") {
+    setupSensor()
+    val cfg = """{"period":"1s","metrics":["m"]}"""
+    // keyless sensor whose name contains a comma — the write path's
+    // `,[^=]+=(.+)$` capture reads the FULL 's1,rest'
+    assert(req("POST", "/db/plant/sensor/s1,rest", Some(Admin),
+      Some(cfg.getBytes)).statusCode == 201)
+    val line = "plant,circuit=s1,rest m=1 1704067200000000000"
+    // non-admin: the gate must auth the sensor the write actually
+    // targets ('s1,rest', keyless → admin-only) and refuse — NOT auth
+    // a nonexistent 's1' and let the write through
+    assert(req("POST", "/influx", Some("anything"), Some(line.getBytes))
+      .statusCode == 401)
+    assert(js(req("POST", "/plant/s1,rest/last_timestamp", Some(Admin)))
+      \ "last_timestamp" == JNull,
+      "the refused write must not have landed")
+    // admin writes it fine (gate and write path agree on the target)
+    assert(req("POST", "/influx", Some(Admin), Some(line.getBytes))
+      .statusCode == 200)
+    assert(js(req("POST", "/plant/s1,rest/last_timestamp", Some(Admin)))
+      \ "last_timestamp" == JDouble(1704067200.0))
+  }
 }
