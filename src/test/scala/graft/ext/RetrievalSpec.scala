@@ -59,6 +59,61 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("refreshBm25Index: probe after build(half) + refresh(rest) is " +
+    "BIT-IDENTICAL to probe after a full rebuild AND to the corpus " +
+    "scan (the rollup-refresh contract, retrieval edition — r13 ask " +
+    "#1)") {
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 =!= 0)
+    val inc = java.nio.file.Files.createTempDirectory("bm25inc").toString
+    TextStats.buildBm25Index(half, "doc_id", "text", inc)
+    TextStats.refreshBm25Index(spark, inc, rest, "doc_id", "text")
+    assert(TextStats.hasBm25Index(spark, inc))
+    assert(TextStats.bm25IndexFresh(spark, inc, docs),
+      "refreshed index must carry the full corpus count")
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString
+    TextStats.buildBm25Index(docs, "doc_id", "text", full)
+    for (terms <- Seq(Seq("spark", "merge", "vector"), terms2)) {
+      val probeInc = TextStats.bm25FromIndex(spark, inc, "doc_id", terms)
+        .orderBy("doc_id").collect().map(_.toString)
+      val probeFull = TextStats.bm25FromIndex(spark, full, "doc_id", terms)
+        .orderBy("doc_id").collect().map(_.toString)
+      val scan = TextStats.bm25(docs, "doc_id", "text", terms)
+        .orderBy("doc_id").collect().map(_.toString)
+      assert(probeInc.nonEmpty)
+      assert(probeInc.sameElements(probeFull),
+        s"refresh != rebuild for $terms")
+      assert(probeInc.sameElements(scan), s"refresh != scan for $terms")
+    }
+  }
+
+  test("staleness gate: an index that predates an ingest re-routes " +
+    "bm25Routed to the corpus scan (never serves old scores); a " +
+    "refresh restores the probe path (r13 ask #1)") {
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("bm25stale").toString
+    TextStats.buildBm25Index(half, "doc_id", "text", idx)
+    assert(TextStats.hasBm25Index(spark, idx))
+    assert(!TextStats.bm25IndexFresh(spark, idx, docs),
+      "a half-corpus index must read as STALE against the full corpus")
+    val scan = TextStats.bm25(docs, "doc_id", "text", terms2)
+      .orderBy("doc_id").collect().map(_.toString)
+    val stale = TextStats.bm25Routed(spark, docs, "doc_id", "text",
+      terms2, Some(idx))
+    assert(!stale.queryExecution.executedPlan.toString.contains("postings"),
+      "stale index must NOT be probed")
+    assert(stale.orderBy("doc_id").collect().map(_.toString)
+      .sameElements(scan), "stale fallback diverged from the scan")
+    TextStats.refreshBm25Index(spark, idx, rest, "doc_id", "text")
+    val routed = TextStats.bm25Routed(spark, docs, "doc_id", "text",
+      terms2, Some(idx))
+    assert(routed.queryExecution.executedPlan.toString.contains("postings"),
+      "refreshed index must route back to the probe")
+    assert(routed.orderBy("doc_id").collect().map(_.toString)
+      .sameElements(scan), "refreshed probe diverged from the scan")
+  }
+
   test("bm25 scores behave like BM25: present-term docs only, rarer " +
     "term outranks a commoner one at equal tf, n_terms bounded") {
     val rows = TextStats.bm25(docs, "doc_id", "text", terms2).collect()
