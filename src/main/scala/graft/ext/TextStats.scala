@@ -277,32 +277,57 @@ object TextStats {
   }
 
   /** Materialize the BM25 retrieval index: `postings/` =
-    * `(term, idCol, dl, tf)` clustered + sorted by term (so a probe's
-    * `term IN (…)` prunes parquet row groups via min/max stats —
-    * at 100 TB a query touches only its terms' postings, never the
-    * corpus), and `stats/` = the one-row exact `(sum_dl, n)`. One
-    * tokenize pass feeds both via a lazy checkpoint. This is the
-    * at-rest twin of the bounded `doc_inverted_index` catalog artifact:
-    * same structure, plus the (tf, dl) payload BM25 scoring needs.
+    * `(term, idCol, dl, tf, pos)` clustered + sorted by term (so a
+    * probe's `term IN (…)` prunes parquet row groups via min/max
+    * stats — at 100 TB a query touches only its terms' postings,
+    * never the corpus), and `stats/` = the one-row exact
+    * `(sum_dl, n)`. `pos` is the sorted 1-based token positions of
+    * the term in the doc (the POSITIONAL payload phrase retrieval
+    * intersects — r13 ask #3; bounded per posting by the doc's own
+    * length, the standard inverted-index payload); `tf = |pos|`. One
+    * tokenize pass feeds both parts via a lazy checkpoint. This is
+    * the at-rest twin of the bounded `doc_inverted_index` catalog
+    * artifact: same structure, plus the payload BM25 scoring needs.
+    * A bag-of-words probe never reads `pos` — column pruning drops it
+    * at the scan.
     */
   def buildBm25Index(df: DataFrame, idCol: String, textCol: String,
                      path: String): String = {
-    val toks = df
-      .select(col(idCol), split(col(textCol), " ").as("toks"))
-      .select(col(idCol), size(col("toks")).cast("long").as("dl"),
-        col("toks"))
-      .localCheckpoint(false)
+    val toks = tokensWithLen(df, idCol, textCol)
     toks.agg(sum(col("dl")).cast("double").as("sum_dl"),
         count(lit(1)).cast("double").as("n"))
       .write.mode("overwrite").parquet(s"$path/stats")
-    toks.select(col(idCol), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col(idCol), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .repartition(col("term"))
-      .sortWithinPartitions("term")
+    postingsOf(toks, idCol)
       .write.mode("overwrite").parquet(s"$path/postings")
     path
   }
+
+  /** One corpus/batch pass → `(idCol, dl, toks)`, lazily checkpointed
+    * so the stats and postings writes share it.
+    */
+  private def tokensWithLen(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), size(col("toks")).cast("long").as("dl"),
+        col("toks"))
+      .localCheckpoint(false)
+
+  /** Positional postings of a tokenized frame: per (term, doc) the
+    * sorted 1-based positions and their count, term-clustered for
+    * row-group pruning. Shared verbatim by [[buildBm25Index]] and
+    * [[refreshBm25Index]] so full and incremental parts can never
+    * diverge in schema or clustering.
+    */
+  private def postingsOf(toks: DataFrame, idCol: String): DataFrame =
+    toks.select(col(idCol), col("dl"),
+        posexplode(col("toks")).as(Seq("p0", "term")))
+      .select(col(idCol), col("dl"), col("term"),
+        (col("p0") + 1).cast("long").as("p"))
+      .groupBy(col("term"), col(idCol), col("dl"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p"))).as("pos"))
+      .repartition(col("term"))
+      .sortWithinPartitions("term")
 
   /** Incrementally merge a batch of NEW documents into a persisted
     * [[buildBm25Index]] artifact — the store-rollup lifecycle
@@ -333,20 +358,12 @@ object TextStats {
     // read-THEN-overwrite on stats/ needs the old row off disk first
     val old = spark.read.parquet(s"$path/stats")
       .select(col("sum_dl"), col("n")).head()
-    val toks = batch
-      .select(col(idCol), split(col(textCol), " ").as("toks"))
-      .select(col(idCol), size(col("toks")).cast("long").as("dl"),
-        col("toks"))
-      .localCheckpoint(false) // one batch pass; stats + postings share it
+    val toks = tokensWithLen(batch, idCol, textCol)
     val merged = toks.agg(
       (coalesce(sum(col("dl")), lit(0L)).cast("double") +
         lit(old.getDouble(0))).as("sum_dl"),
       (count(lit(1)).cast("double") + lit(old.getDouble(1))).as("n"))
-    toks.select(col(idCol), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("term"), col(idCol), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .repartition(col("term"))
-      .sortWithinPartitions("term")
+    postingsOf(toks, idCol)
       .write.mode("append").parquet(s"$path/postings")
     merged.write.mode("overwrite").parquet(s"$path/stats")
     path
@@ -395,6 +412,111 @@ object TextStats {
     val stats = broadcast(spark.read.parquet(s"$path/stats"))
     bm25Score(tf, stats, idCol, k1, b)
   }
+
+  /** Shared scoring tail of phrase retrieval: the phrase is ONE unit
+    * with `tf` = its occurrence count per doc, `df` = how many docs
+    * contain it, scored with the same Robertson idf / tf saturation as
+    * a single term. `hits` = `(idCol, dl, tf)` for tf ≥ 1 docs; the
+    * df-count and the scoring both read it, so the CALLER picks the
+    * barrier: the corpus-scan twin checkpoints (a corpus tokenize
+    * must run once), the index probe stays lazy (its subtree is the
+    * row-group-pruned postings intersection — index-scale, cheaper to
+    * re-run in the same job than to materialize, and the barrier
+    * would hide the pruned scans from the plan). One double
+    * expression per doc (no sum fold — single phrase), 6-dec
+    * truncated; top `topN` by (score desc, id).
+    */
+  private def phraseScore(hits: DataFrame, stats: DataFrame,
+                          idCol: String, k1: Double, b: Double,
+                          topN: Int): DataFrame = {
+    val dfreq = broadcast(hits.agg(count(lit(1)).as("df")))
+    val idf = log((col("n") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val score = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) +
+        lit(b) * col("dl") / (col("sum_dl") / col("n"))))
+    hits.crossJoin(dfreq).crossJoin(stats)
+      .select(col(idCol), col("tf").as("phrase_tf"),
+        trunc6(score).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol)).limit(topN)
+  }
+
+  /** Exact two-word phrase retrieval by corpus scan: a doc matches
+    * where `first` at position p is immediately followed by `second`
+    * at p+1 (`zip_with` of the token array against its own 1-shift —
+    * one pass, no explode), BM25-scored as a unit. The scan twin of
+    * [[phraseBm25FromIndex]] — bit-identical, [[phraseBm25Routed]]
+    * picks.
+    */
+  def phraseBm25(df: DataFrame, idCol: String, textCol: String,
+                 first: String, second: String, k1: Double = 1.2,
+                 b: Double = 0.75, topN: Int = 10): DataFrame = {
+    val toks = col("toks")
+    val hits = df
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), size(toks).cast("long").as("dl"),
+        size(filter(
+          zip_with(toks,
+            slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+            (x, y) => x === lit(first) && y === lit(second)),
+          p => p)).cast("long").as("tf"))
+      .localCheckpoint(false) // one corpus pass; stats + score share it
+    val stats = broadcast(hits.agg(
+      sum(col("dl")).cast("double").as("sum_dl"),
+      count(lit(1)).cast("double").as("n")))
+    phraseScore(hits.filter(col("tf") >= 1), stats, idCol, k1, b, topN)
+  }
+
+  /** Exact two-word phrase retrieval by probing the positional index
+    * (r13 ask #3): read ONLY the two terms' postings (term filter
+    * pushed into each parquet scan — the corpus text is never
+    * touched), join on doc, and count adjacency by positional
+    * intersection (`p+1` of the first term present in the second's
+    * positions). Fully lazy: the df-count and the scoring each carry
+    * the pruned intersection subtree — both run in ONE job, and
+    * re-running the index-scale intersection (bounded by the rarer
+    * term's df) is cheaper than a materialization barrier that would
+    * also hide the pruned scans from the plan (PlanSpec pins the
+    * pushdown). Bit-identical to [[phraseBm25]] on the same corpus.
+    */
+  def phraseBm25FromIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, idCol: String, first: String,
+                          second: String, k1: Double = 1.2,
+                          b: Double = 0.75, topN: Int = 10): DataFrame = {
+    def side(term: String, posAs: String) =
+      spark.read.parquet(s"$path/postings")
+        .filter(col("term") === term)
+        .select(col(idCol), col("dl"), col("pos").as(posAs))
+    val hits = side(first, "p1")
+      .join(side(second, "p2").drop("dl"), Seq(idCol))
+      .select(col(idCol), col("dl"),
+        size(filter(col("p1"),
+          x => array_contains(col("p2"), x + 1))).cast("long").as("tf"))
+      .filter(col("tf") >= 1)
+    val stats = broadcast(spark.read.parquet(s"$path/stats"))
+    phraseScore(hits, stats, idCol, k1, b, topN)
+  }
+
+  /** Routing gate for phrase retrieval: probe needs a COMPLETE, FRESH
+    * index whose postings CARRY the positional payload (a pre-
+    * positional artifact routes to the scan, not an
+    * AnalysisException); else one corpus pass. Results identical
+    * either way.
+    */
+  def phraseBm25Routed(spark: org.apache.spark.sql.SparkSession,
+                       df: DataFrame, idCol: String, textCol: String,
+                       first: String, second: String,
+                       indexPath: Option[String], k1: Double = 1.2,
+                       b: Double = 0.75, topN: Int = 10): DataFrame =
+    indexPath.filter(p => hasBm25Index(spark, p) &&
+        spark.read.parquet(s"$p/postings")
+          .schema.fieldNames.contains("pos") &&
+        bm25IndexFresh(spark, p, df)) match {
+      case Some(p) =>
+        phraseBm25FromIndex(spark, p, idCol, first, second, k1, b, topN)
+      case None => phraseBm25(df, idCol, textCol, first, second, k1, b,
+        topN)
+    }
 
   /** Rollup-style routing for BM25 (the `readDistinct` gate, retrieval
     * edition): probe the persisted index when a COMPLETE

@@ -1779,6 +1779,20 @@ object ExtQueries {
         .select(col("sel_rank"), col("vec_id"), col("rel"), col("mmr"))
         .orderBy("sel_rank")),
 
+    // Exact two-word phrase retrieval ("stream spark") over the
+    // POSITIONAL payload of the shared persisted index (r13 ask #3) —
+    // the most common lexical need after bag-of-words. Probe shape:
+    // the two terms' postings read with the term filter pushed into
+    // each parquet scan (row-group pruned — the corpus text is never
+    // touched), joined on doc, adjacency counted by positional
+    // intersection (p+1 of 'stream' present in 'spark's positions),
+    // the phrase BM25-scored as a unit. Routed through the same
+    // complete+fresh gate as bag-of-words BM25, scan fallback
+    // bit-identical (RetrievalSpec pins it).
+    "retrieval_phrase_topk" -> ((s, dir) =>
+      TextStats.phraseBm25Routed(s, docs(s, dir), "doc_id", "text",
+        "stream", "spark", Some(bm25IndexOf(s, dir)))),
+
     // The audit beside the MMR heuristic (the board's rule: every
     // approximate/heuristic path carries a measured companion): what
     // diversity did the rerank BUY and what relevance did it PAY —
@@ -4648,6 +4662,39 @@ object ExtQueries {
          |  floor(dcg / i.idcg * 1000000) / 1000000 AS ndcg10
          |FROM agg CROSS JOIN idcg i
          |ORDER BY n_rel_in_10""".stripMargin,
+
+    "retrieval_phrase_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), dl AS (
+        |  SELECT doc_id, len(l) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM dl
+        |), pos AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |    unnest(range(1, len(l) + 1)) AS p
+        |  FROM toks
+        |), hits AS (
+        |  SELECT a.doc_id, count(*) AS phrase_tf
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |  WHERE a.tok = 'stream' AND b.tok = 'spark'
+        |  GROUP BY a.doc_id
+        |), dfreq AS (
+        |  SELECT count(*) AS df FROM hits
+        |)
+        |SELECT h.doc_id, h.phrase_tf,
+        |  floor(
+        |    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+        |      * (h.phrase_tf * (CAST(1.2 AS DOUBLE) + 1))
+        |      / (h.phrase_tf + CAST(1.2 AS DOUBLE) * ((1 - 0.75)
+        |          + 0.75 * dl.dl / (s.sum_dl / s.n)))
+        |    * 1000000) / 1000000 AS bm25
+        |FROM hits h JOIN dl ON h.doc_id = dl.doc_id
+        |CROSS JOIN stats s CROSS JOIN dfreq d
+        |ORDER BY bm25 DESC, h.doc_id LIMIT 10""".stripMargin,
 
     "similar_mmr_rerank" ->
       s"""$mmrCteSql

@@ -114,6 +114,45 @@ class RetrievalSpec extends SparkSpec {
       .sameElements(scan), "refreshed probe diverged from the scan")
   }
 
+  test("phrase retrieval: positional-index probe is BIT-IDENTICAL to " +
+    "the corpus scan on TWO phrases; matched docs really contain the " +
+    "adjacent pair (r13 ask #3)") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25pos").toString
+    TextStats.buildBm25Index(docs, "doc_id", "text", idx)
+    for ((w1, w2) <- Seq(("stream", "spark"), ("merge", "part"))) {
+      val scan = TextStats.phraseBm25(docs, "doc_id", "text", w1, w2,
+        topN = 50).orderBy("doc_id").collect().map(_.toString)
+      val probe = TextStats.phraseBm25FromIndex(spark, idx, "doc_id",
+        w1, w2, topN = 50).orderBy("doc_id").collect().map(_.toString)
+      assert(scan.nonEmpty, s"phrase '$w1 $w2' matched nothing — vacuous")
+      assert(scan.sameElements(probe),
+        s"scan vs probe diverged for '$w1 $w2'")
+      // ground truth: every matched doc contains the adjacent pair
+      val ids = TextStats.phraseBm25(docs, "doc_id", "text", w1, w2,
+        topN = 50).select("doc_id").collect().map(_.getLong(0)).toSet
+      val withPair = docs.collect().filter { r =>
+        val t = r.getAs[String]("text").split(" ")
+        t.indices.init.exists(i => t(i) == w1 && t(i + 1) == w2)
+      }.map(_.getAs[Long]("doc_id")).toSet
+      assert(ids.subsetOf(withPair),
+        s"a scored doc does not contain '$w1 $w2'")
+    }
+    // routing: a positional probe falls back to the scan when the
+    // artifact predates the positional payload (no pos column)
+    val legacy = java.nio.file.Files.createTempDirectory("bm25leg").toString
+    spark.read.parquet(s"$idx/postings").drop("pos")
+      .write.parquet(s"$legacy/postings")
+    spark.read.parquet(s"$idx/stats")
+      .write.parquet(s"$legacy/stats")
+    val routed = TextStats.phraseBm25Routed(spark, docs, "doc_id",
+      "text", "stream", "spark", Some(legacy))
+    assert(!routed.queryExecution.executedPlan.toString.contains("postings"),
+      "a positionless artifact must not be probed for a phrase")
+    val scanTop = TextStats.phraseBm25(docs, "doc_id", "text",
+      "stream", "spark").collect().map(_.toString)
+    assert(routed.collect().map(_.toString).sameElements(scanTop))
+  }
+
   test("bm25 scores behave like BM25: present-term docs only, rarer " +
     "term outranks a commoner one at equal tf, n_terms bounded") {
     val rows = TextStats.bm25(docs, "doc_id", "text", terms2).collect()

@@ -1980,6 +1980,23 @@ class PlanSpec extends SparkSpec {
       s"query-term filter not pushed into the postings scan:\n$p")
   }
 
+  test("retrieval_phrase_topk probes ONLY the two terms' postings: " +
+    "zero documents.parquet locations, equality filter pushed into " +
+    "each postings scan, and the bag-of-words probe never reads the " +
+    "positional payload (r13 ask #3)") {
+    val p = plan("retrieval_phrase_topk")
+    assert(p.linesIterator.count(l =>
+        l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"phrase probe re-tokenizes the corpus:\n$p")
+    assert("PushedFilters: \\[.*EqualTo\\(term,".r.findFirstIn(p).isDefined,
+      s"phrase term filter not pushed into the postings scan:\n$p")
+    // the non-positional probe prunes `pos` at the scan
+    val bag = plan("doc_bm25_topk")
+    assert(!bag.linesIterator.exists(l =>
+        l.contains("ReadSchema") && l.contains("pos:")),
+      s"bag-of-words probe reads the positional payload:\n$bag")
+  }
+
   test("hybrid rank windows carry a constant partition spec — the " +
     "board emits zero `No Partition Defined for Window` warnings " +
     "(r12 ask #2)") {
