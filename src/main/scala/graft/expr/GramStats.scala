@@ -26,8 +26,9 @@ import org.apache.spark.sql.types._
   * the shuffle to one buffer per task, and no (row × pair) tuple is
   * ever materialized.
   */
-final class GramBuffer(val dim: Int) extends Serializable {
-  val nCells: Int = dim * (dim - 1) / 2
+final class GramBuffer(val dim: Int, val diagOnly: Boolean = false)
+    extends Serializable {
+  val nCells: Int = if (diagOnly) 0 else dim * (dim - 1) / 2
   // per-dimension: element-row count, non-null count, Σx, Σx²
   val dN = new Array[Long](dim)
   val dNnz = new Array[Long](dim)
@@ -119,6 +120,7 @@ object GramBuffer {
   * `range(1, dim+1)` indexing.
   */
 case class GramStats(child: Expression, dim: Int,
+                     diagOnly: Boolean = false,
                      mutableAggBufferOffset: Int = 0,
                      inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[GramBuffer]
@@ -151,7 +153,8 @@ case class GramStats(child: Expression, dim: Int,
         t.simpleString)
   }
 
-  override def createAggregationBuffer(): GramBuffer = new GramBuffer(dim)
+  override def createAggregationBuffer(): GramBuffer =
+    new GramBuffer(dim, diagOnly)
 
   private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -202,17 +205,19 @@ case class GramStats(child: Expression, dim: Int,
         addScaled(x, buf.addDimX(i, _), buf.addDimXBig(i, _))
         addScaled(x * x, buf.addDimXx(i, _), buf.addDimXxBig(i, _))
       }
-      var j = i + 1
-      var idx = i * (2 * dim - i - 1) / 2 + (j - i - 1)
-      while (j < n) {
-        buf.cN(idx) += 1
-        if (ok(i) && ok(j)) {
-          buf.cNnz(idx) += 1
-          addScaled(xs(i) * xs(j), buf.addCell(idx, _),
-            buf.addCellBig(idx, _))
+      if (!diagOnly) {
+        var j = i + 1
+        var idx = i * (2 * dim - i - 1) / 2 + (j - i - 1)
+        while (j < n) {
+          buf.cN(idx) += 1
+          if (ok(i) && ok(j)) {
+            buf.cNnz(idx) += 1
+            addScaled(xs(i) * xs(j), buf.addCell(idx, _),
+              buf.addCellBig(idx, _))
+          }
+          j += 1
+          idx += 1
         }
-        j += 1
-        idx += 1
       }
       i += 1
     }
@@ -256,7 +261,7 @@ case class GramStats(child: Expression, dim: Int,
     val cells = new Array[Any](buf.nCells)
     i = 0
     var idx = 0
-    while (i < dim) {
+    while (idx < buf.nCells && i < dim) {
       var j = i + 1
       while (j < dim) {
         val s = if (buf.cNnz(idx) == 0) null
@@ -276,6 +281,7 @@ case class GramStats(child: Expression, dim: Int,
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.dim)
+    out.writeBoolean(buf.diagOnly)
     def writeLongs(a: Array[Long]): Unit = { a.foreach(out.writeLong) }
     writeLongs(buf.dN); writeLongs(buf.dNnz)
     writeLongs(buf.cN); writeLongs(buf.cNnz)
@@ -308,7 +314,7 @@ case class GramStats(child: Expression, dim: Int,
   override def deserialize(bytes: Array[Byte]): GramBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val d = in.readInt()
-    val buf = new GramBuffer(d)
+    val buf = new GramBuffer(d, in.readBoolean())
     def readLongs(a: Array[Long]): Unit = {
       var i = 0; while (i < a.length) { a(i) = in.readLong(); i += 1 }
     }
@@ -351,5 +357,15 @@ object GramStats {
   def gram_stats(embedding: Column, dim: Int): Column =
     ColumnBridge.column(
       GramStats(ColumnBridge.expression(embedding), dim)
+        .toAggregateExpression())
+
+  /** Diagonal-only mode: per-dim moments (n, Σx, Σx²) with NO
+    * cross-moment triangle — per-row work and buffer drop from O(d²)
+    * to O(d), for consumers that need centroids/variances but not
+    * covariances (e.g. the per-label drift audit). `cells` is empty.
+    */
+  def gram_diag(embedding: Column, dim: Int): Column =
+    ColumnBridge.column(
+      GramStats(ColumnBridge.expression(embedding), dim, diagOnly = true)
         .toAggregateExpression())
 }

@@ -320,8 +320,24 @@ object ExtQueries {
       timed("hybrid_ranks") {
         hybridLexOf(s, dir).count(); hybridVecOf(s, dir).count()
       },
-      timed("mmr") { mmrSelOf(s, dir).count() })
+      timed("mmr") { mmrSelOf(s, dir).count() },
+      timed("unigram_vocab") { unigramVocabOf(s, dir).count() })
   }
+
+  /** Shared fitted unigram vocabulary (piece, usage, llq), memoized:
+    * the train key emits it and the encode key ships it, so the EM
+    * chain (seed + two Viterbi E-steps + three scalar totals) runs
+    * once per (session, dir) instead of once per key.
+    */
+  private def unigramVocabOf(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((s, dir, "unigram_vocab"), {
+      val words = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      graft.ext.Unigram.fit(words, "w", "c", maxPieceLen = 4, topK = 40)
+        .persist()
+    })
 
   /** Exact and ANN within-label NN results, memoized: each backs its
     * own query key AND the recall audit that compares them.
@@ -354,6 +370,115 @@ object ExtQueries {
 
   private def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** One unigram-LM Viterbi E-step over the `words` CTE, re-derived
+    * INDEPENDENTLY of the Spark expression as a recursive-CTE dynamic
+    * program: the DP state carries the last 4 prefix scores and piece
+    * counts, each step LEFT-joins the ≤4 candidate pieces ending at
+    * the next position against `vocab`(piece, sc), and the tie-break
+    * (score desc, pieces asc, longer final piece) is packed into ONE
+    * monotone BIGINT composite so `greatest` picks the identical
+    * backpointer [[graft.expr.UnigramViterbi]]'s comparator does; a
+    * second recursive walk decodes the backpointer string into
+    * weighted piece usage (`u$n`).
+    */
+  private def unigramEStepSql(n: Int, vocab: String): String =
+    s"""dp$n(w, c, i, s0, s1, s2, s3, n0, n1, n2, n3, bps) AS (
+       |  SELECT w, c, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+       |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       |         0, CAST(NULL AS INT), CAST(NULL AS INT),
+       |         CAST(NULL AS INT), ''
+       |  FROM words
+       |  UNION ALL
+       |  SELECT q.w, q.c, q.i + 1,
+       |    q.best // 10000 - 1000000000,
+       |    q.s0, q.s1, q.s2,
+       |    CAST(99 - (q.best % 10000) // 100 AS INT),
+       |    q.n0, q.n1, q.n2,
+       |    q.bps || CAST(q.best % 100 AS VARCHAR)
+       |  FROM (
+       |    SELECT r.*, greatest(
+       |      CASE WHEN r.s0 IS NOT NULL AND p1.sc IS NOT NULL
+       |        THEN (r.s0 + p1.sc + 1000000000) * 10000
+       |             + (99 - (r.n0 + 1)) * 100 + 1 END,
+       |      CASE WHEN r.i >= 1 AND r.s1 IS NOT NULL AND p2.sc IS NOT NULL
+       |        THEN (r.s1 + p2.sc + 1000000000) * 10000
+       |             + (99 - (r.n1 + 1)) * 100 + 2 END,
+       |      CASE WHEN r.i >= 2 AND r.s2 IS NOT NULL AND p3.sc IS NOT NULL
+       |        THEN (r.s2 + p3.sc + 1000000000) * 10000
+       |             + (99 - (r.n2 + 1)) * 100 + 3 END,
+       |      CASE WHEN r.i >= 3 AND r.s3 IS NOT NULL AND p4.sc IS NOT NULL
+       |        THEN (r.s3 + p4.sc + 1000000000) * 10000
+       |             + (99 - (r.n3 + 1)) * 100 + 4 END
+       |    ) AS best
+       |    FROM dp$n r
+       |    LEFT JOIN $vocab p1 ON p1.piece = substr(r.w, r.i + 1, 1)
+       |    LEFT JOIN $vocab p2 ON r.i >= 1 AND p2.piece = substr(r.w, r.i, 2)
+       |    LEFT JOIN $vocab p3 ON r.i >= 2 AND p3.piece = substr(r.w, r.i - 1, 3)
+       |    LEFT JOIN $vocab p4 ON r.i >= 3 AND p4.piece = substr(r.w, r.i - 2, 4)
+       |    WHERE r.i < length(r.w)
+       |  ) q
+       |  WHERE q.best IS NOT NULL
+       |), walk$n(w, c, pos, bps, piece) AS (
+       |  SELECT w, c, CAST(length(w) AS INT), bps, CAST(NULL AS VARCHAR)
+       |  FROM dp$n WHERE i = length(w)
+       |  UNION ALL
+       |  SELECT q.w, q.c, q.pos - q.p, q.bps, substr(q.w, q.pos - q.p + 1, q.p)
+       |  FROM (SELECT w, c, pos, bps, CAST(substr(bps, pos, 1) AS INT) AS p
+       |        FROM walk$n WHERE pos > 0) q
+       |), u$n AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(c) AS BIGINT) AS u
+       |  FROM walk$n WHERE piece IS NOT NULL GROUP BY piece
+       |)""".stripMargin
+
+  /** The full unigram training chain (seed → score → E-step ×2 →
+    * pruned vocab with final usage `outv` and smoothing total `tot3`),
+    * shared by `unigram_train_vocab` and `unigram_encode_count`, like
+    * their Spark sides share [[graft.ext.Unigram.fit]].
+    */
+  private lazy val unigramTrainCtesSql: String =
+    s"""WITH RECURSIVE words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w
+       |), chars AS MATERIALIZED (
+       |  SELECT substr(w, i, 1) AS piece, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM words, unnest(range(1, length(w) + 1)) t(i)
+       |  GROUP BY 1
+       |), subs AS MATERIALIZED (
+       |  SELECT piece, cnt FROM (
+       |    SELECT substr(w, i, l) AS piece, CAST(sum(c) AS BIGINT) AS cnt
+       |    FROM words,
+       |         unnest([2, 3, 4]) g(l),
+       |         unnest(range(1, length(w) - l + 2)) t(i)
+       |    GROUP BY 1
+       |  ) q ORDER BY cnt DESC, piece LIMIT 40
+       |), seed AS MATERIALIZED (
+       |  SELECT piece, cnt FROM chars UNION ALL SELECT piece, cnt FROM subs
+       |), tot1 AS MATERIALIZED (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM seed),
+       |v1 AS MATERIALIZED (
+       |  SELECT piece, CAST(floor(1e6 * ln(CAST(cnt AS DOUBLE) /
+       |    (SELECT CAST(t AS DOUBLE) FROM tot1))) AS BIGINT) AS sc
+       |  FROM seed
+       |),
+       |${unigramEStepSql(1, "v1")},
+       |vocab2 AS MATERIALIZED (
+       |  SELECT s.piece, coalesce(u1.u, 0) AS uu
+       |  FROM seed s LEFT JOIN u1 ON s.piece = u1.piece
+       |  WHERE coalesce(u1.u, 0) > 0 OR length(s.piece) = 1
+       |),
+       |tot2 AS MATERIALIZED (SELECT CAST(sum(uu + 1) AS BIGINT) AS t FROM vocab2),
+       |v2 AS MATERIALIZED (
+       |  SELECT piece, CAST(floor(1e6 * ln(CAST(uu + 1 AS DOUBLE) /
+       |    (SELECT CAST(t AS DOUBLE) FROM tot2))) AS BIGINT) AS sc
+       |  FROM vocab2
+       |),
+       |${unigramEStepSql(2, "v2")},
+       |outv AS MATERIALIZED (
+       |  SELECT v.piece, coalesce(u2.u, 0) AS n_usage
+       |  FROM vocab2 v LEFT JOIN u2 ON v.piece = u2.piece
+       |),
+       |tot3 AS MATERIALIZED (SELECT CAST(sum(n_usage + 1) AS BIGINT) AS t FROM outv)""".stripMargin
 
   /** Shared MMR CTE chain (candidates, the n² pair sims, the unrolled
     * greedy s1..s5/u1..u5) — `similar_mmr_rerank` and its audit read
@@ -3471,6 +3596,44 @@ object ExtQueries {
         .orderBy("token_len")
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenizer training — the OTHER
+    // standard subword vocabulary learner beside BPE: substring-count
+    // seed (chars + top-40), two EM iterations (Viterbi E-step as a
+    // native O(L·P) DP with the score table riding as a bounded map
+    // literal; exact-integer M-step with add-one smoothing), zero-usage
+    // prune after the first. The oracle re-derives BOTH E-steps as
+    // recursive-CTE dynamic programs with the tie-break composite
+    // packed into one BIGINT — an independent derivation, not an echo.
+    "unigram_train_vocab" -> ((s, dir) =>
+      unigramVocabOf(s, dir).withColumnRenamed("usage", "n_usage")),
+
+    // ENCODE with the trained unigram vocab — the apply half of the
+    // unigram lifecycle, mirroring bpe_encode_count: the shipped
+    // (piece, llq) artifact drives ONE narrow Viterbi projection over
+    // the DISTINCT-word table (no join, no shuffle on the words side),
+    // then per-word token counts join back onto per-doc word counts
+    // for the corpus token budget. The word→tokens join is vocab-
+    // scale, so no broadcast hint — AQE broadcasts when it fits.
+    "unigram_encode_count" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val words = d.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // encode's own tokenize, cut from the plan
+      val wordTok = graft.ext.Unigram.encode(words, "w",
+          unigramVocabOf(s, dir)) // fit memoized; shared with the train key
+        .select(col("w"), col("n_tokens"))
+      val docWords = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      docWords.join(wordTok, Seq("w"))
+        .groupBy("doc_id")
+        .agg(sum(col("n")).cast("long").as("n_words"),
+          sum(col("n") * col("n_tokens")).cast("long").as("n_tokens_uni"))
+        .orderBy("doc_id")
+    }),
+
     // Quality-vs-quantity tradeoff curve: rank the corpus by the cheap
     // quality score, cut into global deciles, and report each decile's
     // token mass and mean quality plus the cumulative token share —
@@ -3551,24 +3714,28 @@ object ExtQueries {
     // Embedding drift by label: each label group's centroid norm and
     // its cosine to the global centroid — the model-monitoring readout
     // that catches a label subpopulation drifting away from the
-    // training distribution. One posexplode pass to (label, dim) sums
-    // (checkpointed); the global centroid re-aggregates those sums;
-    // the cosine is a dim-key join of two bounded tables.
+    // training distribution. The per-(label, dim) moment sums come
+    // from ONE grouped GramStats pass (diag mode) — a constant-size
+    // O(d) buffer per label, exact scale-12 sums, no n×64 posexplode
+    // row blow-up (the r13 ask #5 port; the corr-audit treatment,
+    // label edition). The bounded labels×64 dims frame unrolls AFTER
+    // the aggregate; the global centroid is a per-dim window over that
+    // same bounded frame (exact decimal sums), so the corpus is
+    // scanned exactly once and nothing re-aggregates it.
     "embedding_label_drift" -> ((s, dir) => {
       val t6 = TextStats.trunc6 _
       val d12 = org.apache.spark.sql.types.DecimalType(38, 12)
-      val byLab = emb(s, dir)
-        .select(col("label"), posexplode(col("embedding")))
-        .select(col("label"), col("pos"), col("col").cast("double").as("x"))
-        .groupBy("label", "pos")
-        .agg(count(lit(1)).as("n"), sum(col("x").cast(d12)).as("sx"))
-        .localCheckpoint(false) // labels×64 rows; global re-aggregates
-      val glob = byLab.groupBy("pos")
-        .agg((sum(col("sx")).cast("double") / sum(col("n"))).as("g"))
-      byLab
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("pos")
+      emb(s, dir)
+        .groupBy("label")
+        .agg(graft.expr.GramStats.gram_diag(col("embedding"), 64).as("g"))
+        .select(col("label"), explode(col("g.dims")).as("d"))
+        .select(col("label"), col("d.d").as("pos"), col("d.n").as("n"),
+          col("d.sx").as("sx"))
         .select(col("label"), col("pos"), col("n"),
-          (col("sx").cast("double") / col("n")).as("c"))
-        .join(broadcast(glob), "pos")
+          (col("sx").cast("double") / col("n")).as("c"),
+          (sum(col("sx")).over(w).cast("double") / sum(col("n")).over(w))
+            .as("g"))
         .groupBy("label")
         .agg(max(col("n")).as("n_vecs"),
           sum((col("c") * col("c")).cast(d12)).cast("double").as("cc"),
@@ -3975,6 +4142,40 @@ object ExtQueries {
          |  floor(CAST(n_chars AS DOUBLE) / n_tokens_bpe * 1000000) / 1000000
          |    AS chars_per_token
          |FROM g ORDER BY lang""".stripMargin
+    },
+
+    "unigram_train_vocab" ->
+      s"""$unigramTrainCtesSql
+         |SELECT piece, CAST(n_usage AS BIGINT) AS n_usage,
+         |  CAST(floor(1e6 * ln(CAST(n_usage + 1 AS DOUBLE) /
+         |    (SELECT CAST(t AS DOUBLE) FROM tot3))) AS BIGINT) AS llq
+         |FROM outv ORDER BY piece""".stripMargin,
+
+    "unigram_encode_count" -> {
+      // the training chain again, then a THIRD E-step under the SHIPPED
+      // scores (the smoothed final llq — not v2) segments each word,
+      // and the per-word token counts join back onto per-doc word counts
+      s"""$unigramTrainCtesSql,
+         |v3 AS MATERIALIZED (
+         |  SELECT piece, CAST(floor(1e6 * ln(CAST(n_usage + 1 AS DOUBLE) /
+         |    (SELECT CAST(t AS DOUBLE) FROM tot3))) AS BIGINT) AS sc
+         |  FROM outv
+         |),
+         |${unigramEStepSql(3, "v3")},
+         |wt AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS t
+         |  FROM walk3 WHERE piece IS NOT NULL GROUP BY w
+         |), dw AS (
+         |  SELECT doc_id, w, count(*) AS n FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  WHERE length(w) > 0 GROUP BY doc_id, w
+         |)
+         |SELECT dw.doc_id,
+         |  CAST(sum(dw.n) AS BIGINT) AS n_words,
+         |  CAST(sum(dw.n * wt.t) AS BIGINT) AS n_tokens_uni
+         |FROM dw JOIN wt USING (w)
+         |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
     },
 
     "dedup_incremental" ->

@@ -1866,15 +1866,9 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("embedding_label_drift: one posexplode pass behind the " +
-    "(label, dim) checkpoint; global re-aggregates it; join broadcasts") {
-    val p = plan("embedding_label_drift")
-    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("embeddings.parquet")) == 0,
-      s"embeddings leaked past the (label, dim) checkpoint:\n$p")
-    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 2,
-      s"fact side + global marginal = exactly two stub readers:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
-  }
+  // (the old "posexplode behind a checkpoint" pin for
+  // embedding_label_drift is superseded by the gram_diag pin below —
+  // the key now aggregates moments in one Gram pass, r13 ask #5)
 
   test("events_lift_decay: one events scan, one grouped pass — " +
     "no join, no window") {
@@ -2033,6 +2027,41 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(l =>
         l.contains("Location") && l.contains("events.parquet")) <= 1,
       s"metrics_correlation scans events more than once:\n$p")
+  }
+
+  test("embedding_label_drift feeds its moment aggregate from gram_diag " +
+    "directly — no posexplode row blow-up anywhere in the plan (r13 " +
+    "ask #5: GramStats generalizes to grouped use)") {
+    val p = plan("embedding_label_drift")
+    assert(p.contains("gram_stats"),
+      s"label drift no longer routes through the Gram aggregate:\n$p")
+    assert(!p.contains("posexplode"),
+      s"label drift still explodes rows×dim before aggregating:\n$p")
+    // the only Generate is the bounded labels×64 dims unroll AFTER the
+    // aggregate; the global centroid is a window over that same frame,
+    // so the corpus location appears exactly once
+    assert(p.linesIterator.count(l =>
+        l.contains("Location") && l.contains("embeddings.parquet")) == 1,
+      s"label drift scans embeddings more than once (or lost the scan):\n$p")
+  }
+
+  test("unigram family: training never re-reads the corpus past the " +
+    "word-table checkpoint; the encode key pays exactly one live " +
+    "corpus scan (the per-doc word counts); no shuffle joins anywhere") {
+    val p = plan("unigram_train_vocab")
+    assert(p.linesIterator.count(l =>
+        l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"unigram fit re-tokenized the corpus past the checkpoint:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"unigram fit grew an unbounded join:\n$p")
+    assert(p.contains("unigram_viterbi"),
+      s"final E-step doesn't route through the native DP:\n$p")
+    val q = plan("unigram_encode_count")
+    assert(q.linesIterator.count(l =>
+        l.contains("Location") && l.contains("documents.parquet")) == 1,
+      s"encode should scan documents exactly once (doc word counts):\n$q")
+    assert(!q.contains("SortMergeJoin") && !q.contains("CartesianProduct"),
+      s"unigram encode grew an unbounded join:\n$q")
   }
 
   test("retrieval_eval_metrics never touches the corpus text: the lex " +
