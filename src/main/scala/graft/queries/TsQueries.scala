@@ -358,6 +358,30 @@ object TsQueries {
           col("n_events"))
         .orderBy("user_id", "start_sec")),
 
+    // Tumbling-window grid statistics — the BATCH TWIN of the streaming
+    // windowedStats surface. The key routes through
+    // StreamIngest.windowedStats ITSELF (the watermark node is a no-op
+    // under batch execution — Catalyst's EliminateEventTimeWatermark),
+    // so the DuckDB hash that pins this key pins the exact code path
+    // the stream runs; StreamIngestSpec closes the chain by driving the
+    // same frame through a MemoryStream and asserting bit-equality with
+    // this key (r13 ask #8 — the third batch≡stream surface now
+    // terminates in an oracle like the other two). One map-side-
+    // combinable aggregation; the mean is decimal-routed inside
+    // windowedStats so no float fold order can leak into the hash.
+    "events_windowed_stats" -> ((s, dir) => {
+      val points = base(s, dir)
+        .filter(col("value").isNotNull)
+        .select(timestamp_seconds(col("sec")).as("ts"),
+          col("event_type").as("metric"), col("value"))
+      graft.streaming.StreamIngest.windowedStats(points, "1 hour",
+          "0 seconds")
+        .select(col("window_start").cast("long").as("window_start_sec"),
+          col("metric"), col("n"), col("avg_value"), col("min_value"),
+          col("max_value"))
+        .orderBy("window_start_sec", "metric")
+    }),
+
     // Deterministic hash-gated stratified sampling (ext.Sampling):
     // reproducible across engines/partitionings, monotone in the rate.
     "sample_stratified" -> ((s, dir) =>
@@ -1402,6 +1426,20 @@ object TsQueries {
          |  count(*) AS n_events
          |FROM sess GROUP BY user_id, session_id
          |ORDER BY user_id, start_sec""".stripMargin,
+
+    // tumbling 1h windows are epoch-aligned: start = sec - sec % 3600;
+    // the mean re-derives from the DECIMAL(18,6)-grain sum exactly as
+    // windowedStats computes it
+    "events_windowed_stats" ->
+      s"""$BaseCte
+         |SELECT sec - (sec % 3600) AS window_start_sec,
+         |  event_type AS metric, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         |    AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM base WHERE value IS NOT NULL
+         |GROUP BY 1, 2
+         |ORDER BY window_start_sec, metric""".stripMargin,
 
     "sample_stratified" ->
       """WITH hashed AS (

@@ -52,12 +52,21 @@ object StreamIngest {
     points
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur), col("metric"))
+      // the mean is DECIMAL-routed (exact, order-independent sums),
+      // not a raw double avg(): micro-batched partial merges reassociate
+      // float additions, so a double fold could diverge between a
+      // streamed and a batch run of the SAME frame — with exact sums,
+      // stream ≡ batch ≡ the DuckDB oracle bit-for-bit (the
+      // events_windowed_stats key pins exactly this code path)
       .agg(count(lit(1)).as("n"),
-        avg(col("value")).as("avg_value"),
+        sum(col("value").cast(
+            org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .select(col("window.start").as("window_start"), col("metric"),
-        col("n"), col("avg_value"), col("min_value"), col("max_value"))
+        col("n"), (col("sum_value") / col("n")).as("avg_value"),
+        col("min_value"), col("max_value"))
 
   /** Event-time SESSION windows over a streaming point feed —
     * gap-based sessions per key with `session_window` (state merges

@@ -847,9 +847,10 @@ class StreamIngestSpec extends SparkSpec {
           .take(10).mkString("\n"))
   }
 
-  test("streaming windowed stats finalize COMPLETELY and equal the " +
-    "batch tumbling-window aggregation at sf0.01 volume (append mode " +
-    "drops nothing, duplicates nothing)") {
+  test("streaming windowed stats finalize COMPLETELY and reproduce the " +
+    "ORACLED batch events_windowed_stats frame bit-for-bit at sf0.01 " +
+    "volume (append mode drops nothing, duplicates nothing; the " +
+    "batch≡stream equality terminates in the DuckDB hash — r13 ask #8)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -878,35 +879,25 @@ class StreamIngestSpec extends SparkSpec {
       query.processAllAvailable()
     } finally query.stop()
 
+    // the batch side is the ORACLED key itself (events_windowed_stats
+    // routes through StreamIngest.windowedStats under batch execution),
+    // so stream ≡ key ≡ DuckDB hash — and the equality is EXACT, incl.
+    // the mean: windowedStats decimal-routes the sum, so micro-batched
+    // partial merges cannot reassociate a float fold
     val stream = spark.table("stream_windows")
       .filter(col("metric") =!= "__sentinel")
-      .select(col("window_start").cast("long").as("w"), col("metric"),
-        col("n"), col("min_value"), col("max_value"), col("avg_value"))
-      .orderBy("w", "metric").collect()
-    val batch = graft.queries.TsQueries.base(spark, dir)
-      .filter(col("value").isNotNull)
-      .groupBy(window(timestamp_seconds(col("sec")), "1 hour"),
-        col("event_type").as("metric"))
-      .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
-        max(col("value")).as("max_value"), avg(col("value")).as("avg_value"))
-      .select(col("window.start").cast("long").as("w"), col("metric"),
-        col("n"), col("min_value"), col("max_value"), col("avg_value"))
-      .orderBy("w", "metric").collect()
+      .select(col("window_start").cast("long").as("window_start_sec"),
+        col("metric"), col("n"), col("avg_value"), col("min_value"),
+        col("max_value"))
+      .orderBy("window_start_sec", "metric")
+      .collect().map(_.toString)
+    val batch = graft.SparkEntry.queries("events_windowed_stats")(spark, dir)
+      .collect().map(_.toString)
     assert(stream.length == batch.length && stream.nonEmpty,
       s"window counts diverge: stream=${stream.length} batch=${batch.length}")
-    stream.zip(batch).foreach { case (s, b) =>
-      assert(s.getLong(0) == b.getLong(0) &&
-        s.getString(1) == b.getString(1) &&
-        s.getLong(2) == b.getLong(2) &&
-        s.getDouble(3) == b.getDouble(3) &&
-        s.getDouble(4) == b.getDouble(4),
-        s"window frame diverged: $s vs $b")
-      // avg is a float fold — micro-batched partial merges may
-      // reassociate the additions vs the batch hash aggregate, so the
-      // comparison is ulp-tolerant, unlike the exact integer/min/max
-      assert(math.abs(s.getDouble(5) - b.getDouble(5)) <=
-        1e-9 * math.max(1.0, math.abs(b.getDouble(5))),
-        s"window avg diverged: $s vs $b")
-    }
+    assert(stream.sameElements(batch),
+      s"stream and batch windows diverge:\n" +
+        stream.zip(batch).filter { case (a, b) => a != b }
+          .take(10).mkString("\n"))
   }
 }
