@@ -95,13 +95,48 @@ object Bench {
     // the contention verdict above does not
     val loadStart = loadAvg
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val passes: Seq[Seq[(String, Double)]] = (1 to nRuns).map { _ =>
+    def runPass(): Seq[(String, Double)] =
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
-    }
+    // per-key spike flag (r12 verdict ask #8): keys whose worst pass
+    // exceeds 3× their best (and by an absolute margin that matters)
+    // are contention artifacts by construction — a REAL regression
+    // shifts every pass. Listing them makes a contended pass
+    // machine-readably distinguishable from a regression.
+    def spikesOf(ps: Seq[Seq[(String, Double)]]): Seq[String] =
+      names.indices.flatMap { i =>
+        val ts = ps.map(_(i)._2)
+        if (ts.max > 3 * ts.min && ts.max - ts.min > 0.5)
+          Some(names(i)._1) else None
+      }
+    val firstPasses: Seq[Seq[(String, Double)]] = (1 to nRuns).map(_ => runPass())
+    // requeue a spiked pass ONCE (r13 verdict ask #6): if any key
+    // spiked across the first passes, the run was contended — wait
+    // (bounded) for the host to quiet and run ONE replacement pass.
+    // Every attempt stays in the detail record; the headline spread
+    // excludes the single worst total it replaced (per-key minima and
+    // best-of-N only ever improve with more passes, so those read over
+    // ALL passes). If the host never quiets, the record says so
+    // explicitly instead of pretending the replacement was clean.
+    val firstSpikes = spikesOf(firstPasses)
+    var requeueJson = ""
+    val passes: Seq[Seq[(String, Double)]] =
+      if (firstSpikes.isEmpty || nRuns < 2) firstPasses
+      else {
+        var waited2 = 0
+        while (loadAvg > loadMax && waited2 < loadWaitS) {
+          Thread.sleep(5000); waited2 += 5
+        }
+        val quieted = loadAvg <= loadMax
+        val replay = runPass()
+        requeueJson =
+          s""","requeue":{"spiked":${firstSpikes.size},"waited_s":$waited2,""" +
+            s""""host_quieted":$quieted,"pass_total":${math.rint(replay.map(_._2).sum * 1000) / 1000}}"""
+        firstPasses :+ replay
+      }
     val loadEnd = loadAvg
     val totals = passes.map(_.map(_._2).sum)
     val best = passes(totals.indexOf(totals.min))
@@ -112,18 +147,16 @@ object Bench {
     // sum, so gate comparisons quote this number.
     val steadyTotal =
       names.indices.map(i => passes.map(_(i)._2).min).sum
+    // after a requeue the worst total is the pass the replay replaced —
+    // report the spread of the post-requeue window (all totals remain
+    // visible in "runs")
+    val spreadTotals =
+      if (requeueJson.nonEmpty) totals.sorted.dropRight(1) else totals
     val spreadPct =
-      if (totals.min > 0) (totals.max - totals.min) / totals.min * 100 else 0.0
-    // per-key spike flag (r12 verdict ask #8): keys whose worst pass
-    // exceeds 3× their best (and by an absolute margin that matters)
-    // are contention artifacts by construction — a REAL regression
-    // shifts every pass. Listing them makes a contended pass
-    // machine-readably distinguishable from a regression.
-    val spikes = names.indices.flatMap { i =>
-      val ts = passes.map(_(i)._2)
-      if (ts.max > 3 * ts.min && ts.max - ts.min > 0.5)
-        Some(names(i)._1) else None
-    }
+      if (spreadTotals.min > 0)
+        (spreadTotals.max - spreadTotals.min) / spreadTotals.min * 100
+      else 0.0
+    val spikes = spikesOf(passes)
     def r3(v: Double) = math.rint(v * 1000) / 1000
     val evidence =
       s""""runs":${totals.map(r3).mkString("[", ",", "]")}""" +
@@ -134,6 +167,7 @@ object Bench {
         s""","prebuild_s":${r3(prebuildTotal)}""" +
         (if (prebuildFailed) s""","prebuild_failed":true""" else "") +
         s""","pass_spikes":${spikes.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+        requeueJson +
         s""","cpus":$cpus"""
     def line(entries: Seq[(String, Double)], omitted: Int): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
