@@ -480,6 +480,25 @@ object ExtQueries {
        |),
        |tot3 AS MATERIALIZED (SELECT CAST(sum(n_usage + 1) AS BIGINT) AS t FROM outv)""".stripMargin
 
+  /** [[unigramTrainCtesSql]] plus the ENCODE chain: a third E-step
+    * under the SHIPPED scores (the smoothed final llq, not v2) and the
+    * per-word token counts `wt` — shared by `unigram_encode_count` and
+    * `unigram_fertility`, like their Spark sides share the memoized
+    * vocab.
+    */
+  private lazy val unigramEncodeCtesSql: String =
+    s"""$unigramTrainCtesSql,
+       |v3 AS MATERIALIZED (
+       |  SELECT piece, CAST(floor(1e6 * ln(CAST(n_usage + 1 AS DOUBLE) /
+       |    (SELECT CAST(t AS DOUBLE) FROM tot3))) AS BIGINT) AS sc
+       |  FROM outv
+       |),
+       |${unigramEStepSql(3, "v3")},
+       |wt AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS t
+       |  FROM walk3 WHERE piece IS NOT NULL GROUP BY w
+       |)""".stripMargin
+
   /** Shared MMR CTE chain (candidates, the n² pair sims, the unrolled
     * greedy s1..s5/u1..u5) — `similar_mmr_rerank` and its audit read
     * the same selection, like their Spark sides share the memo. The
@@ -1022,6 +1041,37 @@ object ExtQueries {
           t6(col("n_tokens_bpe").cast("double") / col("n_words"))
             .as("fertility"),
           t6(col("n_chars").cast("double") / col("n_tokens_bpe"))
+            .as("chars_per_token"))
+        .orderBy("lang")
+    }),
+
+    // Tokenizer fertility per language under the UNIGRAM vocab — the
+    // cross-tokenizer comparison column next to bpe_fertility: same
+    // (lang, word) count join, same exact integer rollup, but the
+    // per-word token counts come from the shipped unigram artifact
+    // (memoized fit; one narrow Viterbi projection, no training rerun).
+    "unigram_fertility" -> ((s, dir) => {
+      val t6 = TextStats.trunc6 _
+      val d = docs(s, dir)
+      val words = d.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val wordTok = graft.ext.Unigram.encode(words, "w",
+          unigramVocabOf(s, dir))
+        .select(col("w"), col("n_tokens"))
+      d.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+        .join(wordTok, Seq("w"))
+        .groupBy("lang")
+        .agg(sum(col("n")).cast("long").as("n_words"),
+          sum(col("n") * col("n_tokens")).cast("long").as("n_tokens_uni"),
+          sum(col("n") * length(col("w"))).cast("long").as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens_uni"),
+          t6(col("n_tokens_uni").cast("double") / col("n_words"))
+            .as("fertility"),
+          t6(col("n_chars").cast("double") / col("n_tokens_uni"))
             .as("chars_per_token"))
         .orderBy("lang")
     }),
@@ -4152,20 +4202,9 @@ object ExtQueries {
          |FROM outv ORDER BY piece""".stripMargin,
 
     "unigram_encode_count" -> {
-      // the training chain again, then a THIRD E-step under the SHIPPED
-      // scores (the smoothed final llq — not v2) segments each word,
-      // and the per-word token counts join back onto per-doc word counts
-      s"""$unigramTrainCtesSql,
-         |v3 AS MATERIALIZED (
-         |  SELECT piece, CAST(floor(1e6 * ln(CAST(n_usage + 1 AS DOUBLE) /
-         |    (SELECT CAST(t AS DOUBLE) FROM tot3))) AS BIGINT) AS sc
-         |  FROM outv
-         |),
-         |${unigramEStepSql(3, "v3")},
-         |wt AS MATERIALIZED (
-         |  SELECT w, CAST(count(*) AS BIGINT) AS t
-         |  FROM walk3 WHERE piece IS NOT NULL GROUP BY w
-         |), dw AS (
+      // the training chain again, then the shipped-score E-step; the
+      // per-word token counts join back onto per-doc word counts
+      s"""$unigramEncodeCtesSql, dw AS (
          |  SELECT doc_id, w, count(*) AS n FROM (
          |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
          |    FROM documents)
@@ -4176,6 +4215,29 @@ object ExtQueries {
          |  CAST(sum(dw.n * wt.t) AS BIGINT) AS n_tokens_uni
          |FROM dw JOIN wt USING (w)
          |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+    },
+
+    "unigram_fertility" -> {
+      // the encode chain rolled up per language — the bpe_fertility
+      // readout under the unigram vocab
+      s"""$unigramEncodeCtesSql, lw AS (
+         |  SELECT lang, w, count(*) AS n FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  WHERE length(w) > 0 GROUP BY lang, w
+         |), g AS (
+         |  SELECT lang,
+         |    CAST(sum(lw.n) AS BIGINT) AS n_words,
+         |    CAST(sum(lw.n * wt.t) AS BIGINT) AS n_tokens_uni,
+         |    CAST(sum(lw.n * length(lw.w)) AS BIGINT) AS n_chars
+         |  FROM lw JOIN wt USING (w) GROUP BY lang
+         |)
+         |SELECT lang, n_words, n_tokens_uni,
+         |  floor(CAST(n_tokens_uni AS DOUBLE) / n_words * 1000000) / 1000000
+         |    AS fertility,
+         |  floor(CAST(n_chars AS DOUBLE) / n_tokens_uni * 1000000) / 1000000
+         |    AS chars_per_token
+         |FROM g ORDER BY lang""".stripMargin
     },
 
     "dedup_incremental" ->
