@@ -382,6 +382,26 @@ object TsQueries {
         .orderBy("window_start_sec", "metric")
     }),
 
+    // HOPPING-window grid statistics — the overlap variant of
+    // events_windowed_stats (1 h windows every 30 min: each event
+    // lands in exactly 2 windows). Routes through
+    // StreamIngest.hoppingStats, so the oracle hash pins the
+    // streaming code path; the oracle re-derives the covering window
+    // set per event independently (unnest of the two epoch-aligned
+    // starts) instead of echoing Spark's window expansion.
+    "events_hopping_stats" -> ((s, dir) => {
+      val points = base(s, dir)
+        .filter(col("value").isNotNull)
+        .select(timestamp_seconds(col("sec")).as("ts"),
+          col("event_type").as("metric"), col("value"))
+      graft.streaming.StreamIngest.hoppingStats(points, "1 hour",
+          "30 minutes", "0 seconds")
+        .select(col("window_start").cast("long").as("window_start_sec"),
+          col("metric"), col("n"), col("avg_value"), col("min_value"),
+          col("max_value"))
+        .orderBy("window_start_sec", "metric")
+    }),
+
     // Deterministic hash-gated stratified sampling (ext.Sampling):
     // reproducible across engines/partitionings, monotone in the rate.
     "sample_stratified" -> ((s, dir) =>
@@ -1438,6 +1458,25 @@ object TsQueries {
          |    AS avg_value,
          |  min(value) AS min_value, max(value) AS max_value
          |FROM base WHERE value IS NOT NULL
+         |GROUP BY 1, 2
+         |ORDER BY window_start_sec, metric""".stripMargin,
+
+    // an event at sec is covered by the two 1800-aligned starts
+    // {s1 - 1800, s1} with s1 = sec - sec % 1800 (sec - s < 3600 for
+    // both, >= 0 for s1) — the independent derivation of Spark's
+    // window(ts, 1h, 30m) expansion
+    "events_hopping_stats" ->
+      s"""$BaseCte, ev AS (
+         |  SELECT sec - (sec % 1800) AS s1, event_type, value
+         |  FROM base WHERE value IS NOT NULL
+         |)
+         |SELECT ws AS window_start_sec, event_type AS metric,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         |    AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM (SELECT unnest([s1 - 1800, s1]) AS ws, event_type, value
+         |      FROM ev) q
          |GROUP BY 1, 2
          |ORDER BY window_start_sec, metric""".stripMargin,
 

@@ -68,6 +68,30 @@ object StreamIngest {
         col("n"), (col("sum_value") / col("n")).as("avg_value"),
         col("min_value"), col("max_value"))
 
+  /** HOPPING (sliding) event-time windows — [[windowedStats]] with a
+    * slide shorter than the duration, so each point lands in
+    * `dur/slide` overlapping windows (the dashboard "smoothed rate"
+    * readout tumbling windows can't express). Same decimal-routed
+    * mean, same watermark/state contract; Spark's `window(ts, dur,
+    * slide)` expands the covering window set per row (a bounded
+    * `dur/slide`-way fanout, map-side combined — no shuffle
+    * amplification beyond the extra window keys).
+    */
+  def hoppingStats(points: DataFrame, windowDur: String, slide: String,
+                   watermark: String): DataFrame =
+    points
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("metric"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(
+            org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("window_start"), col("metric"),
+        col("n"), (col("sum_value") / col("n")).as("avg_value"),
+        col("min_value"), col("max_value"))
+
   /** Event-time SESSION windows over a streaming point feed —
     * gap-based sessions per key with `session_window` (state merges
     * adjacent windows; the watermark closes sessions whose gap has

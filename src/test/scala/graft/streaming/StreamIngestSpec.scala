@@ -900,4 +900,53 @@ class StreamIngestSpec extends SparkSpec {
         stream.zip(batch).filter { case (a, b) => a != b }
           .take(10).mkString("\n"))
   }
+
+  test("streaming HOPPING windows finalize completely and reproduce " +
+    "the oracled events_hopping_stats frame bit-for-bit at sf0.01 " +
+    "volume (each point lands in dur/slide overlapping windows)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = "/root/testdata/sf0.01"
+    val events = graft.queries.TsQueries.base(spark, dir)
+      .select(col("sec"), col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .orderBy("sec").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val sentinelSec = events.map(_._1).max + 1000000L
+
+    val src = MemoryStream[(Long, String, Double)]
+    val points = src.toDF().toDF("sec", "metric", "value")
+      .select(timestamp_seconds(col("sec")).as("ts"),
+        col("metric"), col("value"))
+    val query = StreamIngest.hoppingStats(points, "1 hour", "30 minutes",
+        "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_hops")
+      .start()
+    try {
+      events.grouped((events.length + 2) / 3).foreach { chunk =>
+        src.addData(chunk.toSeq)
+        query.processAllAvailable()
+      }
+      src.addData((sentinelSec, "__sentinel", 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val stream = spark.table("stream_hops")
+      .filter(col("metric") =!= "__sentinel")
+      .select(col("window_start").cast("long").as("window_start_sec"),
+        col("metric"), col("n"), col("avg_value"), col("min_value"),
+        col("max_value"))
+      .orderBy("window_start_sec", "metric")
+      .collect().map(_.toString)
+    val batch = graft.SparkEntry.queries("events_hopping_stats")(spark, dir)
+      .collect().map(_.toString)
+    assert(stream.length == batch.length && stream.nonEmpty,
+      s"window counts diverge: stream=${stream.length} batch=${batch.length}")
+    assert(stream.sameElements(batch),
+      s"stream and batch hopping windows diverge:\n" +
+        stream.zip(batch).filter { case (a, b) => a != b }
+          .take(10).mkString("\n"))
+  }
 }
