@@ -2045,6 +2045,19 @@ class PlanSpec extends SparkSpec {
       s"label drift scans embeddings more than once (or lost the scan):\n$p")
   }
 
+  test("windowed-stats family: one events scan, one map-side-combinable " +
+    "hash aggregation, no join — tumbling and hopping alike (the " +
+    "hopping fanout is a bounded per-row window expansion, not a join)") {
+    for (key <- Seq("events_windowed_stats", "events_hopping_stats")) {
+      val p = plan(key)
+      assert(p.linesIterator.count(l =>
+          l.contains("Location") && l.contains("events.parquet")) == 1,
+        s"$key scans events more than once:\n$p")
+      assert(!p.contains("Join"), s"$key grew a join:\n$p")
+      assert(p.contains("HashAggregate"), s"$key lost the hash agg:\n$p")
+    }
+  }
+
   test("unigram family: training never re-reads the corpus past the " +
     "word-table checkpoint; the encode key pays exactly one live " +
     "corpus scan (the per-doc word counts); no shuffle joins anywhere") {
