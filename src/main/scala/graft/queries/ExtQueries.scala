@@ -95,6 +95,46 @@ object ExtQueries {
         java.nio.file.Files.createTempDirectory("graft_bm25_idx")
           .toString))
 
+  /** Session-scoped persisted dedup-index artifacts per (corpus dir,
+    * kind) — the [[graft.ext.DedupIndex]] at-rest lifecycle (r14 ask
+    * #1): the content-hash / MinHash-band / semantic-cell indexes the
+    * incremental keys probe are built ONCE per (session, dir) into
+    * temp parquet trees, exactly like [[bm25IndexOf]], and every probe
+    * routes through the freshness gate with the session-build
+    * fallback. Cleared (and deleted) by [[clearIndexes]].
+    */
+  private val dedupIdx = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), String]
+
+  private def dedupIdxOf(s: SparkSession, dir: String, kind: String)
+                        (build: String => String): String =
+    dedupIdx.getOrElseUpdate((s, dir, kind),
+      build(java.nio.file.Files
+        .createTempDirectory(s"graft_${kind}_idx").toString))
+
+  /** The fixed batch/corpus split of the incremental-dedup board keys:
+    * every 7th doc (id % 7 == 3) is "the new batch", the rest is the
+    * already-indexed corpus. */
+  private def incCorpusDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("doc_id") % 7 =!= 3)
+
+  private def incCorpusEmb(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).filter(col("vec_id") % 7 =!= 3)
+
+  private def exactIdxOf(s: SparkSession, dir: String): String =
+    dedupIdxOf(s, dir, "exact")(p => graft.ext.DedupIndex
+      .buildExactIndex(incCorpusDocs(s, dir), "doc_id", "text", p))
+
+  private def nearIdxOf(s: SparkSession, dir: String): String =
+    dedupIdxOf(s, dir, "near")(p => graft.ext.DedupIndex
+      .buildNearIndex(incCorpusDocs(s, dir), "doc_id", "text",
+        NumHashes, 1, 3, p))
+
+  private def semIdxOf(s: SparkSession, dir: String): String =
+    dedupIdxOf(s, dir, "semantic")(p => graft.ext.DedupIndex
+      .buildSemanticIndex(incCorpusEmb(s, dir), "vec_id", "embedding",
+        targetCellSize = 32, iters = 1, p))
+
   /** Release the persisted BM25 index artifacts: unregister every
     * (session, dir) entry AND delete its temp parquet tree. The
     * companion valve to [[clearMemo]] — which deliberately leaves the
@@ -105,7 +145,7 @@ object ExtQueries {
     * is never wrong, only ever a recompute.
     */
   def clearIndexes(): Unit = {
-    bm25Idx.values.foreach { p =>
+    def deleteTree(p: String): Unit =
       try {
         val root = java.nio.file.Paths.get(p)
         if (java.nio.file.Files.exists(root)) {
@@ -115,8 +155,10 @@ object ExtQueries {
             .foreach(java.nio.file.Files.deleteIfExists(_))
         }
       } catch { case _: java.io.IOException => () }
-    }
+    bm25Idx.values.foreach(deleteTree)
     bm25Idx.clear()
+    dedupIdx.values.foreach(deleteTree)
+    dedupIdx.clear()
   }
 
   /** Shared BM25 scored frame — (doc_id, bm25 [6-dec truncated],
@@ -257,33 +299,6 @@ object ExtQueries {
         (c, a)
     }
 
-  /** The incremental-semantic corpus artifacts (fitted index of the
-    * vec_id%7≠3 corpus + its cell-assigned table), memoized for the
-    * same reason as [[semFitOf]]: the key models probing a PERSISTED
-    * index — rebuilding it per pass mis-attributes index-build cost
-    * to the probe.
-    */
-  private def semIncOf(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val k = Seq("seminc_coarse", "seminc_anchors", "seminc_cells")
-      .map(n => memo.get((s, dir, n)))
-    k match {
-      case Seq(Some(c), Some(a), Some(cells)) => (c, a, cells)
-      case _ =>
-        val corpus = emb(s, dir).filter(col("vec_id") % 7 =!= 3)
-        val (c, a) = Dedup.fittedIndex(corpus, "vec_id", "embedding",
-          targetCellSize = 32, iters = 1)
-        val cells = Dedup.assignCells(corpus, "vec_id", "embedding", c, a)
-          .select(col("cell"), col("vec_id").as("corpus_id"),
-            col("embedding").as("corpus_vec"))
-          .localCheckpoint(false)
-        memo.update((s, dir, "seminc_coarse"), c)
-        memo.update((s, dir, "seminc_anchors"), a)
-        memo.update((s, dir, "seminc_cells"), cells)
-        (c, a, cells)
-    }
-  }
-
   /** Test-only window into the memo (MemoSpec pins that the fitted
     * indexes build once and are shared across their query family). */
   private[graft] def memoEntry(s: SparkSession, dir: String,
@@ -293,6 +308,12 @@ object ExtQueries {
   private[graft] def indexEntry(s: SparkSession,
                                 dir: String): Option[String] =
     bm25Idx.get((s, dir))
+
+  /** Test-only window into the persisted dedup-index registry
+    * (MemoSpec pins one build per (session, dir, kind)). */
+  private[graft] def dedupIndexEntry(s: SparkSession, dir: String,
+                                     kind: String): Option[String] =
+    dedupIdx.get((s, dir, kind))
 
   /** Build + force every shared memoized index for (session, dir) —
     * the bench calls this BEFORE timing so index-build cost lands on
@@ -315,7 +336,9 @@ object ExtQueries {
       timed("exact_nn") { exactNNOf(s, dir).count() },
       timed("ann_nn") { annNNOf(s, dir).count() },
       timed("semfit") { val (c, a) = semFitOf(s, dir); c.count(); a.count() },
-      timed("seminc") { semIncOf(s, dir)._3.count() },
+      timed("exact_idx") { exactIdxOf(s, dir) },
+      timed("near_idx") { nearIdxOf(s, dir) },
+      timed("seminc") { semIdxOf(s, dir) },
       timed("bm25_index") { bm25Of(s, dir).count() },
       timed("hybrid_ranks") {
         hybridLexOf(s, dir).count(); hybridVecOf(s, dir).count()
@@ -1076,17 +1099,18 @@ object ExtQueries {
         .orderBy("lang")
     }),
 
-    // Incremental ingest dedup: a "new batch" (every 7th doc) checked
-    // against the persisted content-hash index of the rest of the
-    // corpus and against itself — corpus text is never rescanned, the
-    // batch side broadcasts. The shape every production ingest runs.
+    // Incremental ingest dedup: a "new batch" (every 7th doc) probed
+    // against the PERSISTED AT-REST content-hash index of the rest of
+    // the corpus (DedupIndex lifecycle — build/refresh/freshness-gate,
+    // r14 ask #1) and against itself — corpus text is never rescanned,
+    // the batch side broadcasts. A stale or torn artifact re-routes to
+    // the session hash build; verdicts identical either way.
     "dedup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
       val batch = d.filter(col("doc_id") % 7 === 3)
-      val corpus = d.filter(col("doc_id") % 7 =!= 3)
-      val index = Dedup.exact(corpus, "doc_id", "text")
-        .select(col("content_hash"), col("doc_id").as("corpus_id"))
-      Dedup.incremental(batch, index, "doc_id", "text")
+      graft.ext.DedupIndex.incrementalExactRouted(s, batch,
+          incCorpusDocs(s, dir), "doc_id", "text",
+          Some(exactIdxOf(s, dir)))
         .orderBy("doc_id")
     }),
 
@@ -1099,12 +1123,9 @@ object ExtQueries {
     "dedup_incremental_near" -> ((s, dir) => {
       val d = docs(s, dir)
       val batch = d.filter(col("doc_id") % 7 === 3)
-      val corpusBands = Dedup.bands(
-          minhashOf(s, dir).filter(col("doc_id") % 7 =!= 3),
-          "doc_id", NumHashes, 1)
-        .select(col("band"), col("band_key"), col("doc_id").as("corpus_id"))
-      Dedup.incrementalNear(batch, corpusBands, "doc_id", "text",
-          NumHashes, rowsPerBand = 1, n = 3)
+      graft.ext.DedupIndex.incrementalNearRouted(s, batch,
+          incCorpusDocs(s, dir), "doc_id", "text", NumHashes,
+          rowsPerBand = 1, n = 3, Some(nearIdxOf(s, dir)))
         .orderBy("doc_id")
     }),
 
@@ -1116,11 +1137,14 @@ object ExtQueries {
     // batch; corpus hits take precedence.
     "dedup_incremental_semantic" -> ((s, dir) => {
       val batch = emb(s, dir).filter(col("vec_id") % 7 === 3)
-      // the corpus index + cell assignment are memoized "at rest" —
-      // the key measures the PROBE, which is the production shape
-      val (coarse, anchors, corpusCells) = semIncOf(s, dir)
-      Dedup.incrementalSemantic(batch, corpusCells, coarse, anchors,
-        "vec_id", "embedding", tau = 0.40).orderBy("vec_id")
+      // the corpus index + cell assignment live AT REST (parquet
+      // artifact, DedupIndex lifecycle) — the key measures the PROBE,
+      // which is the production shape
+      graft.ext.DedupIndex.incrementalSemanticRouted(s, batch,
+          incCorpusEmb(s, dir), "vec_id", "embedding",
+          targetCellSize = 32, iters = 1, tau = 0.40,
+          Some(semIdxOf(s, dir)))
+        .orderBy("vec_id")
     }),
 
     // Recall audit of the int8-SQ coarse pass: how many of the exact

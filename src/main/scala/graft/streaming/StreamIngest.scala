@@ -59,13 +59,17 @@ object StreamIngest {
       // stream ≡ batch ≡ the DuckDB oracle bit-for-bit (the
       // events_windowed_stats key pins exactly this code path)
       .agg(count(lit(1)).as("n"),
+        // avg must be sum(non-null)/count(non-null) — avg() semantics —
+        // not /n: a window containing NULL values would otherwise get a
+        // deflated mean (n counts all rows, n_value only non-null ones)
+        count(col("value")).as("n_value"),
         sum(col("value").cast(
             org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double").as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .select(col("window.start").as("window_start"), col("metric"),
-        col("n"), (col("sum_value") / col("n")).as("avg_value"),
+        col("n"), (col("sum_value") / col("n_value")).as("avg_value"),
         col("min_value"), col("max_value"))
 
   /** HOPPING (sliding) event-time windows — [[windowedStats]] with a
@@ -83,13 +87,15 @@ object StreamIngest {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur, slide), col("metric"))
       .agg(count(lit(1)).as("n"),
+        // same avg() semantics as windowedStats: non-null denominator
+        count(col("value")).as("n_value"),
         sum(col("value").cast(
             org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double").as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .select(col("window.start").as("window_start"), col("metric"),
-        col("n"), (col("sum_value") / col("n")).as("avg_value"),
+        col("n"), (col("sum_value") / col("n_value")).as("avg_value"),
         col("min_value"), col("max_value"))
 
   /** Event-time SESSION windows over a streaming point feed —

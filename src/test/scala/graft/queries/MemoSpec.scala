@@ -28,15 +28,32 @@ class MemoSpec extends SparkSpec {
       "second construction re-fit the anchors")
   }
 
-  test("incremental-semantic corpus index builds once (probe-only " +
-    "steady state)") {
+  test("incremental-dedup corpus indexes build once as AT-REST " +
+    "artifacts (probe-only steady state, r14 ask #1)") {
     ExtQueries.clearMemo()
-    graft.SparkEntry.queries("dedup_incremental_semantic")(spark, dir)
-    val cells = ExtQueries.memoEntry(spark, dir, "seminc_cells")
-    assert(cells.isDefined, "corpus cell table must be memoized")
-    graft.SparkEntry.queries("dedup_incremental_semantic")(spark, dir)
-    assert(ExtQueries.memoEntry(spark, dir, "seminc_cells").get eq cells.get,
-      "second construction rebuilt the persisted corpus cells")
+    ExtQueries.clearIndexes()
+    for ((key, kind) <- Seq(
+        "dedup_incremental" -> "exact",
+        "dedup_incremental_near" -> "near",
+        "dedup_incremental_semantic" -> "semantic")) {
+      graft.SparkEntry.queries(key)(spark, dir)
+      val p1 = ExtQueries.dedupIndexEntry(spark, dir, kind)
+      assert(p1.isDefined, s"$key must register its $kind artifact")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p1.get)),
+        s"$kind artifact must be on disk")
+      graft.SparkEntry.queries(key)(spark, dir)
+      assert(ExtQueries.dedupIndexEntry(spark, dir, kind).get == p1.get,
+        s"second construction rebuilt the persisted $kind index")
+    }
+    // clearIndexes deletes + unregisters the dedup artifacts too
+    val paths = Seq("exact", "near", "semantic")
+      .map(k => ExtQueries.dedupIndexEntry(spark, dir, k).get)
+    ExtQueries.clearIndexes()
+    for (p <- paths)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+        "clearIndexes must delete the dedup artifact trees")
+    for (k <- Seq("exact", "near", "semantic"))
+      assert(ExtQueries.dedupIndexEntry(spark, dir, k).isEmpty)
   }
 
   test("kmeans centroid fit is shared across its whole query family") {

@@ -77,6 +77,29 @@ class StreamIngestSpec extends SparkSpec {
     assert(rows(1).getLong(2) == 1L && rows(1).getDouble(5) == 10.0)
   }
 
+  test("windowedStats avg has avg() semantics under NULL values: " +
+    "sum(non-null)/count(non-null), while n still counts all rows") {
+    import spark.implicits._
+    // batch frame (windowedStats is batch/stream agnostic): one window,
+    // values 2.0, 4.0, NULL → n = 3, avg = 3.0 (NOT 2.0 = 6/3)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val pts = Seq(
+      (t0, "m", Some(2.0)),
+      (new java.sql.Timestamp(t0.getTime + 60000L), "m", Some(4.0)),
+      (new java.sql.Timestamp(t0.getTime + 120000L), "m", None))
+      .toDF("ts", "metric", "value")
+    for (df <- Seq(
+        StreamIngest.windowedStats(pts, "5 minutes", "0 seconds"),
+        StreamIngest.hoppingStats(pts, "5 minutes", "5 minutes",
+          "0 seconds"))) {
+      val r = df.collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[Long]("n") == 3L, "n must count ALL rows")
+      assert(r(0).getAs[Double]("avg_value") == 3.0,
+        "avg must divide by the NON-NULL count (avg() semantics)")
+    }
+  }
+
   test("session windows merge gap-adjacent events per key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
