@@ -441,25 +441,32 @@ object TextStats {
       .orderBy(col("bm25").desc, col(idCol)).limit(topN)
   }
 
-  /** Exact two-word phrase retrieval by corpus scan: a doc matches
-    * where `first` at position p is immediately followed by `second`
-    * at p+1 (`zip_with` of the token array against its own 1-shift —
-    * one pass, no explode), BM25-scored as a unit. The scan twin of
-    * [[phraseBm25FromIndex]] — bit-identical, [[phraseBm25Routed]]
-    * picks.
+  /** Exact N-WORD phrase retrieval by corpus scan (r14 ask #3 — the
+    * two-word case generalized): a doc matches where `terms(0)` at
+    * position p is immediately followed by `terms(1)` at p+1, …,
+    * `terms(n−1)` at p+n−1; `tf` counts the start positions. One
+    * narrow pass — a per-position n-way conjunction over the token
+    * array, no explode. The scan twin of [[phraseBm25FromIndex]] —
+    * bit-identical, [[phraseBm25Routed]] picks.
     */
   def phraseBm25(df: DataFrame, idCol: String, textCol: String,
-                 first: String, second: String, k1: Double = 1.2,
-                 b: Double = 0.75, topN: Int = 10): DataFrame = {
+                 terms: Seq[String], k1: Double, b: Double,
+                 topN: Int): DataFrame = {
+    require(terms.size >= 2, "a phrase needs at least two terms")
+    val n = terms.size
     val toks = col("toks")
+    // docs shorter than the phrase probe nothing (the when-guard also
+    // keeps element_at in range — ANSI-safe)
+    val tf = when(size(toks) >= n,
+        size(filter(sequence(lit(1), size(toks) - (n - 1)),
+          i => terms.zipWithIndex.map { case (t, k) =>
+            element_at(toks, (i + lit(k)).cast("int")) === lit(t)
+          }.reduce(_ && _))))
+      .otherwise(lit(0))
     val hits = df
       .select(col(idCol), split(col(textCol), " ").as("toks"))
       .select(col(idCol), size(toks).cast("long").as("dl"),
-        size(filter(
-          zip_with(toks,
-            slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-            (x, y) => x === lit(first) && y === lit(second)),
-          p => p)).cast("long").as("tf"))
+        tf.cast("long").as("tf"))
       .localCheckpoint(false) // one corpus pass; stats + score share it
     val stats = broadcast(hits.agg(
       sum(col("dl")).cast("double").as("sum_dl"),
@@ -467,56 +474,85 @@ object TextStats {
     phraseScore(hits.filter(col("tf") >= 1), stats, idCol, k1, b, topN)
   }
 
-  /** Exact two-word phrase retrieval by probing the positional index
-    * (r13 ask #3): read ONLY the two terms' postings (term filter
-    * pushed into each parquet scan — the corpus text is never
-    * touched), join on doc, and count adjacency by positional
-    * intersection (`p+1` of the first term present in the second's
-    * positions). Fully lazy: the df-count and the scoring each carry
-    * the pruned intersection subtree — both run in ONE job, and
-    * re-running the index-scale intersection (bounded by the rarer
-    * term's df) is cheaper than a materialization barrier that would
-    * also hide the pruned scans from the plan (PlanSpec pins the
-    * pushdown). Bit-identical to [[phraseBm25]] on the same corpus.
+  /** Two-word convenience form of the n-ary [[phraseBm25]]. */
+  def phraseBm25(df: DataFrame, idCol: String, textCol: String,
+                 first: String, second: String, k1: Double = 1.2,
+                 b: Double = 0.75, topN: Int = 10): DataFrame =
+    phraseBm25(df, idCol, textCol, Seq(first, second), k1, b, topN)
+
+  /** Exact N-word phrase retrieval by probing the positional index
+    * (r13 ask #3, generalized to n terms by r14 ask #3): read ONLY
+    * the n terms' postings (term filter pushed into each parquet scan
+    * — the corpus text is never touched), k-way join on doc, and
+    * count adjacency by positional intersection (`p+k` of the first
+    * term present in term k's positions for every k). Fully lazy: the
+    * df-count and the scoring each carry the pruned intersection
+    * subtree — both run in ONE job, and re-running the index-scale
+    * intersection (bounded by the rarest term's df) is cheaper than a
+    * materialization barrier that would also hide the pruned scans
+    * from the plan (PlanSpec pins the pushdown). Bit-identical to
+    * [[phraseBm25]] on the same corpus.
     */
   def phraseBm25FromIndex(spark: org.apache.spark.sql.SparkSession,
-                          path: String, idCol: String, first: String,
-                          second: String, k1: Double = 1.2,
-                          b: Double = 0.75, topN: Int = 10): DataFrame = {
-    def side(term: String, posAs: String) =
-      spark.read.parquet(s"$path/postings")
+                          path: String, idCol: String,
+                          terms: Seq[String], k1: Double, b: Double,
+                          topN: Int): DataFrame = {
+    require(terms.size >= 2, "a phrase needs at least two terms")
+    def side(term: String, posAs: String, withDl: Boolean) = {
+      val raw = spark.read.parquet(s"$path/postings")
         .filter(col("term") === term)
-        .select(col(idCol), col("dl"), col("pos").as(posAs))
-    val hits = side(first, "p1")
-      .join(side(second, "p2").drop("dl"), Seq(idCol))
+      if (withDl) raw.select(col(idCol), col("dl"), col("pos").as(posAs))
+      else raw.select(col(idCol), col("pos").as(posAs))
+    }
+    val joined = terms.zipWithIndex.map { case (t, k) =>
+      side(t, s"p$k", withDl = k == 0)
+    }.reduce(_.join(_, Seq(idCol)))
+    val hits = joined
       .select(col(idCol), col("dl"),
-        size(filter(col("p1"),
-          x => array_contains(col("p2"), x + 1))).cast("long").as("tf"))
+        size(filter(col("p0"),
+          x => (1 until terms.size).map(k =>
+            array_contains(col(s"p$k"), x + k)).reduce(_ && _)))
+          .cast("long").as("tf"))
       .filter(col("tf") >= 1)
     val stats = broadcast(spark.read.parquet(s"$path/stats"))
     phraseScore(hits, stats, idCol, k1, b, topN)
   }
 
-  /** Routing gate for phrase retrieval: probe needs a COMPLETE, FRESH
-    * index whose postings CARRY the positional payload (a pre-
+  /** Two-word convenience form of the n-ary [[phraseBm25FromIndex]]. */
+  def phraseBm25FromIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String, idCol: String, first: String,
+                          second: String, k1: Double = 1.2,
+                          b: Double = 0.75, topN: Int = 10): DataFrame =
+    phraseBm25FromIndex(spark, path, idCol, Seq(first, second), k1, b,
+      topN)
+
+  /** Routing gate for N-word phrase retrieval: probe needs a COMPLETE,
+    * FRESH index whose postings CARRY the positional payload (a pre-
     * positional artifact routes to the scan, not an
     * AnalysisException); else one corpus pass. Results identical
     * either way.
     */
   def phraseBm25Routed(spark: org.apache.spark.sql.SparkSession,
                        df: DataFrame, idCol: String, textCol: String,
-                       first: String, second: String,
-                       indexPath: Option[String], k1: Double = 1.2,
-                       b: Double = 0.75, topN: Int = 10): DataFrame =
+                       terms: Seq[String], indexPath: Option[String],
+                       k1: Double, b: Double, topN: Int): DataFrame =
     indexPath.filter(p => hasBm25Index(spark, p) &&
         spark.read.parquet(s"$p/postings")
           .schema.fieldNames.contains("pos") &&
         bm25IndexFresh(spark, p, df)) match {
       case Some(p) =>
-        phraseBm25FromIndex(spark, p, idCol, first, second, k1, b, topN)
-      case None => phraseBm25(df, idCol, textCol, first, second, k1, b,
-        topN)
+        phraseBm25FromIndex(spark, p, idCol, terms, k1, b, topN)
+      case None => phraseBm25(df, idCol, textCol, terms, k1, b, topN)
     }
+
+  /** Two-word convenience form of the n-ary [[phraseBm25Routed]]. */
+  def phraseBm25Routed(spark: org.apache.spark.sql.SparkSession,
+                       df: DataFrame, idCol: String, textCol: String,
+                       first: String, second: String,
+                       indexPath: Option[String], k1: Double = 1.2,
+                       b: Double = 0.75, topN: Int = 10): DataFrame =
+    phraseBm25Routed(spark, df, idCol, textCol, Seq(first, second),
+      indexPath, k1, b, topN)
 
   /** Rollup-style routing for BM25 (the `readDistinct` gate, retrieval
     * edition): probe the persisted index when a COMPLETE

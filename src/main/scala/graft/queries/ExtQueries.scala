@@ -441,6 +441,13 @@ object ExtQueries {
        |    LEFT JOIN $vocab p4 ON r.i >= 3 AND p4.piece = substr(r.w, r.i - 2, 4)
        |    WHERE r.i < length(r.w)
        |  ) q
+       |  -- kills the whole chain at the first prefix where NO vocab
+       |  -- piece ends, while the Spark DP bridges an unreachable
+       |  -- intermediate prefix with a longer piece. Equivalent ONLY
+       |  -- under the every-char-seeded invariant (each corpus char is
+       |  -- a vocab piece and single chars are never pruned — Unigram
+       |  -- .fit guarantees it, UnigramSpec's lifecycle test pins it):
+       |  -- then every prefix is reachable and no chain ever dies.
        |  WHERE q.best IS NOT NULL
        |), walk$n(w, c, pos, bps, piece) AS (
        |  SELECT w, c, CAST(length(w) AS INT), bps, CAST(NULL AS VARCHAR)
@@ -461,7 +468,15 @@ object ExtQueries {
     */
   private lazy val unigramTrainCtesSql: String =
     s"""WITH RECURSIVE words AS MATERIALIZED (
-       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+       |  -- the packed tie-break BIGINT in the E-step assumes n_pieces
+       |  -- and |dp score| stay inside their fields ((score+1e9)*1e4 +
+       |  -- (99-n)*100 + p); a 32-char cap keeps both with wide margin
+       |  -- for any real corpus — out-of-range input fails LOUDLY here
+       |  -- instead of silently corrupting the decode
+       |  SELECT CASE WHEN length(w) > 32 THEN CAST(error(
+       |      'unigram oracle: word > 32 chars would overflow the ' ||
+       |      'packed tie-break') AS VARCHAR) ELSE w END AS w,
+       |    CAST(count(*) AS BIGINT) AS c FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) > 0 GROUP BY w
        |), chars AS MATERIALIZED (
@@ -1991,6 +2006,17 @@ object ExtQueries {
     "retrieval_phrase_topk" -> ((s, dir) =>
       TextStats.phraseBm25Routed(s, docs(s, dir), "doc_id", "text",
         "stream", "spark", Some(bm25IndexOf(s, dir)))),
+
+    // THREE-word exact phrase ("big order scan") through the n-ary
+    // positional intersection (r14 ask #3): the probe reads exactly
+    // the three terms' postings (term filters pushed, corpus never
+    // touched), 3-way joins on doc, and counts start positions whose
+    // p+1/p+2 continue the phrase. Same routing gate, same scan
+    // fallback, same unit scoring as the two-word key.
+    "retrieval_phrase3_topk" -> ((s, dir) =>
+      TextStats.phraseBm25Routed(s, docs(s, dir), "doc_id", "text",
+        Seq("big", "order", "scan"), Some(bm25IndexOf(s, dir)),
+        k1 = 1.2, b = 0.75, topN = 10)),
 
     // The audit beside the MMR heuristic (the board's rule: every
     // approximate/heuristic path carries a measured companion): what
@@ -4968,6 +4994,41 @@ object ExtQueries {
         |  FROM pos a JOIN pos b
         |    ON a.doc_id = b.doc_id AND b.p = a.p + 1
         |  WHERE a.tok = 'stream' AND b.tok = 'spark'
+        |  GROUP BY a.doc_id
+        |), dfreq AS (
+        |  SELECT count(*) AS df FROM hits
+        |)
+        |SELECT h.doc_id, h.phrase_tf,
+        |  floor(
+        |    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+        |      * (h.phrase_tf * (CAST(1.2 AS DOUBLE) + 1))
+        |      / (h.phrase_tf + CAST(1.2 AS DOUBLE) * ((1 - 0.75)
+        |          + 0.75 * dl.dl / (s.sum_dl / s.n)))
+        |    * 1000000) / 1000000 AS bm25
+        |FROM hits h JOIN dl ON h.doc_id = dl.doc_id
+        |CROSS JOIN stats s CROSS JOIN dfreq d
+        |ORDER BY bm25 DESC, h.doc_id LIMIT 10""".stripMargin,
+
+    "retrieval_phrase3_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), dl AS (
+        |  SELECT doc_id, len(l) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM dl
+        |), pos AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |    unnest(range(1, len(l) + 1)) AS p
+        |  FROM toks
+        |), hits AS (
+        |  SELECT a.doc_id, count(*) AS phrase_tf
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |  JOIN pos c
+        |    ON a.doc_id = c.doc_id AND c.p = a.p + 2
+        |  WHERE a.tok = 'big' AND b.tok = 'order' AND c.tok = 'scan'
         |  GROUP BY a.doc_id
         |), dfreq AS (
         |  SELECT count(*) AS df FROM hits

@@ -153,6 +153,49 @@ class RetrievalSpec extends SparkSpec {
     assert(routed.collect().map(_.toString).sameElements(scanTop))
   }
 
+  test("n-word phrase retrieval: 3- and 4-term positional probes are " +
+    "BIT-IDENTICAL to the corpus scan; matched docs really contain " +
+    "the full adjacent run; the 2-word forms delegate unchanged " +
+    "(r14 ask #3)") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25pos3").toString
+    TextStats.buildBm25Index(docs, "doc_id", "text", idx)
+    for (phrase <- Seq(Seq("big", "order", "scan"),
+        Seq("group", "slow", "spark"))) {
+      val scan = TextStats.phraseBm25(docs, "doc_id", "text", phrase,
+        1.2, 0.75, 50).orderBy("doc_id").collect().map(_.toString)
+      val probe = TextStats.phraseBm25FromIndex(spark, idx, "doc_id",
+        phrase, 1.2, 0.75, 50).orderBy("doc_id").collect()
+        .map(_.toString)
+      assert(scan.nonEmpty, s"phrase $phrase matched nothing — vacuous")
+      assert(scan.sameElements(probe),
+        s"scan vs probe diverged for $phrase")
+      // ground truth: every scored doc contains the full adjacent run
+      val ids = TextStats.phraseBm25(docs, "doc_id", "text", phrase,
+        1.2, 0.75, 50).select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val withRun = docs.collect().filter { r =>
+        val t = r.getAs[String]("text").split(" ")
+        (0 to t.length - phrase.size).exists(i =>
+          phrase.indices.forall(k => t(i + k) == phrase(k)))
+      }.map(_.getAs[Long]("doc_id")).toSet
+      assert(ids.subsetOf(withRun),
+        s"a scored doc does not contain the run $phrase")
+    }
+    // a 4-term phrase that matches nothing scores nothing, both paths
+    val ghost = Seq("big", "order", "scan", "zzzz")
+    assert(TextStats.phraseBm25(docs, "doc_id", "text", ghost, 1.2,
+      0.75, 50).collect().isEmpty)
+    assert(TextStats.phraseBm25FromIndex(spark, idx, "doc_id", ghost,
+      1.2, 0.75, 50).collect().isEmpty)
+    // the 2-word convenience form IS the n-ary path (no drift)
+    val two = TextStats.phraseBm25(docs, "doc_id", "text", "stream",
+      "spark", topN = 50).orderBy("doc_id").collect().map(_.toString)
+    val twoN = TextStats.phraseBm25(docs, "doc_id", "text",
+      Seq("stream", "spark"), 1.2, 0.75, 50).orderBy("doc_id")
+      .collect().map(_.toString)
+    assert(two.sameElements(twoN))
+  }
+
   test("bm25 scores behave like BM25: present-term docs only, rarer " +
     "term outranks a commoner one at equal tf, n_terms bounded") {
     val rows = TextStats.bm25(docs, "doc_id", "text", terms2).collect()

@@ -2017,6 +2017,19 @@ class PlanSpec extends SparkSpec {
       s"bag-of-words probe reads the positional payload:\n$bag")
   }
 
+  test("retrieval_phrase3_topk probes ONLY the three terms' postings: " +
+    "zero documents.parquet locations, three pushed term-equality " +
+    "postings scans (r14 ask #3)") {
+    val p = plan("retrieval_phrase3_topk")
+    assert(p.linesIterator.count(l =>
+        l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"3-word phrase probe re-tokenizes the corpus:\n$p")
+    val pushed = "PushedFilters: \\[[^\\]]*EqualTo\\(term,".r
+      .findAllIn(p).size
+    assert(pushed >= 3,
+      s"expected 3 term-pushed postings scans, got $pushed:\n$p")
+  }
+
   test("hybrid rank windows carry a constant partition spec — the " +
     "board emits zero `No Partition Defined for Window` warnings " +
     "(r12 ask #2)") {
