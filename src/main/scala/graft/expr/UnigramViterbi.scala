@@ -27,8 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * artifact pattern ([[graft.ext.Bpe.encode]]'s collected merge table):
   * the vocabulary is tiny by construction at any corpus size, so the
   * words side stays a narrow per-row projection — no join, no shuffle.
-  * Characters are Java chars (the corpus fixture is ASCII; supplementary
-  * -plane input would need codepoint indexing to match SQL `substr`).
+  * The DP indexes CODEPOINTS, not Java chars — SQL `substr` (Spark and
+  * DuckDB alike) counts code points, so a supplementary-plane character
+  * (one codepoint, two UTF-16 units) must be ONE DP position or the
+  * engines would segment the same word differently (r14 "wrong" #1;
+  * UnigramViterbiSpec pins native ≡ reference DP on astral-plane
+  * strings).
   *
   * Returns `array<string>` of pieces left-to-right; NULL for NULL input
   * or when no segmentation exists (a character absent from the table —
@@ -76,7 +80,10 @@ case class UnigramViterbi(left: Expression, right: Expression,
     val w = left.eval(input)
     if (w == null) return null
     val s = w.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // codepoint-indexed view: one DP position per code point, so
+    // segmentation boundaries agree with SQL substr on any plane
+    val cps = s.codePoints().toArray
+    val n = cps.length
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val dp = new Array[Long](n + 1)
     val np = new Array[Int](n + 1)
@@ -90,7 +97,7 @@ case class UnigramViterbi(left: Expression, right: Expression,
       val pMax = if (maxPieceLen < i) maxPieceLen else i
       while (p <= pMax) {
         if (bp(i - p) >= 0) {
-          val sc = table.get(s.substring(i - p, i))
+          val sc = table.get(new String(cps, i - p, p))
           if (sc != null) {
             val cand = dp(i - p) + sc
             val candN = np(i - p) + 1
@@ -113,7 +120,7 @@ case class UnigramViterbi(left: Expression, right: Expression,
     var k = np(n) - 1
     while (pos > 0) {
       val p = bp(pos)
-      pieces(k) = UTF8String.fromString(s.substring(pos - p, pos))
+      pieces(k) = UTF8String.fromString(new String(cps, pos - p, p))
       k -= 1
       pos -= p
     }

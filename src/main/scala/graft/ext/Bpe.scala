@@ -27,7 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Initial character segmentation, wrapped: "abc" → "·a· ·b· ·c·". */
+  /** Initial character segmentation, wrapped: "abc" → "·a· ·b· ·c·".
+    * Codepoint-safe: `split(word, "")` splits between CODE POINTS on
+    * the JVM (zero-width regex matches never fall inside a surrogate
+    * pair), so a supplementary-plane character is one symbol — and
+    * every later step is substring `replace` over wrapped symbols, no
+    * index arithmetic — the chain has no UTF-16 unit-vs-codepoint
+    * hazard (audited for r14 "wrong" #1; BpeSpec pins an astral case).
+    */
   def segment0(word: Column): Column =
     concat_ws(" ", transform(split(word, ""),
       c => concat(lit("·"), c, lit("·"))))

@@ -97,39 +97,62 @@ object Unigram {
     * (piece, usage, llq) ordered by piece: usage from the LAST E-step
     * (0 for kept-but-unused single characters), llq the smoothed final
     * score — the artifact an encoder ships.
+    *
+    * EM depth is a parameter (r14 ask #7): `eSteps` Viterbi E-steps
+    * run over the checkpointed word table — the zero-usage prune
+    * happens after the FIRST (SentencePiece's shape), every later step
+    * re-scores the fixed vocabulary from smoothed usage. Each
+    * generation of the vocab table re-checkpoints LAZILY (the batched
+    * [[Bpe.encode]] discipline), so the logical plan stays one
+    * join deep no matter how many steps run — a ~400-piece vocab at
+    * maxPieceLen 8 trains with the same bounded plans as the default.
+    * `eSteps = 2` reproduces the original fixed-depth fit
+    * bit-for-bit.
     */
   def fit(words: DataFrame, wordCol: String, countCol: String,
-          maxPieceLen: Int = 4, topK: Int = 40): DataFrame = {
+          maxPieceLen: Int = 4, topK: Int = 40,
+          eSteps: Int = 2): DataFrame = {
+    require(eSteps >= 2, s"eSteps must be >= 2, got $eSteps (one " +
+      "segmenting pass + at least one re-scored pass)")
     // ONE corpus-scale pass: the distinct-word aggregate materializes
-    // once and every later pass (4 seed gram lengths, 2 E-steps) reads
+    // once and every later pass (seed gram lengths, all E-steps) reads
     // the checkpointed word table, never the corpus again
     val w0 = words.filter(length(col(wordCol)) > 0)
       .select(col(wordCol).as(wordCol), col(countCol).as(countCol))
       .localCheckpoint(false)
     val sd = seed(w0, wordCol, countCol, maxPieceLen, topK)
-      .localCheckpoint(false) // seed cut selected once; feeds both E-steps
+      .localCheckpoint(false) // seed cut selected once; feeds all E-steps
     // iteration-1 scores: raw seed counts (all ≥ 1 — no smoothing needed)
     val tot1 = sd.agg(sum(col("cnt")).cast("long")).head.getLong(0)
     val v1 = sd.select(col("piece"), llq(col("cnt"), lit(tot1)).as("sc"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     val u1 = usage(w0, wordCol, countCol, v1, maxPieceLen)
     // prune: multi-char pieces the Viterbi never used leave the vocab
-    val vocab2 = sd.join(u1, Seq("piece"), "left")
-      .select(col("piece"), coalesce(col("usage"), lit(0L)).as("u1"))
-      .filter(col("u1") > 0 || length(col("piece")) === 1)
-      .localCheckpoint(false) // the fixed vocab both remaining passes use
-    // iteration-2 scores: smoothed usage over the pruned vocab
-    val tot2 = vocab2.agg(sum(col("u1") + 1).cast("long")).head.getLong(0)
-    val v2 = vocab2
-      .select(col("piece"), llq(col("u1") + 1, lit(tot2)).as("sc"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    val u2 = usage(w0, wordCol, countCol, v2, maxPieceLen)
-    // final artifact: vocab2 with last-E-step usage and smoothed score
-    val out = vocab2.join(u2, Seq("piece"), "left")
-      .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
-    val tot3 = out.agg(sum(col("usage") + 1).cast("long")).head.getLong(0)
-    out.select(col("piece"), col("usage"),
-        llq(col("usage") + 1, lit(tot3)).as("llq"))
+    var vocab = sd.join(u1, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("usage"), lit(0L)).as("u"))
+      .filter(col("u") > 0 || length(col("piece")) === 1)
+      .localCheckpoint(false) // the fixed piece set all later passes use
+    // steps 2..eSteps: re-score from smoothed usage, re-segment; each
+    // INTERMEDIATE generation re-checkpoints lazily, truncating the
+    // plan chain (the vocab is bounded — chars + topK — so this is
+    // rows-cheap); the LAST generation stays live so the shipped
+    // frame's plan carries the final Viterbi E-step (PlanSpec pins
+    // the native DP is what produced it)
+    for (step <- 2 to eSteps) {
+      val tot = vocab.agg(sum(col("u") + 1).cast("long")).head.getLong(0)
+      val v = vocab
+        .select(col("piece"), llq(col("u") + 1, lit(tot)).as("sc"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val u = usage(w0, wordCol, countCol, v, maxPieceLen)
+      vocab = vocab.select(col("piece")).join(u, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("usage"), lit(0L)).as("u"))
+      if (step < eSteps) vocab = vocab.localCheckpoint(false)
+    }
+    // final artifact: the fixed vocab with last-E-step usage + smoothed
+    // score
+    val tot3 = vocab.agg(sum(col("u") + 1).cast("long")).head.getLong(0)
+    vocab.select(col("piece"), col("u").as("usage"),
+        llq(col("u") + 1, lit(tot3)).as("llq"))
       .orderBy("piece")
   }
 

@@ -78,6 +78,23 @@ class BpeSpec extends SparkSpec {
     assert(m(1).getString(1) == "·xy·" && m(1).getString(3) == "·xyz·")
   }
 
+  test("bpe is codepoint-safe: an astral-plane character is ONE " +
+    "initial symbol (segment0 never splits a surrogate pair) and " +
+    "fit/encode merge across it") {
+    import spark.implicits._
+    val g = "𝄞" // U+1D11E, two UTF-16 units
+    val seg = Seq(g + "a" + g).toDF("w")
+      .select(Bpe.segment0(col("w")).as("s")).head.getString(0)
+    assert(seg == s"·${g}· ·a· ·${g}·",
+      s"astral char split across symbols: $seg")
+    val words = Seq((g + "a", 2L), (g + "b", 1L)).toDF("w", "c")
+    val m = Bpe.fit(words, "w", "c", steps = 1).collect()
+    assert(m(0).getString(3) == s"·${g}a·")
+    val enc = Bpe.encode(Seq(g + "a").toDF("w"), "w", Bpe.fit(words, "w",
+      "c", steps = 1)).select("tokens").head.getSeq[String](0)
+    assert(enc == Seq(g + "a"))
+  }
+
   test("bpe encode applies trained merges greedily, unseen words fall back to chars") {
     import spark.implicits._
     // merges from the hand corpus: ·aa·, ·aaa·, ·aaab· (first test)

@@ -89,6 +89,70 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  /** Codepoint-based twin of [[ref]] for non-BMP alphabets: positions
+    * and piece lengths are CODE POINTS, exactly the units SQL `substr`
+    * (and the fixed native DP) counts — a char-indexed reference would
+    * itself split surrogate pairs.
+    */
+  private def refCp(w: String, vocab: Map[String, Long],
+                    P: Int): Option[List[String]] = {
+    val cps = w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))).toList
+    def segs(s: List[String]): List[List[String]] =
+      if (s.isEmpty) List(Nil)
+      else (1 to math.min(P, s.length)).toList.flatMap { p =>
+        val piece = s.take(p).mkString
+        if (vocab.contains(piece)) segs(s.drop(p)).map(piece :: _)
+        else Nil
+      }
+    val all = segs(cps)
+    if (all.isEmpty) None
+    else {
+      def cpLen(x: String) = x.codePointCount(0, x.length)
+      implicit val ord: Ordering[List[String]] = (a, b) => {
+        val sa = a.map(vocab).sum; val sb = b.map(vocab).sum
+        if (sa != sb) java.lang.Long.compare(sa, sb)
+        else if (a.length != b.length) b.length - a.length
+        else {
+          a.reverseIterator.map(cpLen).toList
+            .zip(b.reverseIterator.map(cpLen).toList).collectFirst {
+              case (x, y) if x != y => x - y
+            }.getOrElse(0)
+        }
+      }
+      Some(all.max)
+    }
+  }
+
+  test("astral-plane codepoints are single DP positions: native ≡ " +
+    "codepoint reference on randomized non-BMP words (r14 'wrong' #1 " +
+    "— a char-indexed DP would split surrogate pairs and diverge " +
+    "from SQL substr)") {
+    // 𝄞 (U+1D11E) and 😀 (U+1F600) are two UTF-16 units each
+    val alphabet = Vector("a", "𝄞", "😀")
+    val rnd = new scala.util.Random(1518)
+    for (round <- 1 to 10) {
+      val singles = alphabet.map(c => c -> -(1L + rnd.nextInt(8)))
+      val multis = (1 to 8).map { _ =>
+        val len = 2 + rnd.nextInt(3)
+        (1 to len).map(_ => alphabet(rnd.nextInt(3))).mkString ->
+          -(1L + rnd.nextInt(8))
+      }
+      val vocab = (singles ++ multis).toMap
+      val words = (1 to 8).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (1 to len).map(_ => alphabet(rnd.nextInt(3))).mkString
+      }.distinct
+      val got = run(words, vocab, 4)
+      for (w <- words) {
+        val expect = refCp(w, vocab, 4).map(_.toSeq)
+        assert(got(w) == expect,
+          s"round $round word '$w' vocab $vocab: " +
+            s"native=${got(w)} reference=$expect")
+      }
+    }
+  }
+
   test("edges: null in, empty word, unreachable character, " +
     "maxPieceLen = 1") {
     import spark.implicits._
@@ -116,6 +180,63 @@ class UnigramSpec extends SparkSpec {
     // 'aaa': a+aa vs aa+a — same score, same count: longer FINAL piece
     assert(run(Seq("aaa"), Map("a" -> -2L, "aa" -> -4L), 4)("aaa")
       .contains(Seq("a", "aa")))
+  }
+
+  test("EM depth is a real parameter: a larger config (maxPieceLen 8, " +
+    "topK 400, 3 E-steps) trains with bounded plans over the fixture " +
+    "corpus; the default depth is unchanged (r14 ask #7)") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val big = Unigram.fit(words, "w", "c", maxPieceLen = 8, topK = 400,
+      eSteps = 3)
+    val rows = big.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val nChars = words.select(explode(split(col("w"), "")).as("ch"))
+      .filter(length(col("ch")) > 0).distinct().count()
+    assert(rows.count(_._1.length == 1) == nChars,
+      "every corpus character must survive at any depth")
+    assert(rows.length <= nChars + 400, "vocab bounded by chars + topK")
+    assert(rows.forall(_._3 < 0), "scores are log-likelihoods")
+    assert(rows.exists(r => r._1.length > 4),
+      "maxPieceLen 8 must actually admit longer pieces")
+    // explicit eSteps = 2 IS the default fit, bit-for-bit
+    val d1 = Unigram.fit(words, "w", "c", maxPieceLen = 4, topK = 40)
+      .collect().map(_.toString)
+    val d2 = Unigram.fit(words, "w", "c", maxPieceLen = 4, topK = 40,
+      eSteps = 2).collect().map(_.toString)
+    assert(d1.sameElements(d2))
+  }
+
+  test("ln guard band: the board fixture's shipped scores sit FAR off " +
+    "the 1e-6 integer grid, so a ≤few-ulp Math.log-vs-libm " +
+    "disagreement (≈2e-9 at this magnitude) cannot flip a floor() — " +
+    "a platform change surfaces as THIS diagnosed failure, not a " +
+    "silent hash mismatch") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001",
+      "documents")
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val vocab = Unigram.fit(words, "w", "c", maxPieceLen = 4, topK = 40)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tot = vocab.map(_._2 + 1L).sum.toDouble
+    for ((p, u, llq) <- vocab) {
+      val x = 1e6 * math.log((u + 1L).toDouble / tot)
+      assert(math.floor(x).toLong == llq,
+        s"piece '$p': recomputed llq ${math.floor(x).toLong} != shipped $llq")
+      val d = math.abs(x - math.rint(x))
+      assert(d > 1e-6,
+        s"piece '$p': 1e6·ln sits $d from the integer grid — floor() " +
+          "could flip under a platform ln difference (DETERMINISM.md " +
+          "ln-hazard note)")
+    }
   }
 
   test("fit lifecycle: every corpus character survives, zero-usage " +
