@@ -572,4 +572,62 @@ class GraftClient(spark: SparkSession, baseDir: String, token: String = "",
           .orderBy("ts")
     }
   }
+
+  /** Grafana-style WINDOWED-STATS downsample for one metric — per
+    * spread bucket `(ts, n, avg_value, min_value, max_value)` over the
+    * metric's non-missing readings, the dashboard readout of the
+    * oracle-pinned streaming windowed-stats surface (r14 ask #8).
+    *
+    * ROLLUP ROUTING (the `readGrafanaMean` discipline): when the query
+    * aligns (fromSec on the spread grid, spread an integral multiple
+    * of a materialized STATS rollup's window), the answer merges the
+    * rollup's associative partials (integer counts, exact decimal sum,
+    * min/max) — bit-identical to the raw path, which computes the same
+    * decimal-routed expression shape directly on the grid. Misaligned
+    * queries always fall back to raw, so routing changes cost, never
+    * values.
+    */
+  def readGrafanaStats(db: String, sensor: String, fromSec: Long,
+                       toSec: Long, maxDataPoints: Int, metric: String,
+                       useRollups: Boolean = true): DataFrame = {
+    val span = toSec - fromSec + 1
+    val spreadSec = if (span % maxDataPoints == 0)
+      Some(span / maxDataPoints) else None
+    val aligned = spreadSec.filter(sp => fromSec % sp == 0)
+    val rollup = if (useRollups) aligned.flatMap(sp =>
+      store.listStatsRollups(db, sensor)
+        .filter(b => b <= sp && sp % b == 0).lastOption)
+    else None
+    rollup match {
+      case Some(b) =>
+        store.readStatsRollup(db, sensor, b, aligned.get,
+          Some(fromSec), Some(toSec), metric)
+      case None =>
+        val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+        val spread = Downsample.spreadOf(fromSec, toSec, maxDataPoints)
+        val c = graft.core.Cols.q(metric)
+        // the same value chain the rollup partials carry: float cell →
+        // double → decimal sum; missing cells (null at rest) dropped
+        store.read(db, sensor, Some(fromSec), Some(toSec),
+            Some(Seq(metric)))
+          .filter(c.isNotNull && !isnan(c))
+          .withColumn("__v", c.cast("double"))
+          .withColumn("sec", Grid.tsSeconds(col("ts")))
+          .withColumn("cbucket",
+            Downsample.bucket(col("sec"), fromSec, spread))
+          .groupBy(col("cbucket"))
+          .agg(count(lit(1)).as("n"),
+            count(col("__v")).as("n_value"),
+            sum(col("__v").cast(dec)).as("sum_value_dec"),
+            min(col("__v")).as("min_value"),
+            max(col("__v")).as("max_value"))
+          .select(timestamp_seconds(lit(fromSec) +
+              floor(col("cbucket") * lit(spread)).cast("long")).as("ts"),
+            col("n"),
+            (col("sum_value_dec").cast("double") / col("n_value"))
+              .as("avg_value"),
+            col("min_value"), col("max_value"))
+          .orderBy("ts")
+    }
+  }
 }

@@ -609,6 +609,13 @@ class SensorStore(spark: SparkSession, baseDir: String) {
         .write.mode("overwrite").partitionBy("chunk_start")
         .parquet(s"${sensorDir(db, sensor)}/quantrollup_${b}_$bw")
     }
+    listStatsRollups(db, sensor).foreach { b =>
+      if (fullRebuild) materializeStatsRollup(db, sensor, b)
+      else statsRollupFrame(db, sensor, b, Some(touched))
+        .repartition(col("chunk_start"))
+        .write.mode("overwrite").partitionBy("chunk_start")
+        .parquet(s"${sensorDir(db, sensor)}/statsrollup_$b")
+    }
   }
 
   /** Read means from a materialized mean rollup, RE-AGGREGATED to any
@@ -848,6 +855,109 @@ class SensorStore(spark: SparkSession, baseDir: String) {
   }
 
   /** Materialized MEAN-rollup buckets present for a sensor. */
+  // ---- windowed-STATS rollup (n/avg/min/max per window) --------------
+
+  /** Non-missing readings of every metric as the long-format
+    * `(chunk_start, ts, metric, value)` points frame the streaming
+    * windowed-stats surface aggregates — the bridge that lets the
+    * store rollup ride the ORACLE-PINNED
+    * [[graft.streaming.StreamIngest.windowedStatsPartials]] code path
+    * verbatim (r14 ask #8).
+    */
+  private def statsPointsFrame(db: String, sensor: String,
+                               chunks: Option[Seq[Long]]): DataFrame = {
+    val metrics = config(db, sensor).metricNames
+    var raw = readRaw(db, sensor, metrics)
+    chunks.foreach(c => raw = raw.filter(col("chunk_start").isin(c: _*)))
+    raw.select(col("chunk_start"),
+        timestamp_seconds(col("slot")).cast(TimestampType).as("ts"),
+        explode(array(metrics.map(m =>
+          struct(lit(m).as("metric"),
+            graft.core.Cols.q(m).cast("double").as("value"))): _*))
+          .as("mv"))
+      .select(col("chunk_start"), col("ts"),
+        col("mv.metric").as("metric"), col("mv.value").as("value"))
+      .filter(col("value").isNotNull && !isnan(col("value")))
+  }
+
+  /** The mergeable windowed-stats partials per (chunk, window, metric)
+    * — literally [[graft.streaming.StreamIngest.windowedStatsPartials]]
+    * over [[statsPointsFrame]] with `chunk_start` riding as an extra
+    * key, so the persisted rollup IS the streaming surface's aggregate
+    * (batch ≡ stream ≡ oracle, StreamIngestSpec + the
+    * events_windowed_stats key pin that path; SensorStoreSpec pins
+    * this one equal to it).
+    */
+  private def statsRollupFrame(db: String, sensor: String,
+                               bucketSec: Long,
+                               chunks: Option[Seq[Long]]): DataFrame =
+    graft.streaming.StreamIngest.windowedStatsPartials(
+      statsPointsFrame(db, sensor, chunks), s"$bucketSec seconds",
+      "0 seconds", extraKeys = Seq("chunk_start"))
+
+  /** Materialize the windowed-stats rollup at `bucketSec`: per
+    * (chunk, window, metric) the associative partials (n, n_value,
+    * exact decimal sum, min, max) — every field merges, so any coarser
+    * grid re-aggregates EXACTLY and an upsert refresh rewrites only
+    * the touched chunk partitions ([[refreshRollups]] handles it like
+    * every other rollup family).
+    */
+  def materializeStatsRollup(db: String, sensor: String,
+                             bucketSec: Long): String = {
+    val out = s"${sensorDir(db, sensor)}/statsrollup_$bucketSec"
+    statsRollupFrame(db, sensor, bucketSec, None)
+      .repartition(col("chunk_start"))
+      .write.mode("overwrite").partitionBy("chunk_start").parquet(out)
+    out
+  }
+
+  /** Read one metric's windowed stats from a materialized stats
+    * rollup, re-aggregated to any grid at least as coarse as the
+    * rollup's: counts/decimal sums/min/max merge exactly, the mean
+    * divides once per output cell — the identical final expression
+    * [[graft.streaming.StreamIngest.windowedStats]] applies.
+    */
+  def readStatsRollup(db: String, sensor: String, bucketSec: Long,
+                      coarseSec: Long, fromSec: Option[Long],
+                      toSec: Option[Long], metric: String): DataFrame = {
+    require(coarseSec % bucketSec == 0,
+      s"coarse grid $coarseSec must be a multiple of the rollup grid $bucketSec")
+    var df = spark.read.parquet(
+        s"${sensorDir(db, sensor)}/statsrollup_$bucketSec")
+      .filter(col("metric") === metric)
+    fromSec.foreach(f => df = df.filter(col("window_start") >=
+      timestamp_seconds(lit(f - f % bucketSec))))
+    toSec.foreach(t => df = df.filter(col("window_start") <=
+      timestamp_seconds(lit(t))))
+    df.withColumn("cbucket",
+        Grid.snapSeconds(Grid.tsSeconds(col("window_start")), coarseSec))
+      .groupBy(col("cbucket"))
+      .agg(sum(col("n")).as("n"), sum(col("n_value")).as("n_value"),
+        sum(col("sum_value_dec")).as("sum_value_dec"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+      .select(
+        timestamp_seconds(col("cbucket")).cast(TimestampType).as("ts"),
+        col("n"),
+        (col("sum_value_dec").cast("double") / col("n_value"))
+          .as("avg_value"),
+        col("min_value"), col("max_value"))
+      .orderBy("ts")
+  }
+
+  def listStatsRollups(db: String, sensor: String): Seq[Long] = {
+    val p = Paths.get(sensorDir(db, sensor))
+    if (!Files.isDirectory(p)) Seq.empty
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("statsrollup_"))
+        .map(_.stripPrefix("statsrollup_").toLong).toSeq.sorted
+      finally s.close()
+    }
+  }
+
   def listMeanRollups(db: String, sensor: String): Seq[Long] = {
     val p = Paths.get(sensorDir(db, sensor))
     if (!Files.isDirectory(p)) Seq.empty

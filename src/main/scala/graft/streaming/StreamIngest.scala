@@ -49,9 +49,31 @@ object StreamIngest {
     */
   def windowedStats(points: DataFrame, windowDur: String,
                     watermark: String): DataFrame =
+    windowedStatsPartials(points, windowDur, watermark)
+      .select(col("window_start"), col("metric"), col("n"),
+        (col("sum_value_dec").cast("double") / col("n_value"))
+          .as("avg_value"),
+        col("min_value"), col("max_value"))
+
+  /** The MERGEABLE form of [[windowedStats]]: the same decimal-routed
+    * aggregate with the partials KEPT — `(window_start, [extraKeys,]
+    * metric, n, n_value, sum_value_dec [exact DECIMAL], min_value,
+    * max_value)`. Every field merges associatively (integer counts,
+    * decimal sum, min/max), so a store rollup can persist these per
+    * (chunk, window) and re-aggregate to any coarser grid EXACTLY —
+    * [[windowedStats]] itself is just this frame with the final
+    * `avg = sum/n_value` division applied, so a rollup built here IS
+    * the oracle-pinned windowed-stats code path. `extraKeys` rides
+    * extra grouping columns (e.g. the store's `chunk_start`) through
+    * the aggregate for partition-grained refresh.
+    */
+  def windowedStatsPartials(points: DataFrame, windowDur: String,
+                            watermark: String,
+                            extraKeys: Seq[String] = Nil): DataFrame =
     points
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowDur), col("metric"))
+      .groupBy(window(col("ts"), windowDur) +:
+        (extraKeys :+ "metric").map(col): _*)
       // the mean is DECIMAL-routed (exact, order-independent sums),
       // not a raw double avg(): micro-batched partial merges reassociate
       // float additions, so a double fold could diverge between a
@@ -65,12 +87,13 @@ object StreamIngest {
         count(col("value")).as("n_value"),
         sum(col("value").cast(
             org.apache.spark.sql.types.DecimalType(18, 6)))
-          .cast("double").as("sum_value"),
+          .as("sum_value_dec"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
-      .select(col("window.start").as("window_start"), col("metric"),
-        col("n"), (col("sum_value") / col("n_value")).as("avg_value"),
-        col("min_value"), col("max_value"))
+      .select(col("window.start").as("window_start") +:
+        ((extraKeys :+ "metric") ++
+          Seq("n", "n_value", "sum_value_dec", "min_value",
+            "max_value")).map(col): _*)
 
   /** HOPPING (sliding) event-time windows — [[windowedStats]] with a
     * slide shorter than the duration, so each point lands in

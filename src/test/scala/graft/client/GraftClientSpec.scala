@@ -388,6 +388,63 @@ class GraftClientSpec extends SparkSpec {
     assert(mis.forall(_.getTimestamp(0).toInstant.getEpochSecond >= t0 + 30))
   }
 
+  test("grafana WINDOWED-STATS read: rollup partials merge to the raw " +
+    "answer bitwise; refresh-on-upsert; the rollup IS the streaming " +
+    "windowedStats aggregate (r14 ask #8)") {
+    import org.apache.spark.sql.functions._
+    val c = freshClient()
+    c.createSensor("test", "ws", "1s", Seq(Seq("v")))
+    c.write((0 until 600).map(i =>
+      s"test,circuit=ws v=${i % 7}.25 ${(t0 + i)}000000000"))
+    c.store.materializeStatsRollup("test", "ws", 60L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        java.lang.Double.doubleToLongBits(r.getDouble(4)))
+    // aligned: spread 120 = 2 rollup windows; served from partials,
+    // BITWISE equal to the raw decimal-routed aggregation
+    val viaRollup = c.readGrafanaStats("test", "ws", t0, t0 + 599, 5,
+      "v").collect()
+    val raw = c.readGrafanaStats("test", "ws", t0, t0 + 599, 5, "v",
+      useRollups = false).collect()
+    assert(viaRollup.length == 5 && raw.length == 5)
+    assert(viaRollup.map(key).toSeq == raw.map(key).toSeq,
+      "rollup-merged stats must be bit-identical to the raw path")
+    assert(viaRollup.forall(_.getLong(1) == 120L), "n = 120 rows/bucket")
+    // the rollup read equals the STREAMING surface's batch aggregate
+    // on the same points — one implementation, two routes
+    val points = c.read("test", "ws", Some(t0), Some(t0 + 599))
+      .select(col("ts"), lit("v").as("metric"),
+        col("v").cast("double").as("value"))
+      .filter(col("value").isNotNull && !isnan(col("value")))
+    val streaming = graft.streaming.StreamIngest
+      .windowedStats(points, "120 seconds", "0 seconds")
+      .orderBy("window_start").collect()
+    assert(streaming.map(r => (r.getTimestamp(0), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)),
+        java.lang.Double.doubleToLongBits(r.getDouble(4)),
+        java.lang.Double.doubleToLongBits(r.getDouble(5)))).toSeq ==
+      viaRollup.map(key).toSeq,
+      "stats rollup diverged from StreamIngest.windowedStats")
+    // refresh-on-upsert: an overwritten cell shows through the rollup
+    c.write(Seq(s"test,circuit=ws v=1000 ${(t0 + 60)}000000000"))
+    val after = c.readGrafanaStats("test", "ws", t0, t0 + 599, 5, "v")
+      .collect()
+    val afterRaw = c.readGrafanaStats("test", "ws", t0, t0 + 599, 5,
+      "v", useRollups = false).collect()
+    assert(after.map(key).toSeq == afterRaw.map(key).toSeq)
+    assert(after(0).getDouble(4) == 1000.0,
+      "upsert must be visible in the rollup-served max")
+    // misaligned from: falls back to raw, buckets RELATIVE to from,
+    // none preceding it
+    val mis = c.readGrafanaStats("test", "ws", t0 + 30, t0 + 599, 5, "v")
+      .collect()
+    assert(mis.length == 5)
+    assert(mis.forall(_.getTimestamp(0).toInstant.getEpochSecond >=
+      t0 + 30))
+  }
+
   test("grafana MEAN raw fallback buckets RELATIVE to from (misaligned query)") {
     val c = freshClient()
     c.createSensor("test", "mm", "1s", Seq(Seq("v")))
