@@ -50,7 +50,8 @@ import graft.store.{MetricDef, SensorConfig, SensorStore}
   * `"Authorization header needed"` (`server.py:91-104`).
   */
 class GraftServer(spark: SparkSession, baseDir: String,
-                  adminToken: String, port: Int = 0) {
+                  adminToken: String, port: Int = 0,
+                  readDfMaxRows: Long = 10000000L) {
 
   private val Version = "0.1.0"
   /** Compress `read_df` payloads past this many date bytes when the
@@ -479,9 +480,22 @@ class GraftServer(spark: SparkSession, baseDir: String,
       throw new IllegalArgumentException("start_ts missing"))
     val endTs = num(j \ "end_ts")
     val metrics = store.config(db, sensor).metricNames
-    val rows = store.read(db, sensor, Some(startTs.toLong),
+    // driver guard (deliberate reference divergence — the reference
+    // materializes whatever the range covers): this route COLLECTS the
+    // range to the serving driver to build the wire payload, so a
+    // whole-history read of a 100 TB sensor would OOM the server. Cap
+    // the collect at readDfMaxRows (+1 row to DETECT overflow without
+    // counting) and answer 413 with a narrowing hint instead.
+    val capped = store.read(db, sensor, Some(startTs.toLong),
         endTs.map(_.toLong), nanForMissing = true)
+      .limit(math.min(readDfMaxRows, Int.MaxValue - 1L).toInt + 1)
       .collect()
+    if (capped.length > readDfMaxRows) {
+      makeJs(ex, s"read_df range exceeds $readDfMaxRows rows; " +
+        "narrow [start_ts, end_ts] or raise readDfMaxRows", 413)
+      return
+    }
+    val rows = capped
     if (rows.isEmpty) { makeJs(ex, "No data", 404); return }
     val datesBuf = ByteBuffer.allocate(rows.length * 8)
       .order(ByteOrder.LITTLE_ENDIAN)

@@ -225,6 +225,41 @@ class GraftServerSpec extends SparkSpec {
     assert(empty.statusCode == 404, "no data must be the 404 shape")
   }
 
+  test("read_df driver guard: a range past readDfMaxRows answers 413 " +
+    "with a narrowing hint instead of collecting it; an under-cap " +
+    "range is byte-identical to the uncapped server (r14 'wrong' #3)") {
+    setupSensor()
+    val t0 = 1704240000L
+    val lines = (0 until 200).map(i =>
+      s"plant,circuit=m1 active=${i}.5 ${t0 + i}000000000")
+    assert(req("POST", "/influx", Some(WriteK),
+      Some(lines.mkString("\n").getBytes)).statusCode == 200)
+    val guarded = new GraftServer(spark, dir, Admin, readDfMaxRows = 50L)
+    guarded.start()
+    try {
+      val gbase = s"http://127.0.0.1:${guarded.boundPort}"
+      def greq(path: String, body: String) = http.send(
+        HttpRequest.newBuilder(URI.create(gbase + path))
+          .header("Authorization", basic(ReadK))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      // 200 rows > cap 50 → 413 + hint
+      val over = greq("/plant/m1/read_df",
+        s"""{"start_ts": $t0.0, "end_ts": ${t0 + 199}.0}""")
+      assert(over.statusCode == 413, s"expected 413, got ${over.statusCode}")
+      assert(new String(over.body(), StandardCharsets.ISO_8859_1)
+        .contains("narrow"), "413 must carry the narrowing hint")
+      // 40 rows ≤ cap → byte-identical to the uncapped server
+      val narrow = s"""{"start_ts": $t0.0, "end_ts": ${t0 + 39}.0}"""
+      val capped = greq("/plant/m1/read_df", narrow)
+      val uncapped = req("POST", "/plant/m1/read_df", Some(ReadK),
+        Some(narrow.getBytes))
+      assert(capped.statusCode == 200 && uncapped.statusCode == 200)
+      assert(capped.body().sameElements(uncapped.body()),
+        "under-cap response must be byte-identical to the uncapped path")
+    } finally guarded.stop()
+  }
+
   test("grafana endpoints: index, search, and the query wire equals " +
     "the engine-built JSON (server.py:399-484)") {
     setupSensor()
