@@ -147,11 +147,18 @@ object Bench {
     // sum, so gate comparisons quote this number.
     val steadyTotal =
       names.indices.map(i => passes.map(_(i)._2).min).sum
-    // after a requeue the worst total is the pass the replay replaced —
-    // report the spread of the post-requeue window (all totals remain
-    // visible in "runs")
+    // after a requeue, drop the worst of the FIRST passes specifically
+    // (the pass the replay replaced) from the spread window — NOT the
+    // global max: if the host never quieted and the replacement is
+    // itself the slowest, it must stay visible in the spread instead
+    // of being silently excluded with host_quieted:false as the only
+    // hint (all totals remain visible in "runs" either way)
     val spreadTotals =
-      if (requeueJson.nonEmpty) totals.sorted.dropRight(1) else totals
+      if (requeueJson.nonEmpty) {
+        val firstTotals = firstPasses.map(_.map(_._2).sum)
+        val worstFirst = firstTotals.indexOf(firstTotals.max)
+        totals.zipWithIndex.collect { case (t, i) if i != worstFirst => t }
+      } else totals
     val spreadPct =
       if (spreadTotals.min > 0)
         (spreadTotals.max - spreadTotals.min) / spreadTotals.min * 100
