@@ -81,8 +81,18 @@ object Bench {
     // whichever key touched the memo first, so build cost migrated
     // between alphabetical neighbors across rounds — indistinguishable
     // from a regression in the per-key record)
+    // SPARK_GRAFT_BENCH_PREBUILD=off skips the shared-index prebuild —
+    // for key-SUBSET runs at big SFs, where building every shared
+    // index (notably the exact-NN recall-audit baseline, O(Σ n_label²)
+    // BY DEFINITION — it is the exact answer the ANN audit compares
+    // against) would dwarf the subset being measured. With prebuild
+    // off, any memo a benched key touches is built inside that key's
+    // pass-1 time and steady-state (per-key minima) still excludes it.
+    val prebuildOff = sys.env.get("SPARK_GRAFT_BENCH_PREBUILD")
+      .exists(_.equalsIgnoreCase("off"))
     val (prebuild, prebuildFailed) =
-      try (graft.queries.ExtQueries.prebuildSharedIndexes(spark, sfDir), false)
+      if (prebuildOff) (Seq.empty[(String, Double)], false)
+      else try (graft.queries.ExtQueries.prebuildSharedIndexes(spark, sfDir), false)
       catch {
         // keep benching, but STAMP the failure — a silent empty
         // prebuild would let index-build cost migrate back into the
@@ -94,7 +104,14 @@ object Bench {
     // loadStart (timing start) necessarily includes warm-up self-load;
     // the contention verdict above does not
     val loadStart = loadAvg
+    // optional key-subset filter (SPARK_GRAFT_BENCH_KEYS, comma-sep):
+    // the big-SF scale records bench the heaviest keys only — a full
+    // 287-key pass at 100× data would measure wall-clock patience, not
+    // plans. Unset = the full board, as the driver runs it.
+    val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
     def runPass(): Seq[(String, Double)] =
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
