@@ -15,6 +15,20 @@ import org.apache.spark.sql.SparkSession
   * a shared-machine artifact is visible in the record itself instead of
   * having to be inferred from per-query forensics.
   *
+  * Survivability (r15 verdict ask #1 — two consecutive rounds of the
+  * driver-side record were lost to a timeout and a line overflow):
+  *  - the CURRENT-BEST compact JSON line is printed (and flushed, and
+  *    the detail file rewritten) after EVERY pass, so a timeout or
+  *    SIGKILL mid-run still leaves a parseable record — the driver
+  *    reads the LAST line in its tail window, so later lines win;
+  *  - a wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default 720)
+  *    stops scheduling further passes when elapsed + the last pass's
+  *    duration would exceed it, stamping `"budget"` into the line;
+  *  - the ENTIRE line is counted against the 1800-char budget (the
+  *    driver's tail window is 2000): `pass_spikes` is compacted to a
+  *    count + a bounded sample, and the fastest per-query entries are
+  *    dropped until the whole line fits.
+  *
   * Pre-flight load gate: before timing starts, if the 1-minute load
   * exceeds `SPARK_GRAFT_LOAD_MAX` (default 3.0) the bench waits up to
   * `SPARK_GRAFT_LOAD_WAIT_S` (default 120) seconds for it to fall, then
@@ -29,6 +43,8 @@ object Bench {
       .getSystemLoadAverage // -1.0 if the platform can't report it
 
   def main(args: Array[String]): Unit = {
+    val benchStart = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // best-of-3 by default: pass 1 pays codegen + shared-index builds,
@@ -41,6 +57,10 @@ object Bench {
     def envDouble(name: String, default: Double): Double =
       scala.util.Try(sys.env(name).trim.toDouble).getOrElse(default)
     val nRuns = envInt("SPARK_GRAFT_BENCH_RUNS", 3).max(1)
+    // wall-clock budget for the WHOLE bench (warm-up + prebuild +
+    // passes). The driver's window killed the r15 run at rc=124; stay
+    // comfortably inside it and record how far we got instead.
+    val budgetS = envInt("SPARK_GRAFT_BENCH_BUDGET_S", 720).max(60)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,7 +72,26 @@ object Bench {
       // own EliminateSorts — no custom rule needed
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: executor-noise lines (BlockManager re-adds,
+    // accumulator races at shutdown) landing AFTER the result line can
+    // push it out of the driver's 2000-char tail window
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // heartbeat: re-print the latest result line every 20 s so that,
+    // whatever gets logged between emissions, the LAST ~2000 chars of
+    // the stream almost always end with a parseable record — the
+    // second half of the r15 survivability ask (a killed run must
+    // leave its best-so-far line in the tail window)
+    @volatile var lastLine: String = null
+    val hb = new Thread(() => {
+      while (true) {
+        Thread.sleep(20000)
+        val l = lastLine
+        if (l != null) { println(l); System.out.flush() }
+      }
+    })
+    hb.setDaemon(true)
+    hb.start()
 
     // pre-flight load gate BEFORE the multi-threaded warm-up (r10
     // advice: sampling after it measures the bench's own warm-up load
@@ -108,8 +147,16 @@ object Bench {
     // the big-SF scale records bench the heaviest keys only — a full
     // 287-key pass at 100× data would measure wall-clock patience, not
     // plans. Unset = the full board, as the driver runs it.
+    // Names matching no board key are STAMPED into the line (r15
+    // advice: a typo'd subset used to silently bench fewer keys, or
+    // none, with nothing distinguishing it from a deliberate subset).
     val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val unknownKeys = keyFilter
+      .map(_.diff(SparkEntry.queries.keySet).toSeq.sorted)
+      .getOrElse(Seq.empty)
+    unknownKeys.foreach(k =>
+      System.err.println(s"[bench] SPARK_GRAFT_BENCH_KEYS entry matches no board key: $k"))
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => keyFilter.forall(_.contains(n)) }
     def runPass(): Seq[(String, Double)] =
@@ -124,111 +171,171 @@ object Bench {
     // shifts every pass. Listing them makes a contended pass
     // machine-readably distinguishable from a regression.
     def spikesOf(ps: Seq[Seq[(String, Double)]]): Seq[String] =
-      names.indices.flatMap { i =>
+      if (ps.size < 2) Seq.empty
+      else names.indices.flatMap { i =>
         val ts = ps.map(_(i)._2)
         if (ts.max > 3 * ts.min && ts.max - ts.min > 0.5)
           Some(names(i)._1) else None
       }
-    val firstPasses: Seq[Seq[(String, Double)]] = (1 to nRuns).map(_ => runPass())
-    // requeue a spiked pass ONCE (r13 verdict ask #6): if any key
-    // spiked across the first passes, the run was contended — wait
-    // (bounded) for the host to quiet and run ONE replacement pass.
-    // Every attempt stays in the detail record; the headline spread
-    // excludes the single worst total it replaced (per-key minima and
-    // best-of-N only ever improve with more passes, so those read over
-    // ALL passes). If the host never quiets, the record says so
-    // explicitly instead of pretending the replacement was clean.
-    val firstSpikes = spikesOf(firstPasses)
-    var requeueJson = ""
-    val passes: Seq[Seq[(String, Double)]] =
-      if (firstSpikes.isEmpty || nRuns < 2) firstPasses
-      else {
-        var waited2 = 0
-        while (loadAvg > loadMax && waited2 < loadWaitS) {
-          Thread.sleep(5000); waited2 += 5
-        }
-        val quieted = loadAvg <= loadMax
-        val replay = runPass()
-        requeueJson =
-          s""","requeue":{"spiked":${firstSpikes.size},"waited_s":$waited2,""" +
-            s""""host_quieted":$quieted,"pass_total":${math.rint(replay.map(_._2).sum * 1000) / 1000}}"""
-        firstPasses :+ replay
-      }
-    val loadEnd = loadAvg
-    val totals = passes.map(_.map(_._2).sum)
-    val best = passes(totals.indexOf(totals.min))
-    val total = totals.min
-    // variance-proof headline (r11 verdict ask #2): Σ over keys of the
-    // per-key MIN across passes. A transient hiccup in any single pass
-    // inflates best-of-N (whole-pass min) but not the per-key steady
-    // sum, so gate comparisons quote this number.
-    val steadyTotal =
-      names.indices.map(i => passes.map(_(i)._2).min).sum
-    // after a requeue, drop the worst of the FIRST passes specifically
-    // (the pass the replay replaced) from the spread window — NOT the
-    // global max: if the host never quieted and the replacement is
-    // itself the slowest, it must stay visible in the spread instead
-    // of being silently excluded with host_quieted:false as the only
-    // hint (all totals remain visible in "runs" either way)
-    val spreadTotals =
-      if (requeueJson.nonEmpty) {
-        val firstTotals = firstPasses.map(_.map(_._2).sum)
-        val worstFirst = firstTotals.indexOf(firstTotals.max)
-        totals.zipWithIndex.collect { case (t, i) if i != worstFirst => t }
-      } else totals
-    val spreadPct =
-      if (spreadTotals.min > 0)
-        (spreadTotals.max - spreadTotals.min) / spreadTotals.min * 100
-      else 0.0
-    val spikes = spikesOf(passes)
     def r3(v: Double) = math.rint(v * 1000) / 1000
-    val evidence =
-      s""""runs":${totals.map(r3).mkString("[", ",", "]")}""" +
-        s""","steady_total":${r3(steadyTotal)}""" +
-        s""","spread_pct":${r3(spreadPct)}""" +
-        s""","load_avg":[${r3(loadStart)},${r3(loadEnd)}]""" +
-        s""","load_gate":{"threshold":${r3(loadMax)},"pre":${r3(gatePre)},"waited_s":$waited,"contended":$contended}""" +
-        s""","prebuild_s":${r3(prebuildTotal)}""" +
-        (if (prebuildFailed) s""","prebuild_failed":true""" else "") +
-        s""","pass_spikes":${spikes.map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
-        requeueJson +
-        s""","cpus":$cpus"""
-    def line(entries: Seq[(String, Double)], omitted: Int): String = {
-      val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-        .mkString("{", ",", "}")
-      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},$evidence$omit,"queries":$qs,"sf":"$sfDir"}"""
+
+    // ---- incremental emission -------------------------------------
+    // After every completed pass, recompute the whole record from the
+    // passes so far, print the compact line (flushed), and rewrite the
+    // detail file. The driver parses the LAST line in its tail window,
+    // so each emission supersedes the previous; a timeout mid-pass-3
+    // still leaves the pass-1+2 record on stdout and on disk.
+    var requeueJson = ""
+    var budgetJson = ""
+    def emit(passes: Seq[Seq[(String, Double)]]): Unit = {
+      val totals = passes.map(_.map(_._2).sum)
+      val best = passes(totals.indexOf(totals.min))
+      val total = totals.min
+      // variance-proof headline (r11 verdict ask #2): Σ over keys of
+      // the per-key MIN across passes. A transient hiccup in any single
+      // pass inflates best-of-N (whole-pass min) but not the per-key
+      // steady sum, so gate comparisons quote this number.
+      val steadyTotal =
+        names.indices.map(i => passes.map(_(i)._2).min).sum
+      // after a requeue, drop the worst of the pre-requeue passes
+      // specifically (the pass the replay replaced) from the spread
+      // window — NOT the global max: if the host never quieted and the
+      // replacement is itself the slowest, it must stay visible in the
+      // spread instead of being silently excluded with
+      // host_quieted:false as the only hint (all totals remain visible
+      // in "runs" either way)
+      val spreadTotals =
+        if (requeueJson.nonEmpty && passes.size >= 2) {
+          val firstTotals = totals.dropRight(1)
+          val worstFirst = firstTotals.indexOf(firstTotals.max)
+          totals.zipWithIndex.collect { case (t, i) if i != worstFirst => t }
+        } else totals
+      val spreadPct =
+        if (spreadTotals.min > 0)
+          (spreadTotals.max - spreadTotals.min) / spreadTotals.min * 100
+        else 0.0
+      // compact spike evidence (r15 verdict ask #1c): 62 full names in
+      // r14's line overflowed the driver's tail window — the line now
+      // carries a count plus a bounded sample, full list in the detail
+      val spikes = spikesOf(passes)
+      val spikesJson =
+        s"""{"n":${spikes.size},"sample":${spikes.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      val unknownJson =
+        if (unknownKeys.isEmpty) ""
+        else s""","unknown_keys":{"n":${unknownKeys.size},"sample":${unknownKeys.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      val loadEnd = loadAvg
+      val evidence =
+        s""""runs":${totals.map(r3).mkString("[", ",", "]")}""" +
+          s""","steady_total":${r3(steadyTotal)}""" +
+          s""","spread_pct":${r3(spreadPct)}""" +
+          s""","load_avg":[${r3(loadStart)},${r3(loadEnd)}]""" +
+          s""","load_gate":{"threshold":${r3(loadMax)},"pre":${r3(gatePre)},"waited_s":$waited,"contended":$contended}""" +
+          s""","prebuild_s":${r3(prebuildTotal)}""" +
+          (if (prebuildFailed) s""","prebuild_failed":true""" else "") +
+          s""","pass_spikes":$spikesJson""" +
+          unknownJson +
+          requeueJson +
+          budgetJson +
+          s""","cpus":$cpus"""
+      def line(entries: Seq[(String, Double)], omitted: Int): String = {
+        val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+          .mkString("{", ",", "}")
+        val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},$evidence$omit,"queries":$qs,"sf":"$sfDir"}"""
+      }
+      // Full per-query detail goes to a repo file; the stdout line must
+      // fit the driver's 2000-char tail window or its JSON parse fails
+      // (the r1-r3 benches were captured but unparsed for exactly this
+      // reason; r14's line overflowed on spike names). The WHOLE line
+      // counts against the budget: keep the slowest queries, drop the
+      // fastest until it fits.
+      val full = line(best, 0)
+      val bySlow = best.sortBy(-_._2)
+      val budget = 1800
+      var keep = best.size
+      var out = full
+      while (out.length > budget && keep > 1) {
+        keep -= 1
+        val kept = bySlow.take(keep).sortBy(_._1)
+        out = line(kept, best.size - keep)
+      }
+      try {
+        // detail file carries every pass (and the full spike list),
+        // not just the best one
+        val allPasses = passes.zipWithIndex.map { case (p, i) =>
+          s""""pass${i + 1}":{${p.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString(",")}}"""
+        }.mkString(",")
+        val pb = prebuild.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+          .mkString("{", ",", "}")
+        val spikesFull = spikes.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val detail = full.dropRight(1) +
+          s""","pass_spikes_full":$spikesFull,"prebuild":$pb,"passes":{$allPasses}}"""
+        // overridable so a side-run (e.g. the big-SF row) can't clobber
+        // the committed sf0.1 detail (this bit r9 once already)
+        val p = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+        java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+      println(out)
+      System.out.flush()
+      lastLine = out
     }
-    // Full per-query detail goes to a repo file; the stdout line must fit
-    // the driver's 2000-char tail window or its JSON parse fails (the
-    // r1-r3 benches were captured but unparsed for exactly this reason).
-    // Keep the slowest queries in the line; drop the fastest until it fits.
-    val full = line(best, 0)
-    val bySlow = best.sortBy(-_._2)
-    val budget = 1800
-    var keep = best.size
-    var out = full
-    while (out.length > budget && keep > 1) {
-      keep -= 1
-      val kept = bySlow.take(keep).sortBy(_._1)
-      out = line(kept, best.size - keep)
+
+    // scheduled passes, stopping early when the NEXT pass would blow
+    // the wall-clock budget (a pass is assumed to take what the last
+    // one did, +10% headroom); pass 1 always runs — a record with one
+    // pass beats no record
+    var passes = Vector.empty[Seq[(String, Double)]]
+    var lastPassS = 0.0
+    var stoppedEarly = false
+    var i = 0
+    while (i < nRuns && !stoppedEarly) {
+      if (i > 0 && elapsedS + lastPassS * 1.1 > budgetS) {
+        stoppedEarly = true
+      } else {
+        val t0 = System.nanoTime()
+        val p = runPass()
+        lastPassS = (System.nanoTime() - t0) / 1e9
+        passes :+= p
+        budgetJson =
+          s""","budget":{"s":$budgetS,"elapsed_s":${r3(elapsedS)},"passes_run":${passes.size},"stopped_early":${stoppedEarly || (passes.size < nRuns && elapsedS + lastPassS * 1.1 > budgetS)}}"""
+        emit(passes)
+        i += 1
+      }
     }
-    try {
-      // detail file carries every pass, not just the best one
-      val allPasses = passes.zipWithIndex.map { case (p, i) =>
-        s""""pass${i + 1}":{${p.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString(",")}}"""
-      }.mkString(",")
-      val pb = prebuild.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-        .mkString("{", ",", "}")
-      val detail = full.dropRight(1) +
-        s""","prebuild":$pb,"passes":{$allPasses}}"""
-      // overridable so a side-run (e.g. the big-SF row) can't clobber
-      // the committed sf0.1 detail (this bit r9 once already)
-      val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
-      java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
-    println(out)
+    // requeue a spiked pass ONCE (r13 verdict ask #6): if any key
+    // spiked across the scheduled passes, the run was contended — wait
+    // (bounded) for the host to quiet and run ONE replacement pass,
+    // budget permitting. Every attempt stays in the detail record; the
+    // headline spread excludes the single worst total it replaced
+    // (per-key minima and best-of-N only ever improve with more
+    // passes, so those read over ALL passes). If the host never
+    // quiets, the record says so explicitly instead of pretending the
+    // replacement was clean.
+    val firstSpikes = spikesOf(passes)
+    if (firstSpikes.nonEmpty && passes.size >= 2 &&
+        elapsedS + lastPassS * 1.1 < budgetS) {
+      var waited2 = 0
+      while (loadAvg > loadMax && waited2 < loadWaitS &&
+             elapsedS + lastPassS * 1.1 < budgetS) {
+        Thread.sleep(5000); waited2 += 5
+      }
+      val quieted = loadAvg <= loadMax
+      val replay = runPass()
+      requeueJson =
+        s""","requeue":{"spiked":${firstSpikes.size},"waited_s":$waited2,""" +
+          s""""host_quieted":$quieted,"pass_total":${math.rint(replay.map(_._2).sum * 1000) / 1000}}"""
+      passes :+= replay
+      budgetJson =
+        s""","budget":{"s":$budgetS,"elapsed_s":${r3(elapsedS)},"passes_run":${passes.size},"stopped_early":$stoppedEarly}"""
+      emit(passes)
+    } else if (stoppedEarly) {
+      // re-emit with the final budget verdict so the last line carries
+      // stopped_early:true (the in-loop emit predates the decision)
+      budgetJson =
+        s""","budget":{"s":$budgetS,"elapsed_s":${r3(elapsedS)},"passes_run":${passes.size},"stopped_early":true}"""
+      emit(passes)
+    }
     spark.stop()
   }
 }

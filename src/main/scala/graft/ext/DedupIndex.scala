@@ -39,13 +39,55 @@ import org.apache.spark.sql.functions._
   * session build), and a torn write of either part drops its
   * `_SUCCESS`, which the completeness gate catches.
   *
-  * Freshness gate: the recorded exact doc count n must equal the live
-  * corpus row count — an index that predates an ingest re-routes to
-  * the session build instead of silently serving stale verdicts
-  * (`bm25Routed`'s discipline). Routing can never change results,
-  * only whether corpus-scale work reruns.
+  * Freshness gate, two tiers (r15 verdict ask #4):
+  *  - VERSION gate (preferred): every build/refresh stamps a
+  *    monotonically-bumped `version` into `stats/`; a probe carrying
+  *    the corpus's expected version (from the ingest surface that
+  *    owns the corpus, [[DocStore]]) matches it with a one-row stats
+  *    read — no corpus scan, and a same-count content REPLACEMENT is
+  *    caught because the replacement bumped the corpus version
+  *    without refreshing the index. Version-match verdicts are
+  *    memoized per (path, version) for the session — every write
+  *    path invalidates, so the steady probe pays zero gate jobs.
+  *  - COUNT gate (fallback, unmanaged corpora): the recorded doc
+  *    count n must equal the live corpus row count (a parquet-footer
+  *    aggregate). Catches count-changing ingests from any writer but
+  *    NOT same-count replacement — the documented limit that the
+  *    version tier exists to close. Never memoized: the corpus is
+  *    outside our write paths, so no event invalidates.
+  * Parameter gates ride both tiers: the near index's LSH parameters
+  * and the semantic index's (target_cell_size, iters) must equal the
+  * probe's — an index fitted differently is not stale, it is a
+  * DIFFERENT index, and serving it would change verdicts. Routing can
+  * never change results, only whether corpus-scale work reruns.
   */
 object DedupIndex {
+
+  /** Session memo of VERSION-gate verdicts: (stats path, expected
+    * version) → fresh. Only version matches are cached — they can
+    * only be invalidated by a write through [[refreshExactIndex]] /
+    * [[refreshNearIndex]] / [[refreshSemanticIndex]] / the builds,
+    * all of which call [[invalidateGate]]. Count-gate verdicts are
+    * never cached (nothing tells us the unmanaged corpus changed).
+    */
+  private val gateMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Long, String), Boolean]
+
+  def invalidateGate(path: String): Unit =
+    gateMemo.keys.filter(_._1 == path).foreach(gateMemo.remove)
+
+  /** The memo key carries the probe's PARAMETERS as well as the
+    * version — a verdict cached for one parameterisation must never
+    * answer a differently-parameterised probe (the param gate is part
+    * of what is being cached). */
+  private def memoized(path: String, expectedVersion: Option[Long],
+                       params: String)
+                      (check: => Boolean): Boolean =
+    expectedVersion match {
+      case Some(v) => gateMemo.getOrElseUpdate((path, v, params), check)
+      case None => check
+    }
 
   private def hadoopExists(spark: SparkSession, p: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(p)
@@ -79,26 +121,33 @@ object DedupIndex {
       .sortWithinPartitions("content_hash")
 
   def buildExactIndex(df: DataFrame, idCol: String, textCol: String,
-                      path: String): String = {
+                      path: String, version: Long = 1L): String = {
+    invalidateGate(path)
     exactRowsOf(df, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/hashes")
-    df.agg(count(lit(1)).as("n")).write.mode("overwrite")
-      .parquet(s"$path/stats")
+    df.agg(count(lit(1)).as("n"), lit(version).as("version"))
+      .write.mode("overwrite").parquet(s"$path/stats")
     path
   }
 
   /** Merge a batch of NEW documents (caller contract: ids not already
     * indexed — ingest appends new docs): append the batch's hash rows,
-    * then overwrite stats with the additive count. Exact: integer sum.
+    * then overwrite stats with the additive count and the bumped
+    * version (caller-supplied to track the corpus's, else old+1).
+    * Exact: integer sum.
     */
   def refreshExactIndex(spark: SparkSession, path: String,
                         batch: DataFrame, idCol: String,
-                        textCol: String): String = {
+                        textCol: String,
+                        newVersion: Option[Long] = None): String = {
+    invalidateGate(path)
     // read-THEN-overwrite on stats/ needs the old row off disk first
-    val old = statsRow(spark, path).getLong(0)
+    val old = statsRow(spark, path)
+    val v = newVersion.getOrElse(old.getAs[Long]("version") + 1)
     exactRowsOf(batch, idCol, textCol)
       .write.mode("append").parquet(s"$path/hashes")
-    batch.agg((count(lit(1)) + lit(old)).as("n"))
+    batch.agg((count(lit(1)) + lit(old.getAs[Long]("n"))).as("n"),
+        lit(v).as("version"))
       .write.mode("overwrite").parquet(s"$path/stats")
     path
   }
@@ -106,11 +155,20 @@ object DedupIndex {
   def hasExactIndex(spark: SparkSession, path: String): Boolean =
     hasParts(spark, path, Seq("hashes", "stats"))
 
-  /** Freshness: recorded N == live corpus count (a parquet-footer
+  /** Freshness: with `expectedVersion`, the recorded version must
+    * equal it (one tiny stats read, memoized — no corpus touch);
+    * without, recorded N == live corpus count (a parquet-footer
     * aggregate on the corpus side — metadata cost, not a scan). */
   def exactIndexFresh(spark: SparkSession, path: String,
-                      corpus: DataFrame): Boolean =
-    statsRow(spark, path).getLong(0) == corpus.count()
+                      corpus: DataFrame,
+                      expectedVersion: Option[Long] = None): Boolean =
+    memoized(path, expectedVersion, "exact") {
+      val s = statsRow(spark, path)
+      expectedVersion match {
+        case Some(v) => s.getAs[Long]("version") == v
+        case None => s.getAs[Long]("n") == corpus.count()
+      }
+    }
 
   /** Rollup-routed incremental exact dedup: probe the persisted hash
     * index when COMPLETE and FRESH, else fall back to hashing the
@@ -119,9 +177,10 @@ object DedupIndex {
   def incrementalExactRouted(spark: SparkSession, batch: DataFrame,
                              corpus: DataFrame, idCol: String,
                              textCol: String,
-                             indexPath: Option[String]): DataFrame =
+                             indexPath: Option[String],
+                             expectedVersion: Option[Long] = None): DataFrame =
     indexPath.filter(p => hasExactIndex(spark, p) &&
-        exactIndexFresh(spark, p, corpus)) match {
+        exactIndexFresh(spark, p, corpus, expectedVersion)) match {
       case Some(p) =>
         Dedup.incremental(batch, spark.read.parquet(s"$p/hashes"),
           idCol, textCol)
@@ -149,11 +208,13 @@ object DedupIndex {
 
   def buildNearIndex(df: DataFrame, idCol: String, textCol: String,
                      numHashes: Int, rowsPerBand: Int, n: Int,
-                     path: String): String = {
+                     path: String, version: Long = 1L): String = {
+    invalidateGate(path)
     bandRowsOf(df, idCol, textCol, numHashes, rowsPerBand, n)
       .write.mode("overwrite").parquet(s"$path/bands")
     df.agg(count(lit(1)).as("n"), lit(numHashes).as("num_hashes"),
-        lit(rowsPerBand).as("rows_per_band"), lit(n).as("shingle_n"))
+        lit(rowsPerBand).as("rows_per_band"), lit(n).as("shingle_n"),
+        lit(version).as("version"))
       .write.mode("overwrite").parquet(s"$path/stats")
     path
   }
@@ -161,19 +222,24 @@ object DedupIndex {
   /** Append the batch's band rows under the RECORDED LSH parameters
     * (the artifact's, not the caller's — mixed-parameter parts would
     * poison every probe), then overwrite stats with the additive
-    * count. */
+    * count and the bumped version. */
   def refreshNearIndex(spark: SparkSession, path: String,
                        batch: DataFrame, idCol: String,
-                       textCol: String): String = {
+                       textCol: String,
+                       newVersion: Option[Long] = None): String = {
+    invalidateGate(path)
     val old = statsRow(spark, path)
     val (oldN, numHashes, rowsPerBand, shingleN) =
-      (old.getLong(0), old.getInt(1), old.getInt(2), old.getInt(3))
+      (old.getAs[Long]("n"), old.getAs[Int]("num_hashes"),
+        old.getAs[Int]("rows_per_band"), old.getAs[Int]("shingle_n"))
+    val v = newVersion.getOrElse(old.getAs[Long]("version") + 1)
     bandRowsOf(batch, idCol, textCol, numHashes, rowsPerBand, shingleN)
       .write.mode("append").parquet(s"$path/bands")
     batch.agg((count(lit(1)) + lit(oldN)).as("n"),
         lit(numHashes).as("num_hashes"),
         lit(rowsPerBand).as("rows_per_band"),
-        lit(shingleN).as("shingle_n"))
+        lit(shingleN).as("shingle_n"),
+        lit(v).as("version"))
       .write.mode("overwrite").parquet(s"$path/stats")
     path
   }
@@ -181,24 +247,36 @@ object DedupIndex {
   def hasNearIndex(spark: SparkSession, path: String): Boolean =
     hasParts(spark, path, Seq("bands", "stats"))
 
-  /** Freshness AND parameter gate: recorded N == live corpus count,
-    * and the artifact's LSH parameters equal the probe's — an index
-    * banded differently is not stale, it is a DIFFERENT index, and
-    * serving from it would silently change candidate semantics. */
+  /** Freshness AND parameter gate: the artifact's LSH parameters must
+    * equal the probe's — an index banded differently is not stale, it
+    * is a DIFFERENT index, and serving from it would silently change
+    * candidate semantics — and the version/count tier must pass
+    * (version equality when `expectedVersion` is supplied, else
+    * recorded N == live corpus count). */
   def nearIndexFresh(spark: SparkSession, path: String, corpus: DataFrame,
-                     numHashes: Int, rowsPerBand: Int, n: Int): Boolean = {
-    val s = statsRow(spark, path)
-    s.getInt(1) == numHashes && s.getInt(2) == rowsPerBand &&
-      s.getInt(3) == n && s.getLong(0) == corpus.count()
-  }
+                     numHashes: Int, rowsPerBand: Int, n: Int,
+                     expectedVersion: Option[Long] = None): Boolean =
+    memoized(path, expectedVersion,
+        s"near:$numHashes:$rowsPerBand:$n") {
+      val s = statsRow(spark, path)
+      s.getAs[Int]("num_hashes") == numHashes &&
+        s.getAs[Int]("rows_per_band") == rowsPerBand &&
+        s.getAs[Int]("shingle_n") == n &&
+        (expectedVersion match {
+          case Some(v) => s.getAs[Long]("version") == v
+          case None => s.getAs[Long]("n") == corpus.count()
+        })
+    }
 
   def incrementalNearRouted(spark: SparkSession, batch: DataFrame,
                             corpus: DataFrame, idCol: String,
                             textCol: String, numHashes: Int,
                             rowsPerBand: Int, n: Int,
-                            indexPath: Option[String]): DataFrame =
+                            indexPath: Option[String],
+                            expectedVersion: Option[Long] = None): DataFrame =
     indexPath.filter(p => hasNearIndex(spark, p) &&
-        nearIndexFresh(spark, p, corpus, numHashes, rowsPerBand, n)) match {
+        nearIndexFresh(spark, p, corpus, numHashes, rowsPerBand, n,
+          expectedVersion)) match {
       case Some(p) =>
         Dedup.incrementalNear(batch, spark.read.parquet(s"$p/bands"),
           idCol, textCol, numHashes, rowsPerBand, n)
@@ -226,7 +304,8 @@ object DedupIndex {
     * `stats/` ever change afterwards. */
   def buildSemanticIndex(df: DataFrame, idCol: String, vecCol: String,
                          targetCellSize: Int, iters: Int,
-                         path: String): String = {
+                         path: String, version: Long = 1L): String = {
+    invalidateGate(path)
     val (coarse, anchors) = Dedup.fittedIndex(df, idCol, vecCol,
       targetCellSize, iters)
     coarse.write.mode("overwrite").parquet(s"$path/coarse")
@@ -234,7 +313,8 @@ object DedupIndex {
     cellRowsOf(df, idCol, vecCol, coarse, anchors)
       .write.mode("overwrite").parquet(s"$path/cells")
     df.agg(count(lit(1)).as("n"),
-        lit(targetCellSize).as("target_cell_size"))
+        lit(targetCellSize).as("target_cell_size"),
+        lit(iters).as("iters"), lit(version).as("version"))
       .write.mode("overwrite").parquet(s"$path/stats")
     path
   }
@@ -246,14 +326,18 @@ object DedupIndex {
     * under an existing assignment). */
   def refreshSemanticIndex(spark: SparkSession, path: String,
                            batch: DataFrame, idCol: String,
-                           vecCol: String): String = {
+                           vecCol: String,
+                           newVersion: Option[Long] = None): String = {
+    invalidateGate(path)
     val old = statsRow(spark, path)
+    val v = newVersion.getOrElse(old.getAs[Long]("version") + 1)
     val coarse = spark.read.parquet(s"$path/coarse")
     val anchors = spark.read.parquet(s"$path/anchors")
     cellRowsOf(batch, idCol, vecCol, coarse, anchors)
       .write.mode("append").parquet(s"$path/cells")
-    batch.agg((count(lit(1)) + lit(old.getLong(0))).as("n"),
-        lit(old.getInt(1)).as("target_cell_size"))
+    batch.agg((count(lit(1)) + lit(old.getAs[Long]("n"))).as("n"),
+        lit(old.getAs[Int]("target_cell_size")).as("target_cell_size"),
+        lit(old.getAs[Int]("iters")).as("iters"), lit(v).as("version"))
       .write.mode("overwrite").parquet(s"$path/stats")
     path
   }
@@ -261,9 +345,25 @@ object DedupIndex {
   def hasSemanticIndex(spark: SparkSession, path: String): Boolean =
     hasParts(spark, path, Seq("coarse", "anchors", "cells", "stats"))
 
+  /** Freshness AND parameter gate (r15 advice: target_cell_size was
+    * written but never validated, and iters not recorded at all — an
+    * artifact fitted under different k-means parameters would serve
+    * DIFFERENT cell assignments as "fresh", changing verdicts vs the
+    * session fallback): the recorded fit parameters must equal the
+    * probe's, and the version/count tier must pass. */
   def semanticIndexFresh(spark: SparkSession, path: String,
-                         corpus: DataFrame): Boolean =
-    statsRow(spark, path).getLong(0) == corpus.count()
+                         corpus: DataFrame, targetCellSize: Int,
+                         iters: Int,
+                         expectedVersion: Option[Long] = None): Boolean =
+    memoized(path, expectedVersion, s"sem:$targetCellSize:$iters") {
+      val s = statsRow(spark, path)
+      s.getAs[Int]("target_cell_size") == targetCellSize &&
+        s.getAs[Int]("iters") == iters &&
+        (expectedVersion match {
+          case Some(v) => s.getAs[Long]("version") == v
+          case None => s.getAs[Long]("n") == corpus.count()
+        })
+    }
 
   /** Rollup-routed incremental semantic dedup: probe the persisted
     * cell index when COMPLETE and FRESH; else fit + assign in-session
@@ -274,9 +374,11 @@ object DedupIndex {
                                 corpus: DataFrame, idCol: String,
                                 vecCol: String, targetCellSize: Int,
                                 iters: Int, tau: Double,
-                                indexPath: Option[String]): DataFrame =
+                                indexPath: Option[String],
+                                expectedVersion: Option[Long] = None): DataFrame =
     indexPath.filter(p => hasSemanticIndex(spark, p) &&
-        semanticIndexFresh(spark, p, corpus)) match {
+        semanticIndexFresh(spark, p, corpus, targetCellSize, iters,
+          expectedVersion)) match {
       case Some(p) =>
         Dedup.incrementalSemantic(batch,
           spark.read.parquet(s"$p/cells"),

@@ -292,15 +292,28 @@ object TextStats {
     * at the scan.
     */
   def buildBm25Index(df: DataFrame, idCol: String, textCol: String,
-                     path: String): String = {
+                     path: String, version: Long = 1L): String = {
+    invalidateBm25Gate(path)
     val toks = tokensWithLen(df, idCol, textCol)
     toks.agg(sum(col("dl")).cast("double").as("sum_dl"),
-        count(lit(1)).cast("double").as("n"))
+        count(lit(1)).cast("double").as("n"),
+        lit(version).as("version"))
       .write.mode("overwrite").parquet(s"$path/stats")
     postingsOf(toks, idCol)
       .write.mode("overwrite").parquet(s"$path/postings")
     path
   }
+
+  /** Session memo of VERSION-gate verdicts — (stats path, expected
+    * version) → fresh, the [[graft.ext.DedupIndex]] discipline: only
+    * version matches are cached (every write path invalidates; a
+    * count-gate verdict is never cached because nothing tells us an
+    * unmanaged corpus changed). */
+  private val bm25GateMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Boolean]
+
+  def invalidateBm25Gate(path: String): Unit =
+    bm25GateMemo.keys.filter(_._1 == path).foreach(bm25GateMemo.remove)
 
   /** One corpus/batch pass → `(idCol, dl, toks)`, lazily checkpointed
     * so the stats and postings writes share it.
@@ -354,15 +367,19 @@ object TextStats {
     */
   def refreshBm25Index(spark: org.apache.spark.sql.SparkSession,
                        path: String, batch: DataFrame, idCol: String,
-                       textCol: String): String = {
+                       textCol: String,
+                       newVersion: Option[Long] = None): String = {
+    invalidateBm25Gate(path)
     // read-THEN-overwrite on stats/ needs the old row off disk first
-    val old = spark.read.parquet(s"$path/stats")
-      .select(col("sum_dl"), col("n")).head()
+    val old = spark.read.parquet(s"$path/stats").head()
+    val v = newVersion.getOrElse(old.getAs[Long]("version") + 1)
     val toks = tokensWithLen(batch, idCol, textCol)
     val merged = toks.agg(
       (coalesce(sum(col("dl")), lit(0L)).cast("double") +
-        lit(old.getDouble(0))).as("sum_dl"),
-      (count(lit(1)).cast("double") + lit(old.getDouble(1))).as("n"))
+        lit(old.getAs[Double]("sum_dl"))).as("sum_dl"),
+      (count(lit(1)).cast("double") +
+        lit(old.getAs[Double]("n"))).as("n"),
+      lit(v).as("version"))
     postingsOf(toks, idCol)
       .write.mode("append").parquet(s"$path/postings")
     merged.write.mode("overwrite").parquet(s"$path/stats")
@@ -377,11 +394,21 @@ object TextStats {
     * not a corpus scan.
     */
   def bm25IndexFresh(spark: org.apache.spark.sql.SparkSession,
-                     path: String, corpus: DataFrame): Boolean = {
-    val n = spark.read.parquet(s"$path/stats").select(col("n")).head()
-      .getDouble(0)
-    n == corpus.count().toDouble
-  }
+                     path: String, corpus: DataFrame,
+                     expectedVersion: Option[Long] = None): Boolean =
+    expectedVersion match {
+      case Some(v) =>
+        // version tier (r15 ask #4): one tiny stats read, memoized —
+        // no corpus touch, and a same-count content replacement is
+        // caught because the replacement bumped the corpus version
+        // without refreshing this artifact
+        bm25GateMemo.getOrElseUpdate((path, v),
+          spark.read.parquet(s"$path/stats").head()
+            .getAs[Long]("version") == v)
+      case None =>
+        spark.read.parquet(s"$path/stats").select(col("n")).head()
+          .getDouble(0) == corpus.count().toDouble
+    }
 
   /** True when a [[buildBm25Index]] artifact is COMPLETE at `path`
     * (both parts committed — `_SUCCESS` markers, not mere directory
@@ -535,11 +562,13 @@ object TextStats {
   def phraseBm25Routed(spark: org.apache.spark.sql.SparkSession,
                        df: DataFrame, idCol: String, textCol: String,
                        terms: Seq[String], indexPath: Option[String],
-                       k1: Double, b: Double, topN: Int): DataFrame =
+                       k1: Double, b: Double, topN: Int,
+                       // no default: the 2-word overload carries them
+                       expectedVersion: Option[Long]): DataFrame =
     indexPath.filter(p => hasBm25Index(spark, p) &&
         spark.read.parquet(s"$p/postings")
           .schema.fieldNames.contains("pos") &&
-        bm25IndexFresh(spark, p, df)) match {
+        bm25IndexFresh(spark, p, df, expectedVersion)) match {
       case Some(p) =>
         phraseBm25FromIndex(spark, p, idCol, terms, k1, b, topN)
       case None => phraseBm25(df, idCol, textCol, terms, k1, b, topN)
@@ -550,9 +579,10 @@ object TextStats {
                        df: DataFrame, idCol: String, textCol: String,
                        first: String, second: String,
                        indexPath: Option[String], k1: Double = 1.2,
-                       b: Double = 0.75, topN: Int = 10): DataFrame =
+                       b: Double = 0.75, topN: Int = 10,
+                       expectedVersion: Option[Long] = None): DataFrame =
     phraseBm25Routed(spark, df, idCol, textCol, Seq(first, second),
-      indexPath, k1, b, topN)
+      indexPath, k1, b, topN, expectedVersion)
 
   /** Rollup-style routing for BM25 (the `readDistinct` gate, retrieval
     * edition): probe the persisted index when a COMPLETE
@@ -568,9 +598,10 @@ object TextStats {
   def bm25Routed(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
                  idCol: String, textCol: String, terms: Seq[String],
                  indexPath: Option[String], k1: Double = 1.2,
-                 b: Double = 0.75): DataFrame =
+                 b: Double = 0.75,
+                 expectedVersion: Option[Long] = None): DataFrame =
     indexPath.filter(p => hasBm25Index(spark, p) &&
-        bm25IndexFresh(spark, p, df)) match {
+        bm25IndexFresh(spark, p, df, expectedVersion)) match {
       case Some(p) => bm25FromIndex(spark, p, idCol, terms, k1, b)
       case None => bm25(df, idCol, textCol, terms, k1, b)
     }

@@ -135,6 +135,29 @@ object ExtQueries {
       .buildSemanticIndex(incCorpusEmb(s, dir), "vec_id", "embedding",
         targetCellSize = 32, iters = 1, p))
 
+  /** The managed corpus of the `docstore_ingest_dedup` key: a
+    * [[graft.ext.DocStore]] initialised on 5/7 of the documents
+    * (doc_id % 7 ∉ {3, 6}), then ONE [[graft.ext.DocStore.ingestBatch]]
+    * of the % 7 == 6 slice — after which the store's corpus equals the
+    * incremental keys' corpus (% 7 ≠ 3) and its exact index is at the
+    * corpus's version, so the key's probe MUST serve through the
+    * refreshed artifact (version gate, zero corpus-scan cost). Built
+    * once per (session, dir), cleared by [[clearIndexes]].
+    */
+  private val docStoreCfg = graft.ext.DocStore.Config("doc_id", "text",
+    bm25 = false, exact = true)
+
+  private def docStoreOf(s: SparkSession, dir: String): String =
+    dedupIdxOf(s, dir, "docstore") { root =>
+      val d = docs(s, dir).select("doc_id", "text")
+      graft.ext.DocStore.init(s, root,
+        d.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 6),
+        docStoreCfg)
+      graft.ext.DocStore.ingestBatch(s, root,
+        d.filter(col("doc_id") % 7 === 6), docStoreCfg)
+      root
+    }
+
   /** Release the persisted BM25 index artifacts: unregister every
     * (session, dir) entry AND delete its temp parquet tree. The
     * companion valve to [[clearMemo]] — which deliberately leaves the
@@ -155,9 +178,13 @@ object ExtQueries {
             .foreach(java.nio.file.Files.deleteIfExists(_))
         }
       } catch { case _: java.io.IOException => () }
-    bm25Idx.values.foreach(deleteTree)
+    bm25Idx.values.foreach { p =>
+      TextStats.invalidateBm25Gate(p); deleteTree(p)
+    }
     bm25Idx.clear()
-    dedupIdx.values.foreach(deleteTree)
+    dedupIdx.values.foreach { p =>
+      graft.ext.DedupIndex.invalidateGate(p); deleteTree(p)
+    }
     dedupIdx.clear()
   }
 
@@ -170,7 +197,11 @@ object ExtQueries {
   private def bm25Of(s: SparkSession, dir: String): DataFrame =
     memo.getOrElseUpdate((s, dir, "bm25"),
       TextStats.bm25Routed(s, docs(s, dir), "doc_id", "text", QTerms,
-        Some(bm25IndexOf(s, dir))).persist())
+        Some(bm25IndexOf(s, dir)),
+        // session-built artifact is version 1: the gate memoizes the
+        // version match, so a steady probe pays no corpus count and
+        // no repeated stats read (r15 ask #4)
+        expectedVersion = Some(1L)).persist())
 
   /** The two bounded rank frames of the hybrid-retrieval pair
     * (`similar_hybrid_rrf` + its audit): lexical BM25 top-20 and
@@ -339,6 +370,7 @@ object ExtQueries {
       timed("exact_idx") { exactIdxOf(s, dir) },
       timed("near_idx") { nearIdxOf(s, dir) },
       timed("seminc") { semIdxOf(s, dir) },
+      timed("docstore") { docStoreOf(s, dir) },
       timed("bm25_index") { bm25Of(s, dir).count() },
       timed("hybrid_ranks") {
         hybridLexOf(s, dir).count(); hybridVecOf(s, dir).count()
@@ -1125,7 +1157,7 @@ object ExtQueries {
       val batch = d.filter(col("doc_id") % 7 === 3)
       graft.ext.DedupIndex.incrementalExactRouted(s, batch,
           incCorpusDocs(s, dir), "doc_id", "text",
-          Some(exactIdxOf(s, dir)))
+          Some(exactIdxOf(s, dir)), expectedVersion = Some(1L))
         .orderBy("doc_id")
     }),
 
@@ -1140,7 +1172,8 @@ object ExtQueries {
       val batch = d.filter(col("doc_id") % 7 === 3)
       graft.ext.DedupIndex.incrementalNearRouted(s, batch,
           incCorpusDocs(s, dir), "doc_id", "text", NumHashes,
-          rowsPerBand = 1, n = 3, Some(nearIdxOf(s, dir)))
+          rowsPerBand = 1, n = 3, Some(nearIdxOf(s, dir)),
+          expectedVersion = Some(1L))
         .orderBy("doc_id")
     }),
 
@@ -1158,8 +1191,25 @@ object ExtQueries {
       graft.ext.DedupIndex.incrementalSemanticRouted(s, batch,
           incCorpusEmb(s, dir), "vec_id", "embedding",
           targetCellSize = 32, iters = 1, tau = 0.40,
-          Some(semIdxOf(s, dir)))
+          Some(semIdxOf(s, dir)), expectedVersion = Some(1L))
         .orderBy("vec_id")
+    }),
+
+    // INGEST → REFRESH → PROBE end-to-end (r15 ask #5): the batch
+    // (doc_id % 7 == 3) probed against a MANAGED corpus — a DocStore
+    // initialised on 5/7 of the docs then fed the % 7 == 6 slice
+    // through ingestBatch, which refreshed the at-rest exact index
+    // transactionally (index stamped first, corpus appended, meta —
+    // the version the gate compares — committed last). The store's
+    // corpus equals dedup_incremental's (% 7 ≠ 3), so verdicts match
+    // that key bit-for-bit; the difference is the LIFECYCLE — this
+    // probe serves through an artifact no session built whole.
+    "docstore_ingest_dedup" -> ((s, dir) => {
+      val batch = docs(s, dir).select("doc_id", "text")
+        .filter(col("doc_id") % 7 === 3)
+      graft.ext.DocStore.dedupBatchExact(s, docStoreOf(s, dir),
+          docStoreCfg, batch)
+        .orderBy("doc_id")
     }),
 
     // Recall audit of the int8-SQ coarse pass: how many of the exact
@@ -2005,7 +2055,8 @@ object ExtQueries {
     // bit-identical (RetrievalSpec pins it).
     "retrieval_phrase_topk" -> ((s, dir) =>
       TextStats.phraseBm25Routed(s, docs(s, dir), "doc_id", "text",
-        "stream", "spark", Some(bm25IndexOf(s, dir)))),
+        Seq("stream", "spark"), Some(bm25IndexOf(s, dir)),
+        k1 = 1.2, b = 0.75, topN = 10, expectedVersion = Some(1L))),
 
     // THREE-word exact phrase ("big order scan") through the n-ary
     // positional intersection (r14 ask #3): the probe reads exactly
@@ -2016,7 +2067,7 @@ object ExtQueries {
     "retrieval_phrase3_topk" -> ((s, dir) =>
       TextStats.phraseBm25Routed(s, docs(s, dir), "doc_id", "text",
         Seq("big", "order", "scan"), Some(bm25IndexOf(s, dir)),
-        k1 = 1.2, b = 0.75, topN = 10)),
+        k1 = 1.2, b = 0.75, topN = 10, expectedVersion = Some(1L))),
 
     // The audit beside the MMR heuristic (the board's rule: every
     // approximate/heuristic path carries a measured companion): what
@@ -4312,6 +4363,32 @@ object ExtQueries {
         |FROM batch b
         |JOIN bf USING (content_hash)
         |LEFT JOIN ci USING (content_hash)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // independent formulation (window-min over the batch, not the
+    // bf-join the dedup_incremental oracle uses) — the engine-side
+    // result must nonetheless equal dedup_incremental's exactly, since
+    // the ingested store's corpus is the same % 7 <> 3 slice
+    "docstore_ingest_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS content_hash,
+        |    min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+        |      AS batch_first
+        |  FROM documents WHERE doc_id % 7 = 3
+        |), cm AS (
+        |  SELECT md5(lower(trim(text))) AS content_hash,
+        |    min(doc_id) AS cid
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  GROUP BY 1
+        |)
+        |SELECT b.doc_id, b.content_hash,
+        |  CASE WHEN cm.cid IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN b.batch_first < b.doc_id THEN 'dup_in_batch'
+        |       ELSE 'new' END AS verdict,
+        |  CASE WHEN cm.cid IS NOT NULL THEN cm.cid
+        |       WHEN b.batch_first < b.doc_id THEN b.batch_first
+        |       ELSE b.doc_id END AS canonical_id
+        |FROM b LEFT JOIN cm USING (content_hash)
         |ORDER BY b.doc_id""".stripMargin,
 
     "dedup_incremental_near" ->

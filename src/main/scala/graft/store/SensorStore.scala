@@ -473,10 +473,22 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     val cfg = config(db, sensor)
     val chunkDur = cfg.tickSeconds * Freq.ChunkRows
     val dropped = listChunks(db, sensor).filter(_ + chunkDur <= cutoffSec)
+    // EVERY rollup family's tree must be pruned here — a rollup
+    // surviving its deleted source chunks would keep serving an
+    // aligned read over a retention-dropped range while the raw
+    // fallback returns nothing, breaking the "routing changes cost,
+    // never values" invariant (r15 advice: statsrollup_*,
+    // sketchrollup_* and quantrollup_* were missing).
     val roots = dataDir(db, sensor) +:
       (listRollups(db, sensor).map(b => s"${sensorDir(db, sensor)}/rollup_$b") ++
         listMeanRollups(db, sensor)
-          .map(b => s"${sensorDir(db, sensor)}/meanrollup_$b"))
+          .map(b => s"${sensorDir(db, sensor)}/meanrollup_$b") ++
+        listStatsRollups(db, sensor)
+          .map(b => s"${sensorDir(db, sensor)}/statsrollup_$b") ++
+        listSketchRollups(db, sensor)
+          .map(b => s"${sensorDir(db, sensor)}/sketchrollup_$b") ++
+        listQuantileRollups(db, sensor)
+          .map { case (b, bw) => s"${sensorDir(db, sensor)}/quantrollup_${b}_$bw" })
     for (root <- roots; c <- dropped)
       rmTree(Paths.get(s"$root/chunk_start=$c"))
     dropped
@@ -922,6 +934,12 @@ class SensorStore(spark: SparkSession, baseDir: String) {
                       toSec: Option[Long], metric: String): DataFrame = {
     require(coarseSec % bucketSec == 0,
       s"coarse grid $coarseSec must be a multiple of the rollup grid $bucketSec")
+    // bounds must sit ON the rollup grid — the filter below would
+    // otherwise snap fromSec DOWN a bucket and silently include
+    // readings preceding it (r15 advice; the aligned readGrafanaStats
+    // route guarantees this by construction)
+    fromSec.foreach(f => require(f % bucketSec == 0,
+      s"fromSec $f must align to the rollup grid $bucketSec"))
     var df = spark.read.parquet(
         s"${sensorDir(db, sensor)}/statsrollup_$bucketSec")
       .filter(col("metric") === metric)

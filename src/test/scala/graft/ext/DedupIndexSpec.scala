@@ -183,7 +183,7 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.buildSemanticIndex(corpus, "vec_id", "embedding", 32, 1,
       full)
     assert(DedupIndex.hasSemanticIndex(spark, full))
-    assert(DedupIndex.semanticIndexFresh(spark, full, corpus))
+    assert(DedupIndex.semanticIndexFresh(spark, full, corpus, 32, 1))
     assert(routed(Some(full)).sameElements(session), "probe != session")
 
     // frozen-index refresh contract: build on A, refresh with B ⇒
@@ -193,7 +193,7 @@ class DedupIndexSpec extends SparkSpec {
     val inc = tmp("sminc")
     DedupIndex.buildSemanticIndex(a, "vec_id", "embedding", 32, 1, inc)
     DedupIndex.refreshSemanticIndex(spark, inc, b, "vec_id", "embedding")
-    assert(DedupIndex.semanticIndexFresh(spark, inc, corpus))
+    assert(DedupIndex.semanticIndexFresh(spark, inc, corpus, 32, 1))
     val got = spark.read.parquet(s"$inc/cells")
       .orderBy("corpus_id").collect().map(_.toString)
     val want = Dedup.assignCells(corpus, "vec_id", "embedding",
@@ -206,6 +206,72 @@ class DedupIndexSpec extends SparkSpec {
       "refresh diverged from one frozen-index assignment of A ∪ B")
   }
 
+  test("VERSION gate (r15 ask #4): a version-matched probe serves the " +
+    "artifact with no corpus scan; a corpus version bump WITHOUT an " +
+    "index refresh (same-count content replacement) routes to the " +
+    "fallback; refresh stamps the new version and restores the probe") {
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 3)
+    val idx = tmp("exver")
+    DedupIndex.buildExactIndex(corpus, "doc_id", "text", idx, version = 1L)
+
+    // version tier passes without consulting the corpus at all: hand
+    // the gate a POISON corpus that counts to ZERO rows — the count
+    // tier would read NOT-fresh on it, so a passing gate proves the
+    // version tier never looked
+    val poison = corpus.filter(lit(false))
+    assert(DedupIndex.exactIndexFresh(spark, idx, poison, Some(1L)))
+    val probe = DedupIndex.incrementalExactRouted(spark, batch, corpus,
+      "doc_id", "text", Some(idx), expectedVersion = Some(1L))
+    assert(probe.queryExecution.executedPlan.toString.contains("hashes"))
+    assert(rows(probe).sameElements(rows(DedupIndex
+      .incrementalExactRouted(spark, batch, corpus, "doc_id", "text",
+        None))))
+
+    // the corpus moved to version 2 (e.g. a SAME-COUNT text
+    // replacement — invisible to the count gate by construction) but
+    // the index still records v1 → must NOT serve
+    assert(!DedupIndex.exactIndexFresh(spark, idx, corpus, Some(2L)))
+    val stale = DedupIndex.incrementalExactRouted(spark, batch, corpus,
+      "doc_id", "text", Some(idx), expectedVersion = Some(2L))
+    assert(!stale.queryExecution.executedPlan.toString.contains("hashes"),
+      "a version-mismatched artifact must NOT be probed")
+
+    // refresh stamping v2 invalidates the memoized false verdict and
+    // restores the probe (empty batch: the replacement didn't add docs)
+    DedupIndex.refreshExactIndex(spark, idx, corpus.limit(0), "doc_id",
+      "text", newVersion = Some(2L))
+    assert(DedupIndex.exactIndexFresh(spark, idx, poison, Some(2L)))
+    val back = DedupIndex.incrementalExactRouted(spark, batch, corpus,
+      "doc_id", "text", Some(idx), expectedVersion = Some(2L))
+    assert(back.queryExecution.executedPlan.toString.contains("hashes"))
+
+    // near + semantic carry the same tier
+    val nidx = tmp("nrver")
+    DedupIndex.buildNearIndex(corpus, "doc_id", "text", 8, 1, 3, nidx,
+      version = 5L)
+    assert(DedupIndex.nearIndexFresh(spark, nidx, poison, 8, 1, 3,
+      Some(5L)))
+    assert(!DedupIndex.nearIndexFresh(spark, nidx, corpus, 8, 1, 3,
+      Some(6L)))
+    val sidx = tmp("smver")
+    val scorpus = emb.filter(col("vec_id") % 7 =!= 3)
+    DedupIndex.buildSemanticIndex(scorpus, "vec_id", "embedding", 32, 1,
+      sidx, version = 3L)
+    val spoison = scorpus.filter(lit(false))
+    assert(DedupIndex.semanticIndexFresh(spark, sidx, spoison, 32, 1,
+      Some(3L)))
+    assert(!DedupIndex.semanticIndexFresh(spark, sidx, scorpus, 32, 1,
+      Some(4L)))
+    // the parameter gate rides the version tier too (r15 advice: an
+    // artifact FITTED differently is a different index even at the
+    // right version)
+    assert(!DedupIndex.semanticIndexFresh(spark, sidx, scorpus, 32, 2,
+      Some(3L)))
+    assert(!DedupIndex.semanticIndexFresh(spark, sidx, scorpus, 16, 1,
+      Some(3L)))
+  }
+
   test("semantic index: stale artifact falls back to the session fit; " +
     "refresh restores the probe path") {
     val batch = emb.filter(col("vec_id") % 7 === 3)
@@ -213,7 +279,7 @@ class DedupIndexSpec extends SparkSpec {
     val idx = tmp("smstale")
     DedupIndex.buildSemanticIndex(corpus.filter(col("vec_id") % 2 === 0),
       "vec_id", "embedding", 32, 1, idx)
-    assert(!DedupIndex.semanticIndexFresh(spark, idx, corpus))
+    assert(!DedupIndex.semanticIndexFresh(spark, idx, corpus, 32, 1))
     def routedDf(p: Option[String]) =
       DedupIndex.incrementalSemanticRouted(spark, batch, corpus,
         "vec_id", "embedding", 32, 1, 0.40, p)

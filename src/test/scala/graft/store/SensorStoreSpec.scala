@@ -288,12 +288,28 @@ class SensorStoreSpec extends SparkSpec {
       .select(timestamp_seconds(col("sec")).as("ts"), col("metric"),
         col("value"))
     st.write("test", "s1", pts)
-    st.materializeRollup("test", "s1", 60L)
+    // EVERY rollup family must be retention-pruned (r15 advice: the
+    // stats/sketch/quant trees used to outlive their source chunks)
+    val rollupPaths = Seq(
+      st.materializeRollup("test", "s1", 60L),
+      st.materializeMeanRollup("test", "s1", 60L),
+      st.materializeSketchRollup("test", "s1", 60L),
+      st.materializeQuantileRollup("test", "s1", 60L, 1.0),
+      st.materializeStatsRollup("test", "s1", 60L))
+    rollupPaths.foreach(p => assert(
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$p/chunk_start=$base")), p))
     assert(st.listChunks("test", "s1").length == 3)
     // cutoff INSIDE the second chunk → only the wholly-older first
     // chunk drops (whole-chunk granularity)
     val dropped = st.deleteBefore("test", "s1", base + chunkDur + 5)
     assert(dropped == Seq(base))
+    rollupPaths.foreach { p =>
+      assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$p/chunk_start=$base")), p)
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"$p/chunk_start=${base + chunkDur}")), p)
+    }
     assert(st.listChunks("test", "s1") ==
       Seq(base + chunkDur, base + 2 * chunkDur))
     val out = st.read("test", "s1")
