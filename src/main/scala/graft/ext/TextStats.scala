@@ -453,9 +453,9 @@ object TextStats {
     * expression per doc (no sum fold — single phrase), 6-dec
     * truncated; top `topN` by (score desc, id).
     */
-  private def phraseScore(hits: DataFrame, stats: DataFrame,
-                          idCol: String, k1: Double, b: Double,
-                          topN: Int): DataFrame = {
+  private def phraseScoreAll(hits: DataFrame, stats: DataFrame,
+                             idCol: String, k1: Double,
+                             b: Double): DataFrame = {
     val dfreq = broadcast(hits.agg(count(lit(1)).as("df")))
     val idf = log((col("n") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0))
@@ -465,8 +465,13 @@ object TextStats {
     hits.crossJoin(dfreq).crossJoin(stats)
       .select(col(idCol), col("tf").as("phrase_tf"),
         trunc6(score).as("bm25"))
-      .orderBy(col("bm25").desc, col(idCol)).limit(topN)
   }
+
+  private def phraseScore(hits: DataFrame, stats: DataFrame,
+                          idCol: String, k1: Double, b: Double,
+                          topN: Int): DataFrame =
+    phraseScoreAll(hits, stats, idCol, k1, b)
+      .orderBy(col("bm25").desc, col(idCol)).limit(topN)
 
   /** Exact N-WORD phrase retrieval by corpus scan (r14 ask #3 — the
     * two-word case generalized): a doc matches where `terms(0)` at
@@ -479,6 +484,17 @@ object TextStats {
   def phraseBm25(df: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], k1: Double, b: Double,
                  topN: Int): DataFrame = {
+    val (hits, stats) = phraseHitsScan(df, idCol, textCol, terms)
+    phraseScore(hits, stats, idCol, k1, b, topN)
+  }
+
+  /** One corpus pass → the phrase's tf ≥ 1 hits `(idCol, dl, tf)` and
+    * the broadcast exact `(sum_dl, n)` corpus stats (both read the
+    * same lazy checkpoint). Shared by [[phraseBm25]] and the mixed
+    * retrieval scan path. */
+  private def phraseHitsScan(df: DataFrame, idCol: String,
+                             textCol: String, terms: Seq[String])
+      : (DataFrame, DataFrame) = {
     require(terms.size >= 2, "a phrase needs at least two terms")
     val n = terms.size
     val toks = col("toks")
@@ -490,15 +506,15 @@ object TextStats {
             element_at(toks, (i + lit(k)).cast("int")) === lit(t)
           }.reduce(_ && _))))
       .otherwise(lit(0))
-    val hits = df
+    val all = df
       .select(col(idCol), split(col(textCol), " ").as("toks"))
       .select(col(idCol), size(toks).cast("long").as("dl"),
         tf.cast("long").as("tf"))
       .localCheckpoint(false) // one corpus pass; stats + score share it
-    val stats = broadcast(hits.agg(
+    val stats = broadcast(all.agg(
       sum(col("dl")).cast("double").as("sum_dl"),
       count(lit(1)).cast("double").as("n")))
-    phraseScore(hits.filter(col("tf") >= 1), stats, idCol, k1, b, topN)
+    (all.filter(col("tf") >= 1), stats)
   }
 
   /** Two-word convenience form of the n-ary [[phraseBm25]]. */
@@ -524,6 +540,18 @@ object TextStats {
                           path: String, idCol: String,
                           terms: Seq[String], k1: Double, b: Double,
                           topN: Int): DataFrame = {
+    val stats = broadcast(spark.read.parquet(s"$path/stats"))
+    phraseScore(phraseHitsProbe(spark, path, idCol, terms), stats,
+      idCol, k1, b, topN)
+  }
+
+  /** The phrase's tf ≥ 1 hits `(idCol, dl, tf)` by positional-postings
+    * intersection — reads ONLY the n terms' postings (term filter
+    * pushed into each parquet scan). Shared by [[phraseBm25FromIndex]]
+    * and the mixed retrieval probe path. */
+  private def phraseHitsProbe(spark: org.apache.spark.sql.SparkSession,
+                              path: String, idCol: String,
+                              terms: Seq[String]): DataFrame = {
     require(terms.size >= 2, "a phrase needs at least two terms")
     def side(term: String, posAs: String, withDl: Boolean) = {
       val raw = spark.read.parquet(s"$path/postings")
@@ -534,15 +562,13 @@ object TextStats {
     val joined = terms.zipWithIndex.map { case (t, k) =>
       side(t, s"p$k", withDl = k == 0)
     }.reduce(_.join(_, Seq(idCol)))
-    val hits = joined
+    joined
       .select(col(idCol), col("dl"),
         size(filter(col("p0"),
           x => (1 until terms.size).map(k =>
             array_contains(col(s"p$k"), x + k)).reduce(_ && _)))
           .cast("long").as("tf"))
       .filter(col("tf") >= 1)
-    val stats = broadcast(spark.read.parquet(s"$path/stats"))
-    phraseScore(hits, stats, idCol, k1, b, topN)
   }
 
   /** Two-word convenience form of the n-ary [[phraseBm25FromIndex]]. */
@@ -583,6 +609,93 @@ object TextStats {
                        expectedVersion: Option[Long] = None): DataFrame =
     phraseBm25Routed(spark, df, idCol, textCol, Seq(first, second),
       indexPath, k1, b, topN, expectedVersion)
+
+  /** MIXED retrieval — bag-of-words terms PLUS quoted phrases, the
+    * realistic query surface BM25 engines expose (r15 verdict ask #6):
+    * each doc's score is the sum of its bag-of-words BM25 over `terms`
+    * and one phrase-unit BM25 per phrase in `phrases` (each component
+    * is the EXISTING path's 6-dec-truncated score — so the mixed score
+    * composes the already-pinned units), combined with a fixed
+    * left-to-right double sum and re-truncated. Docs matching only
+    * terms or only a phrase still score (full-outer combine, absent
+    * components read 0). Top `topN` by (mixed score desc, id).
+    */
+  private def mixedCombine(termScores: DataFrame,
+                           phraseScores: Seq[DataFrame], idCol: String,
+                           topN: Int): DataFrame = {
+    val t = termScores.select(col(idCol), col("bm25").as("bm25_terms"))
+    val ps = phraseScores.zipWithIndex.map { case (p, i) =>
+      p.select(col(idCol), col("bm25").as(s"__p$i"))
+    }
+    val joined = ps.foldLeft(t)((a, p) =>
+      a.join(p, Seq(idCol), "full_outer"))
+    // fixed left-to-right fold over ≤ a handful of 6-dec components:
+    // deterministic double addition, identical in any engine
+    val phraseSum = ps.indices
+      .map(i => coalesce(col(s"__p$i"), lit(0d))).reduce(_ + _)
+    joined
+      .select(col(idCol),
+        coalesce(col("bm25_terms"), lit(0d)).as("bm25_terms"),
+        phraseSum.as("bm25_phrase"))
+      .select(col(idCol), col("bm25_terms"), col("bm25_phrase"),
+        trunc6(col("bm25_terms") + col("bm25_phrase")).as("mixed_bm25"))
+      .orderBy(col("mixed_bm25").desc, col(idCol)).limit(topN)
+  }
+
+  /** Mixed retrieval by corpus scan — the scan twin of
+    * [[mixedBm25FromIndex]], bit-identical; [[mixedBm25Routed]] picks.
+    */
+  def mixedBm25(df: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], phrases: Seq[Seq[String]],
+                k1: Double = 1.2, b: Double = 0.75,
+                topN: Int = 10): DataFrame = {
+    require(terms.nonEmpty && phrases.nonEmpty,
+      "mixed retrieval needs both terms and at least one phrase " +
+        "(use bm25 / phraseBm25 for the pure forms)")
+    mixedCombine(bm25(df, idCol, textCol, terms, k1, b),
+      phrases.map { ph =>
+        val (hits, stats) = phraseHitsScan(df, idCol, textCol, ph)
+        phraseScoreAll(hits, stats, idCol, k1, b)
+      }, idCol, topN)
+  }
+
+  /** Mixed retrieval by probing the positional index ONCE per
+    * component: the bag side reads only `terms`' postings, each phrase
+    * side only its own terms' postings — the corpus text is never
+    * touched. */
+  def mixedBm25FromIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, idCol: String,
+                         terms: Seq[String], phrases: Seq[Seq[String]],
+                         k1: Double = 1.2, b: Double = 0.75,
+                         topN: Int = 10): DataFrame = {
+    require(terms.nonEmpty && phrases.nonEmpty,
+      "mixed retrieval needs both terms and at least one phrase")
+    val stats = broadcast(spark.read.parquet(s"$path/stats"))
+    mixedCombine(bm25FromIndex(spark, path, idCol, terms, k1, b),
+      phrases.map(ph => phraseScoreAll(
+        phraseHitsProbe(spark, path, idCol, ph), stats, idCol, k1, b)),
+      idCol, topN)
+  }
+
+  /** Routing gate for mixed retrieval — the [[phraseBm25Routed]] gate
+    * (complete + positional payload + fresh): the probe needs the
+    * positions for its phrase components. Results identical either
+    * way. */
+  def mixedBm25Routed(spark: org.apache.spark.sql.SparkSession,
+                      df: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String], phrases: Seq[Seq[String]],
+                      indexPath: Option[String], k1: Double = 1.2,
+                      b: Double = 0.75, topN: Int = 10,
+                      expectedVersion: Option[Long] = None): DataFrame =
+    indexPath.filter(p => hasBm25Index(spark, p) &&
+        spark.read.parquet(s"$p/postings")
+          .schema.fieldNames.contains("pos") &&
+        bm25IndexFresh(spark, p, df, expectedVersion)) match {
+      case Some(p) =>
+        mixedBm25FromIndex(spark, p, idCol, terms, phrases, k1, b, topN)
+      case None =>
+        mixedBm25(df, idCol, textCol, terms, phrases, k1, b, topN)
+    }
 
   /** Rollup-style routing for BM25 (the `readDistinct` gate, retrieval
     * edition): probe the persisted index when a COMPLETE

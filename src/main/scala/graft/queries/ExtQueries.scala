@@ -2069,6 +2069,18 @@ object ExtQueries {
         Seq("big", "order", "scan"), Some(bm25IndexOf(s, dir)),
         k1 = 1.2, b = 0.75, topN = 10, expectedVersion = Some(1L))),
 
+    // MIXED query — bag-of-words terms PLUS a quoted phrase (r15 ask
+    // #6): per doc, the sum of the QTerms bag BM25 and the
+    // "stream spark" phrase-unit BM25, each the already-pinned
+    // 6-dec-truncated component, re-truncated after a fixed
+    // left-to-right double sum. Probe side reads ONLY the referenced
+    // terms' postings (bag: 3 term scans; phrase: 2 positional
+    // scans) — the corpus text is never touched on the routed path.
+    "retrieval_mixed_topk" -> ((s, dir) =>
+      TextStats.mixedBm25Routed(s, docs(s, dir), "doc_id", "text",
+        QTerms, Seq(Seq("stream", "spark")),
+        Some(bm25IndexOf(s, dir)), expectedVersion = Some(1L))),
+
     // The audit beside the MMR heuristic (the board's rule: every
     // approximate/heuristic path carries a measured companion): what
     // diversity did the rerank BUY and what relevance did it PAY —
@@ -5085,6 +5097,73 @@ object ExtQueries {
         |FROM hits h JOIN dl ON h.doc_id = dl.doc_id
         |CROSS JOIN stats s CROSS JOIN dfreq d
         |ORDER BY bm25 DESC, h.doc_id LIMIT 10""".stripMargin,
+
+    // mixed = bag-of-words component (doc_bm25_topk's decimal-fold
+    // formulation over QTerms) + phrase-unit component (the
+    // retrieval_phrase_topk formulation), FULL-OUTER combined per doc
+    // with absent components reading 0, re-truncated after the sum
+    "retrieval_mixed_topk" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), dl AS (
+        |  SELECT doc_id, len(l) AS dl FROM toks0
+        |), stats AS (
+        |  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM dl
+        |), toks AS (
+        |  SELECT doc_id, unnest(l) AS tok FROM toks0
+        |), tf AS (
+        |  SELECT doc_id, tok AS term, count(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'merge', 'vector')
+        |  GROUP BY doc_id, tok
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), tscored AS (
+        |  SELECT tf.doc_id,
+        |    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+        |      * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+        |      / (tf.tf + CAST(1.2 AS DOUBLE) * ((1 - 0.75)
+        |          + 0.75 * dl.dl / (s.sum_dl / s.n))) AS sc
+        |  FROM tf JOIN dfreq d ON tf.term = d.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats s
+        |), tside AS (
+        |  SELECT doc_id,
+        |    floor(CAST(sum(CAST(sc AS DECIMAL(38,12))) AS DOUBLE)
+        |      * 1000000) / 1000000 AS bm25_terms
+        |  FROM tscored GROUP BY doc_id
+        |), pos AS (
+        |  SELECT doc_id, unnest(l) AS tok,
+        |    unnest(range(1, len(l) + 1)) AS p
+        |  FROM toks0
+        |), hits AS (
+        |  SELECT a.doc_id, count(*) AS phrase_tf
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |  WHERE a.tok = 'stream' AND b.tok = 'spark'
+        |  GROUP BY a.doc_id
+        |), pdf AS (
+        |  SELECT count(*) AS df FROM hits
+        |), pside AS (
+        |  SELECT h.doc_id,
+        |    floor(
+        |      ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+        |        * (h.phrase_tf * (CAST(1.2 AS DOUBLE) + 1))
+        |        / (h.phrase_tf + CAST(1.2 AS DOUBLE) * ((1 - 0.75)
+        |            + 0.75 * dl.dl / (s.sum_dl / s.n)))
+        |      * 1000000) / 1000000 AS bm25_phrase
+        |  FROM hits h JOIN dl ON h.doc_id = dl.doc_id
+        |  CROSS JOIN stats s CROSS JOIN pdf d
+        |)
+        |SELECT COALESCE(t.doc_id, p.doc_id) AS doc_id,
+        |  COALESCE(t.bm25_terms, CAST(0 AS DOUBLE)) AS bm25_terms,
+        |  COALESCE(p.bm25_phrase, CAST(0 AS DOUBLE)) AS bm25_phrase,
+        |  floor((COALESCE(t.bm25_terms, CAST(0 AS DOUBLE))
+        |      + COALESCE(p.bm25_phrase, CAST(0 AS DOUBLE)))
+        |    * 1000000) / 1000000 AS mixed_bm25
+        |FROM tside t FULL OUTER JOIN pside p ON t.doc_id = p.doc_id
+        |ORDER BY mixed_bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
     "retrieval_phrase3_topk" ->
       """WITH toks AS (

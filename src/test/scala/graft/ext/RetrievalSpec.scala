@@ -196,6 +196,50 @@ class RetrievalSpec extends SparkSpec {
     assert(two.sameElements(twoN))
   }
 
+  test("MIXED retrieval (r15 ask #6): scan ≡ index probe bit-identity " +
+    "on two parameterizations; the mixed score decomposes into the " +
+    "pure paths' own components; docs matching only one side still " +
+    "score") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25mix").toString
+    TextStats.buildBm25Index(docs, "doc_id", "text", idx)
+    for ((terms, phrases) <- Seq(
+        (Seq("spark", "merge", "vector"), Seq(Seq("stream", "spark"))),
+        (Seq("index"), Seq(Seq("merge", "part"), Seq("stream", "spark"))))) {
+      val scan = TextStats.mixedBm25(docs, "doc_id", "text", terms,
+        phrases, topN = 50).orderBy("doc_id").collect().map(_.toString)
+      val probe = TextStats.mixedBm25FromIndex(spark, idx, "doc_id",
+        terms, phrases, topN = 50).orderBy("doc_id").collect()
+        .map(_.toString)
+      assert(scan.nonEmpty, "mixed query matched nothing — vacuous")
+      assert(scan.sameElements(probe),
+        s"mixed scan vs probe diverged for $terms + $phrases")
+    }
+    // decomposition: every row's components equal the pure paths', and
+    // mixed = trunc6(bag + phrase) exactly
+    val terms = Seq("spark", "merge", "vector")
+    val phrase = Seq("stream", "spark")
+    val mixed = TextStats.mixedBm25(docs, "doc_id", "text", terms,
+      Seq(phrase), topN = 1000).collect()
+    val bag = TextStats.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ph = TextStats.phraseBm25(docs, "doc_id", "text", phrase,
+      1.2, 0.75, 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(mixed.nonEmpty)
+    var onlyBag = 0; var onlyPhrase = 0
+    mixed.foreach { r =>
+      val id = r.getLong(0)
+      val bt = bag.getOrElse(id, 0d); val pt = ph.getOrElse(id, 0d)
+      assert(r.getDouble(1) == bt, s"bm25_terms mismatch for $id")
+      assert(r.getDouble(2) == pt, s"bm25_phrase mismatch for $id")
+      assert(r.getDouble(3) ==
+        math.floor((bt + pt) * 1e6) / 1e6, s"mixed != trunc6(sum) for $id")
+      if (pt == 0d) onlyBag += 1
+      if (bt == 0d) onlyPhrase += 1
+    }
+    assert(onlyBag > 0, "no bag-only doc in the mixed cut — vacuous")
+  }
+
   test("bm25 scores behave like BM25: present-term docs only, rarer " +
     "term outranks a commoner one at equal tf, n_terms bounded") {
     val rows = TextStats.bm25(docs, "doc_id", "text", terms2).collect()

@@ -2030,6 +2030,21 @@ class PlanSpec extends SparkSpec {
       s"expected 3 term-pushed postings scans, got $pushed:\n$p")
   }
 
+  test("retrieval_mixed_topk probes ONLY the referenced terms' " +
+    "postings: zero documents.parquet locations, a pushed In(term) " +
+    "bag scan AND pushed term-equality phrase scans (r15 ask #6)") {
+    val p = plan("retrieval_mixed_topk")
+    assert(p.linesIterator.count(l =>
+        l.contains("Location") && l.contains("documents.parquet")) == 0,
+      s"mixed probe re-tokenizes the corpus:\n$p")
+    assert(p.contains("PushedFilters: [In(term,"),
+      s"bag-of-words term filter not pushed:\n$p")
+    val pushed = "PushedFilters: \\[[^\\]]*EqualTo\\(term,".r
+      .findAllIn(p).size
+    assert(pushed >= 2,
+      s"expected 2 phrase term-pushed postings scans, got $pushed:\n$p")
+  }
+
   test("hybrid rank windows carry a constant partition spec — the " +
     "board emits zero `No Partition Defined for Window` warnings " +
     "(r12 ask #2)") {
