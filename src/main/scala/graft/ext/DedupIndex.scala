@@ -74,8 +74,10 @@ object DedupIndex {
     scala.collection.concurrent.TrieMap
       .empty[(String, Long, String), Boolean]
 
-  def invalidateGate(path: String): Unit =
+  def invalidateGate(path: String): Unit = {
     gateMemo.keys.filter(_._1 == path).foreach(gateMemo.remove)
+    dropCachedParts(path)
+  }
 
   /** The memo key carries the probe's PARAMETERS as well as the
     * version — a verdict cached for one parameterisation must never
@@ -87,6 +89,30 @@ object DedupIndex {
     expectedVersion match {
       case Some(v) => gateMemo.getOrElseUpdate((path, v, params), check)
       case None => check
+    }
+
+  /** Session read-through cache of artifact frames — the buffer-pool
+    * analog for repeated probes (a bench pass, a serving loop): the
+    * first probe of a part reads parquet and pins the blocks
+    * MEMORY_AND_DISK (Spark's BlockManager evicts under pressure, so
+    * at 100 TB this degrades to disk-backed re-reads, never an OOM);
+    * every write path invalidates via [[invalidateGate]], so a cached
+    * frame can never outlive the artifact state it was read from.
+    * Only ROUTED probes use it — the gate that guards them is what
+    * makes the cache safe. */
+  private val frameCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def cachedPart(spark: SparkSession, path: String,
+                         part: String): DataFrame =
+    frameCache.getOrElseUpdate((path, part),
+      spark.read.parquet(s"$path/$part").persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def dropCachedParts(path: String): Unit =
+    frameCache.keys.filter(_._1 == path).foreach { k =>
+      frameCache.remove(k).foreach(df =>
+        scala.util.Try(df.unpersist(blocking = false)))
     }
 
   private def hadoopExists(spark: SparkSession, p: String): Boolean = {
@@ -182,7 +208,7 @@ object DedupIndex {
     indexPath.filter(p => hasExactIndex(spark, p) &&
         exactIndexFresh(spark, p, corpus, expectedVersion)) match {
       case Some(p) =>
-        Dedup.incremental(batch, spark.read.parquet(s"$p/hashes"),
+        Dedup.incremental(batch, cachedPart(spark, p, "hashes"),
           idCol, textCol)
       case None =>
         Dedup.incremental(batch,
@@ -278,7 +304,7 @@ object DedupIndex {
         nearIndexFresh(spark, p, corpus, numHashes, rowsPerBand, n,
           expectedVersion)) match {
       case Some(p) =>
-        Dedup.incrementalNear(batch, spark.read.parquet(s"$p/bands"),
+        Dedup.incrementalNear(batch, cachedPart(spark, p, "bands"),
           idCol, textCol, numHashes, rowsPerBand, n)
       case None =>
         Dedup.incrementalNear(batch,
@@ -381,9 +407,9 @@ object DedupIndex {
           expectedVersion)) match {
       case Some(p) =>
         Dedup.incrementalSemantic(batch,
-          spark.read.parquet(s"$p/cells"),
-          spark.read.parquet(s"$p/coarse"),
-          spark.read.parquet(s"$p/anchors"),
+          cachedPart(spark, p, "cells"),
+          cachedPart(spark, p, "coarse"),
+          cachedPart(spark, p, "anchors"),
           idCol, vecCol, tau)
       case None =>
         val (coarse, anchors) = Dedup.fittedIndex(corpus, idCol, vecCol,

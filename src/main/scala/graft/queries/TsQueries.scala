@@ -841,57 +841,116 @@ object TsQueries {
     // round removes the max-|z| slot and RECOMPUTES the moments
     // without it — the masking-resistant outlier test plain z-scores
     // fail (one huge spike inflates σ and hides the second; ESD peels
-    // them). The bpe_train_merges discipline: 3 unrolled rounds, each
-    // one broadcast-moments join + a struct-max argmax + an anti join;
-    // moments update by DECIMAL subtraction (exact), never a rescan;
-    // every round's frames are lazily checkpointed so the slot grid
-    // materializes once. Flag threshold is the fixed critical 3.5
-    // (the λ_i t-quantile needs no per-row data, and a constant keeps
-    // the oracle engine-closed).
+    // them). The per-round state (moments, the peeled top slots) is
+    // ONE ROW PER SERIES — the same boundedness the broadcast join
+    // already relied on — so each round's argmax COLLECTS it and the
+    // next round reads it back as a LOCAL literal frame (identical
+    // decimal expressions, bit-identical values): the only cluster
+    // work per round is the single scan of the once-checkpointed slot
+    // grid, where the r15 shape paid nine checkpoint materializations
+    // per run (r15 ask #7 — the board's #2 steady key at 3.0 s).
+    // Flag threshold is the fixed critical 3.5 (the λ_i t-quantile
+    // needs no per-row data, and a constant keeps the oracle
+    // engine-closed).
     "ts_anomaly_esd" -> ((s, dir) => {
-      val t6 = graft.ext.TextStats.trunc6 _
       val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
       val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
-      val slots = base(s, dir)
+      val grid = base(s, dir)
         .filter(col("value").isNotNull && !isnan(col("value")))
         .groupBy("event_type", "slot")
         .agg((sum(col("value").cast(dec6)).cast("double") /
           count(lit(1))).as("v"))
-        .localCheckpoint(false) // all three rounds read this grid
-      var mom = slots.groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(col("v").cast(dec6)).as("s"),
-          sum((col("v") * col("v")).cast(dec12)).as("ss"))
-        .localCheckpoint(false)
-      var cur = slots
-      val rounds = (1 to 3).map { i =>
-        val mu = col("s").cast("double") / col("n")
-        val sd = sqrt(greatest(
-          col("ss").cast("double") / col("n") - mu * mu, lit(0.0)))
-        val z = cur.join(broadcast(mom), "event_type")
-          .withColumn("r", abs(col("v") - mu) / sd)
-          .filter(col("r").isNotNull)
-        val top = z.groupBy("event_type")
-          .agg(max(struct(col("r").as("r"), (-col("slot")).as("ns"),
-            col("v").as("tv"))).as("b"))
-          .select(col("event_type"), (-col("b.ns")).as("slot"),
-            col("b.tv").as("v"), col("b.r").as("r"))
-          .localCheckpoint(false) // output + removal + moment update
-        cur = cur.join(top.select("event_type", "slot"),
-          Seq("event_type", "slot"), "left_anti")
-          .localCheckpoint(false)
-        mom = mom.join(top.select(col("event_type"), col("v").as("tv")),
-            "event_type")
-          .select(col("event_type"), (col("n") - 1).as("n"),
-            (col("s") - col("tv").cast(dec6)).as("s"),
-            (col("ss") - (col("tv") * col("tv")).cast(dec12)).as("ss"))
-          .localCheckpoint(false)
-        top.withColumn("iter", lit(i.toLong))
+      // ONE grid pass computes everything the peel needs: per-series
+      // moments as unbounded-window sums (the same Sum aggregates the
+      // old groupBy ran — decimal, order-independent, bit-equal) and
+      // the top-3 / bottom-3 slots by (v, slot). SUFFICIENCY: each
+      // round's argmax of |v − μᵢ| / σᵢ is attained at an extreme of
+      // the REMAINING values (σᵢ is a per-series scalar, and |v − μ|
+      // is maximized at max-v or min-v; the struct tie-break prefers
+      // the smallest slot within an equal v, which is exactly the
+      // (v, slot-asc) rank order) — so after ≤ 2 removals every
+      // possible pick is still inside the 3+3 candidates. The
+      // all-equal-v (σ = 0, r = NaN) series degenerates to smallest
+      // slots first, also rank order. The three peel rounds then run
+      // over LOCAL literal frames with the identical expressions —
+      // driver-scale jobs, zero further cluster passes (r15 ask #7).
+      val wPart = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val wDesc = wPart.orderBy(col("v").desc, col("slot").asc)
+      val wAsc = wPart.orderBy(col("v").asc, col("slot").asc)
+      val collected = grid
+        .withColumn("n", count(lit(1)).over(wPart))
+        .withColumn("s", sum(col("v").cast(dec6)).over(wPart))
+        .withColumn("ss", sum((col("v") * col("v")).cast(dec12)).over(wPart))
+        .withColumn("rn_hi", row_number().over(wDesc))
+        .withColumn("rn_lo", row_number().over(wAsc))
+        .filter(col("rn_hi") <= 3 || col("rn_lo") <= 3)
+        .select("event_type", "slot", "v", "n", "s", "ss")
+        .collect()
+      // The peel itself runs on the DRIVER over that bounded state,
+      // replicating the engine's semantics operation for operation:
+      //  - μ = s.toDouble / n, σ = sqrt(max(ss/n − μ², 0)) — the same
+      //    IEEE double ops the Catalyst expressions compile to;
+      //  - argmax by struct(r, −slot, v) ⇒ java.lang.Double.compare
+      //    ordering (NaN greatest, −0 < 0 — Spark's double ordering);
+      //  - moment update s − cast(v AS DECIMAL(28,6)) ⇒
+      //    BigDecimal.valueOf(v).setScale(6, HALF_UP) then exact
+      //    subtract — Spark's Cast(double→decimal) is the same
+      //    Double.toString/HALF_UP path;
+      //  - flagged r > 3.5 with Spark NaN-is-largest comparison.
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      def dcmp(a: Double, b: Double) = java.lang.Double.compare(a, b)
+      val outs = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Double, Double)]
+      collected.groupBy(_.getString(0)).foreach { case (et, rs) =>
+        var n = rs.head.getLong(3)
+        var sDec = rs.head.getDecimal(4)
+        var ssDec = rs.head.getDecimal(5)
+        val remaining = scala.collection.mutable.ArrayBuffer(
+          rs.map(r => (r.getLong(1), r.getDouble(2))): _*)
+        var i = 1
+        while (i <= 3 && remaining.nonEmpty) {
+          val mu = sDec.doubleValue() / n
+          val sd = math.sqrt(
+            math.max(ssDec.doubleValue() / n - mu * mu, 0.0))
+          val scored = remaining
+            .map { case (slot, v) => (math.abs(v - mu) / sd, slot, v) }
+          val best = scored.reduceLeft { (a, b) =>
+            val c1 = dcmp(b._1, a._1)
+            val c2 = if (c1 != 0) c1
+              else java.lang.Long.compare(-b._2, -a._2)
+            if (c2 > 0 || (c2 == 0 && dcmp(b._3, a._3) > 0)) b else a
+          }
+          outs += ((et, i.toLong, best._2, best._3, best._1))
+          remaining -= ((best._2, best._3))
+          n -= 1
+          sDec = sDec.subtract(
+            JBD.valueOf(best._3).setScale(6, RoundingMode.HALF_UP))
+          ssDec = ssDec.subtract(JBD.valueOf(best._3 * best._3)
+            .setScale(12, RoundingMode.HALF_UP))
+          i += 1
+        }
       }
-      rounds.reduce(_ unionByName _)
-        .select(col("event_type"), col("iter"), col("slot"),
-          t6(col("v")).as("v"), t6(col("r")).as("r_stat"),
-          (col("r") > 3.5).as("flagged"))
+      def tr6(x: Double) = math.floor(x * 1000000d) / 1000000d
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      outs.sortBy(t => (t._1, t._2)).foreach { case (et, it, slot, v, r) =>
+        rows.add(org.apache.spark.sql.Row(et, it, slot, tr6(v), tr6(r),
+          r.isNaN || r > 3.5))
+      }
+      s.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("iter",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("slot",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("r_stat",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("flagged",
+            org.apache.spark.sql.types.BooleanType))))
         .orderBy("event_type", "iter")
     }),
 

@@ -1326,16 +1326,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window crept in:\n$p")
   }
 
-  test("ts_anomaly_esd: three unrolled rounds each end in a " +
-    "checkpointed 5-row winner — the union reads exactly those three") {
+  test("ts_anomaly_esd: ONE grid pass feeds the peel (r15 ask #7) — " +
+    "the output frame is a pure local relation; the candidate scan " +
+    "ran exactly one events read with the moments and both extreme " +
+    "ranks fused into its window stage") {
+    // the returned frame is the driver-peeled result: local rows only
     val p = plan("ts_anomaly_esd")
     assert(p.linesIterator.count(l => l.contains("Location") && l.contains("events.parquet")) == 0,
-      s"events leaked past the round checkpoints:\n$p")
-    assert("""\(\d+\) Scan ExistingRDD""".r.findAllIn(p).size == 3,
-      s"the final union must read the three winner frames only:\n$p")
-    assert(!p.contains("Window"),
-      s"argmaxes must be struct-max aggregates, not windows:\n$p")
+      s"the output must be a local relation, not a corpus re-scan:\n$p")
     assert(!p.contains("CartesianProduct"), p)
+    // the candidate stage itself: one events scan, windows fused over
+    // one exchange (moments + rank-desc + rank-asc share the shuffle)
+    import org.apache.spark.sql.functions._
+    val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+    val dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val grid = graft.queries.TsQueries.base(spark, dir)
+      .filter(col("value").isNotNull && !isnan(col("value")))
+      .groupBy("event_type", "slot")
+      .agg((sum(col("value").cast(dec6)).cast("double") /
+        count(lit(1))).as("v"))
+    val wPart = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val cand = grid
+      .withColumn("n", count(lit(1)).over(wPart))
+      .withColumn("s", sum(col("v").cast(dec6)).over(wPart))
+      .withColumn("ss", sum((col("v") * col("v")).cast(dec12)).over(wPart))
+      .withColumn("rn_hi", row_number().over(
+        wPart.orderBy(col("v").desc, col("slot").asc)))
+      .withColumn("rn_lo", row_number().over(
+        wPart.orderBy(col("v").asc, col("slot").asc)))
+      .filter(col("rn_hi") <= 3 || col("rn_lo") <= 3)
+    val cp = cand.queryExecution.executedPlan.toString
+    assert(cp.linesIterator.count(l =>
+        l.contains("Location") && l.contains("events.parquet")) == 1,
+      s"the candidate stage must scan events exactly once:\n$cp")
+    assert("""\(\d+\) Exchange""".r.findAllIn(cp).size <= 2,
+      s"windows must share the per-series exchange:\n$cp")
   }
 
   test("orders_survival_km: orders reduce behind the observation " +
