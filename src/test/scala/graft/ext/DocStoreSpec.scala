@@ -92,6 +92,49 @@ class DocStoreSpec extends SparkSpec {
       "sem: store probe != direct artifact computation")
   }
 
+  test("TORN ingest (crash between an index refresh and the meta " +
+    "commit): the refreshed artifact reads AHEAD of the corpus " +
+    "version and must NOT be probed — the fallback serves the " +
+    "pre-ingest corpus the store still owns") {
+    val batch = all.filter(col("doc_id") % 7 === 3)
+    val corpus0 = all.filter(col("doc_id") % 7 =!= 3 &&
+      col("doc_id") % 7 =!= 6)
+    val ingested = all.filter(col("doc_id") % 7 === 6)
+    val root = tmp("dstear")
+    val cfgLite = DocStore.Config("doc_id", "text", bm25 = false,
+      exact = true)
+    DocStore.init(spark, root, corpus0, cfgLite)
+    // simulate the tear: step 1 of ingestBatch ran (index refreshed,
+    // stamped v2) but the crash hit before the docs append and the
+    // meta commit — exactly the window the commit ordering defends
+    DedupIndex.refreshExactIndex(spark, DocStore.exactPath(root),
+      ingested, "doc_id", "text", newVersion = Some(2L))
+    assert(DocStore.version(spark, root) == 1L, "meta must still be v1")
+    val probe = DocStore.dedupBatchExact(spark, root, cfgLite, batch)
+    assert(!plan(probe).contains("hashes"),
+      "an artifact AHEAD of the corpus version must not be probed")
+    // and the fallback's verdicts are the PRE-ingest corpus's — the
+    // only corpus the store's docs/ actually holds
+    assert(rows(probe).sameElements(rows(DedupIndex
+      .incrementalExactRouted(spark, batch, DocStore.docs(spark, root),
+        "doc_id", "text", None))))
+    // re-running the ingest end-to-end from the torn state completes
+    // the transaction: refresh is append-only on per-doc facts, so the
+    // double-refreshed index still answers identically to a cold
+    // rebuild on the final corpus (hash rows dedupe via min(corpus_id);
+    // the recorded n now over-counts the twice-appended batch, which
+    // only ever makes the COUNT tier read conservative-stale — the
+    // version tier, which this store routes by, is exact)
+    DocStore.ingestBatch(spark, root, ingested, cfgLite)
+    assert(DocStore.version(spark, root) == 2L)
+    val healed = DocStore.dedupBatchExact(spark, root, cfgLite, batch)
+    val cold = tmp("dstearcold")
+    DocStore.init(spark, cold,
+      all.filter(col("doc_id") % 7 =!= 3), cfgLite)
+    assert(rows(healed).sameElements(
+      rows(DocStore.dedupBatchExact(spark, cold, cfgLite, batch))))
+  }
+
   test("replaceDocs (SAME-count content replacement — invisible to a " +
     "count gate): every probe falls back with correct values; " +
     "rebuildIndexes restores the artifact path") {
