@@ -61,21 +61,72 @@ object Bench {
     // passes). The driver's window killed the r15 run at rc=124; stay
     // comfortably inside it and record how far we got instead.
     val budgetS = envInt("SPARK_GRAFT_BENCH_BUDGET_S", 720).max(60)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // graft's native SQL functions (array_dot, hamming_distance);
-      // the queries' output sorts vanish under .count() via Catalyst's
-      // own EliminateSorts — no custom rule needed
-      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
-      .getOrCreate()
-    // ERROR, not WARN: executor-noise lines (BlockManager re-adds,
-    // accumulator races at shutdown) landing AFTER the result line can
-    // push it out of the driver's 2000-char tail window
-    spark.sparkContext.setLogLevel("ERROR")
+    def newSession(nCpus: String): SparkSession = {
+      val sp = SparkSession.builder()
+        .master(s"local[$nCpus]")
+        .config("spark.sql.shuffle.partitions", nCpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        // graft's native SQL functions (array_dot, hamming_distance);
+        // the queries' output sorts vanish under .count() via Catalyst's
+        // own EliminateSorts — no custom rule needed
+        .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+        .getOrCreate()
+      // ERROR, not WARN: executor-noise lines (BlockManager re-adds,
+      // accumulator races at shutdown) landing AFTER the result line can
+      // push it out of the driver's 2000-char tail window
+      sp.sparkContext.setLogLevel("ERROR")
+      sp
+    }
+    var spark = newSession(cpus)
+
+    // persistent prebuild root (r16 verdict ask #1a): shared frames and
+    // index artifacts land in deterministic dirs and are REUSED across
+    // JVM runs, so the driver's bench pays prebuild once per corpus.
+    // Set SPARK_GRAFT_PREBUILD_DIR="" to disable.
+    val prebuildRoot = sys.env.getOrElse("SPARK_GRAFT_PREBUILD_DIR",
+      "/tmp/graft_prebuild").trim
+    graft.queries.ExtQueries.setArtifactRoot(
+      Option(prebuildRoot).filter(_.nonEmpty))
+
+    // ---- throttle fingerprint probe (r16 verdict ask #1b) ----------
+    // This host throttles sustained wide loads (r16: local[32] passes
+    // degraded monotonically 219→285→387 s while quiet local[4] was
+    // faster AND stable at sf0.1 — BASELINE.md r16 row). The probe is
+    // a fixed CPU-bound job (per-thread work constant in the thread
+    // count); re-timing it after sustained load exposes the clock
+    // drop. When the requested width exceeds the RECORDED-FASTEST
+    // config for this SF (4 for the sf0.1 full board) and the probe
+    // degrades past SPARK_GRAFT_THROTTLE_RATIO (default 1.25), the
+    // bench restarts the session at the recorded-fastest width — a
+    // steady-comparable record beats a wide-but-melting one.
+    def cpuProbeS(): Double = {
+      val n = spark.sparkContext.defaultParallelism.toLong * 300000000L
+      val t0 = System.nanoTime()
+      spark.range(0L, n, 1L,
+          spark.sparkContext.defaultParallelism)
+        .selectExpr("sum(id % 7)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val throttleRatio = envDouble("SPARK_GRAFT_THROTTLE_RATIO", 1.25)
+    val recordedFastest = if (sfDir.contains("sf0.1")) 4 else
+      scala.util.Try(cpus.trim.toInt).getOrElse(4)
+    var cpusNow = scala.util.Try(cpus.trim.toInt).getOrElse(4)
+    val probeLog = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var droppedTo: Option[Int] = None
+    def maybeDropParallelism(tag: String): Unit =
+      if (droppedTo.isEmpty && cpusNow > recordedFastest &&
+          probeLog.size >= 2 &&
+          probeLog.last > probeLog.head * throttleRatio) {
+        spark.stop()
+        spark = newSession(recordedFastest.toString)
+        cpusNow = recordedFastest
+        droppedTo = Some(recordedFastest)
+        System.err.println(s"[bench] throttle fingerprint at $tag " +
+          s"(probe ${probeLog.head} -> ${probeLog.last}); dropped to " +
+          s"local[$recordedFastest]")
+      }
 
     // heartbeat: re-print the latest result line every 20 s so that,
     // whatever gets logged between emissions, the LAST ~2000 chars of
@@ -114,6 +165,7 @@ object Bench {
       try graft.core.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () }
     }
+    probeLog += cpuProbeS() // baseline clock, pre-sustained-load
 
     // shared-index pre-build on its OWN named line (r10 verdict ask:
     // the memoized LSH/kmeans/fitted-index builds used to land inside
@@ -139,6 +191,20 @@ object Bench {
         case _: Throwable => (Seq.empty[(String, Double)], true)
       }
     val prebuildTotal = prebuild.map(_._2).sum
+    // the prebuild doubles as the sustained-load stressor; when the
+    // persistent cache made it trivial, burn explicitly so the
+    // throttle probe still sees sustained wide load before pass 1
+    if (cpusNow > recordedFastest && prebuildTotal < 45.0) {
+      val burnUntil = System.nanoTime() + 60L * 1000000000L
+      while (System.nanoTime() < burnUntil)
+        spark.range(0L, spark.sparkContext.defaultParallelism * 200000000L,
+          1L, spark.sparkContext.defaultParallelism)
+          .selectExpr("sum(id % 7)").collect()
+    }
+    if (cpusNow > recordedFastest) {
+      probeLog += cpuProbeS()
+      maybeDropParallelism("post-prebuild")
+    }
 
     // loadStart (timing start) necessarily includes warm-up self-load;
     // the contention verdict above does not
@@ -236,7 +302,15 @@ object Bench {
           unknownJson +
           requeueJson +
           budgetJson +
-          s""","cpus":$cpus"""
+          // pass-1 pays codegen + any uncached index builds — its cost
+          // is a FIELD, not the headline (r16 verdict ask #1c)
+          s""","cold_total":${r3(totals.head)}""" +
+          (if (probeLog.size >= 2)
+            s""","throttle":{"probe_s":${probeLog.map(r3).mkString("[", ",", "]")},"dropped_to":${droppedTo.getOrElse(0)}}"""
+           else "") +
+          s""","cpus":$cpusNow""" +
+          (if (cpusNow.toString != cpus.trim)
+            s""","cpus_requested":"$cpus"""" else "")
       def line(entries: Seq[(String, Double)], omitted: Int): String = {
         val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
           .mkString("{", ",", "}")
@@ -297,6 +371,10 @@ object Bench {
         val p = runPass()
         lastPassS = (System.nanoTime() - t0) / 1e9
         passes :+= p
+        if (droppedTo.isEmpty && cpusNow > recordedFastest) {
+          probeLog += cpuProbeS()
+          maybeDropParallelism(s"post-pass-${passes.size}")
+        }
         budgetJson =
           s""","budget":{"s":$budgetS,"elapsed_s":${r3(elapsedS)},"passes_run":${passes.size},"stopped_early":${stoppedEarly || (passes.size < nRuns && elapsedS + lastPassS * 1.1 > budgetS)}}"""
         emit(passes)

@@ -36,6 +36,9 @@ class InfluxParseException(line: String)
   * write lock (the cross-process analog of the reference's per-sensor
   * process lock, `database.py:154-168`).
   */
-class WriteLockTimeoutException(db: String, sensor: String, timeoutMs: Long)
+class WriteLockTimeoutException(label: String, timeoutMs: Long)
   extends GraftException(
-    s"Writer lock on $db/$sensor not acquired within ${timeoutMs}ms")
+    s"Writer lock on $label not acquired within ${timeoutMs}ms") {
+  def this(db: String, sensor: String, timeoutMs: Long) =
+    this(s"$db/$sensor", timeoutMs)
+}

@@ -299,8 +299,8 @@ object TextStats {
         count(lit(1)).cast("double").as("n"),
         lit(version).as("version"))
       .write.mode("overwrite").parquet(s"$path/stats")
-    postingsOf(toks, idCol)
-      .write.mode("overwrite").parquet(s"$path/postings")
+    DedupIndex.writeVersioned(postingsOf(toks, idCol), version,
+      s"$path/postings")
     path
   }
 
@@ -311,6 +311,18 @@ object TextStats {
     * unmanaged corpus changed). */
   private val bm25GateMemo =
     scala.collection.concurrent.TrieMap.empty[(String, Long), Boolean]
+
+  /** Check-then-put, TRUE verdicts only (r16 advice: a cached
+    * mismatch could only be cleared by a write in this JVM, so an
+    * index rebuilt by another process would stay permanently routed
+    * to the corpus scan). */
+  private def bm25GateMemoized(path: String, v: Long)
+                              (check: => Boolean): Boolean =
+    bm25GateMemo.get((path, v)).getOrElse {
+      val r = check
+      if (r) bm25GateMemo.put((path, v), true)
+      r
+    }
 
   def invalidateBm25Gate(path: String): Unit =
     bm25GateMemo.keys.filter(_._1 == path).foreach(bm25GateMemo.remove)
@@ -372,6 +384,13 @@ object TextStats {
     invalidateBm25Gate(path)
     // read-THEN-overwrite on stats/ needs the old row off disk first
     val old = spark.read.parquet(s"$path/stats").head()
+    // refresh admission (DedupIndex.admitRefresh, r16 advice #2):
+    // target == recorded → this refresh already committed (a torn
+    // ingest's re-run) — skip; target not recorded+1 → stale lineage
+    // (a replace/delete bumped the corpus without a rebuild) — refuse
+    // to stamp, the gate keeps routing to the scan until a rebuild
+    if (!DedupIndex.admitRefresh(old.getAs[Long]("version"), newVersion))
+      return path
     val v = newVersion.getOrElse(old.getAs[Long]("version") + 1)
     val toks = tokensWithLen(batch, idCol, textCol)
     val merged = toks.agg(
@@ -380,8 +399,8 @@ object TextStats {
       (count(lit(1)).cast("double") +
         lit(old.getAs[Double]("n"))).as("n"),
       lit(v).as("version"))
-    postingsOf(toks, idCol)
-      .write.mode("append").parquet(s"$path/postings")
+    DedupIndex.writeVersionedDelta(postingsOf(toks, idCol), v,
+      s"$path/postings")
     merged.write.mode("overwrite").parquet(s"$path/stats")
     path
   }
@@ -402,9 +421,10 @@ object TextStats {
         // no corpus touch, and a same-count content replacement is
         // caught because the replacement bumped the corpus version
         // without refreshing this artifact
-        bm25GateMemo.getOrElseUpdate((path, v),
+        bm25GateMemoized(path, v) {
           spark.read.parquet(s"$path/stats").head()
-            .getAs[Long]("version") == v)
+            .getAs[Long]("version") == v
+        }
       case None =>
         spark.read.parquet(s"$path/stats").select(col("n")).head()
           .getDouble(0) == corpus.count().toDouble
@@ -434,7 +454,7 @@ object TextStats {
                     idCol: String, terms: Seq[String], k1: Double = 1.2,
                     b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val tf = spark.read.parquet(s"$path/postings")
+    val tf = spark.read.parquet(s"$path/postings").drop("v")
       .filter(col("term").isInCollection(terms))
     val stats = broadcast(spark.read.parquet(s"$path/stats"))
     bm25Score(tf, stats, idCol, k1, b)

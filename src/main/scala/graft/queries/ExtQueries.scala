@@ -89,11 +89,87 @@ object ExtQueries {
   private val bm25Idx =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Persistent prebuild root (r16 verdict ask #1a): when SET (the
+    * bench wires `SPARK_GRAFT_PREBUILD_DIR`), the expensive shared
+    * frames and at-rest index artifacts build into DETERMINISTIC dirs
+    * under `$root/<corpus-tag>/` and are REUSED across JVM runs after
+    * a per-artifact validity check, so the driver's bench pays the
+    * prebuild once per corpus instead of once per run. Unset (the
+    * default — Verify, the tests), everything stays session-temp
+    * exactly as before; correctness runs never touch the cache.
+    *
+    * Staleness defenses: the corpus tag folds in a FINGERPRINT of the
+    * corpus parquet files (name/length/mtime), so a regenerated test
+    * corpus at the same path gets a fresh tag; index artifacts are
+    * additionally validity-checked through their own freshness gates
+    * (count + parameter tiers); bump [[PrebuildEpoch]] whenever an
+    * operator changes the CONTENT of a cached frame so an old cache
+    * can never serve a new operator's bench.
+    */
+  @volatile private var artifactRoot: Option[String] = None
+  def setArtifactRoot(r: Option[String]): Unit = { artifactRoot = r }
+  val PrebuildEpoch = 1
+
+  private val tagMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def tagOf(dir: String): String = tagMemo.getOrElseUpdate(dir, {
+    val fp = try {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        val it = st.iterator(); var acc = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          acc ^= f.getFileName.toString.hashCode.toLong ^
+            java.nio.file.Files.size(f) ^
+            java.nio.file.Files.getLastModifiedTime(f).toMillis
+        }
+        acc
+      } finally st.close()
+    } catch { case _: Throwable => 0L }
+    dir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") +
+      "_" + java.lang.Long.toHexString(fp) + s"_e$PrebuildEpoch"
+  })
+
+  private def completeAt(s: SparkSession, p: String): Boolean = {
+    val ok = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
+    ok.getFileSystem(s.sessionState.newHadoopConf()).exists(ok)
+  }
+
+  /** Disk-backed variant of the session memo for the EXPENSIVE shared
+    * frames (exact-NN baseline, LSH chain, fitted indexes, …): with
+    * [[artifactRoot]] set, the frame round-trips through a
+    * deterministic parquet dir — built by the first run that needs
+    * it, re-read (and RAM-pinned) by every later session or JVM. The
+    * frames are deterministic (they back hash-oracled keys), and
+    * parquet round-trips are exact, so a re-read serves bit-identical
+    * rows to a rebuild. */
+  private def diskBacked(s: SparkSession, dir: String, name: String)
+                        (build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir, name), artifactRoot match {
+      case Some(root) =>
+        val p = s"$root/${tagOf(dir)}/memo_$name"
+        if (!completeAt(s, p))
+          build.write.mode("overwrite").parquet(p)
+        s.read.parquet(p).persist()
+      case None => build.persist()
+    })
+
   private def bm25IndexOf(s: SparkSession, dir: String): String =
-    bm25Idx.getOrElseUpdate((s, dir),
-      TextStats.buildBm25Index(docs(s, dir), "doc_id", "text",
-        java.nio.file.Files.createTempDirectory("graft_bm25_idx")
-          .toString))
+    bm25Idx.getOrElseUpdate((s, dir), artifactRoot match {
+      case Some(root) =>
+        val p = s"$root/${tagOf(dir)}/bm25_idx"
+        // reuse only a COMPLETE, count-fresh artifact (the session
+        // probes expect version 1, which every cold build stamps)
+        if (!(TextStats.hasBm25Index(s, p) &&
+              TextStats.bm25IndexFresh(s, p, docs(s, dir), None)))
+          TextStats.buildBm25Index(docs(s, dir), "doc_id", "text", p)
+        p
+      case None =>
+        TextStats.buildBm25Index(docs(s, dir), "doc_id", "text",
+          java.nio.file.Files.createTempDirectory("graft_bm25_idx")
+            .toString)
+    })
 
   /** Session-scoped persisted dedup-index artifacts per (corpus dir,
     * kind) — the [[graft.ext.DedupIndex]] at-rest lifecycle (r14 ask
@@ -106,11 +182,19 @@ object ExtQueries {
   private val dedupIdx = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), String]
 
-  private def dedupIdxOf(s: SparkSession, dir: String, kind: String)
+  private def dedupIdxOf(s: SparkSession, dir: String, kind: String,
+                         valid: String => Boolean = _ => false)
                         (build: String => String): String =
-    dedupIdx.getOrElseUpdate((s, dir, kind),
-      build(java.nio.file.Files
-        .createTempDirectory(s"graft_${kind}_idx").toString))
+    dedupIdx.getOrElseUpdate((s, dir, kind), artifactRoot match {
+      case Some(root) =>
+        val p = s"$root/${tagOf(dir)}/${kind}_idx"
+        if (!(try valid(p) catch { case _: Throwable => false }))
+          build(p)
+        p
+      case None =>
+        build(java.nio.file.Files
+          .createTempDirectory(s"graft_${kind}_idx").toString)
+    })
 
   /** The fixed batch/corpus split of the incremental-dedup board keys:
     * every 7th doc (id % 7 == 3) is "the new batch", the rest is the
@@ -122,18 +206,29 @@ object ExtQueries {
     emb(s, dir).filter(col("vec_id") % 7 =!= 3)
 
   private def exactIdxOf(s: SparkSession, dir: String): String =
-    dedupIdxOf(s, dir, "exact")(p => graft.ext.DedupIndex
-      .buildExactIndex(incCorpusDocs(s, dir), "doc_id", "text", p))
+    dedupIdxOf(s, dir, "exact", p =>
+        graft.ext.DedupIndex.hasExactIndex(s, p) &&
+        graft.ext.DedupIndex.exactIndexFresh(s, p, incCorpusDocs(s, dir)))(
+      p => graft.ext.DedupIndex
+        .buildExactIndex(incCorpusDocs(s, dir), "doc_id", "text", p))
 
   private def nearIdxOf(s: SparkSession, dir: String): String =
-    dedupIdxOf(s, dir, "near")(p => graft.ext.DedupIndex
-      .buildNearIndex(incCorpusDocs(s, dir), "doc_id", "text",
-        NumHashes, 1, 3, p))
+    dedupIdxOf(s, dir, "near", p =>
+        graft.ext.DedupIndex.hasNearIndex(s, p) &&
+        graft.ext.DedupIndex.nearIndexFresh(s, p, incCorpusDocs(s, dir),
+          NumHashes, 1, 3))(
+      p => graft.ext.DedupIndex
+        .buildNearIndex(incCorpusDocs(s, dir), "doc_id", "text",
+          NumHashes, 1, 3, p))
 
   private def semIdxOf(s: SparkSession, dir: String): String =
-    dedupIdxOf(s, dir, "semantic")(p => graft.ext.DedupIndex
-      .buildSemanticIndex(incCorpusEmb(s, dir), "vec_id", "embedding",
-        targetCellSize = 32, iters = 1, p))
+    dedupIdxOf(s, dir, "semantic", p =>
+        graft.ext.DedupIndex.hasSemanticIndex(s, p) &&
+        graft.ext.DedupIndex.semanticIndexFresh(s, p, incCorpusEmb(s, dir),
+          32, 1))(
+      p => graft.ext.DedupIndex
+        .buildSemanticIndex(incCorpusEmb(s, dir), "vec_id", "embedding",
+          targetCellSize = 32, iters = 1, p))
 
   /** The managed corpus of the `docstore_ingest_dedup` key: a
     * [[graft.ext.DocStore]] initialised on 5/7 of the documents
@@ -148,13 +243,52 @@ object ExtQueries {
     bm25 = false, exact = true)
 
   private def docStoreOf(s: SparkSession, dir: String): String =
-    dedupIdxOf(s, dir, "docstore") { root =>
+    dedupIdxOf(s, dir, "docstore", root =>
+        // reusable iff the full init+ingest lifecycle committed: v2
+        // with the exact index fresh AT v2 over the expected corpus
+        graft.ext.DocStore.version(s, root) == 2L &&
+        graft.ext.DocStore.count(s, root) ==
+          docs(s, dir).filter(col("doc_id") % 7 =!= 3).count() &&
+        graft.ext.DedupIndex.hasExactIndex(s,
+          graft.ext.DocStore.exactPath(root)) &&
+        graft.ext.DedupIndex.exactIndexFresh(s,
+          graft.ext.DocStore.exactPath(root),
+          graft.ext.DocStore.docs(s, root), Some(2L))) { root =>
       val d = docs(s, dir).select("doc_id", "text")
       graft.ext.DocStore.init(s, root,
         d.filter(col("doc_id") % 7 =!= 3 && col("doc_id") % 7 =!= 6),
         docStoreCfg)
       graft.ext.DocStore.ingestBatch(s, root,
         d.filter(col("doc_id") % 7 === 6), docStoreCfg)
+      root
+    }
+
+  /** The managed corpus of the `docstore_delete_dedup` key (r16
+    * verdict ask #4 made oracle-checkable): a [[graft.ext.DocStore]]
+    * initialised on 6/7 of the documents (doc_id % 7 ≠ 3), then ONE
+    * [[graft.ext.DocStore.deleteDocs]] of the % 7 == 6 ids (version
+    * bump, probes fall back) and the [[graft.ext.DocStore.rebuildIndexes]]
+    * that re-earns the artifact path — so the key's probe MUST serve
+    * through an exact index rebuilt AFTER a retention delete, and its
+    * verdicts must show the deleted docs gone (batch docs duplicating
+    * a deleted doc read as new/dup_in_batch, never dup_of_corpus). */
+  private def docStoreDelOf(s: SparkSession, dir: String): String =
+    dedupIdxOf(s, dir, "docstore_del", root =>
+        graft.ext.DocStore.version(s, root) == 2L &&
+        graft.ext.DocStore.count(s, root) ==
+          docs(s, dir).filter(col("doc_id") % 7 =!= 3 &&
+            col("doc_id") % 7 =!= 6).count() &&
+        graft.ext.DedupIndex.hasExactIndex(s,
+          graft.ext.DocStore.exactPath(root)) &&
+        graft.ext.DedupIndex.exactIndexFresh(s,
+          graft.ext.DocStore.exactPath(root),
+          graft.ext.DocStore.docs(s, root), Some(2L))) { root =>
+      val d = docs(s, dir).select("doc_id", "text")
+      graft.ext.DocStore.init(s, root,
+        d.filter(col("doc_id") % 7 =!= 3), docStoreCfg)
+      graft.ext.DocStore.deleteDocs(s, root,
+        d.filter(col("doc_id") % 7 === 6).select("doc_id"), docStoreCfg)
+      graft.ext.DocStore.rebuildIndexes(s, root, docStoreCfg)
       root
     }
 
@@ -178,12 +312,18 @@ object ExtQueries {
             .foreach(java.nio.file.Files.deleteIfExists(_))
         }
       } catch { case _: java.io.IOException => () }
+    // artifacts under the PERSISTENT prebuild root are the cross-run
+    // cache — unregister (gates re-check on next touch) but never
+    // delete them here; their staleness defenses are the corpus tag +
+    // per-artifact validity checks
+    def deletable(p: String): Boolean =
+      !artifactRoot.exists(r => p.startsWith(r))
     bm25Idx.values.foreach { p =>
-      TextStats.invalidateBm25Gate(p); deleteTree(p)
+      TextStats.invalidateBm25Gate(p); if (deletable(p)) deleteTree(p)
     }
     bm25Idx.clear()
     dedupIdx.values.foreach { p =>
-      graft.ext.DedupIndex.invalidateGate(p); deleteTree(p)
+      graft.ext.DedupIndex.invalidateGate(p); if (deletable(p)) deleteTree(p)
     }
     dedupIdx.clear()
   }
@@ -256,14 +396,14 @@ object ExtQueries {
     * the signature passes over the shingle stream.
     */
   private def minhashOf(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, dir, "minhash"),
-      Dedup.minhash(shinglesOf(s, dir), "doc_id", NumHashes).persist())
+    diskBacked(s, dir, "minhash")(
+      Dedup.minhash(shinglesOf(s, dir), "doc_id", NumHashes))
 
   private def candsOf(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, dir, "cands"),
+    diskBacked(s, dir, "cands")(
       Dedup.candidatePairs(
         Dedup.bands(minhashOf(s, dir),
-          "doc_id", NumHashes, 1), "doc_id").persist())
+          "doc_id", NumHashes, 1), "doc_id"))
 
   /** Candidate-restricted per-doc shingle SETS: the exact-verify side
     * of the LSH index. Three keys (`dedup_ngram_jaccard`,
@@ -274,31 +414,29 @@ object ExtQueries {
     * table.
     */
   private def ssetsOf(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, dir, "ssets"), {
+    diskBacked(s, dir, "ssets") {
       val cands = candsOf(s, dir)
       val ids = cands.select(col("a_id").as("doc_id"))
         .union(cands.select(col("b_id").as("doc_id"))).distinct()
       shinglesOf(s, dir).join(ids, Seq("doc_id"), "left_semi")
         .groupBy(col("doc_id")).agg(collect_set(col("shingle")).as("sset"))
-        .persist()
-    })
+    }
 
   /** The verified candidate-pair jaccard table is itself shared: the
     * per-pair key reads it whole and the threshold curve reaggregates
     * it, so the array_intersect pass runs once per (session, dir).
     */
   private def jaccardOf(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, dir, "jaccard"),
-      Dedup.jaccardFromSets(candsOf(s, dir), ssetsOf(s, dir), "doc_id")
-        .persist())
+    diskBacked(s, dir, "jaccard")(
+      Dedup.jaccardFromSets(candsOf(s, dir), ssetsOf(s, dir), "doc_id"))
 
   /** Simhash fingerprints likewise serve two queries (the table itself
     * and the Hamming-radius pair search) — one corpus tokenize+vote
     * pass instead of two.
     */
   private def simhashOf(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, dir, "simhash"),
-      Dedup.simhash(docs(s, dir), "doc_id", "text").persist())
+    diskBacked(s, dir, "simhash")(
+      Dedup.simhash(docs(s, dir), "doc_id", "text"))
 
   /** The fitted k-means centroid table (k=4, 2 Lloyd iterations) is the
     * IVF index both `kmeans_fit_assign` and `similar_ivf_kmeans` build
@@ -306,9 +444,18 @@ object ExtQueries {
     * the fit, so the memo shares a materialized plan.
     */
   private def kmeansCentsOf(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, dir, "kmeans_cents"),
-      Similarity.kmeansCentroids(emb(s, dir), "vec_id", "embedding",
-        k = 4, iters = 2))
+    artifactRoot match {
+      case Some(_) =>
+        diskBacked(s, dir, "kmeans_cents")(
+          Similarity.kmeansCentroids(emb(s, dir), "vec_id", "embedding",
+            k = 4, iters = 2))
+      case None =>
+        // NOT persisted: the fit is already localCheckpointed, and the
+        // probe-curve PlanSpec pins the shared ExistingRDD scans
+        memo.getOrElseUpdate((s, dir, "kmeans_cents"),
+          Similarity.kmeansCentroids(emb(s, dir), "vec_id", "embedding",
+            k = 4, iters = 2))
+    }
 
   /** The SemDeDup fitted two-level index (coarse centroids + anchors,
     * target cell 32, 1 Lloyd iteration) memoized per (session, dir) —
@@ -323,8 +470,23 @@ object ExtQueries {
     (memo.get((s, dir, "semfit_coarse")), memo.get((s, dir, "semfit_anchors"))) match {
       case (Some(c), Some(a)) => (c, a)
       case _ =>
-        val (c, a) = Dedup.fittedIndex(emb(s, dir), "vec_id", "embedding",
-          targetCellSize = 32, iters = 1)
+        // disk-check FIRST: fittedIndex runs eager checkpoint jobs at
+        // construction, so the cached branch must never invoke it
+        val (c, a) = artifactRoot match {
+          case Some(root) =>
+            val pc = s"$root/${tagOf(dir)}/memo_semfit_coarse"
+            val pa = s"$root/${tagOf(dir)}/memo_semfit_anchors"
+            if (!(completeAt(s, pc) && completeAt(s, pa))) {
+              val (c0, a0) = Dedup.fittedIndex(emb(s, dir), "vec_id",
+                "embedding", targetCellSize = 32, iters = 1)
+              c0.write.mode("overwrite").parquet(pc)
+              a0.write.mode("overwrite").parquet(pa)
+            }
+            (s.read.parquet(pc).persist(), s.read.parquet(pa).persist())
+          case None =>
+            Dedup.fittedIndex(emb(s, dir), "vec_id", "embedding",
+              targetCellSize = 32, iters = 1)
+        }
         memo.update((s, dir, "semfit_coarse"), c)
         memo.update((s, dir, "semfit_anchors"), a)
         (c, a)
@@ -371,6 +533,7 @@ object ExtQueries {
       timed("near_idx") { nearIdxOf(s, dir) },
       timed("seminc") { semIdxOf(s, dir) },
       timed("docstore") { docStoreOf(s, dir) },
+      timed("docstore_del") { docStoreDelOf(s, dir) },
       timed("bm25_index") { bm25Of(s, dir).count() },
       timed("hybrid_ranks") {
         hybridLexOf(s, dir).count(); hybridVecOf(s, dir).count()
@@ -385,27 +548,26 @@ object ExtQueries {
     * once per (session, dir) instead of once per key.
     */
   private def unigramVocabOf(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, dir, "unigram_vocab"), {
+    diskBacked(s, dir, "unigram_vocab") {
       val words = docs(s, dir)
         .select(explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy("w").agg(count(lit(1)).as("c"))
       graft.ext.Unigram.fit(words, "w", "c", maxPieceLen = 4, topK = 40)
-        .persist()
-    })
+    }
 
   /** Exact and ANN within-label NN results, memoized: each backs its
     * own query key AND the recall audit that compares them.
     */
   private def exactNNOf(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, dir, "exactnn"),
+    diskBacked(s, dir, "exactnn")(
       Similarity.exactNNWithinGroup(emb(s, dir), "vec_id", "embedding",
-        "label", k = 16, iters = 0).persist())
+        "label", k = 16, iters = 0))
 
   private def annNNOf(s: SparkSession, dir: String): DataFrame =
-    memo.getOrElseUpdate((s, dir, "annnn"),
+    diskBacked(s, dir, "annnn")(
       Similarity.annNNWithinGroup(emb(s, dir), "vec_id", "embedding",
-        "label", Planes, Dim).persist())
+        "label", Planes, Dim))
 
   val Dim = 64
   val Planes = 8
@@ -1208,6 +1370,21 @@ object ExtQueries {
       val batch = docs(s, dir).select("doc_id", "text")
         .filter(col("doc_id") % 7 === 3)
       graft.ext.DocStore.dedupBatchExact(s, docStoreOf(s, dir),
+          docStoreCfg, batch)
+        .orderBy("doc_id")
+    }),
+
+    // DELETE → REBUILD → PROBE end-to-end (r16 ask #4): the same
+    // batch probed against a store that RETIRED the % 7 == 6 slice
+    // via deleteDocs (anti-join rewrite + version bump — the
+    // document-side deleteBefore) and re-earned the artifact with
+    // rebuildIndexes. Deleted docs are gone from the verdicts: a
+    // batch doc duplicating one reads new/dup_in_batch, never
+    // dup_of_corpus — served through the REBUILT artifact path.
+    "docstore_delete_dedup" -> ((s, dir) => {
+      val batch = docs(s, dir).select("doc_id", "text")
+        .filter(col("doc_id") % 7 === 3)
+      graft.ext.DocStore.dedupBatchExact(s, docStoreDelOf(s, dir),
           docStoreCfg, batch)
         .orderBy("doc_id")
     }),
@@ -4391,6 +4568,28 @@ object ExtQueries {
         |  SELECT md5(lower(trim(text))) AS content_hash,
         |    min(doc_id) AS cid
         |  FROM documents WHERE doc_id % 7 <> 3
+        |  GROUP BY 1
+        |)
+        |SELECT b.doc_id, b.content_hash,
+        |  CASE WHEN cm.cid IS NOT NULL THEN 'dup_of_corpus'
+        |       WHEN b.batch_first < b.doc_id THEN 'dup_in_batch'
+        |       ELSE 'new' END AS verdict,
+        |  CASE WHEN cm.cid IS NOT NULL THEN cm.cid
+        |       WHEN b.batch_first < b.doc_id THEN b.batch_first
+        |       ELSE b.doc_id END AS canonical_id
+        |FROM b LEFT JOIN cm USING (content_hash)
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "docstore_delete_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS content_hash,
+        |    min(doc_id) OVER (PARTITION BY md5(lower(trim(text))))
+        |      AS batch_first
+        |  FROM documents WHERE doc_id % 7 = 3
+        |), cm AS (
+        |  SELECT md5(lower(trim(text))) AS content_hash,
+        |    min(doc_id) AS cid
+        |  FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 7 <> 6
         |  GROUP BY 1
         |)
         |SELECT b.doc_id, b.content_hash,

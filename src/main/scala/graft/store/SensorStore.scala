@@ -221,118 +221,17 @@ class SensorStore(spark: SparkSession, baseDir: String) {
 
   /** Run `f` holding the sensor's writer lock — the cross-process
     * analog of the reference's per-sensor process lock
-    * (`database.py:154-168`). Acquisition is an ATOMIC exclusive file
-    * create (POSIX O_EXCL semantics — two contenders cannot both
-    * succeed); a crashed holder's lock is taken over after `staleMs`.
-    *
-    * Ownership is token-checked: the lock file carries a unique
-    * `pid@nonce` token, stale takeover happens by an atomic RENAME to a
-    * per-contender tombstone (exactly one renamer can win — no
-    * double-delete race), and release deletes the file only while it
-    * still holds OUR token. A holder that pauses past `staleMs` (GC,
-    * long job) and resumes after a takeover therefore cannot delete the
-    * NEW holder's lock. A daemon heartbeat refreshes the lock mtime at
-    * `staleMs/3` so a long-but-alive write is never mistaken for a
-    * crash in the first place.
-    *
-    * With the lock, concurrent writers to ONE sensor serialize and the
-    * read-modify-write merge can never lose an update; readers never
-    * need the lock (parquet job commit keeps them consistent). On an
-    * object store without atomic create/rename, swap this for a
-    * DynamoDB/etcd mutex or a Delta/Iceberg optimistic commit —
-    * `write` itself is format-agnostic.
+    * (`database.py:154-168`), shared with [[graft.ext.DocStore]] via
+    * [[graft.core.PathLock]] (token-checked exclusive create, stale
+    * takeover by atomic rename, heartbeat — full discipline documented
+    * there). With the lock, concurrent writers to ONE sensor serialize
+    * and the read-modify-write merge can never lose an update; readers
+    * never need the lock (parquet job commit keeps them consistent).
     */
   def withWriterLock[T](db: String, sensor: String, timeoutMs: Long = 30000,
-                        staleMs: Long = 600000)(f: => T): T = {
-    val dir = sensorDir(db, sensor)
-    val lock = Paths.get(dir, "_WRITE_LOCK")
-    val token = s"${ProcessHandle.current().pid()}@${java.util.UUID.randomUUID()}"
-    val deadline = System.currentTimeMillis() + timeoutMs
-    var acquired = false
-    while (!acquired) {
-      try {
-        Files.write(lock, token.getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        acquired = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val stale = try {
-            Files.getLastModifiedTime(lock).toMillis < System.currentTimeMillis() - staleMs
-          } catch { case _: java.io.IOException => false } // holder just released
-          if (stale) {
-            // takeover by atomic same-dir rename to a unique tombstone:
-            // of N contenders exactly one move succeeds (the rest see
-            // NoSuchFileException and re-race); nobody can delete a
-            // lock that a newer holder just re-created.
-            val tomb = Paths.get(dir, s"_WRITE_LOCK.stale.$token")
-            try {
-              Files.move(lock, tomb)
-              // re-verify on the tombstone: a FRESH mtime means the
-              // stale holder released and someone re-acquired between
-              // our staleness read and the move — we stole a LIVE lock.
-              // Put it straight back (the path is free unless a third
-              // contender creates it in this same syscall window, which
-              // shrinks the race from the whole contention period to
-              // microseconds); only a genuinely stale tombstone is
-              // discarded.
-              if (Files.getLastModifiedTime(tomb).toMillis >=
-                  System.currentTimeMillis() - staleMs)
-                try Files.move(tomb, lock)
-                catch { case _: java.io.IOException =>
-                  // restore raced a third contender's create: keep the
-                  // tombstone (unique name, preserves the victim's
-                  // token for post-mortem) rather than destroying the
-                  // last record of the double race
-                  ()
-                }
-              else { Files.deleteIfExists(tomb); () }
-            }
-            catch { case _: java.io.IOException => () }
-          }
-          else if (System.currentTimeMillis() > deadline)
-            throw new graft.core.WriteLockTimeoutException(db, sensor, timeoutMs)
-          else Thread.sleep(50)
-      }
-    }
-    val heartbeat = new Thread(() => {
-      try {
-        var owned = true
-        while (owned) {
-          Thread.sleep(math.max(staleMs / 3, 50L))
-          // refresh ONLY while the file still carries OUR token: after a
-          // stale takeover the new holder re-creates the lock at the same
-          // path, so a blind setLastModifiedTime would keep a lock we no
-          // longer own artificially fresh and block third-party takeover
-          // if the new holder crashes.
-          // stop ONLY on positively observing a foreign token; an
-          // IOException may be the transient file-absent window of
-          // another contender's move/re-verify/move-back and must not
-          // kill a live holder's refresh (the lock would go stale
-          // mid-write and be stolen)
-          try {
-            if (new String(Files.readAllBytes(lock),
-                StandardCharsets.UTF_8) == token)
-              Files.setLastModifiedTime(lock,
-                java.nio.file.attribute.FileTime.fromMillis(
-                  System.currentTimeMillis()))
-            else owned = false // taken over: stop touching for good
-          } catch { case _: java.io.IOException => () }
-        }
-      } catch { case _: InterruptedException => () }
-    }, s"graft-writelock-heartbeat-$db-$sensor")
-    heartbeat.setDaemon(true)
-    heartbeat.start()
-    try f finally {
-      heartbeat.interrupt()
-      // release only while the file still carries OUR token — after a
-      // stale takeover the path belongs to the new holder.
-      try {
-        if (new String(Files.readAllBytes(lock), StandardCharsets.UTF_8) == token)
-          Files.deleteIfExists(lock)
-      } catch { case _: java.io.IOException => () } // already taken over/released
-    }
-  }
+                        staleMs: Long = 600000)(f: => T): T =
+    graft.core.PathLock.withLock(sensorDir(db, sensor), s"$db/$sensor",
+      timeoutMs, staleMs)(f)
 
   /** `write` under the sensor's writer lock — safe for concurrent
     * writer jobs targeting the same sensor.
@@ -630,6 +529,25 @@ class SensorStore(spark: SparkSession, baseDir: String) {
     }
   }
 
+  /** Rollup read-range guard (r16 advice #4): BOTH bounds must sit on
+    * the rollup grid — `fromSec % bucketSec == 0` and
+    * `(toSec + 1) % bucketSec == 0` — because merged partials are
+    * bucket-granular and cannot be trimmed post-hoc: a misaligned
+    * fromSec would snap down a bucket and silently include readings
+    * preceding it, and a misaligned toSec would keep the whole bucket
+    * containing it and include readings after it (the symmetric bug).
+    * The client routes (`readGrafana*`, `readDistinct`,
+    * `readQuantile`) prove alignment before routing and fall back to
+    * the raw scan otherwise, so routing changes cost, never values.
+    */
+  private def requireRollupAligned(bucketSec: Long, fromSec: Option[Long],
+                                   toSec: Option[Long]): Unit = {
+    fromSec.foreach(f => require(f % bucketSec == 0,
+      s"fromSec $f must align to the rollup grid $bucketSec"))
+    toSec.foreach(t => require((t + 1) % bucketSec == 0,
+      s"toSec $t must end on the rollup grid ((toSec+1) % $bucketSec == 0)"))
+  }
+
   /** Read means from a materialized mean rollup, RE-AGGREGATED to any
     * grid at least as coarse as the rollup's: partial (sum, count)
     * pairs merge exactly (decimal addition is associative), then one
@@ -642,6 +560,7 @@ class SensorStore(spark: SparkSession, baseDir: String) {
                      toSec: Option[Long] = None): DataFrame = {
     require(coarseSec % bucketSec == 0,
       s"coarse grid $coarseSec must be a multiple of the rollup grid $bucketSec")
+    requireRollupAligned(bucketSec, fromSec, toSec)
     val metrics = config(db, sensor).metricNames
     var df = spark.read.parquet(
       s"${sensorDir(db, sensor)}/meanrollup_$bucketSec")
@@ -746,6 +665,7 @@ class SensorStore(spark: SparkSession, baseDir: String) {
                          toSec: Option[Long] = None): DataFrame = {
     require(coarseSec % bucketSec == 0,
       s"coarse grid $coarseSec must be a multiple of the rollup grid $bucketSec")
+    requireRollupAligned(bucketSec, fromSec, toSec)
     val metrics = config(db, sensor).metricNames
     var df = spark.read.parquet(
       s"${sensorDir(db, sensor)}/quantrollup_${bucketSec}_$binWidth")
@@ -815,6 +735,7 @@ class SensorStore(spark: SparkSession, baseDir: String) {
                        toSec: Option[Long] = None): DataFrame = {
     require(coarseSec % bucketSec == 0,
       s"coarse grid $coarseSec must be a multiple of the rollup grid $bucketSec")
+    requireRollupAligned(bucketSec, fromSec, toSec)
     val metrics = config(db, sensor).metricNames
     var df = spark.read.parquet(
       s"${sensorDir(db, sensor)}/sketchrollup_$bucketSec")
@@ -934,12 +855,10 @@ class SensorStore(spark: SparkSession, baseDir: String) {
                       toSec: Option[Long], metric: String): DataFrame = {
     require(coarseSec % bucketSec == 0,
       s"coarse grid $coarseSec must be a multiple of the rollup grid $bucketSec")
-    // bounds must sit ON the rollup grid — the filter below would
-    // otherwise snap fromSec DOWN a bucket and silently include
-    // readings preceding it (r15 advice; the aligned readGrafanaStats
-    // route guarantees this by construction)
-    fromSec.foreach(f => require(f % bucketSec == 0,
-      s"fromSec $f must align to the rollup grid $bucketSec"))
+    // both bounds must sit ON the rollup grid (r15 advice closed the
+    // fromSec side; r16 advice #4 the toSec side and every sibling
+    // path — see requireRollupAligned)
+    requireRollupAligned(bucketSec, fromSec, toSec)
     var df = spark.read.parquet(
         s"${sensorDir(db, sensor)}/statsrollup_$bucketSec")
       .filter(col("metric") === metric)
@@ -995,6 +914,7 @@ class SensorStore(spark: SparkSession, baseDir: String) {
   def readRollup(db: String, sensor: String, bucketSec: Long,
                  fromSec: Option[Long] = None,
                  toSec: Option[Long] = None): DataFrame = {
+    requireRollupAligned(bucketSec, fromSec, toSec)
     var df = spark.read.parquet(s"${sensorDir(db, sensor)}/rollup_$bucketSec")
     fromSec.foreach(f => df = df.filter(col("bucket") >= f - f % bucketSec))
     toSec.foreach(t => df = df.filter(col("bucket") <= t))

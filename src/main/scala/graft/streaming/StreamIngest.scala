@@ -275,6 +275,57 @@ object StreamIngest {
       .head().getAs[Array[Byte]]("bf")
   }
 
+  /** VERSION-GATED bloom supplier for [[nearDupScreen]] over a
+    * [[graft.ext.DocStore]]-managed corpus (r16 verdict ask #6: the
+    * screen used to probe the persisted band index with no version
+    * check, so a `replaceDocs` between micro-batches kept serving
+    * stale maybe-flags). Call [[GatedBandBloom.bloom]] once per
+    * micro-batch (e.g. in `foreachBatch`): it re-reads the store's
+    * commit record (one tiny meta read) and reuses the cached bloom
+    * only while the version matches. On a mismatch it rebuilds:
+    *  - near artifact FRESH at the current version → from its band
+    *    table (index-scale — the steady path after every ingest);
+    *  - artifact stale (a replace/delete without `rebuildIndexes`
+    *    yet) → session band-build over the store's CURRENT docs
+    *    (corpus-scale, priced until the rebuild re-earns the
+    *    artifact) — the same fallback contract every batch probe
+    *    follows: routing changes cost, never verdicts.
+    * Band construction is [[graft.ext.DedupIndex.bandRows]] on both
+    * paths, so a rebuilt bloom is byte-identical to one built fresh.
+    */
+  final class GatedBandBloom(expectedItems: Long = 1000000L) {
+    @volatile private var cached: Option[(Long, Array[Byte])] = None
+
+    def bloom(spark: org.apache.spark.sql.SparkSession, root: String,
+              cfg: graft.ext.DocStore.Config): Array[Byte] = {
+      val np = cfg.near.getOrElse(sys.error(
+        "the gated near-dup screen needs cfg.near"))
+      val v = graft.ext.DocStore.version(spark, root)
+      cached match {
+        case Some((cv, b)) if cv == v => b
+        case _ => synchronized {
+          cached match {
+            case Some((cv, b)) if cv == v => b
+            case _ =>
+              val nearPath = graft.ext.DocStore.nearPath(root)
+              val corpus = graft.ext.DocStore.docs(spark, root)
+              val bands =
+                if (graft.ext.DedupIndex.hasNearIndex(spark, nearPath) &&
+                    graft.ext.DedupIndex.nearIndexFresh(spark, nearPath,
+                      corpus, np.numHashes, np.rowsPerBand, np.shingleN,
+                      Some(v)))
+                  graft.ext.DedupIndex.bandTable(spark, nearPath)
+                else graft.ext.DedupIndex.bandRows(corpus, cfg.idCol,
+                  cfg.textCol, np.numHashes, np.rowsPerBand, np.shingleN)
+              val b = bandBloom(bands, expectedItems)
+              cached = Some((v, b))
+              b
+          }
+        }
+      }
+    }
+  }
+
   /** STREAMING near-dup screening — the stream-side half of
     * [[graft.ext.Dedup.incrementalNear]]: each document is flagged
     * `maybe_near_dup` when ANY of its LSH bands might be in the

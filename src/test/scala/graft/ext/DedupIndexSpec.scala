@@ -194,7 +194,7 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.buildSemanticIndex(a, "vec_id", "embedding", 32, 1, inc)
     DedupIndex.refreshSemanticIndex(spark, inc, b, "vec_id", "embedding")
     assert(DedupIndex.semanticIndexFresh(spark, inc, corpus, 32, 1))
-    val got = spark.read.parquet(s"$inc/cells")
+    val got = spark.read.parquet(s"$inc/cells").drop("v")
       .orderBy("corpus_id").collect().map(_.toString)
     val want = Dedup.assignCells(corpus, "vec_id", "embedding",
         spark.read.parquet(s"$inc/coarse"),

@@ -304,6 +304,66 @@ class StreamIngestSpec extends SparkSpec {
     assert(batchBands == corpusBands1)
   }
 
+  test("GatedBandBloom: a replaceDocs between micro-batches rebuilds " +
+    "the bloom — stale maybe-flags are never served (r16 ask #6)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("gbb").toString
+    val cfg = graft.ext.DocStore.Config("doc_id", "text", bm25 = false,
+      exact = false, near = Some(graft.ext.DocStore.NearParams(8, 1, 3)))
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different words about spark execution engines"))
+      .toDF("doc_id", "text")
+    graft.ext.DocStore.init(spark, root, corpus, cfg)
+    val gb = new StreamIngest.GatedBandBloom(1000L)
+
+    // probe 10 duplicates the ORIGINAL doc-1 text, probe 11 the text
+    // doc 1 will be REPLACED with — so each replace flips both flags
+    val probes = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "replacement text that is wholly new words entirely"))
+    val results =
+      scala.collection.mutable.Map.empty[Int, Map[Long, Boolean]]
+    val src = MemoryStream[(Long, String)]
+    val query = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // the gated supplier runs once per micro-batch: one commit-
+        // record read, bloom reuse while the version matches
+        val bloom = gb.bloom(spark, root, cfg)
+        val out = StreamIngest.nearDupScreen(batch, bloom, "doc_id",
+            "text", 8, 1, 3)
+          .select("doc_id", "maybe_near_dup").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        results.synchronized { results(id.toInt) = out }
+        ()
+      }.start()
+    try {
+      src.addData(probes: _*)
+      query.processAllAvailable()
+      // replace doc 1 MID-STREAM: version bumps, band artifact stale
+      graft.ext.DocStore.replaceDocs(spark, root,
+        Seq((1L, "replacement text that is wholly new words entirely"))
+          .toDF("doc_id", "text"), cfg)
+      src.addData(probes: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val first = results(0); val second = results(1)
+    assert(first(10L), "pre-replace: dup of live doc 1 must be flagged")
+    assert(!first(11L), "pre-replace: the future replacement is novel")
+    assert(!second(10L), "post-replace: a stale bloom would still flag " +
+      "the replaced text — the gate must have rebuilt")
+    assert(second(11L), "post-replace: dup of the NEW doc-1 text must " +
+      "be flagged")
+    // the rebuilt bloom is byte-equal to one built fresh over the
+    // current corpus — the fallback path is the construction itself
+    val fresh = StreamIngest.bandBloom(graft.ext.DedupIndex.bandRows(
+      graft.ext.DocStore.docs(spark, root), "doc_id", "text", 8, 1, 3),
+      1000L)
+    assert(java.util.Arrays.equals(gb.bloom(spark, root, cfg), fresh))
+  }
+
   test("mapGroupsWithState running-last never regresses on late arrivals") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
