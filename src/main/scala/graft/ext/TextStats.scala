@@ -36,9 +36,38 @@ object TextStats {
     * vocab outgrows the gate, the join degrades to a plain shuffle
     * instead of a driver OOM. Values are identical either way — join
     * strategy cannot change results.
+    *
+    * WHEN to use which gate (r17 optimization round, measured at
+    * sf0.1/local[4] and reasoned at 100 TB):
+    *  - THIS eager gate when the PROBE side is the corpus-scale stream
+    *    (token/bigram/gram/doc rows): the count is one cheap pass over
+    *    the (checkpointed, aggregate-sized) build side, and the
+    *    planning-time hint keeps the heavy stream out of any exchange —
+    *    AQE's runtime conversion would still map-write the whole
+    *    stream before deciding (guide §8: shuffle proxies, not
+    *    payloads).
+    *  - [[lazyGatedBroadcast]] when BOTH sides are bounded aggregates
+    *    (vocab censuses, candidate-pair tables): the map-write AQE
+    *    needs is of a small table, and dropping the eager count
+    *    removes a serial driver-blocking job from the caller's timed
+    *    region (measured: −0.2…−0.4 s each on text_kneser_ney,
+    *    graph_link_pred, doc_collocations_pmi).
     */
   def gatedBroadcast(df: DataFrame, maxRows: Long = 2000000L): DataFrame =
     if (df.count() <= maxRows) broadcast(df) else df
+
+  /** Lazy sibling of [[gatedBroadcast]] for joins whose PROBE side is
+    * itself a bounded aggregate (see the decision rule there): no
+    * eager count — the frame returns unhinted and AQE's runtime
+    * exchange statistics (byte-based, scale-adaptive; thresholds
+    * `spark.sql.adaptive.autoBroadcastJoinThreshold` /
+    * `...maxShuffledHashJoinLocalMapThreshold`, set in the bench
+    * session, overridable via SPARK_GRAFT_AQE_BHJ/_SHJ) convert the
+    * planned sort-merge join to broadcast/shuffled-hash when the built
+    * side measures small. Values are identical either way — join
+    * strategy cannot change results.
+    */
+  def lazyGatedBroadcast(df: DataFrame): DataFrame = df
 
   /** 6-decimal TRUNCATION for ratio outputs. Spark's `round` rounds the
     * double's shortest decimal representation (BigDecimal.valueOf ⇒

@@ -715,13 +715,25 @@ object RelQueries {
     "q21_sole_late_supplier" -> ((s, dir) => {
       val ords = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_orderdate")
+      // r17 (guide §2.4 "two operations keyed the same way can share
+      // one exchange"): the per-(order, supplier) and per-order
+      // aggregates both cluster by l_orderkey, so ONE explicit
+      // repartition on it serves both — hash(l_orderkey) co-locates
+      // every (l_orderkey, l_suppkey) group too, so neither groupBy
+      // plans its own Exchange (plan: 3 Exchanges → 2; the late flag
+      // projects to 3 narrow columns BEFORE the one wide exchange,
+      // guide §2.3). Values unchanged: max over lines of
+      // 1{diff > 90} ≡ 1{max(diff) > 90} since o_orderdate is
+      // per-order constant.
       val perOrderSupp = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(ords, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, 1L)
+            .otherwise(0L).as("l_late"))
+        .repartition(col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(max(when(
-          datediff(col("l_shipdate"), col("o_orderdate")) > 90, 1L)
-          .otherwise(0L)).as("late"))
+        .agg(max(col("l_late")).as("late"))
       val perOrder = perOrderSupp.groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"),
           max(when(col("late") === 1L, col("l_suppkey"))).as("late_supp"))

@@ -766,13 +766,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"offset join degraded to SMJ:\n$p")
   }
 
-  test("doc_bigram_logprob: count tables join through the size gate " +
-    "(no unconditional vocab-scale broadcast)") {
-    // 1 bounded one-row total + 3 vocabulary-scale gated hints pass the
-    // gate at sf0.001; an UNgated vocab hint would survive the gate's
-    // withhold path and show up in ExtSpec's cache hygiene instead
-    assert(hintCount("doc_bigram_logprob") == 4,
-      "bigram LM: the one-row total + three gated count tables only")
+  test("doc_bigram_logprob: the STREAM joins the pre-scored bigram " +
+    "vocab exactly once through the size gate (r17)") {
+    // r17 shape: the log-prob is computed at the bigram-VOCAB grain
+    // (bcount × two lazy-gated unigram censuses × the 1-row total),
+    // and the corpus-scale bigram stream joins that scored table
+    // exactly once — eager-gated, so at sf0.001 the hint is present
+    // and the stream never shuffles. Hints visible in the final
+    // analyzed plan: exactly the 1 gated scored table (the vocab-grain
+    // scoring — its unigram joins lazy-gated, its 1-row total
+    // broadcast — sits behind the scored checkpoint).
+    assert(hintCount("doc_bigram_logprob") == 1,
+      "bigram LM: exactly the one gated scored-table hint")
+    val p = plan("doc_bigram_logprob")
+    // stream scan + the inline 1-row token total = 2; the count tables
+    // sit behind checkpoints
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) <= 2,
+      s"the bigram stream must scan documents once (plus the scalar):\n$p")
   }
 
   test("q2: the cheapest supplier is a struct-MIN aggregation, not a " +
@@ -1180,12 +1190,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("text_ngram_novelty: gram-key joins only behind one fact scan — " +
-    "no window, no doc-pair stage") {
+  test("text_ngram_novelty: first-doc is a min window RIDING the gram " +
+    "repartition — one fact scan, NO join, no doc-pair stage (r17)") {
     val p = plan("text_ngram_novelty")
-    assert(!p.contains("Window"), s"novelty must not rank:\n$p")
-    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 0,
-      s"fact leaked past the (doc,gram) checkpoint:\n$p")
+    // r17 shape: explode → Exchange(gram) → (doc,gram) count (exchange
+    // REUSED) → min-over-gram window (reused again) → groupBy(doc) —
+    // the former groupBy(gram) + join-back (two more Exchanges + a
+    // checkpoint) is gone. The window partitions on the
+    // high-cardinality gram key, never on doc-pair anything.
+    assert(!p.contains("Join"), s"novelty re-grew a join stage:\n$p")
+    assert(p.contains("Window"), s"first-doc window missing:\n$p")
+    assert(p.linesIterator.count(l => l.contains("Location") && l.contains("documents.parquet")) == 1,
+      s"expected exactly one fact scan:\n$p")
+    // gram repartition + groupBy(doc) + output sort = 3 exchanges max
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 
