@@ -28,6 +28,8 @@ object ProfileSplit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_AQE_BHJ", "64m"))
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
