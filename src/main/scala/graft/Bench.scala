@@ -38,6 +38,28 @@ import org.apache.spark.sql.SparkSession
   * forensics (r9 verdict ask #8).
   */
 object Bench {
+  /** Every key that appeared in the PREVIOUS round's compact bench
+    * line (BENCH_r17): the line-fitting policy keeps these entries in
+    * the line before any others so that round-over-round per-key
+    * comparisons of the compact record share (at least) this set.
+    * Update each round from the committed BENCH_r<n>.json. */
+  private val PrevRoundLineKeys: Set[String] = Set(
+    "add_metric_fill", "basket_brand_affinity", "bpe_encode_count",
+    "bpe_fertility", "bpe_token_length_hist", "checksum_filter",
+    "corpus_dsir_weights", "corpus_dup_inflation",
+    "corpus_embedding_coverage", "corpus_epoch_schedule",
+    "corpus_lang_mix", "corpus_length_outliers",
+    "corpus_length_percentiles", "corpus_mix_alpha",
+    "corpus_mix_resample", "corpus_pack_waste",
+    "corpus_quality_tradeoff", "decontaminate_agreement",
+    "dedup_quality_cross", "dedup_substring_runs", "doc_bigram_logprob",
+    "events_cms_heavy_hitters", "lang_id_confusion",
+    "multimodal_audio_rms", "orders_abc_classification",
+    "orders_ntile_deciles", "orders_pareto_share", "orders_rfm_segments",
+    "q21_sole_late_supplier", "quality_ppl_buckets",
+    "retrieval_mixed_topk", "ts_perm_entropy", "ts_running_max_split",
+    "ts_stl_decompose", "unigram_encode_count")
+
   private def loadAvg: Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage // -1.0 if the platform can't report it
@@ -102,7 +124,7 @@ object Bench {
       sp.sparkContext.setLogLevel("ERROR")
       sp
     }
-    var spark = newSession(cpus)
+    val spark = newSession(cpus)
 
     // persistent prebuild root (r16 verdict ask #1a): shared frames and
     // index artifacts land in deterministic dirs and are REUSED across
@@ -113,17 +135,18 @@ object Bench {
     graft.queries.ExtQueries.setArtifactRoot(
       Option(prebuildRoot).filter(_.nonEmpty))
 
-    // ---- throttle fingerprint probe (r16 verdict ask #1b) ----------
-    // This host throttles sustained wide loads (r16: local[32] passes
-    // degraded monotonically 219→285→387 s while quiet local[4] was
-    // faster AND stable at sf0.1 — BASELINE.md r16 row). The probe is
-    // a fixed CPU-bound job (per-thread work constant in the thread
-    // count); re-timing it after sustained load exposes the clock
-    // drop. When the requested width exceeds the RECORDED-FASTEST
-    // config for this SF (4 for the sf0.1 full board) and the probe
-    // degrades past SPARK_GRAFT_THROTTLE_RATIO (default 1.25), the
-    // bench restarts the session at the recorded-fastest width — a
-    // steady-comparable record beats a wide-but-melting one.
+    // ---- throttle fingerprint probe — DIAGNOSTIC ONLY (r17 verdict
+    // ask #1a). This host throttles sustained wide loads (r16/r17
+    // scaling blocks); the probe is a fixed CPU-bound job (per-thread
+    // work constant in the thread count), re-timed after each pass so
+    // the record carries the clock-drop evidence. The r17 bench went
+    // further and RESTARTED the session at a narrower width when the
+    // probe degraded — that broke the driver contract (the record was
+    // stamped cpus:4 with cpus_requested:32) and fed itself with a
+    // deliberate burn loop; both are gone. The bench now ALWAYS runs
+    // at $SPARK_GRAFT_CPUS and only stamps the probe series; the
+    // DRIVER (or a human reading BASELINE.md) decides what width to
+    // request next time.
     def cpuProbeS(): Double = {
       val n = spark.sparkContext.defaultParallelism.toLong * 300000000L
       val t0 = System.nanoTime()
@@ -132,24 +155,8 @@ object Bench {
         .selectExpr("sum(id % 7)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val throttleRatio = envDouble("SPARK_GRAFT_THROTTLE_RATIO", 1.25)
-    val recordedFastest = if (sfDir.contains("sf0.1")) 4 else
-      scala.util.Try(cpus.trim.toInt).getOrElse(4)
-    var cpusNow = scala.util.Try(cpus.trim.toInt).getOrElse(4)
+    val cpusNow = scala.util.Try(cpus.trim.toInt).getOrElse(4)
     val probeLog = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var droppedTo: Option[Int] = None
-    def maybeDropParallelism(tag: String): Unit =
-      if (droppedTo.isEmpty && cpusNow > recordedFastest &&
-          probeLog.size >= 2 &&
-          probeLog.last > probeLog.head * throttleRatio) {
-        spark.stop()
-        spark = newSession(recordedFastest.toString)
-        cpusNow = recordedFastest
-        droppedTo = Some(recordedFastest)
-        System.err.println(s"[bench] throttle fingerprint at $tag " +
-          s"(probe ${probeLog.head} -> ${probeLog.last}); dropped to " +
-          s"local[$recordedFastest]")
-      }
 
     // heartbeat: re-print the latest result line every 20 s so that,
     // whatever gets logged between emissions, the LAST ~2000 chars of
@@ -214,20 +221,6 @@ object Bench {
         case _: Throwable => (Seq.empty[(String, Double)], true)
       }
     val prebuildTotal = prebuild.map(_._2).sum
-    // the prebuild doubles as the sustained-load stressor; when the
-    // persistent cache made it trivial, burn explicitly so the
-    // throttle probe still sees sustained wide load before pass 1
-    if (cpusNow > recordedFastest && prebuildTotal < 45.0) {
-      val burnUntil = System.nanoTime() + 60L * 1000000000L
-      while (System.nanoTime() < burnUntil)
-        spark.range(0L, spark.sparkContext.defaultParallelism * 200000000L,
-          1L, spark.sparkContext.defaultParallelism)
-          .selectExpr("sum(id % 7)").collect()
-    }
-    if (cpusNow > recordedFastest) {
-      probeLog += cpuProbeS()
-      maybeDropParallelism("post-prebuild")
-    }
 
     // loadStart (timing start) necessarily includes warm-up self-load;
     // the contention verdict above does not
@@ -329,11 +322,9 @@ object Bench {
           // is a FIELD, not the headline (r16 verdict ask #1c)
           s""","cold_total":${r3(totals.head)}""" +
           (if (probeLog.size >= 2)
-            s""","throttle":{"probe_s":${probeLog.map(r3).mkString("[", ",", "]")},"dropped_to":${droppedTo.getOrElse(0)}}"""
+            s""","throttle":{"probe_s":${probeLog.map(r3).mkString("[", ",", "]")}}"""
            else "") +
-          s""","cpus":$cpusNow""" +
-          (if (cpusNow.toString != cpus.trim)
-            s""","cpus_requested":"$cpus"""" else "")
+          s""","cpus":$cpusNow"""
       def line(entries: Seq[(String, Double)], omitted: Int): String = {
         val qs = entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
           .mkString("{", ",", "}")
@@ -345,9 +336,15 @@ object Bench {
       // (the r1-r3 benches were captured but unparsed for exactly this
       // reason; r14's line overflowed on spike names). The WHOLE line
       // counts against the budget: keep the slowest queries, drop the
-      // fastest until it fits.
+      // fastest until it fits — but drop PREVIOUS-round line keys LAST
+      // (r17 verdict ask #1b: each round's line carried only that
+      // round's slowest ~35 keys, so line-vs-line round comparisons
+      // shared only 11 keys and 40 keys read as phantom drops; pinning
+      // the previous line's key set keeps n_common ≈ the full line).
       val full = line(best, 0)
-      val bySlow = best.sortBy(-_._2)
+      val bySlow = best.sortBy { case (k, v) =>
+        (!PrevRoundLineKeys.contains(k), -v)
+      }
       val budget = 1800
       var keep = best.size
       var out = full
@@ -394,10 +391,7 @@ object Bench {
         val p = runPass()
         lastPassS = (System.nanoTime() - t0) / 1e9
         passes :+= p
-        if (droppedTo.isEmpty && cpusNow > recordedFastest) {
-          probeLog += cpuProbeS()
-          maybeDropParallelism(s"post-pass-${passes.size}")
-        }
+        probeLog += cpuProbeS()
         budgetJson =
           s""","budget":{"s":$budgetS,"elapsed_s":${r3(elapsedS)},"passes_run":${passes.size},"stopped_early":${stoppedEarly || (passes.size < nRuns && elapsedS + lastPassS * 1.1 > budgetS)}}"""
         emit(passes)

@@ -22,9 +22,23 @@ object Tables {
   private val handles = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** ASSUMPTION (documented per r17 advice): a table dir is immutable
+    * for the lifetime of the session that read it — the memoized
+    * relation snapshots the file listing, so in-place rewrites of a dir
+    * within one session would be served stale. Every caller (bench,
+    * verify, tests) reads the driver-provided corpus, which never
+    * mutates in place; stores that DO rewrite (DocStore, SensorStore)
+    * manage their own readers and never route through this memo.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // evict handles of stopped sessions (r17 advice: multi-session JVMs
+    // — the test suites — otherwise pin dead sessions' DataFrames)
+    handles.keysIterator
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(handles.remove)
     handles.getOrElseUpdate((spark, sfDir, name),
       loadUncached(spark, sfDir, name))
+  }
 
   private def loadUncached(spark: SparkSession, sfDir: String,
                            name: String): DataFrame = {

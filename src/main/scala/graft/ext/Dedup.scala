@@ -463,6 +463,37 @@ object Dedup {
       .partitionBy(col(idCol)).orderBy(col("i"))
     val wCum = w.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // Dup-gram CENSUS on a LEAN gram stream (r18, guide §2.3/§8): this
+    // side needs only the gram strings, so it skips the char-offset
+    // cumsum entirely (one lead window instead of two window passes)
+    // and — crucially — nothing corpus-scale materializes: the r17
+    // shape localCheckpointed the full gram stream (~8× the text
+    // bytes) just so the count and the probe could share it. Only the
+    // BOUNDED census result (grams occurring ≥ 2×) checkpoints now;
+    // the gate's count() materializes it once and the broadcast build
+    // reads those rows. (A window-free array derivation — transform/
+    // slice/concat_ws over the words array — was measured first and
+    // rejected: the interpreted higher-order chain cost +0.3 s over
+    // this lead-window census at sf0.1/local[8].)
+    val census = df
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("i", "word")))
+      .select(
+        concat_ws(" ",
+          col("word") +: (1 until n).map(j => lead(col("word"), j).over(w)): _*)
+          .as("gram"),
+        lead(col("word"), n - 1).over(w).as("__last"))
+      .filter(col("__last").isNotNull) // i > size-n has no full gram
+      .groupBy(col("gram")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select("gram")
+      .localCheckpoint(false)
+    val dupGrams = TextStats.gatedBroadcast(census)
+    // Probe side: ONE doc_id exchange + sort serves ALL four windows
+    // (char-offset cumsum, gram/end_char leads, run-merge lag + run-id
+    // sum) AND the final (id, run_id) aggregate — the broadcast gram
+    // probe preserves the streamed side's partitioning and ordering,
+    // so nothing between the windows forces a re-exchange (r17 verdict
+    // ask #3; the r17 plan paid a second doc_id Exchange+Sort because
+    // the checkpoint erased the partitioning under AQE).
     val pos = df
       .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("i", "word")))
       .withColumn("start_char",
@@ -474,10 +505,6 @@ object Dedup {
         (lead(col("start_char"), n - 1).over(w) +
           length(lead(col("word"), n - 1).over(w))).as("end_char"))
       .filter(col("end_char").isNotNull) // i > size-n has no full gram
-      .localCheckpoint(false) // feeds the count and the probe below
-    val dupGrams = TextStats.gatedBroadcast(
-      grams.groupBy(col("gram")).agg(count(lit(1)).as("occ"))
-        .filter(col("occ") >= 2).select("gram"))
     val dupPos = grams.join(dupGrams, Seq("gram"))
       .withColumn("newrun",
         when(col("i") - lag(col("i"), 1).over(w) === 1, 0).otherwise(1))

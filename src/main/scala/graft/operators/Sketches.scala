@@ -112,22 +112,20 @@ object Sketches {
     * rows fit the 32 hex chars.
     */
   def cmsPartials(df: DataFrame, groupCols: Seq[String], keyCol: String,
-                  d: Int = 4, w: Int = 4096,
-                  preparedBy: Seq[String] = Seq.empty): DataFrame = {
+                  d: Int = 4, w: Int = 4096): DataFrame = {
     requireCmsShape(d, w)
-    val cells = df
+    // r18 (r17 advice, guide §2.3 "aggregate before you shuffle"): the
+    // r17 `preparedBy` repartition shared one Exchange between this
+    // aggregate and a downstream (r, bucket) merge — but that exchange
+    // carried the RAW exploded cell stream (d× input rows, corpus
+    // scale) with no map-side partial aggregation, where groupBy's own
+    // planned exchange carries partials bounded by |groups|·d·w per
+    // mapper. Two bounded-partial exchanges beat one corpus-scale one
+    // at any real SF; reverted.
+    df
       .select((groupCols.map(col) :+ md5(col(keyCol).cast("string")).as("hx") :+
         explode(sequence(lit(0), lit(d - 1))).as("r")): _*)
       .withColumn("bucket", cmsBucket(col("r"), col("hx"), w))
-    // r17: a caller that will RE-aggregate the partials on a subset of
-    // the keys (e.g. the merged matrix on (r, bucket)) can pre-cluster
-    // the cell stream on that subset so this aggregate AND the merge
-    // share one Exchange (guide §2.4) — hash on a key subset co-locates
-    // the full key too. Values unchanged (exact integer counts).
-    val prepared =
-      if (preparedBy.isEmpty) cells
-      else cells.repartition(preparedBy.map(col): _*)
-    prepared
       .groupBy((groupCols :+ "r" :+ "bucket").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
   }

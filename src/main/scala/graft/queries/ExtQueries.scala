@@ -136,23 +136,38 @@ object ExtQueries {
     ok.getFileSystem(s.sessionState.newHadoopConf()).exists(ok)
   }
 
-  /** Disk-backed variant of the session memo for the EXPENSIVE shared
-    * frames (exact-NN baseline, LSH chain, fitted indexes, …): with
-    * [[artifactRoot]] set, the frame round-trips through a
+  /** Names allowed to persist ACROSS JVM runs under [[artifactRoot]]:
+    * genuine fitted MODEL artifacts only — tables a production pipeline
+    * fits once and ships (centroids; the trained unigram vocabulary the
+    * encode keys load), alongside the separately-managed at-rest
+    * indexes (bm25, the DedupIndex trees, docstore, semfit). QUARANTINE
+    * (r17 verdict ask #2): everything else — the LSH chain, the
+    * verified jaccard/simhash/NN tables, the BPE merges — is the
+    * declared OUTPUT of board keys (or one derivation from it), and a
+    * cross-run parquet round-trip of those turns their bench time into
+    * "read my own answer from disk". They now rebuild inside every JVM
+    * run (session memo still shares them across the keys of one run,
+    * with the build cost stamped on the bench's prebuild line). */
+  private val CrossRunArtifacts = Set("kmeans_cents", "unigram_vocab")
+
+  /** Disk-backed variant of the session memo for the shared frames:
+    * with [[artifactRoot]] set AND the name whitelisted in
+    * [[CrossRunArtifacts]], the frame round-trips through a
     * deterministic parquet dir — built by the first run that needs
     * it, re-read (and RAM-pinned) by every later session or JVM. The
     * frames are deterministic (they back hash-oracled keys), and
     * parquet round-trips are exact, so a re-read serves bit-identical
-    * rows to a rebuild. */
+    * rows to a rebuild. Non-whitelisted names are session-memoized
+    * only: rebuilt once per JVM run, never served from disk. */
   private def diskBacked(s: SparkSession, dir: String, name: String)
                         (build: => DataFrame): DataFrame =
     memo.getOrElseUpdate((s, dir, name), artifactRoot match {
-      case Some(root) =>
+      case Some(root) if CrossRunArtifacts(name) =>
         val p = s"$root/${tagOf(dir)}/memo_$name"
         if (!completeAt(s, p))
           build.write.mode("overwrite").parquet(p)
         s.read.parquet(p).persist()
-      case None => build.persist()
+      case _ => build.persist()
     })
 
   private def bm25IndexOf(s: SparkSession, dir: String): String =
@@ -554,28 +569,32 @@ object ExtQueries {
     * vocab), deterministic in the corpus, so it belongs on the shared
     * prebuild line with the other fitted artifacts.
     */
+  private def bpeMergesBuild(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    graft.ext.Bpe.fit(words, "w", "c", steps = 3)
+  }
+
   private def bpeMergesOf(s: SparkSession, dir: String): DataFrame =
-    diskBacked(s, dir, "bpe_merges") {
-      val words = docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("c"))
-      graft.ext.Bpe.fit(words, "w", "c", steps = 3)
-    }
+    diskBacked(s, dir, "bpe_merges")(bpeMergesBuild(s, dir))
 
   /** Shared fitted unigram vocabulary (piece, usage, llq), memoized:
     * the train key emits it and the encode key ships it, so the EM
     * chain (seed + two Viterbi E-steps + three scalar totals) runs
     * once per (session, dir) instead of once per key.
     */
+  private def unigramVocabBuild(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    graft.ext.Unigram.fit(words, "w", "c", maxPieceLen = 4, topK = 40)
+  }
+
   private def unigramVocabOf(s: SparkSession, dir: String): DataFrame =
-    diskBacked(s, dir, "unigram_vocab") {
-      val words = docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("c"))
-      graft.ext.Unigram.fit(words, "w", "c", maxPieceLen = 4, topK = 40)
-    }
+    diskBacked(s, dir, "unigram_vocab")(unigramVocabBuild(s, dir))
 
   /** Exact and ANN within-label NN results, memoized: each backs its
     * own query key AND the recall audit that compares them.
@@ -925,11 +944,22 @@ object ExtQueries {
         .select("content_hash", "doc_id", "n_dups")
         .orderBy("doc_id")),
 
+    // The banding + candidate-pair generation IS this key's declared
+    // computation, so it runs FRESH over the shared signature index
+    // (r17 verdict ask #2 — the memoized table is still what the OTHER
+    // candidate-consuming keys probe).
     "dedup_near_minhash" -> ((s, dir) =>
-      candsOf(s, dir).orderBy("a_id", "b_id")),
+      Dedup.candidatePairs(
+          Dedup.bands(minhashOf(s, dir), "doc_id", NumHashes, 1), "doc_id")
+        .orderBy("a_id", "b_id")),
 
+    // The verified-pair jaccard IS this key's declared computation →
+    // the array_intersect pass runs FRESH over the shared candidate/
+    // set index (r17 verdict ask #2); downstream re-aggregating keys
+    // (threshold curve, band tuning) keep probing the memoized table.
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      jaccardOf(s, dir).orderBy("a_id", "b_id")),
+      Dedup.jaccardFromSets(candsOf(s, dir), ssetsOf(s, dir), "doc_id")
+        .orderBy("a_id", "b_id")),
 
     // Asymmetric CONTAINMENT (Broder) for candidate pairs — catches
     // quote-inclusion near-dups Jaccard under-scores: a short doc fully
@@ -1098,8 +1128,10 @@ object ExtQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // The fingerprint pass IS this key's declared computation → FRESH
+    // (r17 verdict ask #2); the radius key keeps the memoized table.
     "dedup_simhash" -> ((s, dir) =>
-      simhashOf(s, dir).orderBy("doc_id")),
+      Dedup.simhash(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
     // Hamming-radius pairs (≤1 bit apart) via the Manku flipped-key
     // multi-index + the native codegen'd hamming_distance expression.
@@ -1118,8 +1150,12 @@ object ExtQueries {
       // (label, cell), never label alone. iters=0 = static first-k
       // cells (exactness never depends on centroid quality, only the
       // pruning rate does — raise iters when the corpus is clustered
-      // enough for the fit to pay for itself).
-      exactNNOf(s, dir).orderBy("vec_id")),
+      // enough for the fit to pay for itself). The NN pass IS this
+      // key's declared computation → FRESH (r17 verdict ask #2); the
+      // recall audit keeps probing the memoized table.
+      Similarity.exactNNWithinGroup(emb(s, dir), "vec_id", "embedding",
+          "label", k = 16, iters = 0)
+        .orderBy("vec_id")),
 
     // Recall audit of the approximate path against the exact one — the
     // methodology check every ANN deployment needs: per label, how many
@@ -1143,8 +1179,12 @@ object ExtQueries {
     // exact re-rank. The oracle mirrors the signature math bit-for-bit
     // (md5-nibble hyperplanes), so recall differences are impossible —
     // both engines see the same candidate sets.
+    // The ANN pass IS this key's declared computation → FRESH (r17
+    // verdict ask #2); the recall audit keeps the memoized table.
     "dedup_embedding_ann" -> ((s, dir) =>
-      annNNOf(s, dir).orderBy("vec_id")),
+      Similarity.annNNWithinGroup(emb(s, dir), "vec_id", "embedding",
+          "label", Planes, Dim)
+        .orderBy("vec_id")),
 
     // Dedup observability: per source, how much exact- and near-
     // duplicate structure the corpus carries (docs in shared-hash
@@ -1233,8 +1273,11 @@ object ExtQueries {
     // the driver. The oracle unrolls the 3 steps as CTEs with the
     // byte-identical wrapped-symbol construction.
     "bpe_train_merges" -> ((s, dir) =>
-      // fit memoized ([[bpeMergesOf]]); shared with the encode keys
-      bpeMergesOf(s, dir).orderBy("step")),
+      // the fit IS this key's declared computation, so it runs FRESH
+      // here (r17 verdict ask #2: serving it from the memo made the
+      // timed region a 3-row sort). The encode keys still share the
+      // memoized artifact ([[bpeMergesOf]]) — probe-an-index semantics.
+      bpeMergesBuild(s, dir).orderBy("step")),
 
     // ENCODE with the learned vocab — the apply half of the tokenizer
     // lifecycle (train → encode): the 3 trained merges are collected
@@ -3984,7 +4027,9 @@ object ExtQueries {
     // recursive-CTE dynamic programs with the tie-break composite
     // packed into one BIGINT — an independent derivation, not an echo.
     "unigram_train_vocab" -> ((s, dir) =>
-      unigramVocabOf(s, dir).withColumnRenamed("usage", "n_usage")),
+      // the EM fit IS this key's declared computation → FRESH here
+      // (r17 verdict ask #2); the encode key keeps the shared artifact
+      unigramVocabBuild(s, dir).withColumnRenamed("usage", "n_usage")),
 
     // ENCODE with the trained unigram vocab — the apply half of the
     // unigram lifecycle, mirroring bpe_encode_count: the shipped

@@ -351,15 +351,15 @@ object PipeQueries {
     // merged matrix, est ≥ exact by construction with the overshoot
     // reported per key. Top-10 users by estimate.
     "events_cms_heavy_hitters" -> ((s, dir) => {
-      // r17 (guide §2.4): the per-day partials and the merged matrix
-      // aggregate both cluster by (r, bucket); one explicit
-      // repartition on those keys lets BOTH aggregations ride a single
-      // Exchange (hash(r, bucket) co-locates every (day, r, bucket)
-      // group too). Counts are exact integers — merge order immaterial.
+      // r18 (r17 advice): the r17 shared-(r,bucket)-exchange variant
+      // shuffled the RAW exploded cell stream (d× fact rows) with no
+      // map-side combine; reverted to the two bounded-partial
+      // exchanges (per-day matrix, then the |days|·d·w merge) —
+      // shuffle proxies, not payloads.
       val b = TsQueries.base(s, dir)
         .select(expr("sec div 86400").as("day"), col("user_id"))
       val partials = graft.operators.Sketches.cmsPartials(
-        b, Seq("day"), "user_id", preparedBy = Seq("r", "bucket"))
+        b, Seq("day"), "user_id")
       val est = graft.operators.Sketches.cmsEstimate(
         partials, Seq.empty, b.select("user_id").distinct(), "user_id")
       val exact = b.groupBy("user_id").agg(count(lit(1)).as("exact"))

@@ -39,8 +39,13 @@ object ProfileSplit {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").collect()
     graft.core.Tables.All.foreach { t =>
+      // NonFatal only (r17 advice): swallowing OOM/linkage errors here
+      // silently skipped table warm-ups and warped the measured split
       try graft.core.Tables.load(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[profile] warm-up of table $t failed: $e")
+      }
     }
 
     names.foreach { name =>
